@@ -1,0 +1,87 @@
+"""Local DuckDB-oracle harness — mirrors the driver's correctness gate
+(row-count + column names + order-insensitive value compare) so regressions
+surface in pytest before the driver ever runs.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import duckdb
+import pandas as pd
+from pyspark.sql import SparkSession
+
+from .catalog import TABLES, table_path
+from .plans.corpus import REGISTRY  # corpus import populates the registry
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+        )
+    return con
+
+
+def _canon_cell(v) -> str:
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "<null>"
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return repr(v)  # keeps 2.0 vs 2 distinct float repr
+        return repr(v)
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (bool,)):
+        return str(bool(v))
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def canonical_rows(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    out = [tuple(_canon_cell(v) for v in row) for row in df[cols].itertuples(index=False)]
+    return sorted(out)
+
+
+@dataclass
+class CompareResult:
+    name: str
+    ok: bool
+    detail: str = ""
+
+
+def compare_query(spark: SparkSession, name: str, sf_dir: str) -> CompareResult:
+    q = REGISTRY[name]
+    spark_pdf = q.fn(spark, sf_dir).toPandas()
+    if q.oracle is None:
+        ok = True  # rows-only check: it ran
+        return CompareResult(name, ok, f"rows-only: {len(spark_pdf)} rows")
+    con = duckdb_connection(sf_dir)
+    try:
+        oracle_pdf = con.execute(q.oracle).fetchdf()
+    finally:
+        con.close()
+    if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
+        return CompareResult(
+            name,
+            False,
+            f"schema mismatch: spark={sorted(spark_pdf.columns)} "
+            f"oracle={sorted(oracle_pdf.columns)}",
+        )
+    if len(spark_pdf) != len(oracle_pdf):
+        return CompareResult(
+            name, False, f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
+        )
+    s_rows, o_rows = canonical_rows(spark_pdf), canonical_rows(oracle_pdf)
+    if s_rows != o_rows:
+        diffs = [
+            (a, b) for a, b in zip(s_rows, o_rows) if a != b
+        ][:3]
+        return CompareResult(name, False, f"value mismatch, first diffs: {diffs}")
+    return CompareResult(name, True, f"{len(spark_pdf)} rows match")

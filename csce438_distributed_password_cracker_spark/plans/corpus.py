@@ -1,0 +1,15 @@
+"""Corpus hub: importing this module registers every declared query."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import keyspace_queries  # noqa: F401  (registers on import)
+from . import relational  # noqa: F401
+from .registry import REGISTRY, QueryDef  # noqa: F401
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver's smoke query: grouped-agg over lineitem (Q1 shape) —
+    exercises parquet scan, pushdown, partial agg, exchange."""
+    return REGISTRY["q_agg_groupby"].fn(spark, sf_dir)

@@ -1,0 +1,252 @@
+"""Declared keyspace / codec / crack / partition-algebra queries
+(SURVEY.md §2.1 S1, §2.2 P1+P4, §2.3 X1, §2.5 A2, §2.7, §2.8 F1+F2, §2.11).
+
+These need no stored table: the source is the generated keyspace
+(``spark.range`` + base-26 decode) and the oracle side is DuckDB ``range()``.
+
+Hash note (SURVEY.md §2.8 F1): the pinned DuckDB (1.0.0) has no sha1(), so
+oracle-checked hash queries use sha256 (Spark ``sha2(col,256)`` ⇔ DuckDB
+``sha256()``).  SHA-1 reference fidelity (worker.c:50-54 format) is asserted
+in tests/test_crack.py against hashlib.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import codec
+from ..sources.keyspace import keyspace, keyspace_sql_duckdb
+from .registry import register
+
+# sha256 targets, derived from the pinned FIXTURES.md plains.
+HIT4 = hashlib.sha256(b"code").hexdigest()
+# Negative control: preimage contains non-[a-z] chars, so no hit exists in
+# any fixed-width lowercase space (FIXTURES.md's negative-control pattern).
+MISS3 = hashlib.sha256(b"NOPE!").hexdigest()
+
+WORKERS = 11  # reference's effective per-request parallelism (server.c:240,349-352)
+
+
+def _split_exprs(width: int, idcol: str, k: int = WORKERS, long_suffix: str = "L") -> list[str]:
+    """The reference's range-split algebra (server.c:387-434) as select-list
+    expressions over a k-row integer source: per = (n-1) div k; contiguous
+    inclusive subranges [i*(per+1), i*(per+1)+per].  The last subrange
+    overshoots by the integer-division remainder — reproduced faithfully
+    because this query *documents* the reference algebra (divergence X2 is
+    about the engine's own scan partitioning, which uses spark.range's
+    exact splits).
+    """
+    n = codec.keyspace_size(width)
+    per = (n - 1) // k
+    size = f"{per + 1}{long_suffix}" if long_suffix else f"CAST({per + 1} AS BIGINT)"
+    return [
+        f"{idcol} AS worker_id",
+        f"{idcol} * {per + 1} AS lo",
+        f"{idcol} * {per + 1} + {per} AS hi",
+        f"{size} AS subrange_size",
+    ]
+
+
+def _split_sql_duckdb(width: int, k: int = WORKERS) -> str:
+    exprs = _split_exprs(width, "range", k, long_suffix="")
+    return "SELECT " + ", ".join(exprs) + f" FROM range({k})"
+
+
+@register(
+    "q_keyspace_scan",
+    oracle=f"""
+    SELECT count(*) AS n_candidates,
+           min(candidate) AS first_candidate,
+           max(candidate) AS last_candidate,
+           CAST(sum(ordinal) AS BIGINT) AS ordinal_checksum
+    FROM ({keyspace_sql_duckdb(3)})
+    """,
+    doc="S1: generated full width-3 keyspace; count + bounds + checksum "
+    "(request.c:40-47, worker.c:77-101).",
+)
+def q_keyspace_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return keyspace(spark, 3, with_ordinal=True).agg(
+        F.count("*").alias("n_candidates"),
+        F.min("candidate").alias("first_candidate"),
+        F.max("candidate").alias("last_candidate"),
+        F.sum("ordinal").alias("ordinal_checksum"),
+    )
+
+
+@register(
+    "q_crack_hit",
+    oracle=f"""
+    SELECT count(*) > 0 AS found, min(candidate) AS password
+    FROM ({keyspace_sql_duckdb(4)})
+    WHERE sha256(candidate) = '{HIT4}'
+    """,
+    doc="Q-CORE hit: width-4 space, hash-equality filter (worker.c:41-56), "
+    "min() verdict (A2 determinism, SURVEY.md §2.5).",
+)
+def q_crack_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        keyspace(spark, 4)
+        .filter(F.sha2(F.col("candidate"), 256) == HIT4)
+        .agg((F.count("*") > 0).alias("found"), F.min("candidate").alias("password"))
+    )
+
+
+@register(
+    "q_crack_miss",
+    oracle=f"""
+    SELECT count(*) > 0 AS found, min(candidate) AS password
+    FROM ({keyspace_sql_duckdb(3)})
+    WHERE sha256(candidate) = '{MISS3}'
+    """,
+    doc="Q-CORE miss: exhausted space ⇒ found=false, password NULL — the "
+    "'x' reply path (worker.c:103-107, server.c:257-262).",
+)
+def q_crack_miss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        keyspace(spark, 3)
+        .filter(F.sha2(F.col("candidate"), 256) == MISS3)
+        .agg((F.count("*") > 0).alias("found"), F.min("candidate").alias("password"))
+    )
+
+
+@register(
+    "q_crack_min",
+    oracle=f"""
+    SELECT min(candidate) AS password, count(*) AS n_matches
+    FROM ({keyspace_sql_duckdb(3)})
+    WHERE substring(sha256(candidate), 1, 2) = 'ab'
+    """,
+    doc="A2: multiple matching candidates (weak prefix predicate) resolved "
+    "deterministically by lexicographic min — replaces the reference's "
+    "first-arrival race (server.c:275-306).",
+)
+def q_crack_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        keyspace(spark, 3)
+        .filter(F.sha2(F.col("candidate"), 256).substr(1, 2) == "ab")
+        .agg(F.min("candidate").alias("password"), F.count("*").alias("n_matches"))
+    )
+
+
+@register(
+    "q_range_filter",
+    oracle=f"""
+    SELECT candidate FROM ({keyspace_sql_duckdb(3)})
+    WHERE candidate BETWEEN 'baa' AND 'bzz'
+    """,
+    doc="P4: inclusive range predicate — the worker's scan bounds "
+    "(worker.c:93-96).",
+)
+def q_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return keyspace(spark, 3).filter(F.col("candidate").between("baa", "bzz"))
+
+
+@register(
+    "q_partition_coverage",
+    oracle=_split_sql_duckdb(4),
+    doc="X1: the reference's even range split (server.c:387-434) — "
+    "contiguous inclusive subranges, per = (n-1) div k, last overshoots "
+    "by the remainder (X2, documented).",
+)
+def q_partition_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.range(WORKERS).selectExpr(*_split_exprs(4, "id"))
+
+
+@register(
+    "q_except",
+    oracle=f"""
+    WITH split AS ({_split_sql_duckdb(3)}),
+    covered AS (SELECT unnest(generate_series(lo, hi)) AS ordinal FROM split)
+    SELECT
+      (SELECT count(*) FROM (SELECT ordinal FROM ({keyspace_sql_duckdb(3)})
+        EXCEPT SELECT ordinal FROM covered)) AS uncovered,
+      (SELECT count(DISTINCT ordinal) FROM covered
+        WHERE ordinal < {codec.keyspace_size(3)}) AS covered_in_space
+    """,
+    doc="U/except: gap-proof of X1 — full range EXCEPT union-of-subranges "
+    "is empty (split covers everything; overshoot falls outside the space).",
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = codec.keyspace_size(3)
+    split = spark.range(WORKERS).selectExpr(*_split_exprs(3, "id"))
+    covered = split.selectExpr("explode(sequence(lo, hi)) AS ordinal")
+    full = keyspace(spark, 3, with_ordinal=True).select("ordinal")
+    uncovered = full.exceptAll(covered.select("ordinal")).count()
+    covered_in_space = (
+        covered.filter(F.col("ordinal") < n).select("ordinal").distinct().count()
+    )
+    return spark.createDataFrame(
+        [(uncovered, covered_in_space)], "uncovered BIGINT, covered_in_space BIGINT"
+    )
+
+
+@register(
+    "q_union",
+    oracle=f"""
+    SELECT count(*) AS n_candidates, min(candidate) AS first_candidate,
+           max(candidate) AS last_candidate
+    FROM (SELECT * FROM ({keyspace_sql_duckdb(3, 0, 8787)})
+          UNION ALL SELECT * FROM ({keyspace_sql_duckdb(3, 8788, 17575)}))
+    """,
+    doc="U1: union of two contiguous keyspace slices reconstructs the full "
+    "space (per-worker result union, server.c:346-348).",
+)
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = keyspace(spark, 3, 0, 8787, with_ordinal=True)
+    hi = keyspace(spark, 3, 8788, 17575, with_ordinal=True)
+    return lo.unionAll(hi).agg(
+        F.count("*").alias("n_candidates"),
+        F.min("candidate").alias("first_candidate"),
+        F.max("candidate").alias("last_candidate"),
+    )
+
+
+@register(
+    "q_codec_roundtrip",
+    oracle=f"""
+    SELECT count(*) AS n_total,
+           CAST(sum(CASE WHEN {codec.encode_duckdb(codec.decode_duckdb('range', 4), 4)} = range
+                    THEN 0 ELSE 1 END) AS BIGINT) AS n_mismatch
+    FROM range(0, {codec.keyspace_size(4)})
+    """,
+    doc="F2/F3: encode∘decode = identity over the full width-4 space "
+    "(server.c:199-224 codec pair).",
+)
+def q_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = codec.keyspace_size(4)
+    return spark.range(0, n, 1, 8).selectExpr(
+        f"{codec.encode_sql(codec.decode_sql('id', 4), 4)} AS rt", "id"
+    ).agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(F.col("rt") == F.col("id"), 0).otherwise(1)).alias("n_mismatch"),
+    )
+
+
+@register(
+    "q_udf_crosscheck",
+    oracle=f"""
+    SELECT count(*) AS n_rows, 0 AS n_mismatch
+    FROM range(0, {codec.keyspace_size(3)})
+    """,
+    doc="§2.11: native base-26 decode ≡ pandas_udf reference implementation "
+    "(oracle asserts the invariant holds: mismatch count is 0 by "
+    "construction on the oracle side, computed for real on the Spark side).",
+)
+def q_udf_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.pandas_udfs import make_decode_udf
+
+    width = 3
+    decode_udf = make_decode_udf(width)
+    df = spark.range(0, codec.keyspace_size(width), 1, 8).select(
+        F.expr(codec.decode_sql("id", width)).alias("native"),
+        decode_udf(F.col("id")).alias("via_udf"),
+    )
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("native") == F.col("via_udf"), 0).otherwise(1))
+        .cast("int")
+        .alias("n_mismatch"),
+    )

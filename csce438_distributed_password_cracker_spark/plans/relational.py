@@ -1,0 +1,319 @@
+"""Declared relational corpus over the driver test tables (SURVEY.md §2.1
+S3, §2.2 P3, §2.4 J1/J2, §2.5 A1/A3, §2.6 L2, §2.8 F1/F4, §2.10).
+
+Parity discipline (see registry.py): money math runs in DECIMAL(18,2) —
+exact and associative, so Spark's partial-agg ordering and DuckDB's
+single-node ordering cannot diverge — and is cast to DOUBLE only at the
+output boundary (exact decimal → correctly-rounded double = identical bits
+in both engines).  Where the Spark and DuckDB dialects coincide, ONE SQL
+string is used for both sides (Catalyst runs it via temp views), which makes
+the oracle equivalence self-evident.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import register
+
+
+def _dec(col: str) -> str:
+    return f"CAST({col} AS DECIMAL(18,2))"
+
+
+def _money(expr: str, alias: str) -> str:
+    return f"CAST(round(sum({expr}), 2) AS DOUBLE) AS {alias}"
+
+
+def _sql_query(
+    name: str,
+    sql: str,
+    doc: str,
+    tables: tuple[str, ...],
+    oracle: str | None = "",
+):
+    """Register a query whose Spark side runs ``sql`` through Catalyst (via
+    temp views).  By default the oracle is the *same* string (dialects
+    coincide); pass ``oracle=...`` where DuckDB needs different spelling."""
+
+    @register(name, oracle=sql if oracle == "" else oracle, doc=doc)
+    def _q(spark: SparkSession, sf_dir: str, _sql=sql, _tables=tables) -> DataFrame:
+        for t in _tables:
+            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        return spark.sql(_sql)
+
+    return _q
+
+
+# ── scans / filters / projections ────────────────────────────────────────
+
+_sql_query(
+    "q_events_scan",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+    doc="S3 batch analog: tagged-message scan with pushed-down filter "
+    "(server main read loop, server.c:477-505).",
+    tables=("events",),
+)
+
+_sql_query(
+    "q_msg_demux",
+    f"""
+    SELECT event_type,
+           count(*) AS n,
+           {_money(_dec("value"), "total_value")}
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="P3: first-byte tag dispatch (server.c:103-128) as per-type "
+    "demux counts over the events table.",
+    tables=("events",),
+)
+
+# ── joins ────────────────────────────────────────────────────────────────
+
+
+@register(
+    "q_join_broadcast",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, r.r_name
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    doc="J1: registry lookup join (worker_found, server.c:130-143) as a "
+    "broadcast hash join — the 5-row region dim ships to every task; no "
+    "shuffle of the probe side.",
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name", "r_name")
+
+
+_sql_query(
+    "q_join_sortmerge",
+    f"""
+    SELECT o.o_orderkey,
+           o.o_orderdate,
+           {_money(f"{_dec('l.l_extendedprice')} * (1 - {_dec('l.l_discount')})", "revenue")},
+           count(*) AS n_lines
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey, o.o_orderdate
+    """,
+    doc="J2: verdict-to-request correlation (server.c:275-331) as the "
+    "large-large equi-join: orders⋈lineitem, shuffle on the join key, "
+    "partial aggregation map-side.",
+    tables=("orders", "lineitem"),
+)
+
+@register(
+    "q_join_anti",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Anti join: the pending-set complement (check_req_status waiting on "
+    "outstanding workers, server.c:264-267) — customers with no orders.",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+# ── aggregations ─────────────────────────────────────────────────────────
+
+_sql_query(
+    "q_agg_exists",
+    """
+    SELECT user_id,
+           bool_or(event_type = 'error') AS has_error,
+           count(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="A1: existential any/all verdict aggregation (check_req_status, "
+    "server.c:243-273) — grouped bool_or.",
+    tables=("events",),
+)
+
+_sql_query(
+    "q_agg_count_filter",
+    """
+    SELECT count(*) AS n_total,
+           count(*) FILTER (WHERE event_type = 'click') AS n_click,
+           count(*) FILTER (WHERE event_type = 'view') AS n_view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (WHERE event_type = 'error') AS n_error
+    FROM events
+    """,
+    doc="A3: filtered counting (idle-worker census, server.c:338-357).",
+    tables=("events",),
+)
+
+_sql_query(
+    "q_agg_groupby",
+    f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           {_money(_dec("l_quantity"), "sum_qty")},
+           {_money(_dec("l_extendedprice"), "sum_base_price")},
+           {_money(f"{_dec('l_extendedprice')} * (1 - {_dec('l_discount')})", "sum_disc_price")},
+           {_money(f"{_dec('l_extendedprice')} * (1 - {_dec('l_discount')}) * (1 + {_dec('l_tax')})", "sum_charge")},
+           CAST(sum({_dec("l_quantity")}) AS DOUBLE) / count(*) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Grouped agg (TPC-H Q1 shape): map-side partial agg + exchange on "
+    "the group keys; DECIMAL keeps partial/final merge exact.",
+    tables=("lineitem",),
+)
+
+_sql_query(
+    "q_agg_distinct",
+    """
+    SELECT count(DISTINCT l_partkey) AS d_parts,
+           count(DISTINCT l_suppkey) AS d_supps,
+           count(*) AS n_rows
+    FROM lineitem
+    """,
+    doc="Distinct aggregation (expand + two-phase agg in Spark).",
+    tables=("lineitem",),
+)
+
+@register(
+    "q_approx_distinct",
+    oracle="""
+    SELECT count(DISTINCT l_partkey) AS exact_distinct,
+           true AS approx_within_5pct
+    FROM lineitem
+    """,
+    doc="E5: approx_count_distinct (HLL++ sketch — mergeable, no expand, "
+    "the 100 TB path) beside its exact twin; output is the exact value plus "
+    "the asserted 5% error bound (oracle states the invariant).",
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count_distinct("l_partkey").alias("exact_distinct"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_distinct"),
+    ).select(
+        "exact_distinct",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("approx_within_5pct"),
+    )
+
+# ── sort / limit ─────────────────────────────────────────────────────────
+
+_sql_query(
+    "q_sort_limit",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    doc="L2: ordered scan + top-k (Spark: TakeOrderedAndProject — no full "
+    "sort, per-partition heaps merged on the driver). Tie-break on "
+    "o_orderkey makes the k-set deterministic.",
+    tables=("orders",),
+)
+
+# ── scalar functions ─────────────────────────────────────────────────────
+
+@register(
+    "q_sha1_mass",
+    oracle="""
+    SELECT c_custkey, sha256(c_name) AS digest
+    FROM customer
+    """,
+    doc="F1 (sha256 fallback — pinned DuckDB lacks sha1; SHA-1 fidelity is "
+    "asserted in tests/test_crack.py): mass scalar hashing, fully inside "
+    "whole-stage codegen.",
+)
+def q_sha1_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.sha2(F.col("c_name"), 256).alias("digest")
+    )
+
+_sql_query(
+    "q_string_ops",
+    """
+    SELECT c_custkey,
+           concat('c ', c_mktsegment, ' ', c_name) AS tagged,
+           substring(c_name, 1, 8) AS prefix,
+           upper(c_mktsegment) AS seg_upper,
+           lower(c_mktsegment) AS seg_lower,
+           length(c_name) AS name_len,
+           CAST(substring(c_name, 10, 9) AS BIGINT) AS parsed_id
+    FROM customer
+    """,
+    doc="F4/F5: string assembly (request.c:51-69), tag peek via substring "
+    "(server.c:110), numeric parse (request.c:34-36).",
+    tables=("customer",),
+)
+
+_sql_query(
+    "q_date_ops",
+    f"""
+    SELECT CAST(year(o_orderdate) AS INT) AS y,
+           CAST(month(o_orderdate) AS INT) AS m,
+           count(*) AS n_orders,
+           {_money(_dec("o_totalprice"), "month_total")}
+    FROM orders
+    GROUP BY year(o_orderdate), month(o_orderdate)
+    """,
+    doc="Date bucketing over orders (corpus breadth; no reference analog — "
+    "SURVEY.md §2.8 'absent' row).",
+    tables=("orders",),
+)
+
+_sql_query(
+    "q_math_ops",
+    """
+    SELECT l_orderkey,
+           l_linenumber,
+           abs(l_extendedprice) AS abs_price,
+           CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+           sqrt(l_quantity) AS sqrt_qty,
+           l_partkey % 7 AS pk_mod
+    FROM lineitem
+    """,
+    doc="Arithmetic scalars; sqrt is IEEE-correctly-rounded (bit-identical "
+    "across engines), no libm-divergent functions in the oracle path.",
+    tables=("lineitem",),
+)
+
+# ── window functions ─────────────────────────────────────────────────────
+
+_sql_query(
+    "q_window_rank",
+    f"""
+    SELECT c_nationkey,
+           c_custkey,
+           spend,
+           rank() OVER (PARTITION BY c_nationkey ORDER BY spend DESC, c_custkey) AS spend_rank
+    FROM (
+      SELECT c.c_nationkey, c.c_custkey,
+             {_money(_dec("o.o_totalprice"), "spend")}
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_nationkey, c.c_custkey
+    )
+    """,
+    doc="§2.10: rank within partition — customers by spend within nation; "
+    "deterministic tie-break on c_custkey.",
+    tables=("customer", "orders"),
+)

@@ -1,0 +1,63 @@
+"""Q-CORE golden tests against the pinned FIXTURES.md preimages."""
+
+from __future__ import annotations
+
+import hashlib
+
+from csce438_distributed_password_cracker_spark.operators import crack as crack_mod
+
+# Pinned golden rows (FIXTURES.md §1) — sha1 of known plains.
+GOLDEN_SHA1 = {
+    "aaaa": "70c881d4a26984ddce795f6f71817c9cf4480e79",
+    "abcd": "81fe8bfe87576c3ecb22426f8e57847382917acf",
+    "zzzz": "cb990257247b592eaaed54b84b32d96b7904fd95",
+    "code": "e6fb06210fafc02fd7479ddbed2d042cc3a5155e",
+    "qed": "bcfd32e429fce945c2d1c6ea96e954189b4bb671",
+}
+# Negative control: digest with no preimage in any a-z^len space.
+MISS_SHA1 = "55d74de7f828993f5286676cbe8c4774396da193"
+
+
+def test_golden_digests_are_sha1():
+    for plain, digest in GOLDEN_SHA1.items():
+        assert hashlib.sha1(plain.encode()).hexdigest() == digest
+
+
+def test_crack_hit_len3(spark):
+    res = crack_mod.crack(spark, GOLDEN_SHA1["qed"], 3)
+    assert res.found and res.password == "qed"
+    assert res.reply == "f qed"
+
+
+def test_crack_hit_len4(spark):
+    res = crack_mod.crack(spark, GOLDEN_SHA1["code"], 4)
+    assert res.found and res.password == "code"
+
+
+def test_crack_boundaries(spark):
+    assert crack_mod.crack(spark, GOLDEN_SHA1["aaaa"], 4).password == "aaaa"
+    assert crack_mod.crack(spark, GOLDEN_SHA1["zzzz"], 4).password == "zzzz"
+
+
+def test_crack_miss(spark):
+    res = crack_mod.crack(spark, MISS_SHA1, 3)
+    assert not res.found and res.password is None
+    assert res.reply == "x"
+
+
+def test_chunked_early_stop_equals_global_min(spark):
+    # Chunk smaller than the space: 'code' ordinal is 2*26^3+14*26^2+3*26+4.
+    res = crack_mod.crack(spark, GOLDEN_SHA1["code"], 4, chunk=10_000)
+    assert res.found and res.password == "code"
+
+
+def test_sha1_format_matches_reference(spark):
+    # worker.c:50-54 emits 40 lowercase hex chars; F.sha1 must match hashlib.
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("qed",), ("code",)], "s STRING").select(
+        "s", F.sha1("s").alias("d")
+    )
+    for row in df.collect():
+        assert row["d"] == hashlib.sha1(row["s"].encode()).hexdigest()
+        assert len(row["d"]) == 40 and row["d"] == row["d"].lower()
