@@ -1,0 +1,257 @@
+"""Deduplication operators for large-scale training-data pipelines
+(SURVEY.md §2.12 E1/E2): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+All are pure DataFrame algebra — shingling, hashing, banding and bucketing
+compile to codegen'd higher-order functions; the only shuffles are the
+band-bucket groupBy and the candidate-pair join.  No pyspark.ml stage is
+used: a hand-rolled signature is deterministic across runs/clusters (fixed
+integer seeds baked into the plan) and keeps the 100 TB story pure shuffle
+algebra (ml's MinHashLSH materializes model state on the driver).
+
+Scale notes:
+- MinHash-LSH is the linear-scan killer: candidates come from equality on
+  (band_idx, band_hash) — a plain hash shuffle — instead of an O(n²) cross
+  join.  Bucket skew (a boilerplate shingle shared by everything) is the
+  real-world risk: AQE skew-join handles moderate skew; pathological
+  buckets should be capped (dropped) upstream — buckets larger than
+  ``max_bucket_size`` are filtered before the pair join.
+- SimHash is one explode + 64 columnar sums: shuffle volume is
+  O(docs × 64 ints), independent of vocabulary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+# ── exact ────────────────────────────────────────────────────────────────
+
+
+def exact_dedup(df: DataFrame, subset: list[str], id_col: str) -> DataFrame:
+    """Keep the min-id row per duplicate group (deterministic, unlike
+    dropDuplicates which keeps an arbitrary row)."""
+    w = Window.partitionBy(*subset).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ── tokenization / shingling ─────────────────────────────────────────────
+
+
+def tokens_col(text_col: str) -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def shingles_expr(text_col: str, n: int) -> Column:
+    """Token n-gram shingles as array<string> (JVM-side slice/transform)."""
+    return F.expr(
+        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n} + 1, 1)), "
+        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
+    )
+
+
+# ── n-gram Jaccard (exact pairwise over candidate pairs) ─────────────────
+
+
+def jaccard_expr(a: str, b: str) -> Column:
+    """Set Jaccard over two array columns (distinct semantics, matching
+    DuckDB list_intersect/list_distinct for oracle parity)."""
+    return F.expr(
+        f"CAST(size(array_intersect({a}, {b})) AS DOUBLE) / "
+        f"CAST(size(array_union({a}, {b})) AS DOUBLE)"
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard ≥ threshold.  O(n²) — the *verification*
+    primitive and small-data baseline; at scale feed it candidate pairs
+    from :func:`minhash_lsh_pairs` instead of the full cross join."""
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles_expr(text_col, n).alias("sh")
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard_expr("sh_a", "sh_b"), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ── MinHash + LSH ────────────────────────────────────────────────────────
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig array<bigint>[num_hashes]): sig_i = min over shingles of
+    xxhash64(shingle, seed+i).  Deterministic: seeds are plan constants."""
+    sig = F.array(
+        *[
+            F.expr(
+                "array_min(transform(__sh, s -> xxhash64(s, "
+                f"{seed + i})))"
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias("id"), shingles_expr(text_col, n).alias("__sh")
+    ).select("id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    threshold: float = 0.5,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Near-dup candidate pairs via banding, verified with exact Jaccard.
+
+    rows-per-band r = num_hashes/bands tunes the S-curve: P(candidate) =
+    1-(1-j^r)^b.  Buckets larger than ``max_bucket_size`` are dropped (skew
+    guard; a bucket of size m yields m² pairs).
+    """
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    r = num_hashes // bands
+    sigs = minhash_signature(df, id_col, text_col, n, num_hashes, seed)
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"xxhash64(concat_ws(',', transform(slice(sig, b * {r} + 1, {r}), "
+                f"x -> cast(x as string))), b))"
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    # skew guard: drop pathological buckets before the self-join
+    sized = banded.withColumn(
+        "__bsz", F.count("*").over(Window.partitionBy("band_idx", "band_hash"))
+    ).filter(F.col("__bsz") <= max_bucket_size)
+    left = sized.select("band_idx", "band_hash", F.col("id").alias("id_a"))
+    right = sized.select("band_idx", "band_hash", F.col("id").alias("id_b"))
+    cand = (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles_expr(text_col, n).alias("sh")
+    )
+    return (
+        cand.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .select(
+            "id_a", "id_b", F.round(jaccard_expr("sh_a", "sh_b"), 6).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ── SimHash ──────────────────────────────────────────────────────────────
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, seed: int = 42
+) -> DataFrame:
+    """64-bit SimHash per document: explode tokens, 64 columnar
+    sign-sums, reassemble bits.  One shuffle of O(docs × 64) ints."""
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("t")
+    ).select("id", F.expr(f"xxhash64(t, {seed})").alias("h"))
+    bit_sums = tok.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {i}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    bits = [
+        F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(0).alias(f"v{i}")
+        for i in range(64)
+    ]
+    assembled = bit_sums.select("id", *bits).select(
+        "id",
+        F.expr(
+            " + ".join(f"shiftleft(v{i}, {i})" for i in range(64))
+        ).alias("simhash"),
+    )
+    return assembled
+
+
+def hamming64_expr(a: str, b: str) -> Column:
+    return F.expr(f"bit_count({a} ^ {b})")
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+    seed: int = 42,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming, found by the
+    pigeonhole block trick: split the 64-bit hash into ``blocks`` chunks —
+    any pair within max_hamming < blocks*(chunk tolerance) shares at least
+    one exact chunk when max_hamming < blocks; generally pairs differing in
+    ≤ max_hamming bits must agree on ≥1 of the blocks if max_hamming <
+    blocks.  Candidates come from equality joins on block values (hash
+    shuffle, no cross join); exact hamming verifies.
+    """
+    width = 64 // blocks
+    sh = simhash(df, id_col, text_col, seed)
+    blocked = sh.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"(simhash >> {i * width}) & {(1 << width) - 1}")
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("block_idx", "block_val"),
+    )
+    left = blocked.select(
+        "block_idx", "block_val", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a")
+    )
+    right = blocked.select(
+        "block_idx", "block_val", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b")
+    )
+    return (
+        left.join(right, ["block_idx", "block_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming64_expr("sh_a", "sh_b").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,131 @@
+"""Text analysis operators (SURVEY.md §2.12 E3): language ID, quality
+scoring, token counting, document fingerprinting.
+
+Everything is JVM-side column expressions (split / higher-order lambdas /
+xxhash64); no Python UDFs in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny marker-token profiles for the n-gram/langid heuristic.  Real
+# deployments swap in frequency tables; the *operator shape* (score per
+# language via array-overlap, argmax) is what matters at scale.
+DEFAULT_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "row", "data"),
+    "es": ("el", "la", "de", "y", "fila"),
+    "de": ("der", "die", "das", "und", "zeile"),
+    "fr": ("le", "la", "de", "et", "ligne"),
+    "zh": ("的", "是", "行"),
+}
+
+
+def _overlap_count(tokens_expr: str, markers: tuple[str, ...]) -> str:
+    arr = ", ".join("'" + m.replace("'", "''") + "'" for m in markers)
+    return f"size(array_intersect({tokens_expr}, array({arr})))"
+
+
+def language_id(
+    df: DataFrame,
+    text_col: str = "text",
+    profiles: dict[str, tuple[str, ...]] | None = None,
+) -> DataFrame:
+    """Append ``lang_pred`` + per-language marker-overlap scores.
+    Argmax with deterministic tie-break on language code."""
+    profiles = profiles or DEFAULT_PROFILES
+    toks = f"split({text_col}, ' ')"
+    scored = df.select(
+        "*",
+        *[
+            F.expr(_overlap_count(toks, markers)).alias(f"score_{lang}")
+            for lang, markers in profiles.items()
+        ],
+    )
+    # argmax via array_max over (score, negated-ordinal) structs
+    pairs = ", ".join(
+        f"struct(score_{lang} AS s, '{lang}' AS l)" for lang in sorted(profiles)
+    )
+    return scored.withColumn(
+        "lang_pred",
+        F.expr(
+            f"array_max(array({pairs})).l"
+        ),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append length/punctuation/stopword-based quality features and a
+    composite ``quality`` in [0,1]."""
+    toks = f"split({text_col}, ' ')"
+    stop = _overlap_count(toks, DEFAULT_PROFILES["en"])
+    return df.select(
+        "*",
+        F.expr(f"length({text_col})").alias("q_chars"),
+        F.expr(f"size({toks})").alias("q_tokens"),
+        F.expr(
+            f"CAST(length(regexp_replace({text_col}, '[a-zA-Z0-9 ]', '')) AS DOUBLE)"
+            f" / greatest(length({text_col}), 1)"
+        ).alias("q_punct_ratio"),
+        F.expr(
+            f"CAST({stop} AS DOUBLE) / greatest(size(array_distinct({toks})), 1)"
+        ).alias("q_stopword_ratio"),
+    ).withColumn(
+        "quality",
+        F.round(
+            F.expr(
+                "least(1.0, q_tokens / 64.0) * (1.0 - q_punct_ratio) * "
+                "least(1.0, 0.5 + q_stopword_ratio)"
+            ),
+            6,
+        ),
+    )
+
+
+def token_counts(
+    df: DataFrame, text_col: str = "text", bpe_regex: str = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+) -> DataFrame:
+    """Whitespace token count + a BPE-ish regex token count
+    (letters / digit-runs / punctuation as separate tokens)."""
+    return df.select(
+        "*",
+        F.expr(f"size(split({text_col}, ' '))").alias("ws_tokens"),
+        # F.lit keeps the regex out of SQL string-literal escaping
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(bpe_regex), F.lit(0))
+        ).alias("bpe_tokens"),
+    )
+
+
+def char_shingle_hashes_sql(text_col: str, k: int = 8, seed: int = 42) -> str:
+    """SQL for array<bigint> of hashed character k-grams (rolling-hash
+    analog, computed positionally — same fingerprint algebra,
+    shuffle-free)."""
+    return (
+        f"transform(sequence(1, greatest(length({text_col}) - {k} + 1, 1)), "
+        f"i -> xxhash64(substring({text_col}, i, {k}), {seed}))"
+    )
+
+
+def char_shingle_hashes(text_col: str, k: int = 8, seed: int = 42) -> Column:
+    return F.expr(char_shingle_hashes_sql(text_col, k, seed))
+
+
+def fingerprint(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    n_keep: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Winnowing-style document fingerprint: the ``n_keep`` smallest char
+    k-gram hashes (deterministic, order-canonical).  Containment of
+    fingerprint sets approximates document overlap."""
+    return df.select(
+        F.col(id_col),
+        F.expr(
+            f"slice(array_sort({char_shingle_hashes_sql(text_col, k, seed)}), 1, {n_keep})"
+        ).alias("fingerprint"),
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions import vectors
+from ..operators import dedup, multimodal, similarity, textops
 from .registry import register
 from .relational import _sql_query
 
@@ -127,13 +128,174 @@ def q_similarity_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qvec")
     )
+    return similarity.brute_force_topk(emb.filter(F.col("vec_id") != 0), query)
+
+
+@register(
+    "q_dedup_jaccard",
+    oracle="""
+    SELECT * FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(CAST(len(list_intersect(string_split(a.text, ' '),
+                                           string_split(b.text, ' '))) AS DOUBLE)
+                 / len(list_distinct(list_concat(string_split(a.text, ' '),
+                                                 string_split(b.text, ' ')))), 6) AS jaccard
+      FROM documents a, documents b
+      WHERE a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.95
+    """,
+    doc="E1/near-dup: exact all-pairs token-set Jaccard ≥ 0.95 — the "
+    "verification primitive; at scale candidates come from MinHash-LSH "
+    "(q_dedup_minhash) instead of the cross join.",
+)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.95)
+
+
+@register(
+    "q_dedup_minhash",
+    oracle=None,  # xxhash64 signatures aren't DuckDB-expressible; recall
+    # vs the exact q_dedup_jaccard answer is asserted in tests/test_dedup.py
+    doc="E2: MinHash(64)+LSH(16 bands) candidate pairs verified by exact "
+    "Jaccard ≥ 0.95 — equality-join on band buckets replaces the O(n²) "
+    "cross join (the 100 TB dedup path).",
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=1, num_hashes=64, bands=16, threshold=0.95
+    )
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=None,  # xxhash64-based; determinism + synthetic-near-dup
+    # behavior asserted in tests/test_dedup.py
+    doc="E2: 64-bit SimHash near-dup pairs (hamming ≤ 3) via pigeonhole "
+    "block join — explode + 64 columnar sign-sums, shuffle O(docs×64).",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+@register(
+    "q_dedup_embedding",
+    oracle="""
+    SELECT * FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < b.vec_id
+    ) WHERE cos_sim >= 0.4
+    """,
+    doc="E2: embedding-cosine near-dup pairs (cosine ≥ 0.4) — exact "
+    "baseline; the bucketed variant rides operators/similarity.lsh_bucket.",
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     return (
-        emb.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(query))
+        a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
-            "vec_id",
-            F.round(vectors.cosine("embedding", "qvec"), 6).alias("cos_sim"),
+            "id_a", "id_b", F.round(vectors.cosine("va", "vb"), 6).alias("cos_sim")
         )
-        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-        .limit(10)
+        .filter(F.col("cos_sim") >= 0.4)
+    )
+
+
+def _langid_oracle() -> str:
+    toks = "string_split(text, ' ')"
+    score_cols = []
+    for lang in sorted(textops.DEFAULT_PROFILES):
+        markers = ", ".join(f"'{m}'" for m in textops.DEFAULT_PROFILES[lang])
+        score_cols.append(
+            f"CAST(len(list_intersect({toks}, [{markers}])) AS INTEGER) AS score_{lang}"
+        )
+    # argmax with array_max-over-struct semantics: max score, tie -> the
+    # lexicographically LAST language; a CASE chain in descending language
+    # order with >= replicates that exactly.
+    langs_desc = sorted(textops.DEFAULT_PROFILES, reverse=True)
+    cases = []
+    for i, lang in enumerate(langs_desc):
+        others = [o for o in langs_desc if o != lang]
+        cond = " AND ".join(f"score_{lang} >= score_{o}" for o in others)
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " END"
+    return f"""
+    SELECT doc_id, {", ".join(f"score_{lang}" for lang in sorted(textops.DEFAULT_PROFILES))},
+           {case_sql} AS lang_pred
+    FROM (SELECT doc_id, {", ".join(score_cols)} FROM documents)
+    """
+
+
+@register(
+    "q_text_langid",
+    oracle=_langid_oracle(),
+    doc="E3: marker-overlap language ID — per-language scores via "
+    "array_intersect + argmax over (score, lang) structs; deterministic "
+    "tie-break (lexicographically last language).",
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = textops.language_id(docs)
+    return out.select(
+        "doc_id",
+        *[f"score_{lang}" for lang in sorted(textops.DEFAULT_PROFILES)],
+        "lang_pred",
+    )
+
+
+@register(
+    "q_doc_fingerprint",
+    oracle=None,  # xxhash64 shingle hashes have no DuckDB twin;
+    # determinism + self/near-dup containment asserted in tests
+    doc="E3: winnowing-style fingerprint — 16 smallest char-8-gram hashes "
+    "per doc; output (doc_id, fingerprint hash) exploded for audit.",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = textops.fingerprint(docs, "doc_id", "text")
+    return fp.select("doc_id", F.explode("fingerprint").alias("shingle_hash"))
+
+
+@register(
+    "q_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_hash
+    FROM documents
+    """,
+    doc="E4: binary payload → feature extraction via Arrow-batched "
+    "mapInPandas (decode kernel stubbed — no codec libs in container; "
+    "plumbing real).  content_hash computed by Python hashlib must equal "
+    "DuckDB's sha256 over the same bytes: a cross-language byte-fidelity "
+    "check of the Arrow binary path.",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_fake_media(docs, "doc_id", "text")
+    return multimodal.extract_features(media).select(
+        "doc_id", "n_bytes", "content_hash"
+    )
+
+
+@register(
+    "q_ann_lsh",
+    oracle=None,  # approximate by construction; recall vs the exact
+    # brute-force top-k asserted in tests/test_similarity.py
+    doc="E2 scale path: random-hyperplane LSH bucket probe + exact cosine "
+    "re-rank — touches one bucket instead of the full table.",
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    return similarity.lsh_topk(
+        emb.filter(F.col("vec_id") != 0), query, dim=64, k=10, n_planes=8
     )

@@ -1,0 +1,100 @@
+"""Dedup operators: exact, MinHash-LSH recall vs exact Jaccard, SimHash."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from csce438_distributed_password_cracker_spark.operators import dedup
+
+
+def _docs_with_dups(spark):
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 1
+        (3, "the quick brown fox leaps over the lazy dog again and again"),  # near dup of 1
+        (4, "completely different words about spark shuffles and parquet files"),
+        (5, "another unrelated sentence mentioning catalyst and tungsten engines"),
+        (6, "the quick brown fox jumps over the lazy dog again and often"),  # near dup of 1
+    ]
+    return spark.createDataFrame(base, "doc_id LONG, text STRING")
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = _docs_with_dups(spark)
+    out = dedup.exact_dedup(df, ["text"], "doc_id")
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 1 in kept and 2 not in kept
+    assert kept == {1, 3, 4, 5, 6}
+
+
+def test_jaccard_pairs_find_near_dups(spark):
+    df = _docs_with_dups(spark)
+    pairs = dedup.ngram_jaccard_pairs(df, "doc_id", "text", n=1, threshold=0.7)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # exact dup -> jaccard 1.0
+    assert (1, 3) in got and (1, 6) in got  # one-word-changed near dups
+    assert (1, 4) not in got and (4, 5) not in got
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_smoke):
+    from csce438_distributed_password_cracker_spark.catalog import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=1, threshold=0.95
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", n=1, num_hashes=64, bands=16, threshold=0.95
+        ).collect()
+    }
+    # LSH output is verified by exact jaccard -> no false positives
+    assert lsh <= exact
+    # banding S-curve at j>=0.95, b=16, r=4: P(miss) = (1-j^4)^16 < 0.002
+    if exact:
+        recall = len(lsh) / len(exact)
+        assert recall >= 0.9, f"recall {recall}: {len(lsh)}/{len(exact)}"
+
+
+def test_minhash_deterministic(spark):
+    df = _docs_with_dups(spark)
+    a = dedup.minhash_signature(df, "doc_id", "text").collect()
+    b = dedup.minhash_signature(df, "doc_id", "text").collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def test_simhash_near_pairs(spark):
+    df = _docs_with_dups(spark)
+    sh = {r["id"]: r["simhash"] for r in dedup.simhash(df, "doc_id", "text").collect()}
+    assert sh[1] == sh[2]  # identical text -> identical simhash
+    pairs = dedup.simhash_near_pairs(df, "doc_id", "text", max_hamming=16)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    # hamming(1,2) must be 0
+    zero = [r for r in pairs.collect() if (r["id_a"], r["id_b"]) == (1, 2)]
+    assert zero[0]["hamming"] == 0
+
+
+def test_simhash_block_join_matches_brute_force(spark):
+    # pigeonhole guarantee: any pair with hamming <= 3 (< 4 blocks) must
+    # share a block, so the block join finds exactly the brute-force set.
+    df = _docs_with_dups(spark)
+    sh = dedup.simhash(df, "doc_id", "text")
+    a = sh.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("simhash").alias("hb"))
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dedup.hamming64_expr("ha", "hb").alias("h"))
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_near_pairs(df, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert blocked == brute

@@ -1,0 +1,68 @@
+"""Similarity search: brute-force exactness + LSH bucket recall."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from csce438_distributed_password_cracker_spark.catalog import load_table
+from csce438_distributed_password_cracker_spark.operators import similarity
+
+
+def _emb_and_query(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    return emb.filter(F.col("vec_id") != 0), emb, query
+
+
+def test_brute_force_matches_numpy(spark, sf_smoke):
+    import numpy as np
+
+    emb, full, query = _emb_and_query(spark, sf_smoke)
+    rows = full.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    q = vecs[0]
+    scored = sorted(
+        (
+            (
+                round(float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q))), 6),
+                vid,
+            )
+            for vid, v in vecs.items()
+            if vid != 0
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    got = [
+        (r["cos_sim"], r["vec_id"])
+        for r in similarity.brute_force_topk(emb, query, k=10).collect()
+    ]
+    assert [(s, i) for s, i in scored] == got
+
+
+def test_lsh_topk_subset_of_bruteforce_scores(spark, sf_smoke):
+    emb, _, query = _emb_and_query(spark, sf_smoke)
+    exact = similarity.brute_force_topk(emb, query, k=10).collect()
+    approx = similarity.lsh_topk(emb, query, dim=64, k=10, n_planes=4).collect()
+    assert len(approx) > 0
+    # every approx hit must carry its true cosine (re-ranked exactly)
+    from csce438_distributed_password_cracker_spark.functions import vectors
+
+    exact_by_id = {
+        r["vec_id"]: r["cos_sim"]
+        for r in emb.crossJoin(F.broadcast(query))
+        .select(
+            "vec_id", F.round(vectors.cosine("embedding", "qvec"), 6).alias("cos_sim")
+        )
+        .collect()
+    }
+    for r in approx:
+        assert math.isclose(r["cos_sim"], exact_by_id[r["vec_id"]], abs_tol=1e-9)
+
+
+def test_lsh_bucket_deterministic(spark, sf_smoke):
+    emb, _, _ = _emb_and_query(spark, sf_smoke)
+    a = similarity.lsh_bucket(emb, dim=64, n_planes=8).select("vec_id", "bucket")
+    b = similarity.lsh_bucket(emb, dim=64, n_planes=8).select("vec_id", "bucket")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
