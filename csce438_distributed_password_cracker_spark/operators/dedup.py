@@ -55,7 +55,7 @@ def shingles_expr(text_col: str, n: int) -> Column:
     )
 
 
-# ── n-gram Jaccard (exact pairwise over candidate pairs) ─────────────────
+# ── n-gram Jaccard (exact set-similarity join, prefix-filtered) ──────────
 
 
 def jaccard_expr(a: str, b: str) -> Column:
@@ -74,16 +74,69 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """All-pairs n-gram Jaccard ≥ threshold.  O(n²) — the *verification*
-    primitive and small-data baseline; at scale feed it candidate pairs
-    from :func:`minhash_lsh_pairs` instead of the full cross join."""
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles_expr(text_col, n).alias("sh")
+    """EXACT n-gram Jaccard ≥ threshold pairs via a prefix-filtered
+    set-similarity join (AllPairs/PPJoin family) — same answer as the naive
+    O(n²) cross join, but candidate pairs come from an equality join.
+
+    Exactness: under any global token ordering, two sets with
+    J(A,B) ≥ t must share a token within each one's first
+    ``|X| − ceil(t·|X|) + 1`` tokens (else all common tokens sit in a
+    suffix smaller than the required overlap t·|X|).  We order tokens by
+    ascending document frequency (rarest first) so prefixes hit the small
+    buckets of a Zipfian vocabulary — at 100 TB, frequency ordering is what
+    keeps the candidate join from exploding on stop-words.  A size filter
+    (t·max ≤ min) prunes further.  Survivors are verified with the exact
+    Jaccard expression.
+
+    Shuffle profile: explode-prefix join on token (hash shuffle, AQE
+    skew-split) + two joins back to the (id, token-set) table; no cross
+    join anywhere.
+    """
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles_expr(text_col, n)).alias("sh"),
     )
-    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    tok = sets.select("id", F.explode("sh").alias("t"))
+    dfreq = tok.groupBy("t").agg(F.count("*").alias("df"))
+    # Re-assemble each doc's tokens ordered (df asc, token asc) — a global
+    # total order shared by all docs, required for prefix-filter soundness.
+    ordered = (
+        tok.join(dfreq, "t")
+        .groupBy("id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(df, t))), x -> x.t)"
+            ).alias("sh")
+        )
+    )
+    pref = ordered.select(
+        "id",
+        "sh",
+        F.size("sh").alias("sz"),
+        F.expr(
+            f"slice(sh, 1, size(sh) - CAST(ceil({threshold} * size(sh)) AS INT) + 1)"
+        ).alias("prefix"),
+    )
+    ex = pref.select("id", "sz", F.explode("prefix").alias("t"))
+    a = ex.select("t", F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    b = ex.select("t", F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    cand = (
+        a.join(b, "t")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.least("sz_a", "sz_b")
+                >= F.greatest("sz_a", "sz_b") * F.lit(threshold)
+            )
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets_a = pref.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sets_b = pref.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        cand.join(sets_a, "id_a")
+        .join(sets_b, "id_b")
         .select(
             "id_a",
             "id_b",
@@ -105,19 +158,30 @@ def minhash_signature(
     seed: int = 42,
 ) -> DataFrame:
     """(id, sig array<bigint>[num_hashes]): sig_i = min over shingles of
-    xxhash64(shingle, seed+i).  Deterministic: seeds are plan constants."""
-    sig = F.array(
+    xxhash64(base_hash(shingle), i).  Deterministic: seeds are plan
+    constants.
+
+    Shape: explode shingles → one string hash each → ``num_hashes``
+    codegen'd ``min(xxhash64(h, i))`` aggregations.  Higher-order-function
+    lambdas (transform/array_min) are interpreted, not codegen'd — a nested
+    transform formulation is ~40× slower.  The explode+groupBy form keeps
+    every hot expression inside whole-stage codegen, and partial (map-side)
+    aggregation means the shuffle carries only (id, num_hashes × i64) per
+    doc, independent of document length — the shape that survives 100 TB.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles_expr(text_col, n))).alias("__s"),
+    ).select("id", F.expr(f"xxhash64(__s, {seed})").alias("__h"))
+    mins = toks.groupBy("id").agg(
         *[
-            F.expr(
-                "array_min(transform(__sh, s -> xxhash64(s, "
-                f"{seed + i})))"
-            )
+            F.min(F.expr(f"xxhash64(__h, {i})")).alias(f"__m{i}")
             for i in range(num_hashes)
         ]
     )
-    return df.select(
-        F.col(id_col).alias("id"), shingles_expr(text_col, n).alias("__sh")
-    ).select("id", sig.alias("sig"))
+    return mins.select(
+        "id", F.array(*[f"__m{i}" for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def minhash_lsh_pairs(
@@ -140,21 +204,34 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
+    # minhash_signature ends in an Aggregate — an exchange barrier, so the
+    # signature is materialized once; downstream band expressions reference
+    # cheap attribute columns, never the hash pipeline.
     sigs = minhash_signature(df, id_col, text_col, n, num_hashes, seed)
+    # band hash = xxhash64 over the band's signature slice (array hashing is
+    # native — no string assembly in the hot path)
     banded = sigs.select(
         "id",
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), b -> "
-                f"xxhash64(concat_ws(',', transform(slice(sig, b * {r} + 1, {r}), "
-                f"x -> cast(x as string))), b))"
+                f"xxhash64(slice(sig, b * {r} + 1, {r}), b))"
             )
         ).alias("band_idx", "band_hash"),
     )
-    # skew guard: drop pathological buckets before the self-join
-    sized = banded.withColumn(
-        "__bsz", F.count("*").over(Window.partitionBy("band_idx", "band_hash"))
-    ).filter(F.col("__bsz") <= max_bucket_size)
+    # skew guard: drop pathological buckets before the self-join.  groupBy
+    # (map-side partial agg) + broadcast anti-join against the tiny
+    # oversized-bucket list — cheaper than a window count, which would
+    # sort-shuffle every banded row.
+    big = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.count("*").alias("__bsz"))
+        .filter(F.col("__bsz") > max_bucket_size)
+        .select("band_idx", "band_hash")
+    )
+    sized = banded.join(
+        F.broadcast(big), ["band_idx", "band_hash"], "left_anti"
+    )
     left = sized.select("band_idx", "band_hash", F.col("id").alias("id_a"))
     right = sized.select("band_idx", "band_hash", F.col("id").alias("id_b"))
     cand = (
@@ -164,7 +241,8 @@ def minhash_lsh_pairs(
         .distinct()
     )
     sh = df.select(
-        F.col(id_col).alias("id"), shingles_expr(text_col, n).alias("sh")
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles_expr(text_col, n)).alias("sh"),
     )
     return (
         cand.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")

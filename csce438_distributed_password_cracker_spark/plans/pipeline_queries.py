@@ -14,7 +14,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions import vectors
 from ..operators import dedup, multimodal, similarity, textops
 from .registry import register
 from .relational import _sql_query
@@ -134,23 +133,33 @@ def q_similarity_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_dedup_jaccard",
     oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+               i -> concat_ws(' ', string_split(text, ' ')[i],
+                                   string_split(text, ' ')[i+1],
+                                   string_split(text, ' ')[i+2])) AS s
+      FROM documents
+    )
     SELECT * FROM (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             round(CAST(len(list_intersect(string_split(a.text, ' '),
-                                           string_split(b.text, ' '))) AS DOUBLE)
-                 / len(list_distinct(list_concat(string_split(a.text, ' '),
-                                                 string_split(b.text, ' ')))), 6) AS jaccard
-      FROM documents a, documents b
+             round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+      FROM sh a, sh b
       WHERE a.doc_id < b.doc_id
-    ) WHERE jaccard >= 0.95
+    ) WHERE jaccard >= 0.8
     """,
-    doc="E1/near-dup: exact all-pairs token-set Jaccard ≥ 0.95 — the "
-    "verification primitive; at scale candidates come from MinHash-LSH "
-    "(q_dedup_minhash) instead of the cross join.",
+    doc="E1/near-dup: EXACT 3-gram-shingle Jaccard ≥ 0.8 pairs via "
+    "prefix-filtered set-similarity join (no cross join on the Spark side; "
+    "the oracle brute-forces all pairs).  3-gram shingles, not unigrams: "
+    "the synthetic docs draw from a ~31-token vocabulary, so unigram SETS "
+    "are degenerate (every doc ≈ the whole vocab) — shingling restores "
+    "discriminative sets, exactly why real pipelines shingle.",
 )
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.95)
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
 
 
 @register(
@@ -158,13 +167,14 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # xxhash64 signatures aren't DuckDB-expressible; recall
     # vs the exact q_dedup_jaccard answer is asserted in tests/test_dedup.py
     doc="E2: MinHash(64)+LSH(16 bands) candidate pairs verified by exact "
-    "Jaccard ≥ 0.95 — equality-join on band buckets replaces the O(n²) "
-    "cross join (the 100 TB dedup path).",
+    "Jaccard ≥ 0.8 — equality-join on band buckets replaces the O(n²) "
+    "cross join (the 100 TB dedup path).  3-gram shingles (see "
+    "q_dedup_jaccard on vocabulary degeneracy).",
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", n=1, num_hashes=64, bands=16, threshold=0.95
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.8
     )
 
 
@@ -191,20 +201,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE a.vec_id < b.vec_id
     ) WHERE cos_sim >= 0.4
     """,
-    doc="E2: embedding-cosine near-dup pairs (cosine ≥ 0.4) — exact "
-    "baseline; the bucketed variant rides operators/similarity.lsh_bucket.",
+    doc="E2: embedding-cosine near-dup pairs (cosine ≥ 0.4) — EXACT, via "
+    "blocked GEMM candidate generation (mapInPandas + broadcast row-blocks) "
+    "re-verified by the JVM cosine expression; no cross join.",
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b", F.round(vectors.cosine("va", "vb"), 6).alias("cos_sim")
-        )
-        .filter(F.col("cos_sim") >= 0.4)
-    )
+    return similarity.cosine_pairs_blocked(emb, threshold=0.4)
 
 
 def _langid_oracle() -> str:
