@@ -48,10 +48,43 @@ def tokens_col(text_col: str) -> Column:
 
 
 def shingles_expr(text_col: str, n: int) -> Column:
-    """Token n-gram shingles as array<string> (JVM-side slice/transform)."""
+    """Token n-gram shingles as array<string>.
+
+    NOTE: higher-order ``transform`` lambdas run interpreted (no codegen)
+    and re-evaluate outer expressions per element — fine for small arrays /
+    unit tests; hot paths should use :func:`shingle_rows` (explode shape,
+    fully codegen'd) instead.
+    """
     return F.expr(
         f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n} + 1, 1)), "
         f"i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
+    )
+
+
+def shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, s) rows of token n-gram shingles — the codegen-friendly shape.
+
+    ``explode(sequence(...))`` + ``slice``/``concat_ws`` keep every hot
+    expression inside whole-stage codegen; the Generate node is also a
+    projection barrier, so the token array is computed once per document
+    (CollapseProject cannot inline it into the per-shingle projection, which
+    would re-split the text per shingle — the trap the transform-lambda
+    form falls into).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__toks")
+    )
+    pos = toks.select(
+        "id",
+        "__toks",
+        F.explode(
+            F.expr(f"sequence(1, greatest(size(__toks) - {n} + 1, 1))")
+        ).alias("__i"),
+    )
+    return pos.select(
+        "id", F.concat_ws(" ", F.slice("__toks", F.col("__i"), n)).alias("s")
     )
 
 
@@ -92,11 +125,7 @@ def ngram_jaccard_pairs(
     skew-split) + two joins back to the (id, token-set) table; no cross
     join anywhere.
     """
-    sets = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles_expr(text_col, n)).alias("sh"),
-    )
-    tok = sets.select("id", F.explode("sh").alias("t"))
+    tok = shingle_rows(df, id_col, text_col, n).withColumnRenamed("s", "t").distinct()
     dfreq = tok.groupBy("t").agg(F.count("*").alias("df"))
     # Re-assemble each doc's tokens ordered (df asc, token asc) — a global
     # total order shared by all docs, required for prefix-filter soundness.
@@ -169,10 +198,9 @@ def minhash_signature(
     aggregation means the shuffle carries only (id, num_hashes × i64) per
     doc, independent of document length — the shape that survives 100 TB.
     """
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingles_expr(text_col, n))).alias("__s"),
-    ).select("id", F.expr(f"xxhash64(__s, {seed})").alias("__h"))
+    toks = shingle_rows(df, id_col, text_col, n).select(
+        "id", F.expr(f"xxhash64(s, {seed})").alias("__h")
+    )
     mins = toks.groupBy("id").agg(
         *[
             F.min(F.expr(f"xxhash64(__h, {i})")).alias(f"__m{i}")
@@ -240,9 +268,11 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles_expr(text_col, n)).alias("sh"),
+    sh = (
+        shingle_rows(df, id_col, text_col, n)
+        .distinct()
+        .groupBy("id")
+        .agg(F.collect_list("s").alias("sh"))
     )
     return (
         cand.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")

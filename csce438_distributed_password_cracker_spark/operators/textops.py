@@ -122,10 +122,24 @@ def fingerprint(
 ) -> DataFrame:
     """Winnowing-style document fingerprint: the ``n_keep`` smallest char
     k-gram hashes (deterministic, order-canonical).  Containment of
-    fingerprint sets approximates document overlap."""
-    return df.select(
+    fingerprint sets approximates document overlap.
+
+    Explode shape, not a transform lambda: ``explode(sequence)`` +
+    ``substring``/``xxhash64`` stay inside whole-stage codegen, and partial
+    aggregation shrinks each doc to ``n_keep`` hashes map-side.
+    """
+    pos = df.select(
         F.col(id_col),
-        F.expr(
-            f"slice(array_sort({char_shingle_hashes_sql(text_col, k, seed)}), 1, {n_keep})"
-        ).alias("fingerprint"),
+        F.col(text_col).alias("__t"),
+        F.explode(
+            F.expr(f"sequence(1, greatest(length({text_col}) - {k} + 1, 1))")
+        ).alias("__i"),
+    )
+    hashes = pos.select(
+        id_col, F.expr(f"xxhash64(substring(__t, __i, {k}), {seed})").alias("__h")
+    )
+    return hashes.groupBy(id_col).agg(
+        F.expr(f"slice(array_sort(collect_list(__h)), 1, {n_keep})").alias(
+            "fingerprint"
+        )
     )

@@ -174,13 +174,16 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = spark.range(WORKERS).selectExpr(*_split_exprs(3, "id"))
     covered = split.selectExpr("explode(sequence(lo, hi)) AS ordinal")
     full = keyspace(spark, 3, with_ordinal=True).select("ordinal")
-    uncovered = full.exceptAll(covered.select("ordinal")).count()
-    covered_in_space = (
-        covered.filter(F.col("ordinal") < n).select("ordinal").distinct().count()
+    # one plan, one action: both scalar aggregates cross-joined (each is a
+    # single row, so the join is a no-op broadcast)
+    unc = full.exceptAll(covered.select("ordinal")).agg(
+        F.count("*").alias("uncovered")
     )
-    return spark.createDataFrame(
-        [(uncovered, covered_in_space)], "uncovered BIGINT, covered_in_space BIGINT"
+    cov = (
+        covered.filter(F.col("ordinal") < n)
+        .agg(F.count_distinct("ordinal").alias("covered_in_space"))
     )
+    return unc.crossJoin(cov)
 
 
 @register(

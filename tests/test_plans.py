@@ -1,0 +1,107 @@
+"""Physical-plan regression checks — the 100 TB design assertions.
+
+Correctness tests prove the answers are right at test scale; these prove
+the PLANS are the ones that survive a 1000-executor cluster: small
+dimensions broadcast, filters reach the parquet scan, projections prune
+the read schema, aggregations combine map-side, and nothing in the corpus
+degenerates into a cartesian product.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from csce438_distributed_password_cracker_spark.catalog import load_table
+from csce438_distributed_password_cracker_spark.plans import corpus
+
+
+def plan_str(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_broadcast_join_is_broadcast(spark, sf_oracle):
+    """J1: nation ⋈ region must resolve to a broadcast hash join — a
+    shuffle join on a 5-row dimension would be a cluster-scale smell."""
+    df = corpus.REGISTRY["q_join_broadcast"].fn(spark, sf_oracle)
+    assert "BroadcastHashJoin" in plan_str(spark, df)
+
+
+def test_large_join_is_shuffle_not_nested_loop(spark, sf_oracle):
+    """J2: orders ⋈ lineitem is an equi-join on keys.  At test SF the
+    planner correctly broadcasts the small side; with broadcast disabled
+    (simulating both sides too big to broadcast — the 100 TB case) it must
+    degrade to a shuffle join on the key, never a nested loop."""
+    p = plan_str(spark, corpus.REGISTRY["q_join_sortmerge"].fn(spark, sf_oracle))
+    assert "Join" in p and "CartesianProduct" not in p
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        p = plan_str(
+            spark, corpus.REGISTRY["q_join_sortmerge"].fn(spark, sf_oracle)
+        )
+        assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "CartesianProduct" not in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_oracle):
+    """Predicates on parquet tables must appear as PushedFilters in the
+    scan node (row-group pruning at scale)."""
+    df = (
+        load_table(spark, sf_oracle, "orders")
+        .filter(F.col("o_totalprice") > 1000.0)
+        .select("o_orderkey")
+    )
+    p = plan_str(spark, df)
+    assert "PushedFilters" in p and "GreaterThan(o_totalprice,1000.0)" in p
+
+
+def test_column_pruning_reaches_parquet(spark, sf_oracle):
+    """A 2-column projection must read a 2-column schema, not the table."""
+    df = load_table(spark, sf_oracle, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    p = plan_str(spark, df)
+    scan = p[p.index("ReadSchema") :].splitlines()[0]
+    assert "l_orderkey" in scan and "l_quantity" in scan
+    assert "l_comment" not in scan and "l_extendedprice" not in scan
+
+
+def test_groupby_has_partial_aggregation(spark, sf_oracle):
+    """A3/A-agg: groupBy must plan partial (map-side) + final aggregation
+    so the shuffle carries one row per (partition, key), not per row."""
+    p = plan_str(spark, corpus.REGISTRY["q_agg_groupby"].fn(spark, sf_oracle))
+    assert p.count("HashAggregate") >= 2
+    assert "hashpartitioning" in p
+
+
+def test_keyspace_scan_has_no_shuffle(spark, sf_oracle):
+    """S1: the generated keyspace + decode + filter is a single
+    codegen'd stage — an Exchange here would mean the source doesn't
+    scale linearly."""
+    from csce438_distributed_password_cracker_spark.operators.crack import (
+        candidates_matching,
+    )
+
+    p = plan_str(spark, candidates_matching(spark, "0" * 40, 4))
+    assert "Exchange" not in p
+    assert "Range" in p
+    assert "codegen id" in p  # formatted-mode whole-stage-codegen marker
+
+
+@pytest.mark.parametrize("name", sorted(corpus.REGISTRY))
+def test_no_cartesian_product_anywhere(spark, sf_oracle, name):
+    """No declared query may plan a CartesianProduct: every pair-finding
+    operator must generate candidates via equality joins (LSH bands,
+    prefix tokens, GEMM blocks) — the difference between O(n) and O(n²)
+    shuffle at 100 TB.  (Broadcast nested-loop against a literal 1-row
+    side, e.g. a query vector, is fine.)"""
+    df = corpus.REGISTRY[name].fn(spark, sf_oracle)
+    assert "CartesianProduct" not in plan_str(spark, df)
