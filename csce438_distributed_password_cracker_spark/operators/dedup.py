@@ -284,6 +284,48 @@ def minhash_lsh_pairs(
     )
 
 
+# ── near-dup clustering (connected components) ───────────────────────────
+
+
+def connected_components(
+    ids: DataFrame, edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """(id, component_id) where component_id = min id reachable over the
+    undirected ``edges(id_a, id_b)`` graph; singletons label themselves.
+
+    Iterative min-label propagation: each round joins labels across edges
+    and takes the min — converges in O(graph diameter) rounds (near-dup
+    clusters are shallow: dup clusters are cliques, diameter ≤ 2, so 2–3
+    rounds typical).  Each round is one shuffle join + one min-agg; lineage
+    is truncated per round with ``localCheckpoint`` (an iterative plan that
+    keeps its full lineage re-executes every prior round at every action —
+    the classic Spark iterative-algorithm trap; on a cluster use a
+    checkpoint dir for fault tolerance instead).
+    """
+    labels = ids.select("id", F.col("id").alias("comp"))
+    sym = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    for _ in range(max_iter):
+        nbr = sym.join(
+            labels.withColumnRenamed("id", "src"), "src"
+        ).select(F.col("dst").alias("id"), "comp")
+        new_labels = (
+            labels.union(nbr).groupBy("id").agg(F.min("comp").alias("comp"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.withColumnRenamed("comp", "new_comp")
+            .join(labels, "id")
+            .filter(F.col("new_comp") != F.col("comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("comp").alias("component_id"))
+
+
 # ── SimHash ──────────────────────────────────────────────────────────────
 
 

@@ -4,7 +4,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import keyspace_queries  # noqa: F401  (registers on import)
+from . import extended  # noqa: F401  (registers on import)
+from . import keyspace_queries  # noqa: F401
 from . import pipeline_queries  # noqa: F401
 from . import relational  # noqa: F401
 from . import streaming_queries  # noqa: F401

@@ -1,0 +1,208 @@
+"""Extended corpus: multi-dimensional aggregation (rollup / cube /
+grouping sets), analytic windows, semi-join, per-group top-k, near-dup
+connected components, and IVF similarity search.
+
+The reference has no analog for any of these (SURVEY.md §2.5/§2.10 list
+the categories as built-in Spark surface); they are declared to complete
+the engine's coverage as a general analytics + training-data-pipeline
+system.  Where Spark SQL and DuckDB spell the query identically, one SQL
+string serves both sides (parity self-evident); the components query
+oracles an ITERATIVE Spark algorithm against a DuckDB recursive CTE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import dedup, similarity
+from .registry import register
+from .relational import _dec, _money, _sql_query
+
+# ── multi-dimensional aggregation ────────────────────────────────────────
+
+_sql_query(
+    "q_agg_rollup",
+    f"""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           count(*) AS n_customers,
+           {_money(_dec("c.c_acctbal"), "total_balance")}
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    doc="Rollup: hierarchical subtotals region → nation → grand total in "
+    "one pass — Spark expands grouping sets before the exchange, so the "
+    "shuffle still carries one row per (grouping-set, key) after partial "
+    "aggregation.",
+    tables=("customer", "nation", "region"),
+)
+
+_sql_query(
+    "q_agg_cube",
+    f"""
+    SELECT o_orderpriority, o_orderstatus,
+           count(*) AS n_orders,
+           {_money(_dec("o_totalprice"), "total_price")}
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    doc="Cube: all 2² marginal combinations of (priority, status).",
+    tables=("orders",),
+)
+
+_sql_query(
+    "q_agg_grouping_sets",
+    f"""
+    SELECT o_orderpriority, o_orderstatus,
+           count(*) AS n_orders,
+           {_money(_dec("o_totalprice"), "total_price")}
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+    """,
+    doc="Explicit grouping sets: two independent one-dimension rollouts "
+    "in a single scan.",
+    tables=("orders",),
+)
+
+# ── analytic windows ─────────────────────────────────────────────────────
+
+_sql_query(
+    "q_window_running",
+    f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(round(sum({_dec("o_totalprice")}) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+             AS running_spend,
+           CAST(round(sum({_dec("o_totalprice")}) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+             AS moving_sum_3
+    FROM orders
+    """,
+    doc="Running sum + 3-row moving sum per customer — one window "
+    "sort-shuffle serves both frames (DECIMAL accumulation for "
+    "engine-portable exactness — a moving *average* would hit "
+    "half-up-vs-half-even ties between engines; DOUBLE only at the "
+    "output boundary).",
+    tables=("orders",),
+)
+
+_sql_query(
+    "q_window_lead",
+    """
+    SELECT user_id, event_id,
+           lead(event_id) OVER w AS next_event_id,
+           lag(event_id)  OVER w AS prev_event_id,
+           ntile(4)       OVER w AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+    doc="lead/lag/ntile over the per-connection message sequence — the "
+    "analytic-window complement of the T3 seqnum audit.",
+    tables=("events",),
+)
+
+# ── semi-join / per-group top-k ──────────────────────────────────────────
+
+_sql_query(
+    "q_join_semi",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+    doc="Left-semi join (customers with ≥1 order): the planner rewrites "
+    "IN to a semi-join that never materializes the probe side's matches — "
+    "the dual of q_join_anti's pending-set semantics.",
+    tables=("customer", "orders"),
+)
+
+_sql_query(
+    "q_topk_per_group",
+    """
+    SELECT * FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders
+    ) WHERE rk <= 3
+    """,
+    doc="Top-3 orders per priority: rank-then-filter — Spark pushes a "
+    "per-partition limit below the window exchange (WindowGroupLimit), so "
+    "each map task ships at most k rows per group.",
+    tables=("orders",),
+)
+
+# ── near-dup clustering (iterative) ──────────────────────────────────────
+
+
+@register(
+    "q_dedup_components",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+               i -> concat_ws(' ', string_split(text, ' ')[i],
+                                   string_split(text, ' ')[i+1],
+                                   string_split(text, ' ')[i+2])) AS s
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a, sh b
+      WHERE a.doc_id < b.doc_id
+        AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT e.b AS id, reach.r FROM reach JOIN edges e ON reach.id = e.a
+    )
+    SELECT id, min(r) AS component_id FROM reach GROUP BY id
+    """,
+    doc="Near-dup clustering: connected components over exact-Jaccard≥0.8 "
+    "edges (iterative min-label propagation on the Spark side; the oracle "
+    "computes the same components with a recursive CTE).  The step after "
+    "every real dedup pass: pick one keeper per component.",
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    edges = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8
+    ).select("id_a", "id_b")
+    ids = docs.select(F.col("doc_id").alias("id"))
+    return dedup.connected_components(ids, edges)
+
+
+# ── IVF similarity search ────────────────────────────────────────────────
+
+
+@register(
+    "q_ann_ivf",
+    oracle=None,  # approximate by construction; exact-degradation
+    # (n_probe == n_centroids ⇒ equals brute force) asserted in tests
+    doc="E2 scale path #2: IVF — coarse-quantize vectors to seeded "
+    "centroids (one broadcast-GEMM mapInPandas pass), probe the query's "
+    "2 nearest inverted lists, exact cosine re-rank.  At cluster scale "
+    "the assignment is written partitioned by cluster so probes read "
+    "only their lists.",
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    return similarity.ivf_topk(
+        emb.filter(F.col("vec_id") != 0), query, k=10, n_centroids=16, n_probe=2
+    )

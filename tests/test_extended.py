@@ -1,0 +1,71 @@
+"""Extended operators: connected components, IVF similarity search."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from csce438_distributed_password_cracker_spark.catalog import load_table
+from csce438_distributed_password_cracker_spark.operators import dedup, similarity
+
+
+def test_connected_components_small_graph(spark):
+    ids = spark.createDataFrame([(i,) for i in range(1, 8)], "id LONG")
+    # components: {1,2,3,4} (chain), {5,6} (pair), {7} (singleton)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "id_a LONG, id_b LONG"
+    )
+    out = {
+        r["id"]: r["component_id"]
+        for r in dedup.connected_components(ids, edges).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_connected_components_transitivity_across_rounds(spark):
+    # a long chain needs multiple propagation rounds: diameter 6
+    n = 7
+    ids = spark.createDataFrame([(i,) for i in range(n)], "id LONG")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a LONG, id_b LONG"
+    )
+    out = {
+        r["id"]: r["component_id"]
+        for r in dedup.connected_components(ids, edges).collect()
+    }
+    assert set(out.values()) == {0}
+
+
+def test_ivf_full_probe_equals_brute_force(spark, sf_smoke):
+    """n_probe == n_centroids probes every inverted list ⇒ the IVF result
+    must EQUAL the exact brute-force top-k (graceful degradation)."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    rest = emb.filter(F.col("vec_id") != 0)
+    brute = similarity.brute_force_topk(rest, query, k=10).collect()
+    ivf = similarity.ivf_topk(
+        rest, query, k=10, n_centroids=8, n_probe=8
+    ).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in ivf] == [
+        (r["vec_id"], r["cos_sim"]) for r in brute
+    ]
+
+
+def test_ivf_partial_probe_returns_k_plausible_rows(spark, sf_smoke):
+    emb = load_table(spark, sf_smoke, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    rest = emb.filter(F.col("vec_id") != 0)
+    rows = similarity.ivf_topk(
+        rest, query, k=5, n_centroids=8, n_probe=2
+    ).collect()
+    assert len(rows) == 5
+    sims = [r["cos_sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    # determinism: seeded centroids + deterministic ranking
+    again = similarity.ivf_topk(
+        rest, query, k=5, n_centroids=8, n_probe=2
+    ).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]

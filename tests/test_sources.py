@@ -1,0 +1,45 @@
+"""Source/sink coverage: partitioned parquet writes with partition
+pruning, CSV and JSON round-trips.  The reference has no file I/O at all
+(SURVEY.md §2.1) — this is engine-completeness surface, and the partition
+pruning assertion is a 100 TB design check: a date/key-partitioned layout
+is what makes selective scans cheap at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from csce438_distributed_password_cracker_spark.catalog import load_table
+
+from test_plans import plan_str
+
+
+def test_partitioned_parquet_write_and_pruning(spark, sf_oracle, tmp_path):
+    out = str(tmp_path / "orders_by_priority")
+    orders = load_table(spark, sf_oracle, "orders")
+    orders.write.partitionBy("o_orderpriority").parquet(out)
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    pruned = back.filter(F.col("o_orderpriority") == "1-URGENT")
+    p = plan_str(spark, pruned)
+    # the filter must become a PartitionFilter (directory pruning), not a
+    # data filter evaluated per row
+    assert "PartitionFilters" in p and "1-URGENT" in p.split("PartitionFilters", 1)[1].splitlines()[0]
+    expected = orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert pruned.count() == expected
+
+
+def test_csv_roundtrip(spark, sf_oracle, tmp_path):
+    out = str(tmp_path / "nation_csv")
+    nation = load_table(spark, sf_oracle, "nation")
+    nation.write.option("header", True).csv(out)
+    back = spark.read.option("header", True).option("inferSchema", True).csv(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_json_roundtrip(spark, sf_oracle, tmp_path):
+    out = str(tmp_path / "region_json")
+    region = load_table(spark, sf_oracle, "region")
+    region.write.json(out)
+    back = spark.read.json(out).select(*region.columns)  # json sorts keys
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, region.collect()))
