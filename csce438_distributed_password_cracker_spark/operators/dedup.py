@@ -306,6 +306,10 @@ def connected_components(
     sym = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    # materialize the edge list once — it is re-joined every round, and an
+    # unmaterialized edge plan (e.g. a full similarity join) would re-execute
+    # per iteration
+    sym = sym.localCheckpoint(eager=True)
     for _ in range(max_iter):
         nbr = sym.join(
             labels.withColumnRenamed("id", "src"), "src"
