@@ -229,6 +229,25 @@ def q_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_crack_throughput",
+    oracle=None,  # a 12M-row hash scan is seconds in Spark but would
+    # dominate the DuckDB oracle pass; correctness of the identical plan
+    # shape is covered by q_crack_hit/miss at width 3-4
+    doc="Throughput probe: full width-5 space (11.88M candidates) through "
+    "generate → decode → sha1 → filter → verdict in one codegen'd stage — "
+    "the engine's raw crack speed, the number BASELINE.md §C compares "
+    "against the reference's 11-worker OpenSSL ceiling.",
+)
+def q_crack_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.crack import crack_verdict_df
+
+    # sha1 with no preimage in the space (MISS fixture): scans everything
+    return crack_verdict_df(
+        spark, "55d74de7f828993f5286676cbe8c4774396da193", 5
+    )
+
+
+@register(
     "q_udf_crosscheck",
     oracle=f"""
     SELECT count(*) AS n_rows, 0 AS n_mismatch
