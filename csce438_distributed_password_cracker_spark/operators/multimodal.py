@@ -110,6 +110,48 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return pruned.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+def resize(media: DataFrame, width: int, height: int) -> DataFrame:
+    """STUB resize kernel over the same Arrow plumbing as
+    :func:`extract_features` (no codec libs in this container: the fake
+    "resample" deterministically strides the payload to the target byte
+    budget; a real deployment swaps in PIL/libvips with the identical
+    signature and batch shape).  Metadata is updated to the target
+    dimensions so downstream operators see a consistent table."""
+    budget = max(1, (width * height) // 64)
+    pruned = media.select("doc_id", "payload", "meta")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def _resample(b: bytes | None) -> bytes:
+            if not b:
+                return b""
+            if len(b) <= budget:
+                return bytes(b)
+            stride = len(b) / budget
+            return bytes(b[int(i * stride)] for i in range(budget))
+
+        for pdf in it:
+            meta = [
+                {**(m or {}), "width": width, "height": height}
+                for m in pdf["meta"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["payload"].map(_resample),
+                    "meta": meta,
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("meta", MEDIA_META_SCHEMA),
+        ]
+    )
+    return pruned.mapInPandas(batches, schema)
+
+
 def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
     """Frame-sampling plumbing: explode n_frames into frame indices and
     keep every ``every_n``-th — pure column algebra (the per-frame decode

