@@ -1,0 +1,125 @@
+"""Property-based tests (SURVEY.md §5.2.1): codec bijection, reference
+split-algebra coverage, and exactness of the prefix-filtered similarity
+join against a brute-force model.
+"""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from csce438_distributed_password_cracker_spark.functions import codec
+from csce438_distributed_password_cracker_spark.operators import dedup
+
+# ── codec bijection (pure-Python model, validated against Spark below) ───
+
+widths = st.integers(min_value=1, max_value=13)
+
+
+@given(st.data())
+def test_codec_roundtrip_property(data):
+    w = data.draw(widths)
+    n = data.draw(st.integers(min_value=0, max_value=codec.keyspace_size(w) - 1))
+    s = codec.py_decode(n, w)
+    assert len(s) == w and s.islower()
+    assert codec.py_encode(s) == n
+
+
+@given(st.data())
+def test_codec_order_isomorphism(data):
+    """encode is an order isomorphism: ordinal order == lexicographic
+    order (what makes min(candidate) ≡ first-match-in-scan-order, the A2
+    determinism argument)."""
+    w = data.draw(st.integers(min_value=1, max_value=8))
+    hi = codec.keyspace_size(w) - 1
+    a = data.draw(st.integers(min_value=0, max_value=hi))
+    b = data.draw(st.integers(min_value=0, max_value=hi))
+    assert (a < b) == (codec.py_decode(a, w) < codec.py_decode(b, w))
+
+
+@given(st.data())
+@settings(max_examples=200)
+def test_split_algebra_coverage(data):
+    """The reference's range split (server.c:387-434, per=(n-1) div k,
+    contiguous inclusive subranges): gap-free, ordered, covers the full
+    space; last subrange overshoots by < k (SURVEY.md §2.3 X2)."""
+    w = data.draw(st.integers(min_value=1, max_value=6))
+    k = data.draw(st.integers(min_value=1, max_value=64))
+    n = codec.keyspace_size(w)
+    per = (n - 1) // k
+    subranges = [(i * (per + 1), i * (per + 1) + per) for i in range(k)]
+    assert subranges[0][0] == 0
+    for (lo_a, hi_a), (lo_b, _) in zip(subranges, subranges[1:]):
+        assert lo_b == hi_a + 1  # contiguous, gap-free
+    assert subranges[-1][1] >= n - 1  # full coverage
+    assert subranges[-1][1] - (n - 1) < k  # bounded overshoot
+
+
+def test_spark_codec_matches_python_model(spark):
+    """One Spark job cross-checks the SQL codec against the Python model
+    over seeded random ordinals at every width (incl. > uint32)."""
+    rng = random.Random(42)
+    rows = []
+    for w in range(1, 14):
+        hi = codec.keyspace_size(w) - 1
+        for _ in range(40):
+            rows.append((w, rng.randint(0, hi)))
+    by_width: dict[int, list[int]] = {}
+    for w, n in rows:
+        by_width.setdefault(w, []).append(n)
+    for w, ns in by_width.items():
+        df = spark.createDataFrame([(n,) for n in ns], "id LONG").selectExpr(
+            "id",
+            f"{codec.decode_sql('id', w)} AS s",
+            f"{codec.encode_sql(codec.decode_sql('id', w), w)} AS rt",
+        )
+        for r in df.collect():
+            assert r["s"] == codec.py_decode(r["id"], w)
+            assert r["rt"] == r["id"]
+
+
+# ── prefix-filter similarity join exactness ──────────────────────────────
+
+
+def _py_jaccard_pairs(docs: list[tuple[int, str]], n: int, t: float):
+    def shingles(text: str) -> set[str]:
+        toks = text.split(" ")
+        m = max(len(toks) - n + 1, 1)
+        return {" ".join(toks[i : i + n]) for i in range(m)}
+
+    sh = {i: shingles(s) for i, s in docs}
+    out = set()
+    for i, si in sh.items():
+        for j, sj in sh.items():
+            if i < j and len(si | sj) and len(si & sj) / len(si | sj) >= t:
+                out.add((i, j))
+    return out
+
+
+def test_prefix_filter_join_equals_brute_force(spark):
+    """ngram_jaccard_pairs (prefix-filtered) must return EXACTLY the
+    brute-force all-pairs answer — the filter is an optimization, never a
+    semantics change.  Seeded random corpus with planted near-dups and a
+    skewed vocabulary (the adversarial case for prefix selection)."""
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)] + ["the"] * 5  # skewed
+    docs: list[tuple[int, str]] = []
+    for i in range(50):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(3, 25))]
+        docs.append((i, " ".join(toks)))
+        if rng.random() < 0.3:  # planted near-dup: perturb one token
+            dup = list(toks)
+            dup[rng.randrange(len(dup))] = rng.choice(vocab)
+            docs.append((1000 + i, " ".join(dup)))
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    for t in (0.5, 0.8, 0.95):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.ngram_jaccard_pairs(
+                df, "doc_id", "text", n=2, threshold=t
+            ).collect()
+        }
+        want = _py_jaccard_pairs(docs, n=2, t=t)
+        assert got == want, f"t={t}: missing={want - got} extra={got - want}"
