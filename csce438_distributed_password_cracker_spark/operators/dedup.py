@@ -302,7 +302,6 @@ def connected_components(
     the classic Spark iterative-algorithm trap; on a cluster use a
     checkpoint dir for fault tolerance instead).
     """
-    labels = ids.select("id", F.col("id").alias("comp"))
     sym = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -310,6 +309,11 @@ def connected_components(
     # unmaterialized edge plan (e.g. a full similarity join) would re-execute
     # per iteration
     sym = sym.localCheckpoint(eager=True)
+    # iterate over edge ENDPOINTS only — typically a small fraction of the
+    # corpus (most docs are singletons); singletons join back at the end
+    labels = sym.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("comp")
+    )
     for _ in range(max_iter):
         nbr = sym.join(
             labels.withColumnRenamed("id", "src"), "src"
@@ -327,7 +331,9 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(F.col("id"), F.col("comp").alias("component_id"))
+    return ids.select("id").join(labels, "id", "left").select(
+        "id", F.coalesce("comp", F.col("id")).alias("component_id")
+    )
 
 
 # ── SimHash ──────────────────────────────────────────────────────────────

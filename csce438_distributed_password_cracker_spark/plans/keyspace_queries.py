@@ -229,6 +229,44 @@ def q_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_crack_batch",
+    oracle=f"""
+    WITH requests(request_id, hash) AS (
+      VALUES (CAST(1 AS BIGINT), '{HIT4}'),
+             (CAST(2 AS BIGINT), '{hashlib.sha256(b"aaaa").hexdigest()}'),
+             (CAST(3 AS BIGINT), '{MISS3}')
+    ),
+    ks AS ({keyspace_sql_duckdb(4)})
+    SELECT r.request_id,
+           count(k.candidate) > 0 AS found,
+           min(k.candidate) AS password,
+           CASE WHEN count(k.candidate) > 0 THEN 'f ' || min(k.candidate)
+                ELSE 'x' END AS reply
+    FROM requests r LEFT JOIN ks k ON sha256(k.candidate) = r.hash
+    GROUP BY r.request_id
+    """,
+    doc="T1 batch kernel: N same-width crack requests answered by ONE "
+    "shared keyspace scan (hash each candidate once, broadcast-join the "
+    "request list) — the reference scans the full space per request per "
+    "worker (server.c:403-434); sharing the scan is the optimization its "
+    "architecture cannot express.  Same kernel foreachBatch runs per "
+    "micro-batch in streaming/requests.py.",
+)
+def q_crack_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.requests import answer_request_batch
+
+    reqs = spark.createDataFrame(
+        [
+            (1, HIT4, 4, None),
+            (2, hashlib.sha256(b"aaaa").hexdigest(), 4, None),
+            (3, MISS3, 4, None),
+        ],
+        "request_id LONG, hash STRING, width INT, submitted_at TIMESTAMP",
+    )
+    return answer_request_batch(spark, reqs, hash_func="sha256")
+
+
+@register(
     "q_crack_throughput",
     oracle=None,  # a 12M-row hash scan is seconds in Spark but would
     # dominate the DuckDB oracle pass; correctness of the identical plan
