@@ -137,6 +137,97 @@ _sql_query(
     tables=("orders",),
 )
 
+# ── temporal joins (as-of / range) ───────────────────────────────────────
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+    WITH purch AS (
+      SELECT user_id, ts, max(event_id) AS event_id
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id,
+           p.event_id AS last_purchase_id
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    doc="As-of join (north-star custom operator): each click attributed "
+    "to the user's most recent purchase at or before it — union + one "
+    "window sort per key + last(ignorenulls), ONE shuffle, no inequality "
+    "join (operators/temporal.py).  Oracle: DuckDB's native ASOF JOIN.",
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import temporal
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    out = temporal.asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        probe_ts="ts",
+        event_ts="ts",
+        payload_cols=["purchase_id"],
+    )
+    return out.select(
+        "event_id", "user_id", F.col("purchase_id").alias("last_purchase_id")
+    )
+
+
+@register(
+    "q_join_range",
+    oracle="""
+    SELECT p.event_id, count(e.event_id) AS n_in_range
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN events e
+      ON p.user_id = e.user_id
+     AND e.event_id <> p.event_id
+     AND abs(CAST(floor(epoch(p.ts)) AS BIGINT)
+           - CAST(floor(epoch(e.ts)) AS BIGINT)) <= 3600
+    GROUP BY p.event_id
+    """,
+    doc="Range join (north-star custom operator): per purchase, how many "
+    "other events of the same user fall within ±1 hour.  Binned to "
+    "equality keys (3-bin constant fan-out) + exact post-filter — a hash "
+    "shuffle instead of the nested loop a raw inequality predicate plans "
+    "(operators/temporal.py).",
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import temporal
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    others = ev.select(
+        F.col("user_id"),
+        F.col("ts").alias("ots"),
+        F.col("event_id").alias("other_id"),
+    )
+    counted = temporal.range_join_count(
+        purchases,
+        others,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ots",
+        radius_seconds=3600,
+    )
+    # range_join_count counts ALL rows incl. the purchase itself; subtract it
+    return counted.select(
+        "event_id", (F.col("n_in_range") - 1).alias("n_in_range")
+    )
+
+
 # ── near-dup clustering (iterative) ──────────────────────────────────────
 
 
