@@ -9,6 +9,7 @@ from . import keyspace_queries  # noqa: F401
 from . import pipeline_queries  # noqa: F401
 from . import relational  # noqa: F401
 from . import streaming_queries  # noqa: F401
+from . import tpch  # noqa: F401
 from .registry import REGISTRY, QueryDef  # noqa: F401
 
 
