@@ -210,6 +210,39 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_pairs_blocked(emb, threshold=0.4)
 
 
+@register(
+    "q_text_quality_score",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS q_chars,
+           len(string_split(text, ' ')) AS q_tokens,
+           CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) AS q_punct_ratio,
+           CAST(len(list_intersect(string_split(text, ' '),
+                ['the', 'a', 'of', 'and', 'row', 'data'])) AS DOUBLE)
+             / greatest(len(list_distinct(string_split(text, ' '))), 1)
+             AS q_stopword_ratio
+    FROM documents
+    """,
+    doc="E3: quality features via the quality_score operator — the filter "
+    "stage of a pretraining pipeline.  The raw feature ratios are exact "
+    "IEEE divisions (bit-identical across engines) and are what the gate "
+    "hashes; the composite `quality` product is excluded: its factors are "
+    "dyadic fractions that land composite values exactly on round-half "
+    "ties, where Spark (half-up on the exact double) and DuckDB disagree "
+    "in the 6th decimal — covered by unit tests instead.",
+)
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return textops.quality_score(docs).select(
+        "doc_id",
+        F.col("q_chars").cast("long").alias("q_chars"),
+        F.col("q_tokens").cast("long").alias("q_tokens"),
+        "q_punct_ratio",
+        "q_stopword_ratio",
+    )
+
+
 def _langid_oracle() -> str:
     toks = "string_split(text, ' ')"
     score_cols = []

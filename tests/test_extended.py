@@ -52,6 +52,26 @@ def test_ivf_full_probe_equals_brute_force(spark, sf_smoke):
     ]
 
 
+def test_quality_score_composite_bounds(spark, sf_smoke):
+    """The composite `quality` (excluded from the oracle hash for
+    round-half-tie reasons — see q_text_quality_score) is bounded in
+    [0,1] and punishes punctuation-heavy text."""
+    from csce438_distributed_password_cracker_spark.operators import textops
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    rows = textops.quality_score(docs).collect()
+    assert rows and all(0.0 <= r["quality"] <= 1.0 for r in rows)
+    probe = spark.createDataFrame(
+        [
+            (1, "the data row of and a clean readable sentence " * 8),
+            (2, "!!!! ???? ;;;; @@@@ #### $$$$ %%%% ^^^^ &&&& " * 8),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    q = {r["doc_id"]: r["quality"] for r in textops.quality_score(probe).collect()}
+    assert q[1] > q[2]
+
+
 def test_multimodal_resize_plumbing(spark, sf_smoke):
     from csce438_distributed_password_cracker_spark.operators import multimodal
 
