@@ -67,6 +67,32 @@ _sql_query(
     tables=("orders",),
 )
 
+_sql_query(
+    "q_agg_percentile",
+    """
+    SELECT o_orderpriority,
+           percentile(o_totalprice, 0.5) AS p50,
+           percentile(o_totalprice, 0.9) AS p90,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Exact grouped percentiles (linear interpolation): Spark "
+    "percentile() ≡ DuckDB quantile_cont() bit-for-bit — interpolation "
+    "between sorted neighbors with dyadic fractions stays exact.  At "
+    "scale the exact sort-based form gives way to approx_percentile "
+    "(t-digest), whose error-bounded twin q_approx_distinct models.",
+    tables=("orders",),
+)
+
 # ── analytic windows ─────────────────────────────────────────────────────
 
 _sql_query(
