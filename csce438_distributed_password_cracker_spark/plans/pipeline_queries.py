@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators import dedup, multimodal, similarity, textops
+from ..operators.split import md5_bucket_sql
 from .registry import register
 from .relational import _sql_query
 
@@ -241,6 +242,27 @@ def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_punct_ratio",
         "q_stopword_ratio",
     )
+
+
+_BUCKET = md5_bucket_sql("CAST(doc_id AS STRING)", 256)
+
+_sql_query(
+    "q_split_assign",
+    f"""
+    SELECT doc_id,
+           CAST({_BUCKET} AS BIGINT) AS bucket,
+           CASE WHEN {_BUCKET} < 204 THEN 'train'
+                WHEN {_BUCKET} < 230 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    doc="Train/val/test assignment as a pure hash of the key (~80/10/10) — "
+    "reproducible across runs/engines/partitionings, unlike sample(); the "
+    "md5-hex bucket arithmetic is engine-portable so the full per-row "
+    "assignment is oracle-checked.  Production path: "
+    "operators/split.hash_split (xxhash64, no string materialization).",
+    tables=("documents",),
+)
 
 
 def _langid_oracle() -> str:

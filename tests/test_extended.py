@@ -52,6 +52,31 @@ def test_ivf_full_probe_equals_brute_force(spark, sf_smoke):
     ]
 
 
+def test_hash_split_deterministic_proportions(spark):
+    from csce438_distributed_password_cracker_spark.operators.split import (
+        hash_split,
+    )
+
+    df = spark.range(50_000)
+    out = hash_split(df, "id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 50_000 - 0.8) < 0.01
+    assert abs(counts["val"] / 50_000 - 0.1) < 0.01
+    # pure function of (key, seed): same assignment on re-run AND after
+    # repartitioning (the property sample()/randomSplit() lack)
+    again = hash_split(
+        df.repartition(13), "id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    # different seed -> different assignment
+    other = hash_split(df, "id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7)
+    assert sorted(map(tuple, out.collect())) != sorted(map(tuple, other.collect()))
+
+
 def test_quality_score_composite_bounds(spark, sf_smoke):
     """The composite `quality` (excluded from the oracle hash for
     round-half-tie reasons — see q_text_quality_score) is bounded in
