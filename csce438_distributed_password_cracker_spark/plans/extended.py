@@ -67,6 +67,32 @@ _sql_query(
     tables=("orders",),
 )
 
+@register(
+    "q_agg_pivot",
+    oracle="""
+    SELECT user_id,
+      count(*) FILTER (WHERE event_type = 'click')    AS click,
+      count(*) FILTER (WHERE event_type = 'error')    AS error,
+      count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+      count(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events GROUP BY user_id
+    """,
+    doc="Pivot (categorical spread): per-user event-type counts.  The "
+    "pivot value list is EXPLICIT — with it, Spark pivots in one pass "
+    "with a fixed output schema; without it, a first job scans for "
+    "distinct values (schema-on-data, a scale smell).",
+)
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .fillna(0)
+    )
+
+
 _sql_query(
     "q_agg_percentile",
     """
