@@ -244,6 +244,36 @@ def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_sql_query(
+    "q_array_ops",
+    """
+    SELECT doc_id,
+           CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
+           array_join(slice(array_sort(array_distinct(split(text, ' '))), 1, 3),
+                      ',') AS first3_sorted,
+           array_contains(split(text, ' '), 'the') AS has_the,
+           CAST(size(filter(split(text, ' '), x -> length(x) > 4)) AS BIGINT)
+             AS n_long_tokens
+    FROM documents
+    """,
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3],
+                           ',') AS first3_sorted,
+           list_contains(string_split(text, ' '), 'the') AS has_the,
+           CAST(len(list_filter(string_split(text, ' '), x -> length(x) > 4))
+             AS BIGINT) AS n_long_tokens
+    FROM documents
+    """,
+    doc="Array/collection functions (SURVEY.md §2.8 'absent' row, "
+    "dispositioned for corpus breadth): sort/distinct/slice/join/"
+    "contains/filter-lambda over token arrays — Spark array_* vs DuckDB "
+    "list_* spellings, same semantics.",
+    tables=("documents",),
+)
+
+
 _BUCKET = md5_bucket_sql("CAST(doc_id AS STRING)", 256)
 
 _sql_query(
