@@ -378,16 +378,29 @@ def simhash_near_pairs(
     text_col: str,
     max_hamming: int = 8,
     seed: int = 42,
-    blocks: int = 4,
+    blocks: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming, found by the
     pigeonhole block trick: split the 64-bit hash into ``blocks`` chunks —
-    any pair within max_hamming < blocks*(chunk tolerance) shares at least
-    one exact chunk when max_hamming < blocks; generally pairs differing in
-    ≤ max_hamming bits must agree on ≥1 of the blocks if max_hamming <
-    blocks.  Candidates come from equality joins on block values (hash
+    pairs differing in ≤ max_hamming bits must agree exactly on ≥1 block
+    whenever max_hamming < blocks (≤ max_hamming differences cannot touch
+    all blocks).  Candidates come from equality joins on block values (hash
     shuffle, no cross join); exact hamming verifies.
+
+    ``blocks`` defaults to ``max_hamming + 1`` — the smallest block count
+    that satisfies the completeness condition (fewest candidate buckets ⇒
+    cheapest join).  An explicit ``blocks <= max_hamming`` is rejected: it
+    would silently drop pairs whose differences spread one per block.
     """
+    if blocks is None:
+        blocks = max_hamming + 1
+    if not 1 <= blocks <= 64:
+        raise ValueError(f"blocks must be in [1, 64], got {blocks}")
+    if max_hamming >= blocks:
+        raise ValueError(
+            f"pigeonhole completeness requires max_hamming < blocks "
+            f"(got max_hamming={max_hamming}, blocks={blocks})"
+        )
     width = 64 // blocks
     sh = simhash(df, id_col, text_col, seed)
     blocked = sh.select(

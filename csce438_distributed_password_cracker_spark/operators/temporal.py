@@ -91,18 +91,23 @@ def range_join_count(
     A naive ``|l.ts − r.ts| <= radius`` predicate cannot hash-partition
     and degenerates to a nested-loop join.  The scale shape: bin both
     sides to ``bin_seconds`` buckets, equi-join on (key, bin) with each
-    left row probing its bin and both neighbors (explode of 3 bins —
-    constant fan-out), then apply the exact range predicate as a cheap
-    post-filter.  Equality join ⇒ hash shuffle, AQE-splittable.
+    left row probing its bin plus ``ceil(radius/bin)`` neighbors on each
+    side (constant fan-out — 3 bins at the default ``bin = radius``), then
+    apply the exact range predicate as a cheap post-filter.  Equality join
+    ⇒ hash shuffle, AQE-splittable.  The probe span is derived from the
+    radius/bin ratio, so a caller passing ``bin_seconds < radius_seconds``
+    still sees every in-range row (more, smaller bins = more probe rows
+    but tighter post-filter selectivity).
     """
     bin_s = bin_seconds or radius_seconds
+    span = -(-radius_seconds // bin_s)  # ceil: bins a right row can sit away
     lb = left.select(
         "*",
         F.explode(
             F.array(
                 *[
                     (F.unix_timestamp(F.col(left_ts)) / bin_s).cast("long") + off
-                    for off in (-1, 0, 1)
+                    for off in range(-span, span + 1)
                 ]
             )
         ).alias("__bin"),

@@ -299,8 +299,8 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM sh a, sh b
       WHERE a.doc_id < b.doc_id
-        AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-            / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+        AND round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.8
     ),
     edges AS (
       SELECT id_a AS a, id_b AS b FROM pairs

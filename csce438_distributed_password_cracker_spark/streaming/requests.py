@@ -65,10 +65,12 @@ def answer_request_batch(
                 else F.sha2(F.col("candidate"), 256)
             ).alias("digest"),
         )
+        # lower() normalizes request-supplied hex: crack() lowercases its
+        # target digest, and an uppercase-hex request must not silently miss
         hits = (
             hashed.join(
                 F.broadcast(reqs_w.select("request_id", "hash")),
-                F.col("digest") == F.col("hash"),
+                F.col("digest") == F.lower(F.col("hash")),
             )
             .groupBy("request_id")
             .agg(F.min("candidate").alias("password"))

@@ -98,3 +98,15 @@ def test_simhash_block_join_matches_brute_force(spark):
         for r in dedup.simhash_near_pairs(df, "doc_id", "text", max_hamming=3).collect()
     }
     assert blocked == brute
+
+
+def test_simhash_rejects_incomplete_block_count(spark):
+    # blocks <= max_hamming would silently drop pairs whose differing bits
+    # spread one-per-block; the constructor must refuse, not undercount.
+    import pytest
+
+    df = _docs_with_dups(spark)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_near_pairs(df, "doc_id", "text", max_hamming=8, blocks=4)
+    with pytest.raises(ValueError, match="blocks"):
+        dedup.simhash_near_pairs(df, "doc_id", "text", max_hamming=70)

@@ -69,6 +69,18 @@ def test_request_stream_end_to_end(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS crack_verdicts_test")
 
 
+def test_request_batch_accepts_uppercase_hex(spark):
+    """A request carrying uppercase hex must match: the join normalizes
+    with lower() exactly like crack() lowercases its target digest."""
+    hit = hashlib.sha256(b"abc").hexdigest().upper()
+    reqs = spark.createDataFrame(
+        [(1, hit, 3, None)],
+        "request_id LONG, hash STRING, width INT, submitted_at TIMESTAMP",
+    )
+    [r] = req_stream.answer_request_batch(spark, reqs, hash_func="sha256").collect()
+    assert (r["found"], r["reply"]) == (True, "f abc")
+
+
 def test_seqnum_accept_stateful_stream(spark, tmp_path):
     """T3: per-connection seqnum acceptance with state carried ACROSS
     micro-batches (lsp_server.c:241-249 accept filter)."""

@@ -79,6 +79,27 @@ def test_range_join_count_golden(spark):
     assert r["n_in_range"] == 3  # two inside + inclusive boundary
 
 
+def test_range_join_small_bins_still_complete(spark):
+    # bin_seconds < radius_seconds: in-range rows sit several bins away;
+    # the probe span must widen to ceil(radius/bin) so none are missed.
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2026-01-01 10:00:00"))], "lid LONG, k LONG, lts TIMESTAMP"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2026-01-01 09:31:00")),  # 29m away = ~5 bins of 6m
+            (10, _ts("2026-01-01 10:29:00")),  # 29m away the other side
+            (10, _ts("2026-01-01 10:31:00")),  # outside radius
+        ],
+        "k LONG, rts TIMESTAMP",
+    )
+    [r] = temporal.range_join_count(
+        left, right, key="k", left_ts="lts", right_ts="rts",
+        radius_seconds=1800, bin_seconds=360,
+    ).collect()
+    assert r["n_in_range"] == 2
+
+
 def test_range_join_zero_matches_keeps_left_row(spark):
     left = spark.createDataFrame(
         [(1, 10, _ts("2026-01-01 10:00:00"))], "lid LONG, k LONG, lts TIMESTAMP"
