@@ -62,6 +62,13 @@ def cosine_pairs_blocked(
     expression, and the shape that scales (a 1000-executor cluster does
     n_blocks passes of GEMM; no quadratic shuffle, no cross join).
 
+    Driver memory is O(block), never O(table): ids are hash-partitioned
+    into ``n_blocks = ceil(count / block_rows)`` blocks **in the
+    DataFrame**, and each iteration collects only its own block's rows
+    (a pushed-down equality filter on the block id).  Hash blocking keeps
+    every block ≈ block_rows without a global sort; each unordered pair
+    {x, y} with x < y is generated exactly once — in y's block's pass.
+
     Candidates use ``threshold − margin`` to absorb float32→float64 noise;
     survivors are re-verified with the SAME JVM-side cosine expression the
     naive plan uses, so results (incl. round(·, 6)) are bit-identical to
@@ -69,17 +76,18 @@ def cosine_pairs_blocked(
     """
     spark = emb.sparkSession
     src = emb.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v"))
-    pdf = src.toPandas()
-    all_ids = pdf["id"].to_numpy(dtype=np.int64)
-    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-    norms = np.linalg.norm(mat, axis=1)
-    mat = mat / np.where(norms == 0.0, 1.0, norms)[:, None]
-    n = len(all_ids)
+    n = src.count()
     n_blocks = max(1, math.ceil(n / block_rows))
+    blocked = src.withColumn(
+        "__blk", F.pmod(F.xxhash64("id"), F.lit(n_blocks))
+    )
     parts: list[DataFrame] = []
     for blk in range(n_blocks):
-        b_ids = all_ids[blk * block_rows : (blk + 1) * block_rows]
-        b_mat = mat[blk * block_rows : (blk + 1) * block_rows]
+        b_ids, b_mat = _collect_matrix(
+            blocked.filter(F.col("__blk") == blk), "id", "v"
+        )
+        if len(b_ids) == 0:
+            continue
         bc = spark.sparkContext.broadcast((b_ids, b_mat))
 
         def gen(batches, _bc=bc):
@@ -99,6 +107,8 @@ def cosine_pairs_blocked(
                 )
 
         parts.append(src.mapInPandas(gen, "id_a long, id_b long"))
+    if not parts:
+        return spark.createDataFrame([], "id_a long, id_b long, cos_sim double")
     cand = parts[0]
     for p in parts[1:]:
         cand = cand.union(p)
@@ -127,6 +137,8 @@ def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
         F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
     ).toPandas()
     ids = pdf["id"].to_numpy(dtype=np.int64)
+    if len(ids) == 0:
+        return ids, np.empty((0, 0), dtype=np.float64)
     mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
     norms = np.linalg.norm(mat, axis=1)
     return ids, mat / np.where(norms == 0.0, 1.0, norms)[:, None]

@@ -61,6 +61,45 @@ def test_lsh_topk_subset_of_bruteforce_scores(spark, sf_smoke):
         assert math.isclose(r["cos_sim"], exact_by_id[r["vec_id"]], abs_tol=1e-9)
 
 
+def test_cosine_pairs_blocked_bounded_driver_collect(spark, sf_smoke):
+    """The 100 TB contract: cosine_pairs_blocked must never materialize the
+    full table on the driver — every toPandas() it issues is bounded by
+    ~block_rows rows — and multi-block answers equal the single-block run."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    n = emb.count()
+    block_rows = 50  # force ~10 blocks on the 500-row table
+
+    cls = type(emb)  # the concrete DataFrame class (classic / connect)
+    collected: list[int] = []
+    orig = cls.toPandas
+
+    def spying(self):
+        pdf = orig(self)
+        collected.append(len(pdf))
+        return pdf
+
+    cls.toPandas = spying
+    try:
+        multi = {
+            (r["id_a"], r["id_b"], r["cos_sim"])
+            for r in similarity.cosine_pairs_blocked(
+                emb, threshold=0.4, block_rows=block_rows
+            ).collect()
+        }
+    finally:
+        cls.toPandas = orig
+    assert collected, "expected driver-side block collections"
+    # hash blocking: blocks concentrate around block_rows; 3x covers skew
+    assert max(collected) <= 3 * block_rows < n
+    single = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in similarity.cosine_pairs_blocked(
+            emb, threshold=0.4, block_rows=n + 1
+        ).collect()
+    }
+    assert multi == single and len(multi) > 0
+
+
 def test_lsh_bucket_deterministic(spark, sf_smoke):
     emb, _, _ = _emb_and_query(spark, sf_smoke)
     a = similarity.lsh_bucket(emb, dim=64, n_planes=8).select("vec_id", "bucket")
