@@ -314,26 +314,3 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b")
     ids = docs.select(F.col("doc_id").alias("id"))
     return dedup.connected_components(ids, edges)
-
-
-# ── IVF similarity search ────────────────────────────────────────────────
-
-
-@register(
-    "q_ann_ivf",
-    oracle=None,  # approximate by construction; exact-degradation
-    # (n_probe == n_centroids ⇒ equals brute force) asserted in tests
-    doc="E2 scale path #2: IVF — coarse-quantize vectors to seeded "
-    "centroids (one broadcast-GEMM mapInPandas pass), probe the query's "
-    "2 nearest inverted lists, exact cosine re-rank.  At cluster scale "
-    "the assignment is written partitioned by cluster so probes read "
-    "only their lists.",
-)
-def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    query = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qvec")
-    )
-    return similarity.ivf_topk(
-        emb.filter(F.col("vec_id") != 0), query, k=10, n_centroids=16, n_probe=2
-    )

@@ -6,6 +6,12 @@ similarity search.
 Deeper variants (MinHash-LSH, SimHash, ANN with bucketing) live in
 ``operators/`` — those that SQL can't express are declared without an
 oracle (driver records rows-only) and are brute-force-checked in tests.
+
+Per-doc text analyses are fused into ONE query (``q_text_profile``) and
+the three hash-sketch families into another (``q_dedup_sketch``) so the
+driver correctness gate — which records at most 50 registry entries —
+covers every semantic: the fusions are single-scan column unions /
+labeled unions, not new semantics.
 """
 
 from __future__ import annotations
@@ -34,56 +40,101 @@ _sql_query(
     tables=("documents",),
 )
 
-_sql_query(
-    "q_text_tokens",
-    """
-    SELECT doc_id,
-           CAST(length(text) AS BIGINT) AS n_chars,
-           CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
-           CAST(size(array_distinct(split(text, ' '))) AS BIGINT) AS n_distinct_tokens
-    FROM documents
-    """,
-    oracle="""
-    SELECT doc_id,
-           CAST(length(text) AS BIGINT) AS n_chars,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens
-    FROM documents
-    """,
-    doc="E3: whitespace token counting — split/array ops fully JVM-side.",
-    tables=("documents",),
-)
 
-_sql_query(
-    "q_text_quality",
-    """
-    SELECT doc_id,
-           lang,
-           CAST(length(text) AS BIGINT) AS n_chars,
-           CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
-           round(CAST(size(filter(split(text, ' '),
-                 x -> x = 'the' OR x = 'a' OR x = 'data' OR x = 'row')) AS DOUBLE)
-               / CAST(size(split(text, ' ')) AS DOUBLE), 6) AS stopword_ratio,
-           round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
-               / CAST(size(split(text, ' ')) AS DOUBLE), 6) AS avg_token_len
-    FROM documents
+def _langid_score_cols_duckdb() -> list[str]:
+    toks = "string_split(text, ' ')"
+    cols = []
+    for lang in sorted(textops.DEFAULT_PROFILES):
+        markers = ", ".join(f"'{m}'" for m in textops.DEFAULT_PROFILES[lang])
+        cols.append(
+            f"CAST(len(list_intersect({toks}, [{markers}])) AS INTEGER) AS score_{lang}"
+        )
+    return cols
+
+
+def _langid_case_duckdb() -> str:
+    # argmax with array_max-over-struct semantics: max score, tie -> the
+    # lexicographically LAST language; a CASE chain in descending language
+    # order with >= replicates that exactly.
+    langs_desc = sorted(textops.DEFAULT_PROFILES, reverse=True)
+    cases = []
+    for lang in langs_desc:
+        others = [o for o in langs_desc if o != lang]
+        cond = " AND ".join(f"score_{lang} >= score_{o}" for o in others)
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    return "CASE " + " ".join(cases) + " END"
+
+
+_SCORES = [f"score_{lang}" for lang in sorted(textops.DEFAULT_PROFILES)]
+
+
+@register(
+    "q_text_profile",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars, n_tokens, n_distinct_tokens,
+           stopword_ratio, avg_token_len, q_punct_ratio, q_stopword_ratio,
+           {", ".join(_SCORES)},
+           {_langid_case_duckdb()} AS lang_pred
+    FROM (
+      SELECT doc_id, lang,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS n_distinct_tokens,
+             round(CAST(len(list_filter(string_split(text, ' '),
+                   x -> x = 'the' OR x = 'a' OR x = 'data' OR x = 'row')) AS DOUBLE)
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stopword_ratio,
+             round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS avg_token_len,
+             CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS q_punct_ratio,
+             CAST(len(list_intersect(string_split(text, ' '),
+                  ['the', 'a', 'of', 'and', 'row', 'data'])) AS DOUBLE)
+               / greatest(len(list_distinct(string_split(text, ' '))), 1)
+               AS q_stopword_ratio,
+             {", ".join(_langid_score_cols_duckdb())}
+      FROM documents
+    )
     """,
-    oracle="""
-    SELECT doc_id,
-           lang,
-           CAST(length(text) AS BIGINT) AS n_chars,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-           round(CAST(len(list_filter(string_split(text, ' '),
-                 x -> x = 'the' OR x = 'a' OR x = 'data' OR x = 'row')) AS DOUBLE)
-               / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stopword_ratio,
-           round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
-               / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS avg_token_len
-    FROM documents
-    """,
-    doc="E3/quality scoring: stopword ratio + mean token length — the "
-    "filter-lambda runs as a codegen'd higher-order function, no UDF.",
-    tables=("documents",),
+    doc="E3 text-analysis profile, one scan, zero shuffles: whitespace "
+    "token counting (split/array ops fully JVM-side), quality features "
+    "(stopword ratio, mean token length, punctuation ratio — codegen'd "
+    "higher-order filter lambdas, no UDF; the filter stage of a "
+    "pretraining pipeline), and marker-overlap language ID (per-language "
+    "array_intersect scores + argmax over (score, lang) structs with "
+    "deterministic tie-break).  The composite `quality` product is "
+    "excluded from the gated output: its dyadic-fraction factors land "
+    "composite values exactly on round-half ties where Spark (half-up on "
+    "the exact double) and DuckDB (half-even) disagree in the 6th "
+    "decimal — covered by unit tests instead.",
 )
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = "split(text, ' ')"
+    profiled = textops.quality_score(textops.language_id(docs))
+    return profiled.select(
+        "doc_id",
+        "lang",
+        F.expr("CAST(length(text) AS BIGINT)").alias("n_chars"),
+        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_tokens"),
+        F.expr(f"CAST(size(array_distinct({toks})) AS BIGINT)").alias(
+            "n_distinct_tokens"
+        ),
+        F.expr(
+            f"round(CAST(size(filter({toks}, "
+            "x -> x = 'the' OR x = 'a' OR x = 'data' OR x = 'row')) AS DOUBLE)"
+            f" / CAST(size({toks}) AS DOUBLE), 6)"
+        ).alias("stopword_ratio"),
+        F.expr(
+            "round(CAST(length(replace(text, ' ', '')) AS DOUBLE)"
+            f" / CAST(size({toks}) AS DOUBLE), 6)"
+        ).alias("avg_token_len"),
+        "q_punct_ratio",
+        "q_stopword_ratio",
+        *_SCORES,
+        "lang_pred",
+    )
+
 
 _sql_query(
     "q_binary_roundtrip",
@@ -164,31 +215,49 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_dedup_minhash",
-    oracle=None,  # xxhash64 signatures aren't DuckDB-expressible; recall
-    # vs the exact q_dedup_jaccard answer is asserted in tests/test_dedup.py
-    doc="E2: MinHash(64)+LSH(16 bands) candidate pairs verified by exact "
-    "Jaccard ≥ 0.8 — equality-join on band buckets replaces the O(n²) "
-    "cross join (the 100 TB dedup path).  3-gram shingles (see "
-    "q_dedup_jaccard on vocabulary degeneracy).",
+    "q_dedup_sketch",
+    oracle=None,  # xxhash64 sketches have no DuckDB twin; recall vs the
+    # exact q_dedup_jaccard answer, determinism, and self/near-dup
+    # containment are asserted in tests/test_dedup.py + tests/test_textops.py
+    doc="E2 hash-sketch battery, one labeled union (merged so the driver "
+    "gate covers each): minhash — MinHash(64)+LSH(16 bands) candidate "
+    "pairs verified by exact Jaccard ≥ 0.8, equality-join on band buckets "
+    "replacing the O(n²) cross join (the 100 TB dedup path; 3-gram "
+    "shingles, see q_dedup_jaccard on vocabulary degeneracy); simhash — "
+    "64-bit SimHash near-dup pairs (hamming ≤ 3) via pigeonhole block "
+    "join, explode + 64 columnar sign-sums, shuffle O(docs×64); "
+    "fingerprint — winnowing-style 16 smallest char-8-gram hashes per "
+    "doc, exploded for audit.  Each branch keeps its own plan; the union "
+    "only harmonizes schemas (typed NULLs).",
 )
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(
+    mh = dedup.minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.8
+    ).select(
+        F.lit("minhash").alias("method"),
+        "id_a",
+        "id_b",
+        F.lit(None).cast("long").alias("hash_val"),
+        F.col("jaccard").cast("double").alias("score"),
     )
-
-
-@register(
-    "q_dedup_simhash",
-    oracle=None,  # xxhash64-based; determinism + synthetic-near-dup
-    # behavior asserted in tests/test_dedup.py
-    doc="E2: 64-bit SimHash near-dup pairs (hamming ≤ 3) via pigeonhole "
-    "block join — explode + 64 columnar sign-sums, shuffle O(docs×64).",
-)
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+    sh = dedup.simhash_near_pairs(
+        docs, "doc_id", "text", max_hamming=3
+    ).select(
+        F.lit("simhash").alias("method"),
+        "id_a",
+        "id_b",
+        F.lit(None).cast("long").alias("hash_val"),
+        F.col("hamming").cast("double").alias("score"),
+    )
+    fp = textops.fingerprint(docs, "doc_id", "text").select(
+        F.lit("fingerprint").alias("method"),
+        F.col("doc_id").alias("id_a"),
+        F.lit(None).cast(docs.schema["doc_id"].dataType).alias("id_b"),
+        F.explode("fingerprint").alias("hash_val"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    return mh.unionAll(sh).unionAll(fp)
 
 
 @register(
@@ -209,39 +278,6 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.cosine_pairs_blocked(emb, threshold=0.4)
-
-
-@register(
-    "q_text_quality_score",
-    oracle="""
-    SELECT doc_id,
-           length(text) AS q_chars,
-           len(string_split(text, ' ')) AS q_tokens,
-           CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
-             / greatest(length(text), 1) AS q_punct_ratio,
-           CAST(len(list_intersect(string_split(text, ' '),
-                ['the', 'a', 'of', 'and', 'row', 'data'])) AS DOUBLE)
-             / greatest(len(list_distinct(string_split(text, ' '))), 1)
-             AS q_stopword_ratio
-    FROM documents
-    """,
-    doc="E3: quality features via the quality_score operator — the filter "
-    "stage of a pretraining pipeline.  The raw feature ratios are exact "
-    "IEEE divisions (bit-identical across engines) and are what the gate "
-    "hashes; the composite `quality` product is excluded: its factors are "
-    "dyadic fractions that land composite values exactly on round-half "
-    "ties, where Spark (half-up on the exact double) and DuckDB disagree "
-    "in the 6th decimal — covered by unit tests instead.",
-)
-def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return textops.quality_score(docs).select(
-        "doc_id",
-        F.col("q_chars").cast("long").alias("q_chars"),
-        F.col("q_tokens").cast("long").alias("q_tokens"),
-        "q_punct_ratio",
-        "q_stopword_ratio",
-    )
 
 
 _sql_query(
@@ -295,61 +331,6 @@ _sql_query(
 )
 
 
-def _langid_oracle() -> str:
-    toks = "string_split(text, ' ')"
-    score_cols = []
-    for lang in sorted(textops.DEFAULT_PROFILES):
-        markers = ", ".join(f"'{m}'" for m in textops.DEFAULT_PROFILES[lang])
-        score_cols.append(
-            f"CAST(len(list_intersect({toks}, [{markers}])) AS INTEGER) AS score_{lang}"
-        )
-    # argmax with array_max-over-struct semantics: max score, tie -> the
-    # lexicographically LAST language; a CASE chain in descending language
-    # order with >= replicates that exactly.
-    langs_desc = sorted(textops.DEFAULT_PROFILES, reverse=True)
-    cases = []
-    for i, lang in enumerate(langs_desc):
-        others = [o for o in langs_desc if o != lang]
-        cond = " AND ".join(f"score_{lang} >= score_{o}" for o in others)
-        cases.append(f"WHEN {cond} THEN '{lang}'")
-    case_sql = "CASE " + " ".join(cases) + " END"
-    return f"""
-    SELECT doc_id, {", ".join(f"score_{lang}" for lang in sorted(textops.DEFAULT_PROFILES))},
-           {case_sql} AS lang_pred
-    FROM (SELECT doc_id, {", ".join(score_cols)} FROM documents)
-    """
-
-
-@register(
-    "q_text_langid",
-    oracle=_langid_oracle(),
-    doc="E3: marker-overlap language ID — per-language scores via "
-    "array_intersect + argmax over (score, lang) structs; deterministic "
-    "tie-break (lexicographically last language).",
-)
-def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    out = textops.language_id(docs)
-    return out.select(
-        "doc_id",
-        *[f"score_{lang}" for lang in sorted(textops.DEFAULT_PROFILES)],
-        "lang_pred",
-    )
-
-
-@register(
-    "q_doc_fingerprint",
-    oracle=None,  # xxhash64 shingle hashes have no DuckDB twin;
-    # determinism + self/near-dup containment asserted in tests
-    doc="E3: winnowing-style fingerprint — 16 smallest char-8-gram hashes "
-    "per doc; output (doc_id, fingerprint hash) exploded for audit.",
-)
-def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    fp = textops.fingerprint(docs, "doc_id", "text")
-    return fp.select("doc_id", F.explode("fingerprint").alias("shingle_hash"))
-
-
 @register(
     "q_multimodal_features",
     oracle="""
@@ -373,17 +354,27 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_ann_lsh",
+    "q_ann_topk",
     oracle=None,  # approximate by construction; recall vs the exact
-    # brute-force top-k asserted in tests/test_similarity.py
-    doc="E2 scale path: random-hyperplane LSH bucket probe + exact cosine "
-    "re-rank — touches one bucket instead of the full table.",
+    # brute-force top-k asserted in tests/test_similarity.py (and IVF's
+    # full-probe ≡ brute-force degradation)
+    doc="E2 scale paths, one labeled union: lsh — random-hyperplane LSH "
+    "bucket probe + exact cosine re-rank, touches one bucket instead of "
+    "the full table; ivf — coarse-quantize vectors to seeded centroids "
+    "(one broadcast-GEMM mapInPandas pass), probe the query's 2 nearest "
+    "inverted lists, exact cosine re-rank.  The build-then-probe variant "
+    "over a persisted bucket-partitioned table is q_ann_probe.",
 )
-def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qvec")
     )
-    return similarity.lsh_topk(
-        emb.filter(F.col("vec_id") != 0), query, dim=64, k=10, n_planes=8
+    base = emb.filter(F.col("vec_id") != 0)
+    lsh = similarity.lsh_topk(base, query, dim=64, k=10, n_planes=8).select(
+        F.lit("lsh").alias("method"), "vec_id", "cos_sim"
     )
+    ivf = similarity.ivf_topk(
+        base, query, k=10, n_centroids=16, n_probe=2
+    ).select(F.lit("ivf").alias("method"), "vec_id", "cos_sim")
+    return lsh.unionAll(ivf)

@@ -4,8 +4,16 @@
 The *live* Structured Streaming implementations live in ``streaming/``;
 these declared queries encode the same semantics in batch form so the
 DuckDB oracle can check them (incremental-vs-batch equivalence is the
-defining property of a streaming aggregation — q_stream_requests states it
-directly).
+defining property of a streaming aggregation — q_stream_flow states it
+directly).  Two labeled-union queries cover the four semantics so the
+driver gate — which records at most 50 registry entries — sees each:
+
+- ``q_stream_audit``: T2 sessionization + T3 seqnum dedup/order audit,
+  both per-connection window-function passes, fused into ONE scan with
+  two lag() specs over the same partition key (one exchange, two sorts).
+- ``q_stream_flow``: T1 incremental request-stream aggregation (computed
+  as two-phase partial aggregation, which must equal the one-shot batch
+  answer) + tumbling 1h windows, unioned with a kind label.
 """
 
 from __future__ import annotations
@@ -20,114 +28,77 @@ from .relational import _dec, _money, _sql_query
 SESSION_GAP_MS = 30 * 60 * 1000  # analog of the 5×2s epoch timeout
 # (lsp_server.c:31-35) scaled to the events table's minutes-apart cadence.
 
-_sql_query(
-    "q_stream_dedup_order",
-    """
+
+def _audit_sql(ms_fn: str) -> str:
+    """T2+T3 fused audit; ``ms_fn`` = epoch-millis function name
+    (Spark unix_millis / DuckDB epoch_ms)."""
+    return f"""
     SELECT user_id,
            count(*) AS n_events,
            CAST(max(gap) AS BIGINT) AS max_gap,
            CAST(min(gap) AS BIGINT) AS min_gap,
-           count(*) FILTER (WHERE gap IS NOT NULL AND gap <= 0) AS n_dup_or_ooo
+           count(*) FILTER (WHERE gap IS NOT NULL AND gap <= 0) AS n_dup_or_ooo,
+           CAST(sum(is_start) AS BIGINT) AS n_sessions
     FROM (
       SELECT user_id,
-             event_id - lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS gap
+             event_id - lag(event_id) OVER
+               (PARTITION BY user_id ORDER BY event_id) AS gap,
+             CASE WHEN lag({ms_fn}(ts)) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR {ms_fn}(ts) - lag({ms_fn}(ts)) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id)
+                       > {SESSION_GAP_MS}
+                  THEN 1 ELSE 0 END AS is_start
       FROM events
     )
     GROUP BY user_id
-    """,
-    doc="T3: per-connection seqnum dedup/ordering audit (accept check "
-    "lsp_server.c:241-249) as lag() over (partition by conn order by seq) — "
-    "the corpus's window-function exercise (SURVEY.md §2.10).",
-    tables=("events",),
-)
+    """
+
 
 _sql_query(
-    "q_stream_sessions",
-    f"""
-    SELECT user_id,
-           CAST(sum(is_start) AS BIGINT) AS n_sessions,
-           count(*) AS n_events
-    FROM (
-      SELECT user_id,
-             CASE WHEN prev_ms IS NULL OR ms - prev_ms > {SESSION_GAP_MS}
-                  THEN 1 ELSE 0 END AS is_start
-      FROM (
-        SELECT user_id,
-               unix_millis(ts) AS ms,
-               lag(unix_millis(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
-        FROM events
-      )
-    )
-    GROUP BY user_id
-    """,
-    oracle=f"""
-    SELECT user_id,
-           CAST(sum(is_start) AS BIGINT) AS n_sessions,
-           count(*) AS n_events
-    FROM (
-      SELECT user_id,
-             CASE WHEN prev_ms IS NULL OR ms - prev_ms > {SESSION_GAP_MS}
-                  THEN 1 ELSE 0 END AS is_start
-      FROM (
-        SELECT user_id,
-               epoch_ms(ts) AS ms,
-               lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
-      FROM events
-      )
-    )
-    GROUP BY user_id
-    """,
-    doc="T2: epoch-timeout liveness (5×2s silent ⇒ dead, lsp_server.c:31-35) "
-    "as gap-based sessionization; session count per connection. Live "
-    "session_window twin in streaming/sessions.py.",
+    "q_stream_audit",
+    _audit_sql("unix_millis"),
+    oracle=_audit_sql("epoch_ms"),
+    doc="T2+T3 fused per-connection audit, one scan: T3 seqnum "
+    "dedup/ordering check (accept check lsp_server.c:241-249) as lag() "
+    "over (partition by conn order by seq), and T2 epoch-timeout liveness "
+    "(5×2s silent ⇒ dead, lsp_server.c:31-35) as gap-based "
+    "sessionization.  Both window specs share the user_id partition key, "
+    "so Catalyst plans ONE exchange feeding two Window sorts.  Live "
+    "session_window twin in streaming/sessions.py; live stateful seqnum "
+    "acceptor in streaming/stateful.py.",
     tables=("events",),
 )
 
 
 @register(
-    "q_stream_tumbling",
+    "q_stream_flow",
     oracle=f"""
-    SELECT date_trunc('hour', ts) AS window_start,
-           count(*) AS n_events,
-           {_money(_dec("value"), "window_value")}
-    FROM events
-    GROUP BY date_trunc('hour', ts)
-    """,
-    doc="Tumbling 1h window aggregation (corpus breadth; §2.9 'absent' row). "
-    "Spark F.window aligns to the epoch ⇒ equals date_trunc('hour').",
-)
-def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "1 hour"))
-        .agg(
-            F.count("*").alias("n_events"),
-            F.expr(f"CAST(round(sum({_dec('value')}), 2) AS DOUBLE)").alias(
-                "window_value"
-            ),
-        )
-        .select(
-            F.col("window.start").alias("window_start"), "n_events", "window_value"
-        )
-    )
-
-
-@register(
-    "q_stream_requests",
-    oracle=f"""
-    SELECT event_type,
+    SELECT 'by_type' AS kind,
+           event_type AS grp_key,
+           CAST(NULL AS TIMESTAMP) AS window_start,
            count(*) AS n,
            {_money(_dec("value"), "total_value")}
     FROM events
     GROUP BY event_type
+    UNION ALL
+    SELECT 'tumbling' AS kind,
+           CAST(NULL AS STRING) AS grp_key,
+           date_trunc('hour', ts) AS window_start,
+           count(*) AS n,
+           {_money(_dec("value"), "total_value")}
+    FROM events
+    GROUP BY date_trunc('hour', ts)
     """,
-    doc="T1: unbounded request stream consumed incrementally "
-    "(server.c:477-505).  Computed as two-phase partial aggregation — "
-    "per-microbatch partials re-aggregated — which must equal the one-shot "
-    "batch answer (the oracle).  This is exactly Spark's streaming-agg "
-    "state-merge contract, checkable in batch.",
+    doc="T1 + tumbling windows, one labeled union.  by_type: unbounded "
+    "request stream consumed incrementally (server.c:477-505), computed "
+    "as two-phase partial aggregation — per-microbatch partials "
+    "re-aggregated — which must equal the one-shot batch answer (the "
+    "oracle); exactly Spark's streaming-agg state-merge contract, "
+    "checkable in batch.  tumbling: 1h F.window aggregation (aligns to "
+    "the epoch ⇒ equals date_trunc('hour')).",
 )
-def q_stream_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_stream_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     partial = ev.groupBy(
         "event_type", (F.col("event_id") % 4).alias("microbatch")
@@ -135,7 +106,30 @@ def q_stream_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("pn"),
         F.sum(F.col("value").cast("decimal(18,2)")).alias("psum"),
     )
-    return partial.groupBy("event_type").agg(
+    by_type = partial.groupBy("event_type").agg(
         F.sum("pn").alias("n"),
         F.expr("CAST(round(sum(psum), 2) AS DOUBLE)").alias("total_value"),
+    ).select(
+        F.lit("by_type").alias("kind"),
+        F.col("event_type").alias("grp_key"),
+        F.lit(None).cast("timestamp").alias("window_start"),
+        "n",
+        "total_value",
     )
+    tumbling = (
+        ev.groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.count("*").alias("n"),
+            F.expr(f"CAST(round(sum({_dec('value')}), 2) AS DOUBLE)").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.lit("tumbling").alias("kind"),
+            F.lit(None).cast("string").alias("grp_key"),
+            F.col("window.start").alias("window_start"),
+            "n",
+            "total_value",
+        )
+    )
+    return by_type.unionAll(tumbling)
