@@ -272,6 +272,128 @@ def lsh_bucket(
     return emb.mapInPandas(bucketize, schema)
 
 
+def _bucket_of(vec: "np.ndarray", planes: "np.ndarray") -> int:
+    """Driver-side LSH bucket of a single query vector (sign bits of the
+    projections) — must match lsh_bucket's per-row arithmetic exactly."""
+    bits = (planes @ vec > 0).astype(np.int64)
+    return int((bits << np.arange(len(planes), dtype=np.int64)).sum())
+
+
+def build_lsh_index(
+    emb: DataFrame,
+    path: str,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> None:
+    """BUILD phase of the scale-path ANN: materialize the LSH-bucketed
+    table as parquet **partitioned by bucket**, so probes are pruned to
+    one partition at planning time (PartitionFilters in the scan, not a
+    post-scan filter).  At 100 TB this runs once per corpus version; the
+    hyperplanes are re-derivable from (seed, n_planes, dim), so the index
+    carries no side-channel state."""
+    lsh_bucket(emb, dim, n_planes, seed, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(path)
+
+
+def lsh_probe(
+    spark,
+    path: str,
+    query: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """PROBE phase: compute the query's bucket driver-side (n_planes dot
+    products on one vector) and read ONLY that partition of the persisted
+    index — the literal equality filter on the partition column prunes at
+    planning time, so probe I/O is O(bucket), not O(table).  Exact cosine
+    re-rank over the bucket, same expression as brute force."""
+    planes = np.asarray(_hyperplanes(n_planes, dim, seed), dtype=np.float64)
+    qrow = query.select(F.col(query_vec_col)).first()
+    qbucket = _bucket_of(np.asarray(qrow[0], dtype=np.float64), planes)
+    idx = spark.read.parquet(path).filter(F.col("bucket") == qbucket)
+    return (
+        idx.crossJoin(F.broadcast(query))
+        .select(
+            id_col,
+            F.round(vectors.cosine(vec_col, query_vec_col), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """BUILD phase of IVF: materialize vectors **partitioned by cluster**
+    (the inverted lists) plus a tiny centroids table the probe planner
+    reads to choose lists.  The write is one mapInPandas assignment pass
+    + one shuffle-free partitioned write."""
+    assigned, _, cent_mat = ivf_assign(emb, n_centroids, seed, id_col, vec_col)
+    spark = emb.sparkSession
+    (
+        emb.join(assigned, F.col(id_col) == F.col("id"))
+        .drop("id")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{path}/vectors")
+    )
+    cent_rows = [
+        (int(i), [float(x) for x in row]) for i, row in enumerate(cent_mat)
+    ]
+    spark.createDataFrame(
+        cent_rows, "cluster int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_probe(
+    spark,
+    path: str,
+    query: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """PROBE phase: rank centroids driver-side (n_centroids dot products),
+    read only the ``n_probe`` chosen cluster partitions (planning-time
+    pruning via the IN-list on the partition column), exact cosine
+    re-rank."""
+    cent = spark.read.parquet(f"{path}/centroids").orderBy("cluster").collect()
+    cent_mat = np.asarray([r["centroid"] for r in cent], dtype=np.float64)
+    qrow = query.select(F.col(query_vec_col)).first()
+    qvec = np.asarray(qrow[0], dtype=np.float64)
+    qn = np.linalg.norm(qvec)
+    qvec = qvec / (qn if qn else 1.0)
+    probe = np.argsort(-(cent_mat @ qvec))[:n_probe].tolist()
+    idx = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("cluster").isin([int(p) for p in probe])
+    )
+    return (
+        idx.crossJoin(F.broadcast(query))
+        .select(
+            id_col,
+            F.round(vectors.cosine(vec_col, query_vec_col), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     query: DataFrame,

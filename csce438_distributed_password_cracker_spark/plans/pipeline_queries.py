@@ -378,3 +378,40 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, query, k=10, n_centroids=16, n_probe=2
     ).select(F.lit("ivf").alias("method"), "vec_id", "cos_sim")
     return lsh.unionAll(ivf)
+
+
+@register(
+    "q_ann_probe",
+    oracle=None,  # approximate by construction; probe ≡ in-memory variant
+    # and PartitionFilters pruning asserted in tests/test_similarity.py
+    doc="E2 build-then-probe: the production shape of q_ann_topk.  BUILD "
+    "writes the LSH-bucketed table parquet-partitioned by bucket and the "
+    "IVF inverted lists partitioned by cluster (once per corpus version "
+    "at 100 TB); PROBE computes the query's bucket / centroid ranks "
+    "driver-side (a handful of dot products) and reads ONLY the matching "
+    "partitions — planning-time partition pruning (PartitionFilters in "
+    "the scan), so probe I/O is O(bucket) instead of the O(table) rescan "
+    "the in-memory variant pays per query.",
+)
+def q_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    from pathlib import Path
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    base = emb.filter(F.col("vec_id") != 0)
+    root = Path(__file__).resolve().parents[2] / "spark-warehouse" / "ann_index"
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    lsh_path = str(root / f"lsh_{tag}")
+    ivf_path = str(root / f"ivf_{tag}")
+    similarity.build_lsh_index(base, lsh_path, dim=64, n_planes=8)
+    similarity.build_ivf_index(base, ivf_path, n_centroids=16)
+    lsh = similarity.lsh_probe(
+        spark, lsh_path, query, dim=64, k=10, n_planes=8
+    ).select(F.lit("lsh").alias("method"), "vec_id", "cos_sim")
+    ivf = similarity.ivf_probe(
+        spark, ivf_path, query, k=10, n_probe=2
+    ).select(F.lit("ivf").alias("method"), "vec_id", "cos_sim")
+    return lsh.unionAll(ivf)

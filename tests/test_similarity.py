@@ -105,3 +105,40 @@ def test_lsh_bucket_deterministic(spark, sf_smoke):
     a = similarity.lsh_bucket(emb, dim=64, n_planes=8).select("vec_id", "bucket")
     b = similarity.lsh_bucket(emb, dim=64, n_planes=8).select("vec_id", "bucket")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_build_then_probe_matches_in_memory(spark, sf_smoke, tmp_path):
+    """q_ann_probe's contract: probing the persisted bucket-partitioned
+    index returns exactly what the in-memory variant returns, and the
+    probe scan prunes partitions at planning time (PartitionFilters on
+    the bucket/cluster key, empty DataFilters) — O(bucket) probe I/O."""
+    emb, query, _ = None, None, None
+    emb_full = load_table(spark, sf_smoke, "embeddings")
+    query = emb_full.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    emb = emb_full.filter(F.col("vec_id") != 0)
+
+    lsh_path = str(tmp_path / "lsh")
+    ivf_path = str(tmp_path / "ivf")
+    similarity.build_lsh_index(emb, lsh_path, dim=64, n_planes=8)
+    similarity.build_ivf_index(emb, ivf_path, n_centroids=16)
+
+    lsh_probe = similarity.lsh_probe(spark, lsh_path, query, dim=64, n_planes=8)
+    ivf_probe = similarity.ivf_probe(spark, ivf_path, query, n_probe=2)
+
+    lsh_mem = similarity.lsh_topk(emb, query, dim=64, n_planes=8)
+    ivf_mem = similarity.ivf_topk(emb, query, n_centroids=16, n_probe=2)
+    assert sorted(map(tuple, lsh_probe.collect())) == sorted(
+        map(tuple, lsh_mem.collect())
+    )
+    assert sorted(map(tuple, ivf_probe.collect())) == sorted(
+        map(tuple, ivf_mem.collect())
+    )
+
+    for probe_df, key in ((lsh_probe, "bucket"), (ivf_probe, "cluster")):
+        plan = probe_df._jdf.queryExecution().executedPlan().toString()
+        scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+        part = scan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+        assert key in part and part.strip(), scan
+        assert "DataFilters: []" in scan, scan
