@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..sources.keyspace import keyspace_sql_duckdb
+from .keyspace_queries import HIT4, MISS3
 from .registry import register
 from .relational import _dec, _money, _sql_query
 
@@ -133,3 +135,79 @@ def q_stream_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return by_type.unionAll(tumbling)
+
+
+_AAAA = "61be55a8e2f6b4e172338bddf184d6dbee29c98853e0a0485ecee7f27b9af0b4"
+
+
+def _live_verdict_branch(req_id: int, width: int, hash_hex: str) -> str:
+    return f"""
+    SELECT CAST({req_id} AS BIGINT) AS request_id,
+           count(*) > 0 AS found,
+           min(candidate) AS password,
+           CASE WHEN count(*) > 0 THEN 'f ' || min(candidate) ELSE 'x' END AS reply
+    FROM ({keyspace_sql_duckdb(width)})
+    WHERE sha256(candidate) = lower('{hash_hex}')
+    """
+
+
+@register(
+    "q_stream_live",
+    oracle=" UNION ALL ".join(
+        [
+            _live_verdict_branch(1, 4, HIT4),
+            _live_verdict_branch(2, 4, _AAAA.upper()),
+            _live_verdict_branch(3, 3, MISS3),
+            _live_verdict_branch(4, 4, HIT4),
+        ]
+    ),
+    doc="T1 LIVE: a real Structured Streaming run through the gate — "
+    "readStream over a directory of request JSON files → foreachBatch "
+    "Q-CORE (one shared keyspace scan per distinct width per batch) → "
+    "table sink, trigger(availableNow) so the stream drains and stops "
+    "(streaming/requests.py:99; server.c:477-505 main loop).  The oracle "
+    "is the one-shot batch answer: incremental ≡ batch is the defining "
+    "streaming-agg contract (tests/test_streaming.py asserts it "
+    "directly).  Request 2 carries uppercase hex (normalization must not "
+    "miss); request 4 duplicates request 1's hash (the shared scan "
+    "answers both from one pass).",
+)
+def q_stream_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import shutil
+    import tempfile
+
+    from ..streaming.requests import start_request_stream
+
+    src = tempfile.mkdtemp(prefix="crack_req_src_")
+    ckpt = tempfile.mkdtemp(prefix="crack_req_ckpt_")
+    sink = "crack_verdicts_live"
+    spark.sql(f"DROP TABLE IF EXISTS {sink}")
+    # a previous *session's* managed table leaves its warehouse directory
+    # behind after the catalog entry is gone — remove it or saveAsTable
+    # fails with LOCATION_ALREADY_EXISTS
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/{sink}", ignore_errors=True)
+    requests = [
+        {"request_id": 1, "hash": HIT4, "width": 4},
+        {"request_id": 2, "hash": _AAAA.upper(), "width": 4},
+        {"request_id": 3, "hash": MISS3, "width": 3},
+        {"request_id": 4, "hash": HIT4, "width": 4},
+    ]
+    try:
+        # two files so the directory source lists >1 input split
+        with open(f"{src}/reqs_a.json", "w") as f:
+            for r in requests[:2]:
+                f.write(json.dumps(r) + "\n")
+        with open(f"{src}/reqs_b.json", "w") as f:
+            for r in requests[2:]:
+                f.write(json.dumps(r) + "\n")
+        q = start_request_stream(
+            spark, src, ckpt, sink_table=sink, hash_func="sha256",
+            available_now=True,
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(sink).select("request_id", "found", "password", "reply")
