@@ -10,17 +10,31 @@ Semantics ported:
 - determinism divergence: the reference answers with whichever worker's
   'f' arrives first (race, server.c:275-306); we answer min(candidate) —
   deterministic, required for oracle hash-matching (SURVEY.md §2.5 A2).
-- early termination     = worker.c:84-91 returns on first hit.  Spark can't
-  short-circuit a running stage, so ``crack`` iterates ordinal *chunks* and
-  stops at the first non-empty chunk (SURVEY.md §4.4).  Within-chunk work is
-  wasted on a hit — the same waste profile as the reference's
-  straggler-workers-keep-scanning behavior (server.c:251-256), but bounded
-  by the chunk size.
+- early termination     = worker.c:84-91 returns on first hit.  ``crack``
+  probes with ``first()`` over the ordinal-ordered filtered keyspace:
+  Spark's CollectLimit/executeTake submits partitions *incrementally* —
+  1 partition, then ``spark.sql.limit.scaleUpFactor`` (4×) more per wave,
+  in partition-index order — and stops submitting the moment a row
+  arrives.  Because keyspace partitions are contiguous ascending ordinal
+  ranges and narrow ops preserve iterator order, the first collected row
+  is the *lowest-partition, lowest-ordinal* match.  This subsumes the
+  accumulator + cancelJobGroup refinement SURVEY.md §4.4 sketches:
+  remaining work is never *launched* rather than launched-then-cancelled,
+  there is no failed-job noise, and no accumulator update can be lost
+  with a cancelled task.  The probe row is provably the deterministic
+  min (A2): take waves scan a contiguous *prefix* of partitions, each
+  partition is a contiguous ascending ordinal range whose iterator order
+  survives the narrow project+filter, and executeTake concatenates
+  per-partition results in partition-index order — so the first row out
+  is the lowest-ordinal match of the scanned prefix, and any unscanned
+  partition holds only higher ordinals.  tests/test_crack.py pins this
+  against the full-aggregation min.
 
-Scale: a width-8 space is 2.1e11 candidates.  The chunked loop keeps each
-job ≈ DEFAULT_CHUNK ordinals (→ ~chunk/4M tasks via the keyspace source),
-so cluster size × chunk size bounds latency-to-first-hit independent of
-total keyspace size.
+Scale: a width-8 space is 2.1e11 candidates in ~52k partitions of ~4M
+ordinals (sources/keyspace.py).  Latency-to-first-hit is bounded by the
+take waves actually scanned (geometric ramp from 1 task), independent of
+total keyspace size; a miss still costs the full scan — exactly the
+reference's exhaustion behavior (worker.c:103-107).
 """
 
 from __future__ import annotations
@@ -32,8 +46,6 @@ from pyspark.sql import functions as F
 
 from ..functions import codec
 from ..sources.keyspace import keyspace
-
-DEFAULT_CHUNK = 128_000_000  # ordinals per early-stop probe job
 
 
 @dataclass(frozen=True)
@@ -55,12 +67,13 @@ def candidates_matching(
     lower_ord: int = 0,
     upper_ord: int | None = None,
     hash_func: str = "sha1",
+    with_ordinal: bool = False,
 ) -> DataFrame:
     """All candidates in the (inclusive) ordinal range whose hash equals
     ``digest``.  ``hash_func``: 'sha1' (reference fidelity, worker.c:50-54 —
     F.sha1 emits the identical 40-char lowercase hex) or 'sha256' (oracle
     path; pinned DuckDB lacks sha1, SURVEY.md §2.8 F1)."""
-    ks = keyspace(spark, width, lower_ord, upper_ord)
+    ks = keyspace(spark, width, lower_ord, upper_ord, with_ordinal=with_ordinal)
     col = F.col("candidate")
     hashed = F.sha1(col) if hash_func == "sha1" else F.sha2(col, 256)
     return ks.filter(hashed == F.lit(digest.lower()))
@@ -91,21 +104,22 @@ def crack(
     digest: str,
     width: int,
     hash_func: str = "sha1",
-    chunk: int = DEFAULT_CHUNK,
 ) -> CrackResult:
-    """Full-space crack with chunked early termination (SURVEY.md §4.4).
+    """Full-space crack with native early termination (SURVEY.md §4.4).
 
-    Scans ordinal chunks [lo, lo+chunk) in order; the first chunk with a hit
-    ends the search.  Because chunks are scanned in ordinal order and we take
-    min() within the chunk, the answer equals the global lexicographic min —
-    chunking never changes the verdict.
+    Probe: ``first()`` over the ordinal-ordered match stream — Spark's
+    incremental take stops submitting partitions once a row arrives, so a
+    hit in an early partition leaves the rest of the space *unlaunched*,
+    and the row returned is the deterministic min (the module docstring
+    gives the order-preservation argument and why this supersedes the
+    accumulator + cancelJobGroup sketch).  Cost profile: early hit ⇒
+    latency bounded by the take waves actually scanned; late hit ⇒ the
+    geometric ramp costs at most a small constant factor over one full
+    scan; miss ⇒ full scan, as the reference's exhaustion path.
     """
-    n = codec.keyspace_size(width)
-    lo = 0
-    while lo < n:
-        hi = min(lo + chunk, n) - 1
-        row = crack_verdict_df(spark, digest, width, lo, hi, hash_func).first()
-        if row is not None and row["found"]:
-            return CrackResult(True, row["password"])
-        lo = hi + 1
-    return CrackResult(False, None)
+    probe = candidates_matching(
+        spark, digest, width, hash_func=hash_func, with_ordinal=True
+    ).first()
+    if probe is None:
+        return CrackResult(False, None)
+    return CrackResult(True, probe["candidate"])
