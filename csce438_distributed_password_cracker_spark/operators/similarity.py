@@ -286,6 +286,7 @@ def build_lsh_index(
     n_planes: int = 8,
     seed: int = 42,
     vec_col: str = "embedding",
+    write_partitions: int = 16,
 ) -> None:
     """BUILD phase of the scale-path ANN: materialize the LSH-bucketed
     table as parquet **partitioned by bucket**, so probes are pruned to
@@ -293,9 +294,16 @@ def build_lsh_index(
     post-scan filter).  At 100 TB this runs once per corpus version; the
     hyperplanes are re-derivable from (seed, n_planes, dim), so the index
     carries no side-channel state."""
-    lsh_bucket(emb, dim, n_planes, seed, vec_col).write.mode(
-        "overwrite"
-    ).partitionBy("bucket").parquet(path)
+    # hash-repartition on the partition column first: otherwise every write
+    # task emits a file into every bucket directory it touches (tasks ×
+    # buckets small files — metadata death at scale).  With the shuffle,
+    # each bucket's rows land in exactly one of ``write_partitions``
+    # writers → exactly one file per non-empty bucket.  Size
+    # write_partitions for the cluster (reducer count), not the bucket
+    # count.
+    lsh_bucket(emb, dim, n_planes, seed, vec_col).repartition(
+        write_partitions, "bucket"
+    ).write.mode("overwrite").partitionBy("bucket").parquet(path)
 
 
 def lsh_probe(
@@ -337,6 +345,7 @@ def build_ivf_index(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    write_partitions: int = 16,
 ) -> None:
     """BUILD phase of IVF: materialize vectors **partitioned by cluster**
     (the inverted lists) plus a tiny centroids table the probe planner
@@ -347,6 +356,7 @@ def build_ivf_index(
     (
         emb.join(assigned, F.col(id_col) == F.col("id"))
         .drop("id")
+        .repartition(write_partitions, "cluster")  # one file per list
         .write.mode("overwrite")
         .partitionBy("cluster")
         .parquet(f"{path}/vectors")

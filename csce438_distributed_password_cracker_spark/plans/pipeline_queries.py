@@ -404,10 +404,16 @@ def q_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.filter(F.col("vec_id") != 0)
     root = Path(__file__).resolve().parents[2] / "spark-warehouse" / "ann_index"
     tag = os.path.basename(os.path.normpath(sf_dir))
-    lsh_path = str(root / f"lsh_{tag}")
-    ivf_path = str(root / f"ivf_{tag}")
-    similarity.build_lsh_index(base, lsh_path, dim=64, n_planes=8)
-    similarity.build_ivf_index(base, ivf_path, n_centroids=16)
+    # params are baked into the path: an existing index IS the index for
+    # these (source, params) — build once per corpus version, probe many
+    # (the whole point of the build/probe split; rebuilding per query
+    # would be the O(table)-per-probe shape this operator exists to avoid)
+    lsh_path = str(root / f"lsh_{tag}_d64p8s42")
+    ivf_path = str(root / f"ivf_{tag}_c16s42")
+    if not (Path(lsh_path) / "_SUCCESS").exists():
+        similarity.build_lsh_index(base, lsh_path, dim=64, n_planes=8)
+    if not (Path(ivf_path) / "vectors" / "_SUCCESS").exists():
+        similarity.build_ivf_index(base, ivf_path, n_centroids=16)
     lsh = similarity.lsh_probe(
         spark, lsh_path, query, dim=64, k=10, n_planes=8
     ).select(F.lit("lsh").alias("method"), "vec_id", "cos_sim")
