@@ -105,3 +105,24 @@ def test_no_cartesian_product_anywhere(spark, sf_oracle, name):
     side, e.g. a query vector, is fine.)"""
     df = corpus.REGISTRY[name].fn(spark, sf_oracle)
     assert "CartesianProduct" not in plan_str(spark, df)
+
+
+def test_text_profile_single_scan_no_shuffle(spark, sf_oracle):
+    """q_text_profile fuses four per-doc analyses into one projection:
+    the plan must be a single scan with ZERO exchanges — a shuffle here
+    would mean the fusion silently joined instead of composing columns."""
+    p = plan_str(spark, corpus.REGISTRY["q_text_profile"].fn(spark, sf_oracle))
+    assert "Exchange" not in p
+    # formatted mode repeats node names in the detail section — count the
+    # tree only
+    assert p.split("\n\n")[0].count("Scan parquet") == 1
+
+
+def test_stream_audit_one_exchange_two_windows(spark, sf_oracle):
+    """q_stream_audit computes both lag() audits AND the final per-user
+    aggregate on one user_id hash partitioning: exactly one Exchange,
+    two Window sorts riding it."""
+    p = plan_str(spark, corpus.REGISTRY["q_stream_audit"].fn(spark, sf_oracle))
+    tree = p.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert tree.count("Window") == 2
