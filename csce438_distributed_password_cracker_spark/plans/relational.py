@@ -129,6 +129,75 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders, customer.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
 
+@register(
+    "q_join_bucketed",
+    oracle=f"""
+    SELECT o.o_orderkey,
+           max(o.o_orderdate) AS o_orderdate,
+           {_money(f"{_dec('l.l_extendedprice')} * (1 - {_dec('l.l_discount')})", "revenue")},
+           count(*) AS n_lines
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey
+    """,
+    doc="J2 at its co-located best: orders and lineitem written as "
+    "bucketed+sorted tables on the join key, then joined AND aggregated "
+    "with ZERO exchanges — bucketing satisfies the SortMergeJoin's "
+    "distribution requirement, and grouping on the bucket key rides the "
+    "same distribution (asserted in tests/test_plans.py).  The "
+    "intra-partition SMJ sorts remain: since SPARK-28595 bucketed scans "
+    "report sortBy ordering only under "
+    "spark.sql.legacy.bucketedTableScan.outputOrdering, and sorting "
+    "already-sorted runs is cheap next to the shuffle this plan avoids.  "
+    "This is THE 100 TB pattern for a fact-fact join both sides of which "
+    "are reused across queries: pay the shuffle once at ingest, never "
+    "again.  Result is bucketing-invariant, so the oracle is the plain "
+    "join over the raw tables.",
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    names = {}
+    for t, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        name = f"bkt_{t}_{tag}"
+        names[t] = name
+        # bucket METADATA lives in the session catalog (in-memory here),
+        # so each session rebuilds; clear the stale warehouse dir a prior
+        # session left behind (LOCATION_ALREADY_EXISTS otherwise)
+        if not spark.catalog.tableExists(name):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
+            (
+                load_table(spark, sf_dir, t)
+                # align write tasks with buckets (same murmur3 hash):
+                # exactly ONE file per bucket, which is what lets the
+                # reader trust sortBy order and elide the SMJ sorts
+                .repartition(8, F.col(key))
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .saveAsTable(name)
+            )
+    o = spark.table(names["orders"])
+    li = spark.table(names["lineitem"])
+    # MERGE hint: at toy SF Catalyst would broadcast the orders side,
+    # which hides the plan this query exists to demonstrate — at real
+    # scale neither fact side is broadcastable and SMJ is what runs
+    return (
+        o.hint("merge")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.max("o_orderdate").alias("o_orderdate"),
+            F.expr(
+                f"CAST(round(sum({_dec('l_extendedprice')} * (1 - {_dec('l_discount')})), 2) AS DOUBLE)"
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
 # ── aggregations ─────────────────────────────────────────────────────────
 
 _sql_query(

@@ -126,3 +126,14 @@ def test_stream_audit_one_exchange_two_windows(spark, sf_oracle):
     tree = p.split("\n\n")[0]
     assert tree.count("Exchange") == 1
     assert tree.count("Window") == 2
+
+
+def test_bucketed_join_no_exchange(spark, sf_oracle):
+    """q_join_bucketed: SortMergeJoin AND the o_orderkey aggregation run
+    on the tables' bucket distribution — zero Exchange nodes in the whole
+    plan (the shuffle was paid once at ingest)."""
+    p = plan_str(spark, corpus.REGISTRY["q_join_bucketed"].fn(spark, sf_oracle))
+    tree = p.split("\n\n")[0]
+    assert tree.count("Exchange") == 0
+    assert tree.count("SortMergeJoin") == 1
+    assert "Bucketed: true" in p
