@@ -198,6 +198,47 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_join_skew_salted",
+    oracle=f"""
+    SELECT s.s_nationkey,
+           count(*) AS n_lines,
+           {_money(f"{_dec('l.l_extendedprice')} * (1 - {_dec('l.l_discount')})", "revenue")},
+           CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS n_distinct_orders
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    """,
+    doc="Skew mitigation as a gate-checked query: the fact side is salted "
+    "across 8 sub-keys (salt from a row-local uniquifier, so a hot key's "
+    "rows spread evenly) and the dim side replicated 8x — one hot key's "
+    "single reducer becomes 8 (operators/skew.py).  The per-nation "
+    "distinct-order count runs the salted two-phase distinct (dedup on "
+    "(group, salt-of-x, x), then merge disjoint partials).  Both "
+    "transforms are result-invariant, so the oracle is the plain join + "
+    "plain COUNT(DISTINCT).",
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import skew
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = skew.salted_join(li, sup, "l_suppkey", salts=8)
+    base = joined.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_lines"),
+        F.expr(
+            f"CAST(round(sum({_dec('l_extendedprice')} * (1 - {_dec('l_discount')})), 2) AS DOUBLE)"
+        ).alias("revenue"),
+    )
+    dist = skew.salted_count_distinct(
+        joined, "s_nationkey", "l_orderkey", salts=16
+    ).withColumnRenamed("n_distinct_l_orderkey", "n_distinct_orders")
+    return base.join(dist, "s_nationkey")
+
+
 # ── aggregations ─────────────────────────────────────────────────────────
 
 _sql_query(

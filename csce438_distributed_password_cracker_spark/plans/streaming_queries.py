@@ -137,6 +137,85 @@ def q_stream_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return by_type.unionAll(tumbling)
 
 
+# (connid, seqnum) message fixture for the stateful acceptor — covers
+# accept, duplicate (seq ≤ last), and gap (seq > last+1) per connection
+_SEQ_MSGS: list[tuple[int, int]] = [
+    (1, 1), (1, 2), (1, 2), (1, 3), (1, 5), (1, 1),
+    (2, 2), (2, 3),
+    (3, 1), (3, 2), (3, 3), (3, 4),
+]
+
+_SEQ_VALUES = ", ".join(f"({c}, {s})" for c, s in _SEQ_MSGS)
+
+# The acceptor processes each connection's batch in sorted seqnum order
+# (streaming/stateful.py:41), so with the whole fixture in one micro-batch
+# the accepted set is the maximal chain 1..M present in the distinct
+# seqnums; ≤M re-occurrences are duplicates, everything else is a gap.
+# The oracle derives that closed form instead of hard-coding expected rows.
+_SEQ_ORACLE = f"""
+    WITH msgs(connid, seqnum) AS (VALUES {_SEQ_VALUES}),
+    d AS (SELECT DISTINCT connid, seqnum FROM msgs),
+    r AS (SELECT connid, seqnum,
+                 row_number() OVER (PARTITION BY connid ORDER BY seqnum) AS rn
+          FROM d),
+    m AS (SELECT connid,
+                 coalesce(max(seqnum) FILTER (WHERE seqnum = rn), 0) AS chain
+          FROM r GROUP BY connid),
+    o AS (SELECT connid, seqnum,
+                 row_number() OVER (PARTITION BY connid, seqnum) AS occ
+          FROM msgs)
+    SELECT CAST(o.connid AS BIGINT) AS connid,
+           CAST(o.seqnum AS BIGINT) AS seqnum,
+           CASE WHEN o.seqnum <= m.chain AND o.occ = 1 THEN 'accepted'
+                WHEN o.seqnum <= m.chain THEN 'duplicate'
+                ELSE 'gap' END AS status
+    FROM o JOIN m ON o.connid = m.connid
+"""
+
+
+@register(
+    "q_stream_stateful",
+    oracle=_SEQ_ORACLE,
+    doc="T3 LIVE, custom stateful operator through the gate: a real "
+    "readStream → groupBy(connid).applyInPandasWithState (one int of "
+    "state per connection: last accepted seqnum — exactly the "
+    "reference's conn-table receive filter, lsp_server.c:241-249) → "
+    "memory sink with trigger(availableNow).  Arrow-batched state "
+    "updates; state size is O(connections), independent of message "
+    "volume — the applyInPandasWithState scale contract.  The oracle "
+    "derives the accepted/duplicate/gap classification in closed form "
+    "(maximal 1..M chain) rather than hard-coding expected rows.",
+)
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import shutil
+    import tempfile
+
+    from ..streaming.stateful import seqnum_accept_stream
+
+    src = tempfile.mkdtemp(prefix="seq_src_")
+    ckpt = tempfile.mkdtemp(prefix="seq_ckpt_")
+    try:
+        with open(f"{src}/msgs.json", "w") as f:
+            for connid, seq in _SEQ_MSGS:
+                f.write(json.dumps({"connid": connid, "seqnum": seq}) + "\n")
+        stream = spark.readStream.schema("connid long, seqnum long").json(src)
+        audited = seqnum_accept_stream(stream)
+        q = (
+            audited.writeStream.format("memory")
+            .queryName("seq_audit_live")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table("seq_audit_live").select("connid", "seqnum", "status")
+
+
 _AAAA = "61be55a8e2f6b4e172338bddf184d6dbee29c98853e0a0485ecee7f27b9af0b4"
 
 
