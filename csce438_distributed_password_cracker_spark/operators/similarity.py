@@ -155,15 +155,23 @@ def ivf_assign(
 
     Centroids are a deterministic seeded sample of the data (k-means||
     init without the refinement sweeps — the probe structure, not centroid
-    quality, is what this operator exercises).  Assignment is one
-    mapInPandas pass with the centroid matrix broadcast: GEMM against
-    n_centroids rows, argmax — O(n · n_centroids · dim) flops, no shuffle.
-    At cluster scale the assigned table is then written partitioned by
-    ``cluster`` so a probe reads only its inverted lists.
+    quality, is what this operator exercises).  The sample is the first
+    ``n_centroids`` rows under engine-portable ``md5('<seed>:<id>')``
+    ordering (id tie-break): md5 hex is bit-identical in Spark and DuckDB,
+    so the correctness oracle can reproduce the exact centroid set in SQL —
+    an xxhash64 ordering would be unverifiable outside Spark.  Cluster i is
+    the i-th row of that ordering.  Assignment is one mapInPandas pass with
+    the centroid matrix broadcast: GEMM against n_centroids rows, argmax —
+    O(n · n_centroids · dim) flops, no shuffle.  At cluster scale the
+    assigned table is then written partitioned by ``cluster`` so a probe
+    reads only its inverted lists.
 
     Returns (assigned_df(id, cluster), centroid_ids, centroid_matrix).
     """
-    cent = emb.orderBy(F.expr(f"xxhash64({id_col}, {seed})")).limit(n_centroids)
+    cent = emb.orderBy(
+        F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))),
+        F.col(id_col),
+    ).limit(n_centroids)
     cent_ids, cent_mat = _collect_matrix(cent, id_col, vec_col)
     spark = emb.sparkSession
     bc = spark.sparkContext.broadcast(cent_mat)
@@ -210,7 +218,7 @@ def ivf_topk(
     qvec = np.asarray(qrow[0], dtype=np.float64)
     qn = np.linalg.norm(qvec)
     qvec = qvec / (qn if qn else 1.0)
-    probe = np.argsort(-(cent_mat @ qvec))[:n_probe].tolist()
+    probe = _top_clusters(cent_mat @ qvec, n_probe)
     candidates = emb.join(
         assigned.filter(F.col("cluster").isin(probe)),
         F.col(id_col) == F.col("id"),
@@ -224,6 +232,15 @@ def ivf_topk(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def _top_clusters(dots: "np.ndarray", n: int) -> list[int]:
+    """Indices of the ``n`` largest dot products, ties broken by LOWER
+    cluster index (np.argsort alone is unstable on ties — the oracle's
+    ``ORDER BY similarity DESC, cluster`` tie-break must be reproduced
+    exactly)."""
+    order = np.lexsort((np.arange(len(dots)), -dots))
+    return [int(i) for i in order[:n]]
 
 
 def _hyperplanes(n_planes: int, dim: int, seed: int) -> list[list[float]]:
@@ -389,9 +406,9 @@ def ivf_probe(
     qvec = np.asarray(qrow[0], dtype=np.float64)
     qn = np.linalg.norm(qvec)
     qvec = qvec / (qn if qn else 1.0)
-    probe = np.argsort(-(cent_mat @ qvec))[:n_probe].tolist()
+    probe = _top_clusters(cent_mat @ qvec, n_probe)
     idx = spark.read.parquet(f"{path}/vectors").filter(
-        F.col("cluster").isin([int(p) for p in probe])
+        F.col("cluster").isin(probe)
     )
     return (
         idx.crossJoin(F.broadcast(query))

@@ -353,11 +353,104 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_oracle_sql(
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+) -> str:
+    """Full DuckDB twin of the LSH + IVF probe pipelines.
+
+    Both index structures are pure functions of (seed, params): the
+    hyperplanes are re-generated here and inlined as DOUBLE[] literals
+    (``repr(float)`` round-trips exactly, so DuckDB parses the identical
+    doubles Spark broadcasts), and the IVF centroid sample is re-derived
+    by the same portable md5 ordering ``ivf_assign`` uses.  So the oracle
+    recomputes bucket membership, centroid assignment, probe selection and
+    the exact cosine re-rank end-to-end — approximate ANN becomes fully
+    hash-checkable because every 'random' choice is a deterministic plan
+    constant.  Tie-breaks (argmax → lowest cluster; top-k → lowest id)
+    are spelled explicitly on both sides.
+    """
+    from ..operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(n_planes, dim, seed)
+
+    def vec_lit(vs: list[float]) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in vs) + "]::DOUBLE[]"
+
+    def bucket_expr(vcol: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({vcol}, {vec_lit(p)}) > 0 "
+            f"THEN {1 << i}::BIGINT ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+
+    return f"""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id <> 0
+    ),
+    lsh_base AS (
+      SELECT vec_id, v, {bucket_expr("v")} AS bucket FROM base
+    ),
+    lsh_q AS (
+      SELECT qv, {bucket_expr("qv")} AS bucket FROM q
+    ),
+    lsh AS (
+      SELECT 'lsh' AS method, vec_id,
+             round(list_cosine_similarity(v, qv), 6) AS cos_sim
+      FROM lsh_base JOIN lsh_q USING (bucket)
+      ORDER BY cos_sim DESC, vec_id
+      LIMIT {k}
+    ),
+    cent AS (
+      SELECT * FROM (
+        SELECT row_number() OVER (
+                 ORDER BY md5(concat('{seed}', ':', CAST(vec_id AS VARCHAR))),
+                          vec_id
+               ) - 1 AS cluster,
+               CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE vec_id <> 0
+      ) WHERE cluster < {n_centroids}
+    ),
+    assign AS (
+      SELECT vec_id, v, cluster FROM (
+        SELECT b.vec_id, b.v, c.cluster,
+               row_number() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.cluster
+               ) AS rn
+        FROM base b CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT cluster FROM cent CROSS JOIN q
+      ORDER BY list_cosine_similarity(cv, qv) DESC, cluster
+      LIMIT {n_probe}
+    ),
+    ivf AS (
+      SELECT 'ivf' AS method, a.vec_id,
+             round(list_cosine_similarity(a.v, q.qv), 6) AS cos_sim
+      FROM assign a JOIN probe USING (cluster) CROSS JOIN q
+      ORDER BY cos_sim DESC, a.vec_id
+      LIMIT {k}
+    )
+    SELECT * FROM lsh UNION ALL SELECT * FROM ivf
+    """
+
+
+_ANN_ORACLE = _ann_oracle_sql()
+
+
 @register(
     "q_ann_topk",
-    oracle=None,  # approximate by construction; recall vs the exact
-    # brute-force top-k asserted in tests/test_similarity.py (and IVF's
-    # full-probe ≡ brute-force degradation)
+    oracle=_ANN_ORACLE,
     doc="E2 scale paths, one labeled union: lsh — random-hyperplane LSH "
     "bucket probe + exact cosine re-rank, touches one bucket instead of "
     "the full table; ivf — coarse-quantize vectors to seeded centroids "
@@ -382,8 +475,9 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_ann_probe",
-    oracle=None,  # approximate by construction; probe ≡ in-memory variant
-    # and PartitionFilters pruning asserted in tests/test_similarity.py
+    oracle=_ANN_ORACLE,  # probe ≡ the in-memory variant (same params, same
+    # deterministic index structures), so it shares q_ann_topk's full
+    # DuckDB twin; PartitionFilters pruning asserted in tests/test_similarity.py
     doc="E2 build-then-probe: the production shape of q_ann_topk.  BUILD "
     "writes the LSH-bucketed table parquet-partitioned by bucket and the "
     "IVF inverted lists partitioned by cluster (once per corpus version "
@@ -409,7 +503,10 @@ def q_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the whole point of the build/probe split; rebuilding per query
     # would be the O(table)-per-probe shape this operator exists to avoid)
     lsh_path = str(root / f"lsh_{tag}_d64p8s42")
-    ivf_path = str(root / f"ivf_{tag}_c16s42")
+    # tag encodes the centroid-seeding scheme (md5 ordering) — an index
+    # built under the old xxhash64 ordering has different clusters and
+    # must not be reused
+    ivf_path = str(root / f"ivf_{tag}_c16md5s42")
     if not (Path(lsh_path) / "_SUCCESS").exists():
         similarity.build_lsh_index(base, lsh_path, dim=64, n_planes=8)
     if not (Path(ivf_path) / "vectors" / "_SUCCESS").exists():
