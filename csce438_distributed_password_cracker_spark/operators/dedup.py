@@ -185,27 +185,42 @@ def minhash_signature(
     n: int = 3,
     num_hashes: int = 64,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, sig array<bigint>[num_hashes]): sig_i = min over shingles of
-    xxhash64(base_hash(shingle), i).  Deterministic: seeds are plan
-    constants.
+    hash_i(shingle).  Deterministic: seeds are plan constants.
+
+    ``portable=False`` (production): hash_i = xxhash64(xxhash64(s, seed), i)
+    — one cheap JVM hash per shingle plus num_hashes integer hashes.
+    ``portable=True`` (cross-engine verification): base = 60-bit md5
+    (functions/porthash.py) reduced mod 2³¹−1, hash_i = (a_i·h + b_i) mod
+    2³¹−1 — the classic universal family, computable identically in DuckDB
+    so the oracle recomputes the whole signature.  Same plan shape either
+    way; md5 costs ~3× xxhash64 per shingle, which is why it is the
+    verification mode, not the default.
 
     Shape: explode shingles → one string hash each → ``num_hashes``
-    codegen'd ``min(xxhash64(h, i))`` aggregations.  Higher-order-function
+    codegen'd ``min(...)`` aggregations.  Higher-order-function
     lambdas (transform/array_min) are interpreted, not codegen'd — a nested
     transform formulation is ~40× slower.  The explode+groupBy form keeps
     every hot expression inside whole-stage codegen, and partial (map-side)
     aggregation means the shuffle carries only (id, num_hashes × i64) per
     doc, independent of document length — the shape that survives 100 TB.
     """
+    from ..functions.porthash import P31, md5_60_spark, minhash_coeffs
+
+    if portable:
+        base = f"{md5_60_spark('s', seed)} % {P31}"
+        coeffs = minhash_coeffs(num_hashes, seed)
+        perm = [f"(__h * {a} + {b}) % {P31}" for a, b in coeffs]
+    else:
+        base = f"xxhash64(s, {seed})"
+        perm = [f"xxhash64(__h, {i})" for i in range(num_hashes)]
     toks = shingle_rows(df, id_col, text_col, n).select(
-        "id", F.expr(f"xxhash64(s, {seed})").alias("__h")
+        "id", F.expr(base).alias("__h")
     )
     mins = toks.groupBy("id").agg(
-        *[
-            F.min(F.expr(f"xxhash64(__h, {i})")).alias(f"__m{i}")
-            for i in range(num_hashes)
-        ]
+        *[F.min(F.expr(perm[i])).alias(f"__m{i}") for i in range(num_hashes)]
     )
     return mins.select(
         "id", F.array(*[f"__m{i}" for i in range(num_hashes)]).alias("sig")
@@ -222,12 +237,20 @@ def minhash_lsh_pairs(
     seed: int = 42,
     threshold: float = 0.5,
     max_bucket_size: int = 10_000,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup candidate pairs via banding, verified with exact Jaccard.
 
     rows-per-band r = num_hashes/bands tunes the S-curve: P(candidate) =
     1-(1-j^r)^b.  Buckets larger than ``max_bucket_size`` are dropped (skew
     guard; a bucket of size m yields m² pairs).
+
+    ``portable=True`` switches the signature to the md5/universal-hash
+    family (see :func:`minhash_signature`) and the band key from
+    ``xxhash64(slice)`` to the band's signature values joined as a string —
+    both recomputable in DuckDB, so the full candidate-generation +
+    verification pipeline has an exact SQL twin.  The string band key
+    widens the banding shuffle (vs one i64); production keeps the default.
     """
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
@@ -235,17 +258,25 @@ def minhash_lsh_pairs(
     # minhash_signature ends in an Aggregate — an exchange barrier, so the
     # signature is materialized once; downstream band expressions reference
     # cheap attribute columns, never the hash pipeline.
-    sigs = minhash_signature(df, id_col, text_col, n, num_hashes, seed)
-    # band hash = xxhash64 over the band's signature slice (array hashing is
-    # native — no string assembly in the hot path)
+    sigs = minhash_signature(df, id_col, text_col, n, num_hashes, seed, portable)
+    if portable:
+        # band key = the band's signature values themselves, '_'-joined —
+        # no hash function at all, so any engine can reproduce the key
+        band_expr = (
+            f"transform(sequence(0, {bands - 1}), b -> "
+            f"concat_ws('_', transform(slice(sig, b * {r} + 1, {r}), "
+            f"x -> CAST(x AS STRING))))"
+        )
+    else:
+        # band hash = xxhash64 over the band's signature slice (array
+        # hashing is native — no string assembly in the hot path)
+        band_expr = (
+            f"transform(sequence(0, {bands - 1}), b -> "
+            f"xxhash64(slice(sig, b * {r} + 1, {r}), b))"
+        )
     banded = sigs.select(
         "id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), b -> "
-                f"xxhash64(slice(sig, b * {r} + 1, {r}), b))"
-            )
-        ).alias("band_idx", "band_hash"),
+        F.posexplode(F.expr(band_expr)).alias("band_idx", "band_hash"),
     )
     # skew guard: drop pathological buckets before the self-join.  groupBy
     # (map-side partial agg) + broadcast anti-join against the tiny
@@ -340,29 +371,44 @@ def connected_components(
 
 
 def simhash(
-    df: DataFrame, id_col: str, text_col: str, seed: int = 42
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
-    """64-bit SimHash per document: explode tokens, 64 columnar
-    sign-sums, reassemble bits.  One shuffle of O(docs × 64) ints."""
+    """SimHash per document: explode tokens, columnar sign-sums per bit,
+    reassemble.  One shuffle of O(docs × n_bits) ints.
+
+    ``portable=False`` (production): 64 bits of xxhash64.
+    ``portable=True``: 60 bits of the engine-portable md5 hash
+    (functions/porthash.py) so a DuckDB oracle recomputes the identical
+    fingerprint — 60 vs 64 bits costs ~6% hamming resolution, irrelevant
+    at the thresholds near-dup detection uses.
+    """
+    from ..functions.porthash import md5_60_spark
+
+    n_bits = 60 if portable else 64
+    h_expr = md5_60_spark("t", seed) if portable else f"xxhash64(t, {seed})"
     tok = df.select(
         F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("t")
-    ).select("id", F.expr(f"xxhash64(t, {seed})").alias("h"))
+    ).select("id", F.expr(h_expr).alias("h"))
     bit_sums = tok.groupBy("id").agg(
         *[
             F.sum(
                 F.when(F.expr(f"(h >> {i}) & 1") == 1, 1).otherwise(-1)
             ).alias(f"b{i}")
-            for i in range(64)
+            for i in range(n_bits)
         ]
     )
     bits = [
         F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(0).alias(f"v{i}")
-        for i in range(64)
+        for i in range(n_bits)
     ]
     assembled = bit_sums.select("id", *bits).select(
         "id",
         F.expr(
-            " + ".join(f"shiftleft(v{i}, {i})" for i in range(64))
+            " + ".join(f"shiftleft(v{i}, {i})" for i in range(n_bits))
         ).alias("simhash"),
     )
     return assembled
@@ -379,6 +425,7 @@ def simhash_near_pairs(
     max_hamming: int = 8,
     seed: int = 42,
     blocks: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming, found by the
     pigeonhole block trick: split the 64-bit hash into ``blocks`` chunks —
@@ -402,7 +449,7 @@ def simhash_near_pairs(
             f"(got max_hamming={max_hamming}, blocks={blocks})"
         )
     width = 64 // blocks
-    sh = simhash(df, id_col, text_col, seed)
+    sh = simhash(df, id_col, text_col, seed, portable)
     blocked = sh.select(
         "id",
         "simhash",

@@ -119,15 +119,27 @@ def fingerprint(
     k: int = 8,
     n_keep: int = 16,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Winnowing-style document fingerprint: the ``n_keep`` smallest char
     k-gram hashes (deterministic, order-canonical).  Containment of
     fingerprint sets approximates document overlap.
 
+    ``portable=True`` hashes grams with the engine-portable 60-bit md5
+    (functions/porthash.py) instead of xxhash64 so a DuckDB oracle can
+    recompute the identical fingerprint; production default stays on the
+    cheaper xxhash64.
+
     Explode shape, not a transform lambda: ``explode(sequence)`` +
-    ``substring``/``xxhash64`` stay inside whole-stage codegen, and partial
+    ``substring``/hash stay inside whole-stage codegen, and partial
     aggregation shrinks each doc to ``n_keep`` hashes map-side.
     """
+    from ..functions.porthash import md5_60_spark
+
+    gram = f"substring(__t, __i, {k})"
+    h_expr = (
+        md5_60_spark(gram, seed) if portable else f"xxhash64({gram}, {seed})"
+    )
     pos = df.select(
         F.col(id_col),
         F.col(text_col).alias("__t"),
@@ -135,9 +147,7 @@ def fingerprint(
             F.expr(f"sequence(1, greatest(length({text_col}) - {k} + 1, 1))")
         ).alias("__i"),
     )
-    hashes = pos.select(
-        id_col, F.expr(f"xxhash64(substring(__t, __i, {k}), {seed})").alias("__h")
-    )
+    hashes = pos.select(id_col, F.expr(h_expr).alias("__h"))
     return hashes.groupBy(id_col).agg(
         F.expr(f"slice(array_sort(collect_list(__h)), 1, {n_keep})").alias(
             "fingerprint"

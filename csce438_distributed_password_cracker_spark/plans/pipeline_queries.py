@@ -214,26 +214,166 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
 
 
+def _sketch_oracle_sql(
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    threshold: float = 0.8,
+    max_hamming: int = 3,
+    sh_bits: int = 60,
+    fp_k: int = 8,
+    fp_keep: int = 16,
+) -> str:
+    """Full DuckDB twin of the three hash-sketch pipelines (portable-hash
+    mode — functions/porthash.py): recomputes the MinHash signatures,
+    band keys, candidate join and exact-Jaccard verification; the SimHash
+    bit sign-sums, fingerprint assembly and brute-force hamming pairs; and
+    the winnowing gram hashes — end to end in SQL.  The oracle brute-forces
+    where Spark buckets (all-pairs hamming, all-pairs Jaccard on
+    candidates), so agreement checks the *bucketing* algebra against the
+    semantics it implements, not one implementation against itself.  The
+    skew guard (max_bucket_size) is deliberately absent here: at oracle SF
+    no bucket approaches the cap, so it is a no-op on the Spark side too.
+    """
+    from ..functions.porthash import P31, md5_60_duckdb, minhash_coeffs
+
+    r = num_hashes // bands
+    coeffs = minhash_coeffs(num_hashes, seed)
+    sig_cols = ",\n             ".join(
+        f"min((h * {a} + {b}) % {P31}) AS m{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_cases = "\n          ".join(
+        "WHEN {j} THEN concat({parts})".format(
+            j=j, parts=", '_', ".join(f"m{j * r + i}" for i in range(r))
+        )
+        for j in range(bands)
+    )
+    bit_sums = ",\n             ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(sh_bits)
+    )
+    bit_assembly = "\n           + ".join(
+        f"(CASE WHEN b{i} > 0 THEN 1::BIGINT << {i} ELSE 0 END)"
+        for i in range(sh_bits)
+    )
+    jacc = (
+        "round(CAST(len(list_intersect(x.ss, y.ss)) AS DOUBLE)"
+        " / len(list_distinct(list_concat(x.ss, y.ss))), 6)"
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - {n - 1}, 1)),
+               i -> concat_ws(' ', {", ".join(f"string_split(text, ' ')[i+{d}]" for d in range(n))})) AS ss
+      FROM documents
+    ),
+    shingle_rows AS (
+      SELECT doc_id, unnest(ss) AS s FROM sh
+    ),
+    shingle_h AS (
+      SELECT doc_id, {md5_60_duckdb('s', seed)} % {P31} AS h FROM shingle_rows
+    ),
+    sig AS (
+      SELECT doc_id,
+             {sig_cols}
+      FROM shingle_h GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, band_idx,
+        CASE band_idx
+          {band_cases}
+        END AS band_key
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {bands - 1})) AS band_idx)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    ),
+    mh AS (
+      SELECT 'minhash' AS method, id_a, id_b,
+             CAST(NULL AS BIGINT) AS hash_val, jaccard AS score
+      FROM (
+        SELECT id_a, id_b, {jacc} AS jaccard
+        FROM cand
+        JOIN sh x ON x.doc_id = cand.id_a
+        JOIN sh y ON y.doc_id = cand.id_b
+      ) WHERE jaccard >= {threshold}
+    ),
+    tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    tok_h AS (
+      SELECT doc_id, {md5_60_duckdb('t', seed)} AS h FROM tok
+    ),
+    bit_sum AS (
+      SELECT doc_id,
+             {bit_sums}
+      FROM tok_h GROUP BY doc_id
+    ),
+    shash AS (
+      SELECT doc_id,
+             {bit_assembly} AS simhash
+      FROM bit_sum
+    ),
+    sim AS (
+      SELECT 'simhash' AS method, a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(NULL AS BIGINT) AS hash_val,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS DOUBLE) AS score
+      FROM shash a JOIN shash b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    ),
+    gram AS (
+      SELECT doc_id, {md5_60_duckdb(f"substr(text, i, {fp_k})", seed)} AS h
+      FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text) - {fp_k - 1}, 1))) AS i
+        FROM documents
+      )
+    ),
+    fpl AS (
+      SELECT doc_id, list_sort(list(h))[1:{fp_keep}] AS fp
+      FROM gram GROUP BY doc_id
+    ),
+    fp AS (
+      SELECT 'fingerprint' AS method, doc_id AS id_a,
+             CAST(NULL AS BIGINT) AS id_b, unnest(fp) AS hash_val,
+             CAST(NULL AS DOUBLE) AS score
+      FROM fpl
+    )
+    SELECT * FROM mh
+    UNION ALL SELECT * FROM sim
+    UNION ALL SELECT * FROM fp
+    """
+
+
 @register(
     "q_dedup_sketch",
-    oracle=None,  # xxhash64 sketches have no DuckDB twin; recall vs the
-    # exact q_dedup_jaccard answer, determinism, and self/near-dup
-    # containment are asserted in tests/test_dedup.py + tests/test_textops.py
+    oracle=_sketch_oracle_sql(),
     doc="E2 hash-sketch battery, one labeled union (merged so the driver "
     "gate covers each): minhash — MinHash(64)+LSH(16 bands) candidate "
     "pairs verified by exact Jaccard ≥ 0.8, equality-join on band buckets "
     "replacing the O(n²) cross join (the 100 TB dedup path; 3-gram "
     "shingles, see q_dedup_jaccard on vocabulary degeneracy); simhash — "
-    "64-bit SimHash near-dup pairs (hamming ≤ 3) via pigeonhole block "
-    "join, explode + 64 columnar sign-sums, shuffle O(docs×64); "
+    "SimHash near-dup pairs (hamming ≤ 3) via pigeonhole block "
+    "join, explode + columnar sign-sums, shuffle O(docs×bits); "
     "fingerprint — winnowing-style 16 smallest char-8-gram hashes per "
     "doc, exploded for audit.  Each branch keeps its own plan; the union "
-    "only harmonizes schemas (typed NULLs).",
+    "only harmonizes schemas (typed NULLs).  Runs in PORTABLE-HASH mode "
+    "(md5-60, functions/porthash.py) so the whole pipeline — signatures, "
+    "banding, candidate join, verification — has the exact DuckDB twin in "
+    "_sketch_oracle_sql; the operators' production default stays on "
+    "xxhash64 (cheaper; covered by tests/test_dedup.py).",
 )
 def q_dedup_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     mh = dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.8
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.8,
+        portable=True,
     ).select(
         F.lit("minhash").alias("method"),
         "id_a",
@@ -242,7 +382,7 @@ def q_dedup_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("jaccard").cast("double").alias("score"),
     )
     sh = dedup.simhash_near_pairs(
-        docs, "doc_id", "text", max_hamming=3
+        docs, "doc_id", "text", max_hamming=3, portable=True
     ).select(
         F.lit("simhash").alias("method"),
         "id_a",
@@ -250,7 +390,7 @@ def q_dedup_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("hash_val"),
         F.col("hamming").cast("double").alias("score"),
     )
-    fp = textops.fingerprint(docs, "doc_id", "text").select(
+    fp = textops.fingerprint(docs, "doc_id", "text", portable=True).select(
         F.lit("fingerprint").alias("method"),
         F.col("doc_id").alias("id_a"),
         F.lit(None).cast(docs.schema["doc_id"].dataType).alias("id_b"),

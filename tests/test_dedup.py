@@ -81,23 +81,59 @@ def test_simhash_near_pairs(spark):
 
 def test_simhash_block_join_matches_brute_force(spark):
     # pigeonhole guarantee: any pair with hamming <= 3 (< 4 blocks) must
-    # share a block, so the block join finds exactly the brute-force set.
+    # share a block, so the block join finds exactly the brute-force set —
+    # in BOTH hash modes (xxhash64 production, md5-portable verification).
+    import pytest
+
     df = _docs_with_dups(spark)
-    sh = dedup.simhash(df, "doc_id", "text")
-    a = sh.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha"))
-    b = sh.select(F.col("id").alias("id_b"), F.col("simhash").alias("hb"))
-    brute = {
-        (r["id_a"], r["id_b"])
-        for r in a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", dedup.hamming64_expr("ha", "hb").alias("h"))
-        .filter(F.col("h") <= 3)
-        .collect()
-    }
-    blocked = {
-        (r["id_a"], r["id_b"])
-        for r in dedup.simhash_near_pairs(df, "doc_id", "text", max_hamming=3).collect()
-    }
-    assert blocked == brute
+    for portable in (False, True):
+        sh = dedup.simhash(df, "doc_id", "text", portable=portable)
+        a = sh.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha"))
+        b = sh.select(F.col("id").alias("id_b"), F.col("simhash").alias("hb"))
+        brute = {
+            (r["id_a"], r["id_b"])
+            for r in a.join(b, F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", dedup.hamming64_expr("ha", "hb").alias("h"))
+            .filter(F.col("h") <= 3)
+            .collect()
+        }
+        blocked = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.simhash_near_pairs(
+                df, "doc_id", "text", max_hamming=3, portable=portable
+            ).collect()
+        }
+        assert blocked == brute, f"portable={portable}"
+
+
+def test_portable_hash_matches_duckdb(spark):
+    # the cross-engine contract porthash is built on: Spark's conv-parsed
+    # md5 prefix and DuckDB's 0x-cast md5 prefix are the SAME integer.
+    import duckdb
+
+    from csce438_distributed_password_cracker_spark.functions.porthash import (
+        P31,
+        md5_60_duckdb,
+        md5_60_spark,
+    )
+
+    samples = ["tok", "the quick brown", "", "a b", "naïve — unicode ✓"]
+    sdf = spark.createDataFrame([(s,) for s in samples], "x STRING")
+    got = [
+        (r["h"], r["hm"])
+        for r in sdf.selectExpr(
+            f"{md5_60_spark('x', 42)} AS h",
+            f"{md5_60_spark('x', 42)} % {P31} AS hm",
+        ).collect()
+    ]
+    con = duckdb.connect()
+    vals = ", ".join(f"('{s}')" for s in samples)
+    want = con.execute(
+        f"SELECT {md5_60_duckdb('x', 42)} AS h, "
+        f"{md5_60_duckdb('x', 42)} % {P31} AS hm "
+        f"FROM (VALUES {vals}) t(x)"
+    ).fetchall()
+    assert got == [tuple(w) for w in want]
 
 
 def test_simhash_rejects_incomplete_block_count(spark):
