@@ -1,0 +1,237 @@
+"""Ingest-time near-dup detection: a STREAM of new documents deduped
+against a persisted MinHash-LSH index of the corpus (SURVEY.md §2.12 E1's
+scale path applied at ingestion — the shape a 100 TB training-data
+pipeline actually runs: the corpus is deduped once, then every incoming
+batch is checked against the index and only novel documents are admitted
+and indexed).
+
+Index layout (parquet under ``index_path``):
+  bands/  (band_idx int, band_hash long, id long)  partitioned by band_idx
+  sigs/   (id long, sig array<bigint>)
+
+Probe shape: an incoming micro-batch is tiny relative to the corpus, so
+its band rows are **broadcast** against the index's band table — a
+broadcast hash join, no shuffle of the corpus side.  At cluster scale the
+band table should additionally be bucketed by ``band_hash`` so the probe
+reads only matching buckets; partitioning by ``band_idx`` alone keeps
+directory counts trivial (``bands`` dirs, not ``bands × hash`` dirs) and
+lets a per-band probe prune at planning time.
+
+Duplicate verdicts use the MinHash similarity ESTIMATE (fraction of equal
+signature components — the textbook unbiased estimator of Jaccard), not
+exact shingle Jaccard: the index stores 64×i64 per corpus doc instead of
+the full shingle set, which is what makes an always-on index affordable
+at 100 TB.  The estimator's error (~1/√64 ≈ 0.125 std) is absorbed by
+``threshold``; callers wanting exactness re-verify flagged pairs against
+the raw text (the batch knows its own candidates' ids).
+
+Each batch also self-dedupes: a document is a duplicate if it matches the
+corpus OR an earlier (lower-id) document of the same batch.  Ties are
+resolved deterministically: best estimate first, then lowest candidate id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.dedup import minhash_signature
+
+BANDS = 16
+NUM_HASHES = 64
+
+VERDICT_SCHEMA = (
+    "id long, is_dup boolean, dup_of long, est_jaccard double"
+)
+
+
+def est_jaccard_expr(a: str, b: str, num_hashes: int = NUM_HASHES) -> F.Column:
+    """MinHash Jaccard estimate: mean agreement of signature components.
+
+    Higher-order functions run interpreted, but this is evaluated only on
+    CANDIDATE pairs (already banded down from all-pairs), so the
+    interpreted cost is O(candidates × num_hashes), not O(corpus).
+    """
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> IF(x = y, 1.0D, 0.0D)), "
+        f"0.0D, (acc, v) -> acc + v) / {num_hashes}"
+    )
+
+
+def _sig_and_bands(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """(sigs(id, sig), band_rows(id, band_idx, band_hash)) for a doc set."""
+    r = num_hashes // bands
+    sigs = minhash_signature(docs, id_col, text_col, n, num_hashes, seed)
+    band_rows = sigs.select(
+        "id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"xxhash64(slice(sig, b * {r} + 1, {r}), b))"
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    return sigs, band_rows
+
+
+def build_dedup_index(
+    docs: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **params,
+) -> None:
+    """One-off index build over the existing (already-deduped) corpus.
+    Runs once per corpus version; every subsequent batch probes it."""
+    sigs, band_rows = _sig_and_bands(docs, id_col, text_col, **params)
+    (
+        band_rows.repartition("band_idx")
+        .write.mode("overwrite")
+        .partitionBy("band_idx")
+        .parquet(f"{index_path}/bands")
+    )
+    sigs.write.mode("overwrite").parquet(f"{index_path}/sigs")
+
+
+def _index_exists(spark: SparkSession, index_path: str) -> bool:
+    from pathlib import Path
+
+    return (Path(index_path) / "sigs" / "_SUCCESS").exists()
+
+
+def ingest_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    **params,
+) -> DataFrame:
+    """Dedup verdict for one micro-batch, and admission of its uniques.
+
+    Returns (id, is_dup, dup_of, est_jaccard); side effect: unique docs'
+    signatures and band rows are APPENDED to the index, so later batches
+    (and later docs of other streams) see them.  ``dup_of`` prefers the
+    best estimate, then the lowest candidate id — deterministic under
+    any partitioning.
+    """
+    sigs, band_rows = _sig_and_bands(batch, id_col, text_col, **params)
+    sigs = sigs.localCheckpoint(eager=True)  # reused 3×: probe, self-join, admit
+    band_rows = band_rows.localCheckpoint(eager=True)
+
+    cand_sides = []
+    if _index_exists(spark, index_path):
+        idx_bands = spark.read.parquet(f"{index_path}/bands")
+        idx_sigs = spark.read.parquet(f"{index_path}/sigs")
+        # batch side broadcast: the corpus-side band table is never shuffled
+        corpus_cand = (
+            idx_bands.join(
+                F.broadcast(band_rows.withColumnRenamed("id", "new_id")),
+                ["band_idx", "band_hash"],
+            )
+            .select(F.col("new_id"), F.col("id").alias("cand_id"))
+            .distinct()
+            .join(idx_sigs.withColumnsRenamed({"id": "cand_id", "sig": "cand_sig"}), "cand_id")
+        )
+        cand_sides.append(corpus_cand)
+    # self-dedup: earlier (lower-id) docs of the same batch are candidates
+    left = band_rows.withColumnRenamed("id", "new_id")
+    right = band_rows.withColumnRenamed("id", "cand_id")
+    batch_cand = (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("cand_id") < F.col("new_id"))
+        .select("new_id", "cand_id")
+        .distinct()
+        .join(
+            sigs.withColumnsRenamed({"id": "cand_id", "sig": "cand_sig"}),
+            "cand_id",
+        )
+    )
+    cand_sides.append(batch_cand)
+    cand = cand_sides[0]
+    for extra in cand_sides[1:]:
+        cand = cand.unionByName(extra)
+
+    scored = (
+        cand.join(sigs.withColumnRenamed("id", "new_id"), "new_id")
+        .select(
+            "new_id",
+            "cand_id",
+            est_jaccard_expr("sig", "cand_sig").alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    w = Window.partitionBy("new_id").orderBy(
+        F.desc("est_jaccard"), F.asc("cand_id")
+    )
+    best = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("new_id", F.col("cand_id").alias("dup_of"), "est_jaccard")
+    )
+    verdict = (
+        batch.select(F.col(id_col).cast("long").alias("id"))
+        .join(best.withColumnRenamed("new_id", "id"), "id", "left")
+        .select(
+            "id",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+            "est_jaccard",
+        )
+        .localCheckpoint(eager=True)  # pin the verdict BEFORE mutating the index
+    )
+
+    uniques = verdict.filter(~F.col("is_dup")).select("id")
+    (
+        band_rows.join(uniques, "id")
+        .repartition("band_idx")
+        .write.mode("append")
+        .partitionBy("band_idx")
+        .parquet(f"{index_path}/bands")
+    )
+    sigs.join(uniques, "id").write.mode("append").parquet(f"{index_path}/sigs")
+    return verdict
+
+
+def start_dedup_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    index_path: str,
+    sink_table: str = "dedup_verdicts",
+    threshold: float = 0.7,
+    available_now: bool = True,
+    **params,
+):
+    """readStream over a directory of document files (json lines with
+    doc_id/text) → foreachBatch ingest_batch → verdict sink table.
+
+    The index is the cross-batch STATE: admitted docs are visible to every
+    later batch, so the stream converges to the same admitted set as a
+    batch dedup over the concatenation (order-dependent only in which of
+    two mutual near-dups is admitted — resolved by arrival order, as any
+    online dedup must)."""
+    stream = spark.readStream.schema("doc_id LONG, text STRING").json(source_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        out = ingest_batch(
+            spark, batch_df, index_path, threshold=threshold, **params
+        )
+        out.write.mode("append").saveAsTable(sink_table)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

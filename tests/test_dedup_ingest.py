@@ -1,0 +1,92 @@
+"""Ingest-time dedup: a persisted MinHash index probed per micro-batch
+(streaming/dedup_ingest.py) — corpus dups flagged, batch self-dedup,
+uniques admitted into the index, end-to-end as a real stream."""
+
+from __future__ import annotations
+
+import json
+
+from csce438_distributed_password_cracker_spark.streaming import dedup_ingest
+
+
+DOC_A = (
+    "the quick brown fox jumps over the lazy dog while rain falls on the "
+    "quiet town and the river bends past old stone bridges near the market square"
+)
+# one substituted token in 28 → 3-gram Jaccard ≈ 0.84, est ≈ 0.81: above
+# the 0.7 threshold with margin, and deterministic (fixed seeds)
+DOC_A_NEAR = DOC_A.replace("river", "stream")
+DOC_B = "completely different words about spark shuffles and parquet files here"
+DOC_C = "another unrelated sentence mentioning catalyst and tungsten engines now"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_ingest_batch_flags_corpus_dups_and_admits_uniques(spark, tmp_path):
+    idx = str(tmp_path / "index")
+    corpus = _docs(spark, [(1, DOC_A), (2, DOC_B)])
+    dedup_ingest.build_dedup_index(corpus, idx)
+
+    batch = _docs(spark, [(10, DOC_A_NEAR), (11, DOC_C)])
+    verdict = {
+        r["id"]: (r["is_dup"], r["dup_of"])
+        for r in dedup_ingest.ingest_batch(spark, batch, idx).collect()
+    }
+    assert verdict[10] == (True, 1)  # near-dup of corpus doc 1
+    assert verdict[11] == (False, None)  # novel → admitted
+
+    # the admitted doc is now index state: a later batch sees it
+    batch2 = _docs(spark, [(20, DOC_C)])
+    verdict2 = {
+        r["id"]: (r["is_dup"], r["dup_of"])
+        for r in dedup_ingest.ingest_batch(spark, batch2, idx).collect()
+    }
+    assert verdict2[20] == (True, 11)
+
+    # dup docs must NOT have been admitted
+    sigs = spark.read.parquet(f"{idx}/sigs")
+    assert {r["id"] for r in sigs.select("id").collect()} == {1, 2, 11}
+
+
+def test_ingest_batch_self_dedup_without_index(spark, tmp_path):
+    idx = str(tmp_path / "index")  # never built: first-ever batch
+    batch = _docs(spark, [(5, DOC_A), (6, DOC_A), (7, DOC_B)])
+    verdict = {
+        r["id"]: (r["is_dup"], r["dup_of"])
+        for r in dedup_ingest.ingest_batch(spark, batch, idx).collect()
+    }
+    assert verdict[5] == (False, None)  # first arrival wins
+    assert verdict[6] == (True, 5)  # exact dup of earlier batch doc
+    assert verdict[7] == (False, None)
+    sigs = spark.read.parquet(f"{idx}/sigs")
+    assert {r["id"] for r in sigs.select("id").collect()} == {5, 7}
+
+
+def test_dedup_ingest_stream_end_to_end(spark, tmp_path):
+    src = tmp_path / "incoming"
+    src.mkdir()
+    with open(src / "b0.json", "w") as f:
+        for row in [
+            {"doc_id": 1, "text": DOC_A},
+            {"doc_id": 2, "text": DOC_A_NEAR},
+            {"doc_id": 3, "text": DOC_B},
+        ]:
+            f.write(json.dumps(row) + "\n")
+    q = dedup_ingest.start_dedup_ingest(
+        spark,
+        str(src),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        index_path=str(tmp_path / "index"),
+        sink_table="dedup_verdicts_test",
+    )
+    q.awaitTermination(120)
+    try:
+        out = {
+            r["id"]: (r["is_dup"], r["dup_of"])
+            for r in spark.table("dedup_verdicts_test").collect()
+        }
+        assert out == {1: (False, None), 2: (True, 1), 3: (False, None)}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dedup_verdicts_test")
