@@ -28,17 +28,34 @@ import random
 P31 = 2_147_483_647  # 2³¹ − 1, Mersenne prime
 
 
-def md5_60_spark(expr: str, seed: int) -> str:
-    """Spark SQL: 60-bit integer from md5('<seed>:' || expr)."""
+def md5_int_spark(expr: str, seed: int, hex_chars: int = 15) -> str:
+    """Spark SQL: ``4·hex_chars``-bit integer from md5('<seed>:' || expr)."""
     return (
-        f"CAST(conv(substring(md5(concat('{seed}:', {expr})), 1, 15), 16, 10) "
-        f"AS BIGINT)"
+        f"CAST(conv(substring(md5(concat('{seed}:', {expr})), 1, {hex_chars}), "
+        f"16, 10) AS BIGINT)"
     )
 
 
+def md5_int_duckdb(expr: str, seed: int, hex_chars: int = 15) -> str:
+    """DuckDB SQL: the identical integer (hex parse via 0x-cast)."""
+    return (
+        f"('0x' || substr(md5('{seed}:' || ({expr})), 1, {hex_chars}))::BIGINT"
+    )
+
+
+def md5_60_spark(expr: str, seed: int) -> str:
+    """60-bit variant — for values that stay INTERNAL to a pipeline
+    (signatures, simhash bits).  A column that reaches the OUTPUT of an
+    oracle-compared query with NULLs in it should use 13 hex chars (52
+    bits) instead: pandas widens null-bearing int64 columns to float64 on
+    both engines' result paths, and only ≤2⁵³ integers survive that
+    round-trip exactly."""
+    return md5_int_spark(expr, seed, 15)
+
+
 def md5_60_duckdb(expr: str, seed: int) -> str:
-    """DuckDB SQL: the identical 60-bit integer (hex parse via 0x-cast)."""
-    return f"('0x' || substr(md5('{seed}:' || ({expr})), 1, 15))::BIGINT"
+    """DuckDB twin of :func:`md5_60_spark`."""
+    return md5_int_duckdb(expr, seed, 15)
 
 
 def minhash_coeffs(num_hashes: int, seed: int) -> list[tuple[int, int]]:

@@ -125,20 +125,23 @@ def fingerprint(
     k-gram hashes (deterministic, order-canonical).  Containment of
     fingerprint sets approximates document overlap.
 
-    ``portable=True`` hashes grams with the engine-portable 60-bit md5
+    ``portable=True`` hashes grams with the engine-portable md5 hash
     (functions/porthash.py) instead of xxhash64 so a DuckDB oracle can
     recompute the identical fingerprint; production default stays on the
-    cheaper xxhash64.
+    cheaper xxhash64.  The portable hash is 52-bit (13 hex chars), not
+    60: fingerprint values reach the oracle-compared OUTPUT in a
+    null-bearing column, which pandas widens to float64 — only ≤2⁵³
+    integers survive that exactly on both engines' result paths.
 
     Explode shape, not a transform lambda: ``explode(sequence)`` +
     ``substring``/hash stay inside whole-stage codegen, and partial
     aggregation shrinks each doc to ``n_keep`` hashes map-side.
     """
-    from ..functions.porthash import md5_60_spark
+    from ..functions.porthash import md5_int_spark
 
     gram = f"substring(__t, __i, {k})"
     h_expr = (
-        md5_60_spark(gram, seed) if portable else f"xxhash64({gram}, {seed})"
+        md5_int_spark(gram, seed, 13) if portable else f"xxhash64({gram}, {seed})"
     )
     pos = df.select(
         F.col(id_col),

@@ -236,7 +236,12 @@ def _sketch_oracle_sql(
     skew guard (max_bucket_size) is deliberately absent here: at oracle SF
     no bucket approaches the cap, so it is a no-op on the Spark side too.
     """
-    from ..functions.porthash import P31, md5_60_duckdb, minhash_coeffs
+    from ..functions.porthash import (
+        P31,
+        md5_60_duckdb,
+        md5_int_duckdb,
+        minhash_coeffs,
+    )
 
     r = num_hashes // bands
     coeffs = minhash_coeffs(num_hashes, seed)
@@ -328,7 +333,10 @@ def _sketch_oracle_sql(
       WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
     ),
     gram AS (
-      SELECT doc_id, {md5_60_duckdb(f"substr(text, i, {fp_k})", seed)} AS h
+      -- 52-bit (13-hex-char) hash: fingerprint values reach the output in
+      -- a null-bearing BIGINT column, which pandas widens to float64 on
+      -- both engines' result paths — only <=2^53 ints survive exactly
+      SELECT doc_id, {md5_int_duckdb(f"substr(text, i, {fp_k})", seed, 13)} AS h
       FROM (
         SELECT doc_id, text,
                unnest(generate_series(1, greatest(length(text) - {fp_k - 1}, 1))) AS i
