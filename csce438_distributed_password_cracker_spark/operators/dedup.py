@@ -100,6 +100,65 @@ def jaccard_expr(a: str, b: str) -> Column:
     )
 
 
+def _verify_jaccard_by_counts(
+    cand: DataFrame, tok: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs WITHOUT materializing per-doc
+    shingle arrays: |A∩B| comes from joining the (id, s) shingle rows of
+    both sides on the shingle value, |A∪B| from per-doc distinct counts
+    (|A| + |B| − |A∩B|).
+
+    The collect_list alternative builds one array cell holding a document's
+    entire shingle set and drags it through two joins — at 100 TB a single
+    long document becomes a single oversized row (executor OOM, skewed
+    shuffle blocks).  Here every shuffled row is (id, shingle): the join on
+    (id_b, s) is a plain hash shuffle with per-shingle granularity, and the
+    aggregates are map-side-combinable counts.  Volume is Σ|A| over
+    candidate pairs — proportional to the verification work itself.
+
+    Requires threshold > 0: pairs with an empty intersection vanish in the
+    inner join, which is exactly the ``jaccard = 0 < threshold`` outcome.
+
+    ``cand``: (id_a, id_b) candidate pairs, optionally pre-annotated with
+    set sizes as ``__sz_a``/``__sz_b`` (the prefix-filter join already
+    carries them — reusing them avoids re-evaluating the shingle pipeline
+    for a size aggregate); ``tok``: (id, s) distinct shingle rows.  Sizes
+    ride through the intersect-count groupBy as grouping keys (functionally
+    dependent on the ids), so no post-aggregate join is needed.  Returns
+    (id_a, id_b, jaccard) with jaccard rounded to 6 (the oracle-parity
+    convention used across the dedup family).
+    """
+    if threshold <= 0:
+        raise ValueError(f"threshold must be > 0, got {threshold}")
+    if "__sz_a" not in cand.columns:
+        sz = tok.groupBy("id").agg(F.count("*").alias("__sz"))
+        cand = cand.join(
+            sz.withColumnsRenamed({"id": "id_a", "__sz": "__sz_a"}), "id_a"
+        ).join(sz.withColumnsRenamed({"id": "id_b", "__sz": "__sz_b"}), "id_b")
+    ta = tok.select(F.col("id").alias("id_a"), "s")
+    tb = tok.select(F.col("id").alias("id_b"), "s")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "s"])
+        .groupBy("id_a", "id_b", "__sz_a", "__sz_b")
+        .agg(F.count("*").alias("__inter"))
+    )
+    return (
+        inter.select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("__inter").cast("double")
+                / (F.col("__sz_a") + F.col("__sz_b") - F.col("__inter")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -158,20 +217,21 @@ def ngram_jaccard_pairs(
                 >= F.greatest("sz_a", "sz_b") * F.lit(threshold)
             )
         )
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    sets_a = pref.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sets_b = pref.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    return (
-        cand.join(sets_a, "id_a")
-        .join(sets_b, "id_b")
+        # sizes ride along (functionally dependent on the ids) so the
+        # verification step needs no size re-aggregation
         .select(
             "id_a",
             "id_b",
-            F.round(jaccard_expr("sh_a", "sh_b"), 6).alias("jaccard"),
+            F.col("sz_a").alias("__sz_a"),
+            F.col("sz_b").alias("__sz_b"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .distinct()
+    )
+    # verify by shingle-row counts, not by joining the assembled arrays:
+    # the ordered arrays exist only to cut prefixes; carrying them through
+    # the verification joins would re-introduce per-doc array cells
+    return _verify_jaccard_by_counts(
+        cand, tok.withColumnRenamed("t", "s"), threshold
     )
 
 
@@ -299,20 +359,8 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sh = (
-        shingle_rows(df, id_col, text_col, n)
-        .distinct()
-        .groupBy("id")
-        .agg(F.collect_list("s").alias("sh"))
-    )
-    return (
-        cand.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
-        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
-        .select(
-            "id_a", "id_b", F.round(jaccard_expr("sh_a", "sh_b"), 6).alias("jaccard")
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    tok = shingle_rows(df, id_col, text_col, n).distinct()
+    return _verify_jaccard_by_counts(cand, tok, threshold)
 
 
 # ── near-dup clustering (connected components) ───────────────────────────
