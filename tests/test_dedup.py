@@ -60,6 +60,25 @@ def test_minhash_lsh_recall_vs_exact(spark, sf_smoke):
         assert recall >= 0.9, f"recall {recall}: {len(lsh)}/{len(exact)}"
 
 
+def test_minhash_verify_reports_exact_jaccard_values(spark):
+    """The jaccard column on LSH survivors must equal the exact set
+    Jaccard — exercises the count-based verify's own size aggregation
+    (minhash candidates arrive WITHOUT pre-annotated sizes, unlike the
+    prefix-filter join's)."""
+    docs = _docs_with_dups(spark)
+    rows = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=1, num_hashes=64, bands=16, threshold=0.5
+    ).collect()
+    assert rows, "expected at least one near-dup pair"
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in rows:
+        sa, sb = set(texts[r["id_a"]].split()), set(texts[r["id_b"]].split())
+        assert r["jaccard"] == round(len(sa & sb) / len(sa | sb), 6), (
+            r["id_a"],
+            r["id_b"],
+        )
+
+
 def test_minhash_deterministic(spark):
     df = _docs_with_dups(spark)
     a = dedup.minhash_signature(df, "doc_id", "text").collect()

@@ -84,17 +84,21 @@ def test_spark_codec_matches_python_model(spark):
 
 
 def _py_jaccard_pairs(docs: list[tuple[int, str]], n: int, t: float):
+    """(id_a, id_b) -> round(jaccard, 6) for all pairs at or above t."""
+
     def shingles(text: str) -> set[str]:
         toks = text.split(" ")
         m = max(len(toks) - n + 1, 1)
         return {" ".join(toks[i : i + n]) for i in range(m)}
 
     sh = {i: shingles(s) for i, s in docs}
-    out = set()
+    out = {}
     for i, si in sh.items():
         for j, sj in sh.items():
-            if i < j and len(si | sj) and len(si & sj) / len(si | sj) >= t:
-                out.add((i, j))
+            if i < j and len(si | sj):
+                jac = len(si & sj) / len(si | sj)
+                if jac >= t:
+                    out[(i, j)] = round(jac, 6)
     return out
 
 
@@ -116,10 +120,17 @@ def test_prefix_filter_join_equals_brute_force(spark):
     df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
     for t in (0.5, 0.8, 0.95):
         got = {
-            (r["id_a"], r["id_b"])
+            (r["id_a"], r["id_b"]): r["jaccard"]
             for r in dedup.ngram_jaccard_pairs(
                 df, "doc_id", "text", n=2, threshold=t
             ).collect()
         }
         want = _py_jaccard_pairs(docs, n=2, t=t)
-        assert got == want, f"t={t}: missing={want - got} extra={got - want}"
+        # compare VALUES, not just pair identity: the count-based verify
+        # derives |A∪B| from size bookkeeping (|A| + |B| − |A∩B|), so a
+        # size-column bug could keep the pair set right with wrong scores
+        assert got == want, (
+            f"t={t}: missing={want.keys() - got.keys()} "
+            f"extra={got.keys() - want.keys()} "
+            f"diff={ {k: (got[k], want[k]) for k in got.keys() & want.keys() if abs(got[k] - want[k]) > 1e-9} }"
+        )
