@@ -1,0 +1,94 @@
+"""Table maintenance for append-mode parquet datasets: small-file
+compaction.
+
+Streaming ingest (streaming/dedup_ingest.py appends per micro-batch;
+any ``mode("append")`` sink behaves the same) accretes one file set per
+batch.  At 100 TB that is the dominant operational failure mode of a
+parquet-backed index: scan planning degrades with file count (listing,
+footer reads, task-per-file scheduling) long before data volume is a
+problem.  Compaction rewrites a dataset to a bounded file count without
+changing its rows.
+
+The swap is write-new → rename-old-away → rename-new-in → delete-old:
+on a local filesystem the two renames are atomic individually, giving a
+sub-second unreadable window.  On an object store / cluster the same
+routine should instead write a new VERSIONED directory and flip a
+pointer (manifest, Hive metastore location, or symlink) — true atomic
+swap needs a table format (Delta/Iceberg) or a metastore, which this
+container doesn't ship.  Run compaction in a maintenance window of the
+single writer; concurrent readers of the same path get retried by
+Spark's task retry if they race the rename.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+
+def parquet_file_count(path: str) -> int:
+    """Data files under a parquet dataset dir (recursively; excludes
+    _SUCCESS and other metadata)."""
+    return sum(1 for p in Path(path).rglob("*.parquet"))
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    partition_by: list[str] | None = None,
+    num_files: int = 1,
+) -> int:
+    """Rewrite the parquet dataset at ``path`` with a bounded file count;
+    returns the resulting data-file count.
+
+    ``partition_by``: hive-style partition columns to preserve (the
+    rewrite shuffles on them first, so each partition directory gets at
+    most ``num_files`` files — same discipline as the original writers).
+    ``num_files``: target files per partition directory (or total, when
+    unpartitioned).  The rewrite is one shuffle; row content, schema and
+    partition layout are unchanged — asserted cheaply by row count.
+    """
+    src = Path(path)
+    if not src.exists():
+        raise FileNotFoundError(path)
+    df = spark.read.parquet(path)
+    n_before = df.count()
+
+    tmp = str(src.with_name(src.name + ".__compact_tmp__"))
+    old = str(src.with_name(src.name + ".__compact_old__"))
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+
+    writer = (
+        df.repartition(num_files, *partition_by)
+        if partition_by
+        else df.repartition(num_files)
+    ).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+
+    if spark.read.parquet(tmp).count() != n_before:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(f"compaction row-count mismatch for {path}")
+
+    src.rename(old)
+    Path(tmp).rename(src)
+    shutil.rmtree(old, ignore_errors=True)
+    return parquet_file_count(path)
+
+
+def compact_dedup_index(spark: SparkSession, index_path: str) -> dict[str, int]:
+    """Compact the streaming dedup index (streaming/dedup_ingest.py
+    layout): ``bands/`` keeps its band_idx partitioning, ``sigs/`` is
+    flattened.  Returns the per-dataset file counts after compaction.
+    Verdicts are unaffected — the index is a set of rows; only file
+    boundaries change."""
+    return {
+        "bands": compact_parquet(
+            spark, f"{index_path}/bands", partition_by=["band_idx"]
+        ),
+        "sigs": compact_parquet(spark, f"{index_path}/sigs"),
+    }

@@ -1,0 +1,91 @@
+"""Small-file compaction (operators/maintenance.py): append-mode parquet
+datasets are rewritten to a bounded file count with identical rows,
+preserved partition layout, and a still-working consumer afterwards."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from csce438_distributed_password_cracker_spark.operators import maintenance
+from csce438_distributed_password_cracker_spark.streaming import dedup_ingest
+from tests.test_dedup_ingest import DOC_A, DOC_B, DOC_C, _docs
+
+
+def _rows(spark, path):
+    return {
+        tuple(tuple(v) if isinstance(v, list) else v for v in r)
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+def test_compact_parquet_flat(spark, tmp_path):
+    path = str(tmp_path / "flat")
+    # 3 appends × multiple tasks → many small files
+    for lo in (0, 100, 200):
+        spark.range(lo, lo + 50).repartition(8).write.mode("append").parquet(path)
+    before_files = maintenance.parquet_file_count(path)
+    before_rows = _rows(spark, path)
+    assert before_files >= 24
+
+    after_files = maintenance.compact_parquet(spark, path, num_files=2)
+    assert after_files <= 2
+    assert maintenance.parquet_file_count(path) == after_files
+    assert _rows(spark, path) == before_rows
+
+
+def test_compact_parquet_preserves_partition_layout(spark, tmp_path):
+    path = str(tmp_path / "parts")
+    df = spark.range(300).select(
+        (F.col("id") % 3).alias("p"), F.col("id").alias("v")
+    )
+    for _ in range(3):
+        df.repartition(8).write.mode("append").partitionBy("p").parquet(path)
+    before_rows = _rows(spark, path)
+    assert maintenance.parquet_file_count(path) > 6
+
+    after_files = maintenance.compact_parquet(
+        spark, path, partition_by=["p"], num_files=1
+    )
+    assert after_files <= 3  # ≤ num_files per partition dir × 3 dirs
+    assert _rows(spark, path) == before_rows
+    # hive layout intact: partition dirs still prunable
+    pruned = spark.read.parquet(path).filter(F.col("p") == 1)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(p#" in plan or "p#" in plan
+    assert pruned.count() == 300  # 100 p==1 rows × 3 appends
+
+
+def test_compact_parquet_missing_path_raises(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        maintenance.compact_parquet(spark, str(tmp_path / "nope"))
+
+
+def test_compact_dedup_index_preserves_verdicts(spark, tmp_path):
+    idx = str(tmp_path / "index")
+    dedup_ingest.build_dedup_index(_docs(spark, [(1, DOC_A), (2, DOC_B)]), idx)
+    # several appending batches grow the file count
+    dedup_ingest.ingest_batch(spark, _docs(spark, [(10, DOC_C)]), idx)
+    dedup_ingest.ingest_batch(
+        spark, _docs(spark, [(11, DOC_B + " extended with new tokens")]), idx
+    )
+    bands_rows = _rows(spark, f"{idx}/bands")
+    sigs_rows = _rows(spark, f"{idx}/sigs")
+    before = maintenance.parquet_file_count(f"{idx}/bands")
+
+    counts = maintenance.compact_dedup_index(spark, idx)
+    assert counts["bands"] < before
+    # index CONTENT is unchanged — only file boundaries moved
+    assert _rows(spark, f"{idx}/bands") == bands_rows
+    assert _rows(spark, f"{idx}/sigs") == sigs_rows
+
+    # the compacted index still serves probes: corpus dup found, novel admitted
+    verdict = {
+        r["id"]: (r["is_dup"], r["dup_of"])
+        for r in dedup_ingest.ingest_batch(
+            spark, _docs(spark, [(20, DOC_A), (21, "totally novel closing words")]), idx
+        ).collect()
+    }
+    assert verdict[20] == (True, 1)
+    assert verdict[21] == (False, None)
