@@ -12,6 +12,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLES = (
     "region",
@@ -37,12 +38,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        # events.parquet stores ts as TIMESTAMP(NANOS) which Spark's parquet
-        # reader rejects; read the raw int64 nanos and convert to a
-        # microsecond timestamp (floor — matches DuckDB's ns→us cast).
+        # Some driver generations store ts as TIMESTAMP(NANOS), which Spark's
+        # parquet reader rejects unless nanosAsLong is set; in that mode the
+        # column arrives as int64 nanos and is floored to a microsecond
+        # timestamp (matches DuckDB's ns→us cast).  Other generations store
+        # TIMESTAMP(MICROS), which reads as a timestamp directly — detect by
+        # the materialized dtype rather than assuming one layout.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 

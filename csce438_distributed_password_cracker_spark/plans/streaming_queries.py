@@ -31,9 +31,13 @@ SESSION_GAP_MS = 30 * 60 * 1000  # analog of the 5×2s epoch timeout
 # (lsp_server.c:31-35) scaled to the events table's minutes-apart cadence.
 
 
-def _audit_sql(ms_fn: str) -> str:
+def _audit_sql(ms_fn: str, ts: str = "ts") -> str:
     """T2+T3 fused audit; ``ms_fn`` = epoch-millis function name
-    (Spark unix_millis / DuckDB epoch_ms)."""
+    (Spark unix_millis / DuckDB epoch_ms).  ``ts`` = the timestamp
+    expression to feed it — Spark's unix_millis rejects TIMESTAMP_NTZ
+    (some driver generations write events.ts as NTZ micros), so the
+    Spark variant casts to TIMESTAMP, an identity re-tag under the
+    session's pinned UTC timezone (session.py)."""
     return f"""
     SELECT user_id,
            count(*) AS n_events,
@@ -45,9 +49,9 @@ def _audit_sql(ms_fn: str) -> str:
       SELECT user_id,
              event_id - lag(event_id) OVER
                (PARTITION BY user_id ORDER BY event_id) AS gap,
-             CASE WHEN lag({ms_fn}(ts)) OVER
+             CASE WHEN lag({ms_fn}({ts})) OVER
                          (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                    OR {ms_fn}(ts) - lag({ms_fn}(ts)) OVER
+                    OR {ms_fn}({ts}) - lag({ms_fn}({ts})) OVER
                          (PARTITION BY user_id ORDER BY ts, event_id)
                        > {SESSION_GAP_MS}
                   THEN 1 ELSE 0 END AS is_start
@@ -59,7 +63,7 @@ def _audit_sql(ms_fn: str) -> str:
 
 _sql_query(
     "q_stream_audit",
-    _audit_sql("unix_millis"),
+    _audit_sql("unix_millis", ts="cast(ts AS TIMESTAMP)"),
     oracle=_audit_sql("epoch_ms"),
     doc="T2+T3 fused per-connection audit, one scan: T3 seqnum "
     "dedup/ordering check (accept check lsp_server.c:241-249) as lag() "
