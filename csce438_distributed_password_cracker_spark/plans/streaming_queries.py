@@ -199,6 +199,14 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = tempfile.mkdtemp(prefix="seq_src_")
     ckpt = tempfile.mkdtemp(prefix="seq_ckpt_")
+    # The stateful shuffle's partition count is frozen into the checkpoint
+    # at stream start and every partition pays state-store + commit-log
+    # init per micro-batch — size it to the stream's key cardinality (a
+    # deliberate knob at ANY scale: a 100 TB deployment sizes it to its
+    # connection count, not to a batch-join default).  Fresh checkpoint
+    # each call, so setting it here is safe; restored after the drain.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         with open(f"{src}/msgs.json", "w") as f:
             for connid, seq in _SEQ_MSGS:
@@ -215,6 +223,7 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table("seq_audit_live").select("connid", "seqnum", "status")
