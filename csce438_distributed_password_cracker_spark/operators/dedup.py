@@ -177,12 +177,20 @@ def ngram_jaccard_pairs(
     ascending document frequency (rarest first) so prefixes hit the small
     buckets of a Zipfian vocabulary — at 100 TB, frequency ordering is what
     keeps the candidate join from exploding on stop-words.  A size filter
-    (t·max ≤ min) prunes further.  Survivors are verified with the exact
-    Jaccard expression.
+    (t·max ≤ min) prunes further, then the PPJoin POSITIONAL filter: a
+    shared prefix token at (0-based) positions p_a, p_b bounds the overlap
+    by ``1 + min(|A|−p_a−1, |B|−p_b−1)`` (everything before the shared
+    token in either ordered set is disjoint from the other's remainder in
+    the best case); J ≥ t needs overlap ≥ t·(|A|+|B|)/(1+t), so pairs whose
+    best (max over shared prefix tokens) bound falls short are dropped
+    BEFORE the verification joins — on repetitive/degenerate vocabularies
+    (synthetic corpora, boilerplate-heavy web text) this prunes the bulk
+    of the candidates the prefix join alone lets through.  Survivors are
+    verified with the exact Jaccard count join.
 
     Shuffle profile: explode-prefix join on token (hash shuffle, AQE
-    skew-split) + two joins back to the (id, token-set) table; no cross
-    join anywhere.
+    skew-split) + two joins back to the (id, token) rows; no cross join
+    anywhere.
     """
     tok = shingle_rows(df, id_col, text_col, n).withColumnRenamed("s", "t").distinct()
     dfreq = tok.groupBy("t").agg(F.count("*").alias("df"))
@@ -205,9 +213,30 @@ def ngram_jaccard_pairs(
             f"slice(sh, 1, size(sh) - CAST(ceil({threshold} * size(sh)) AS INT) + 1)"
         ).alias("prefix"),
     )
-    ex = pref.select("id", "sz", F.explode("prefix").alias("t"))
-    a = ex.select("t", F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    b = ex.select("t", F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    ex = pref.select(
+        "id", "sz", F.posexplode("prefix").alias("p", "t")
+    )
+    a = ex.select(
+        "t",
+        F.col("id").alias("id_a"),
+        F.col("sz").alias("sz_a"),
+        F.col("p").alias("p_a"),
+    )
+    b = ex.select(
+        "t",
+        F.col("id").alias("id_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("p").alias("p_b"),
+    )
+    # minimal integer overlap for J ≥ t: inter/(sa+sb−inter) ≥ t ⟺
+    # inter ≥ t·(sa+sb)/(1+t); the 1e-9 guards the ceil against double
+    # round-up on exact-integer boundaries
+    o_req = F.expr(
+        f"CAST(ceil({threshold} * (sz_a + sz_b) / (1 + {threshold}) - 1e-9) AS INT)"
+    )
+    ubound = F.lit(1) + F.least(
+        F.col("sz_a") - F.col("p_a") - 1, F.col("sz_b") - F.col("p_b") - 1
+    )
     cand = (
         a.join(b, "t")
         .filter(
@@ -217,15 +246,21 @@ def ngram_jaccard_pairs(
                 >= F.greatest("sz_a", "sz_b") * F.lit(threshold)
             )
         )
-        # sizes ride along (functionally dependent on the ids) so the
-        # verification step needs no size re-aggregation
+        .select("id_a", "id_b", "sz_a", "sz_b", ubound.alias("__ub"))
+        # the groupBy replaces the old .distinct() (same exchange) and the
+        # positional filter runs on its output: keep a pair only if its
+        # BEST shared-prefix-token bound can still reach the required
+        # overlap.  Sizes ride along (functionally dependent on the ids)
+        # so the verification step needs no size re-aggregation.
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.max("__ub").alias("__ub"))
+        .filter(F.col("__ub") >= o_req)
         .select(
             "id_a",
             "id_b",
             F.col("sz_a").alias("__sz_a"),
             F.col("sz_b").alias("__sz_b"),
         )
-        .distinct()
     )
     # verify by shingle-row counts, not by joining the assembled arrays:
     # the ordered arrays exist only to cut prefixes; carrying them through
