@@ -27,6 +27,12 @@ import random
 
 P31 = 2_147_483_647  # 2³¹ − 1, Mersenne prime
 
+# Multiplier for the band-key polynomial fold (minhash LSH portable mode):
+# acc = (acc·BAND_A + value) mod P31.  Any value < 2³¹ keeps the product
+# under 2⁵¹ (acc < P31, BAND_A ≈ 2²⁰), far from signed-int64 overflow in
+# either engine; a fold collision only adds a verified candidate pair.
+BAND_A = 1_000_003
+
 
 def md5_int_spark(expr: str, seed: int, hex_chars: int = 15) -> str:
     """Spark SQL: ``4·hex_chars``-bit integer from md5('<seed>:' || expr)."""

@@ -342,10 +342,13 @@ def minhash_lsh_pairs(
 
     ``portable=True`` switches the signature to the md5/universal-hash
     family (see :func:`minhash_signature`) and the band key from
-    ``xxhash64(slice)`` to the band's signature values joined as a string —
-    both recomputable in DuckDB, so the full candidate-generation +
-    verification pipeline has an exact SQL twin.  The string band key
-    widens the banding shuffle (vs one i64); production keeps the default.
+    ``xxhash64(slice)`` to an integer polynomial fold of the band's
+    signature values (``acc = (acc·A + m) mod 2³¹−1``) — both recomputable
+    in DuckDB, so the full candidate-generation + verification pipeline
+    has an exact SQL twin.  The fold stays a single i64 per banded row
+    (same shuffle width as production) and all-integer codegen; a fold
+    collision can only ADD a candidate pair (later exact-verified), never
+    lose one, so exactness is unaffected.
     """
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
@@ -355,13 +358,20 @@ def minhash_lsh_pairs(
     # cheap attribute columns, never the hash pipeline.
     sigs = minhash_signature(df, id_col, text_col, n, num_hashes, seed, portable)
     if portable:
-        # band key = the band's signature values themselves, '_'-joined —
-        # no hash function at all, so any engine can reproduce the key
-        band_expr = (
-            f"transform(sequence(0, {bands - 1}), b -> "
-            f"concat_ws('_', transform(slice(sig, b * {r} + 1, {r}), "
-            f"x -> CAST(x AS STRING))))"
-        )
+        # band key = polynomial fold of the band's signature values over
+        # p = 2³¹−1 (functions/porthash.py BAND_A multiplier): plain
+        # integer arithmetic both engines evaluate identically.  Built as
+        # one explicit nested expression per band (element_at accesses are
+        # codegen'd; an aggregate() HOF lambda would be interpreted).
+        from ..functions.porthash import BAND_A, P31
+
+        def fold(j: int) -> str:
+            acc = "CAST(0 AS BIGINT)"
+            for i in range(r):
+                acc = f"(({acc}) * {BAND_A} + sig[{j * r + i}]) % {P31}"
+            return acc
+
+        band_expr = f"array({', '.join(fold(j) for j in range(bands))})"
     else:
         # band hash = xxhash64 over the band's signature slice (array
         # hashing is native — no string assembly in the hot path)

@@ -237,6 +237,7 @@ def _sketch_oracle_sql(
     no bucket approaches the cap, so it is a no-op on the Spark side too.
     """
     from ..functions.porthash import (
+        BAND_A,
         P31,
         md5_60_duckdb,
         md5_int_duckdb,
@@ -249,11 +250,16 @@ def _sketch_oracle_sql(
         f"min((h * {a} + {b}) % {P31}) AS m{i}"
         for i, (a, b) in enumerate(coeffs)
     )
+    def _band_fold(j: int) -> str:
+        # same polynomial fold as the Spark side (operators/dedup.py
+        # minhash_lsh_pairs portable branch): acc = (acc·BAND_A + m) % P31
+        acc = "CAST(0 AS BIGINT)"
+        for i in range(r):
+            acc = f"(({acc}) * {BAND_A} + m{j * r + i}) % {P31}"
+        return acc
+
     band_cases = "\n          ".join(
-        "WHEN {j} THEN concat({parts})".format(
-            j=j, parts=", '_', ".join(f"m{j * r + i}" for i in range(r))
-        )
-        for j in range(bands)
+        f"WHEN {j} THEN {_band_fold(j)}" for j in range(bands)
     )
     bit_sums = ",\n             ".join(
         f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
