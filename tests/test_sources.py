@@ -43,3 +43,51 @@ def test_json_roundtrip(spark, sf_oracle, tmp_path):
     region.write.json(out)
     back = spark.read.json(out).select(*region.columns)  # json sorts keys
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, region.collect()))
+
+
+def test_events_ts_layout_drift(spark, tmp_path):
+    """The driver regenerates testdata between rounds and events.ts has
+    shipped as BOTH parquet TIMESTAMP(NANOS) (readable only via
+    nanosAsLong → int64) and TIMESTAMP(MICROS) (reads as a timestamp
+    directly).  load_table must normalize either layout to the same
+    queryable timestamp values instead of assuming one."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = {
+        "event_id": [1, 2, 3],
+        "ts": [
+            datetime.datetime(2026, 1, 1, 12, 0, 0),
+            datetime.datetime(2026, 1, 1, 12, 30, 0),
+            datetime.datetime(2026, 1, 2, 0, 15, 30),
+        ],
+        "user_id": [10, 11, 10],
+    }
+    got = {}
+    for unit in ("ns", "us"):
+        d = tmp_path / f"layout_{unit}"
+        d.mkdir()
+        tbl = pa.table(
+            {
+                "event_id": pa.array(rows["event_id"], type=pa.int64()),
+                "ts": pa.array(rows["ts"], type=pa.timestamp(unit)),
+                "user_id": pa.array(rows["user_id"], type=pa.int64()),
+            }
+        )
+        # version 2.6 preserves nanos physically (older versions coerce)
+        pq.write_table(tbl, str(d / "events.parquet"), version="2.6")
+        df = load_table(spark, str(d), "events")
+        assert df.schema["ts"].dataType.typeName().startswith("timestamp")
+        got[unit] = sorted(
+            df.select(
+                "event_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("t")
+            ).collect()
+        )
+    assert got["ns"] == got["us"]
+    assert [r["t"] for r in got["us"]] == [
+        "2026-01-01 12:00:00",
+        "2026-01-01 12:30:00",
+        "2026-01-02 00:15:30",
+    ]
