@@ -5,13 +5,14 @@ and prints ONE JSON line:
     {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is materialized through the noop sink (full execution, no
-driver-side collect cost) and timed BEST-OF-2: the first execution of a
-plan pays one-off whole-stage-codegen JIT (1-9s for the big multi-join
-pipelines) plus this box's 0.3-4s run-to-run jitter (BASELINE.md §C
-noise note), so single-shot timings attribute compiler warmup to
-whichever query runs first with a given plan shape — r1's
-q_dedup_jaccard "regression" (10.1s cold vs 2.5-3.4s warm) was exactly
-that.  Steady-state per-plan cost is what a resident 100 TB engine pays.
+driver-side collect cost) and timed BEST-OF-N (default 3, interleaved):
+the first execution of a plan pays one-off whole-stage-codegen JIT
+(1-9s for the big multi-join pipelines) plus this box's multi-second
+slow windows (BASELINE.md §C.2/§C.3 noise notes), so single-shot
+timings attribute compiler warmup and host weather to whichever query
+runs first with a given plan shape — r1's q_dedup_jaccard "regression"
+(10.1s cold vs 2.5-3.4s warm) was exactly that.  Steady-state per-plan
+cost is what a resident 100 TB engine pays.
 Set SPARK_GRAFT_BENCH_RUNS=1 to reproduce the single-shot numbers.
 """
 
@@ -46,7 +47,10 @@ def main() -> None:
     # runs of a query inside the same window — an interleaved second pass
     # lands ~minutes later, so per-query minima decorrelate from any single
     # window.  Pass 1 doubles as the per-plan codegen-JIT warmup.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # Three interleaved passes (≈7 min wall at sf0.1): this box's slow
+    # windows can span a whole pass, and per-query minima over three
+    # passes minutes apart shed one bad window entirely (BASELINE.md §C.3).
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     for _ in range(max(1, runs)):
         for name in sorted(corpus.REGISTRY):
             q = corpus.REGISTRY[name]
