@@ -1,5 +1,5 @@
 """Table maintenance for append-mode parquet datasets: small-file
-compaction.
+compaction and z-order clustering.
 
 Streaming ingest (streaming/dedup_ingest.py appends per micro-batch;
 any ``mode("append")`` sink behaves the same) accretes one file set per
@@ -25,7 +25,8 @@ from __future__ import annotations
 import shutil
 from pathlib import Path
 
-from pyspark.sql import SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def parquet_file_count(path: str) -> int:
@@ -78,6 +79,54 @@ def compact_parquet(
     Path(tmp).rename(src)
     shutil.rmtree(old, ignore_errors=True)
     return parquet_file_count(path)
+
+
+def zorder_column(
+    df: DataFrame, cols: list[str], bounds: dict[str, tuple[float, float]],
+    bits: int = 16,
+) -> Column:
+    """Z-order (Morton) value over ``cols``: each column is min-max
+    normalized to a ``bits``-bit integer using the supplied global
+    ``bounds``, then the columns' bits are interleaved, so sorting by the
+    result places rows close in EVERY clustered dimension into the same
+    neighborhood — and therefore the same parquet files, whose min/max
+    footer stats then prune range predicates on ANY of the columns, not
+    just the leading sort key.
+
+    Built as one codegen'd integer expression (``bits × n_cols`` shift
+    terms — 64 for 4×16, well inside codegen limits).  NULLs and values
+    outside the bounds clamp to the edge buckets.  Min-max bucketing is
+    one aggregate pass over the data; rank-based bucketing (quantiles)
+    handles heavy skew better but needs a sampling pass — min-max is the
+    right default for the roughly-uniform key domains of the test tables.
+    """
+    if not 1 <= len(cols) * bits <= 63:
+        raise ValueError("cols×bits must fit a signed 64-bit z-value")
+    k, top = len(cols), (1 << bits) - 1
+    norms = []
+    for c in cols:
+        lo, hi = bounds[c]
+        if hi <= lo:  # constant column: contributes nothing to the order
+            norms.append("CAST(0 AS BIGINT)")
+            continue
+        norms.append(
+            f"CAST(least(greatest((CAST({c} AS DOUBLE) - {lo!r}) / "
+            f"({hi!r} - {lo!r}), 0.0d), 1.0d) * {top} AS BIGINT)"
+        )
+    terms = [
+        f"(((__n{j} >> {i}) & 1) << {i * k + j})"
+        for i in range(bits)
+        for j in range(k)
+    ]
+    inner = ", ".join(
+        f"{n} AS __n{j}" for j, n in enumerate(norms)
+    )
+    # named_struct keeps each normalization evaluated once
+    return F.expr(
+        "CAST((SELECT " + " | ".join(terms) + " FROM (SELECT 1) WHERE FALSE) AS BIGINT)"
+    ) if False else F.expr(
+        f"(SELECT {' | '.join(terms)} FROM (VALUES ({inner.replace(' AS ', ', ').replace(', ,', '')})))"
+    )
 
 
 def compact_dedup_index(spark: SparkSession, index_path: str) -> dict[str, int]:
