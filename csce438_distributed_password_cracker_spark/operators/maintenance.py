@@ -94,11 +94,14 @@ def zorder_column(
     just the leading sort key.
 
     Built as one codegen'd integer expression (``bits × n_cols`` shift
-    terms — 64 for 4×16, well inside codegen limits).  NULLs and values
-    outside the bounds clamp to the edge buckets.  Min-max bucketing is
-    one aggregate pass over the data; rank-based bucketing (quantiles)
-    handles heavy skew better but needs a sampling pass — min-max is the
-    right default for the roughly-uniform key domains of the test tables.
+    terms — 64 for 4×16, well inside codegen limits; the normalization
+    sub-expressions are deterministic, so whole-stage codegen's
+    common-subexpression elimination evaluates each once).  NULLs and
+    values outside the bounds clamp to the edge buckets.  Min-max
+    bucketing is one aggregate pass over the data; rank-based bucketing
+    (quantiles) handles heavy skew better but needs a sampling pass —
+    min-max is the right default for the roughly-uniform key domains of
+    the test tables.
     """
     if not 1 <= len(cols) * bits <= 63:
         raise ValueError("cols×bits must fit a signed 64-bit z-value")
@@ -107,26 +110,19 @@ def zorder_column(
     for c in cols:
         lo, hi = bounds[c]
         if hi <= lo:  # constant column: contributes nothing to the order
-            norms.append("CAST(0 AS BIGINT)")
+            norms.append(F.lit(0).cast("long"))
             continue
-        norms.append(
-            f"CAST(least(greatest((CAST({c} AS DOUBLE) - {lo!r}) / "
-            f"({hi!r} - {lo!r}), 0.0d), 1.0d) * {top} AS BIGINT)"
+        frac = (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(
+            float(hi) - float(lo)
         )
-    terms = [
-        f"(((__n{j} >> {i}) & 1) << {i * k + j})"
-        for i in range(bits)
-        for j in range(k)
-    ]
-    inner = ", ".join(
-        f"{n} AS __n{j}" for j, n in enumerate(norms)
-    )
-    # named_struct keeps each normalization evaluated once
-    return F.expr(
-        "CAST((SELECT " + " | ".join(terms) + " FROM (SELECT 1) WHERE FALSE) AS BIGINT)"
-    ) if False else F.expr(
-        f"(SELECT {' | '.join(terms)} FROM (VALUES ({inner.replace(' AS ', ', ').replace(', ,', '')})))"
-    )
+        clamped = F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0))
+        norms.append(F.coalesce((clamped * top).cast("long"), F.lit(0)))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, n in enumerate(norms):
+            bit = F.shiftright(n, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * k + j))
+    return z
 
 
 def compact_dedup_index(spark: SparkSession, index_path: str) -> dict[str, int]:

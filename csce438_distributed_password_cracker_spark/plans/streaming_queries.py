@@ -34,10 +34,9 @@ SESSION_GAP_MS = 30 * 60 * 1000  # analog of the 5×2s epoch timeout
 def _audit_sql(ms_fn: str, ts: str = "ts") -> str:
     """T2+T3 fused audit; ``ms_fn`` = epoch-millis function name
     (Spark unix_millis / DuckDB epoch_ms).  ``ts`` = the timestamp
-    expression to feed it — Spark's unix_millis rejects TIMESTAMP_NTZ
-    (some driver generations write events.ts as NTZ micros), so the
-    Spark variant casts to TIMESTAMP, an identity re-tag under the
-    session's pinned UTC timezone (session.py)."""
+    expression to feed it (catalog.load_table normalizes events.ts to
+    TIMESTAMP for every parquet layout, so no per-query cast is
+    needed)."""
     return f"""
     SELECT user_id,
            count(*) AS n_events,
@@ -63,7 +62,7 @@ def _audit_sql(ms_fn: str, ts: str = "ts") -> str:
 
 _sql_query(
     "q_stream_audit",
-    _audit_sql("unix_millis", ts="cast(ts AS TIMESTAMP)"),
+    _audit_sql("unix_millis"),
     oracle=_audit_sql("epoch_ms"),
     doc="T2+T3 fused per-connection audit, one scan: T3 seqnum "
     "dedup/ordering check (accept check lsp_server.c:241-249) as lag() "

@@ -89,3 +89,59 @@ def test_compact_dedup_index_preserves_verdicts(spark, tmp_path):
     }
     assert verdict[20] == (True, 1)
     assert verdict[21] == (False, None)
+
+def _morton(vals, bounds, bits):
+    """Reference Morton encoder: min-max normalize then interleave bits."""
+    top = (1 << bits) - 1
+    z = 0
+    k = len(vals)
+    for j, (v, (lo, hi)) in enumerate(zip(vals, bounds)):
+        if hi <= lo:
+            n = 0
+        else:
+            frac = min(max((float(v) - lo) / (hi - lo), 0.0), 1.0)
+            n = int(frac * top)
+        for i in range(bits):
+            z |= ((n >> i) & 1) << (i * k + j)
+    return z
+
+
+def test_zorder_column_matches_reference_morton(spark):
+    bounds = {"x": (0.0, 15.0), "y": (0.0, 15.0)}
+    df = spark.range(16).select(
+        (F.col("id") % 4 * 5).alias("x"), (F.col("id") / 3).cast("long").alias("y")
+    )
+    z = maintenance.zorder_column(df, ["x", "y"], bounds, bits=4)
+    got = {(r["x"], r["y"]): r["z"] for r in df.withColumn("z", z).collect()}
+    for (x, y), zv in got.items():
+        assert zv == _morton([x, y], [bounds["x"], bounds["y"]], 4), (x, y)
+
+
+def test_zorder_sort_clusters_both_dimensions(spark):
+    # 8×8 grid; sorting by z-value must place spatial neighbors in the
+    # same half of the output far more often than a single-key sort would
+    # for the trailing key.
+    df = spark.range(64).select(
+        (F.col("id") % 8).alias("x"), (F.col("id") / 8).cast("long").alias("y")
+    )
+    bounds = {"x": (0.0, 7.0), "y": (0.0, 7.0)}
+    z = maintenance.zorder_column(df, ["x", "y"], bounds, bits=3)
+    rows = df.withColumn("z", z).orderBy("z").collect()
+    # nulls / out-of-bounds clamp rather than error
+    edge = spark.createDataFrame(
+        [(None, 100.0), (-5.0, 3.0)], "x double, y double"
+    )
+    edge_z = maintenance.zorder_column(edge, ["x", "y"], bounds, bits=3)
+    assert edge.withColumn("z", edge_z).count() == 2
+    # quadrant locality: first 16 rows of the z-order are exactly the
+    # low-low quadrant (x<4, y<4) — the defining Morton property
+    first = rows[:16]
+    assert all(r["x"] < 4 and r["y"] < 4 for r in first)
+
+
+def test_zorder_rejects_overflow(spark):
+    import pytest
+
+    df = spark.range(1).select(F.col("id").alias("x"))
+    with pytest.raises(ValueError):
+        maintenance.zorder_column(df, ["x"] * 4, {"x": (0, 1)}, bits=16)

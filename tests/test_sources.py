@@ -79,7 +79,8 @@ def test_events_ts_layout_drift(spark, tmp_path):
         # version 2.6 preserves nanos physically (older versions coerce)
         pq.write_table(tbl, str(d / "events.parquet"), version="2.6")
         df = load_table(spark, str(d), "events")
-        assert df.schema["ts"].dataType.typeName().startswith("timestamp")
+        # one dtype for every layout: TIMESTAMP, never TIMESTAMP_NTZ
+        assert df.schema["ts"].dataType.typeName() == "timestamp"
         got[unit] = sorted(
             df.select(
                 "event_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("t")
