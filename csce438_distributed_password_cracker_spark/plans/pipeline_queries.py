@@ -381,13 +381,32 @@ def _sketch_oracle_sql(
     "(md5-60, functions/porthash.py) so the whole pipeline — signatures, "
     "banding, candidate join, verification — has the exact DuckDB twin in "
     "_sketch_oracle_sql; the operators' production default stays on "
-    "xxhash64 (cheaper; covered by tests/test_dedup.py).",
+    "xxhash64 (cheaper; covered by tests/test_dedup.py), and that mode "
+    "is what bench.py times (q_dedup_sketch_production below).",
 )
 def q_dedup_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sketch_battery(spark, sf_dir, portable=True)
+
+
+def q_dedup_sketch_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only twin of q_dedup_sketch in PRODUCTION hash mode
+    (xxhash64 family, the operators' default) — what a deployment runs;
+    the md5-60 portable family exists only to give the gate a DuckDB
+    twin and costs ~2× more.  Identical plan shape (signatures, banding,
+    candidate equality-join, verification); only the hash kernel
+    differs, so the bench number tracks the configuration users pay for
+    while the gate keeps the portable query.  Not registered: pair
+    scores differ across hash families by construction, so there is no
+    portable oracle for this mode (its correctness is covered by
+    tests/test_dedup.py's exact-Jaccard and hamming assertions)."""
+    return _sketch_battery(spark, sf_dir, portable=False)
+
+
+def _sketch_battery(spark: SparkSession, sf_dir: str, portable: bool) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     mh = dedup.minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.8,
-        portable=True,
+        portable=portable,
     ).select(
         F.lit("minhash").alias("method"),
         "id_a",
@@ -396,7 +415,7 @@ def q_dedup_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("jaccard").cast("double").alias("score"),
     )
     sh = dedup.simhash_near_pairs(
-        docs, "doc_id", "text", max_hamming=3, portable=True
+        docs, "doc_id", "text", max_hamming=3, portable=portable
     ).select(
         F.lit("simhash").alias("method"),
         "id_a",
@@ -404,7 +423,7 @@ def q_dedup_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("hash_val"),
         F.col("hamming").cast("double").alias("score"),
     )
-    fp = textops.fingerprint(docs, "doc_id", "text", portable=True).select(
+    fp = textops.fingerprint(docs, "doc_id", "text", portable=portable).select(
         F.lit("fingerprint").alias("method"),
         F.col("doc_id").alias("id_a"),
         F.lit(None).cast(docs.schema["doc_id"].dataType).alias("id_b"),

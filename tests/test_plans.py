@@ -137,3 +137,18 @@ def test_bucketed_join_no_exchange(spark, sf_oracle):
     assert tree.count("Exchange") == 0
     assert tree.count("SortMergeJoin") == 1
     assert "Bucketed: true" in p
+
+
+def test_sketch_production_twin_same_shape(spark, sf_oracle):
+    """The bench-only production-mode sketch battery (xxhash64) must keep
+    the gate query's schema and plan shape — only the hash kernel
+    differs.  Guards the bench override in bench.py from drifting away
+    from what the gate checks."""
+    from csce438_distributed_password_cracker_spark.plans import pipeline_queries
+
+    gate = corpus.REGISTRY["q_dedup_sketch"].fn(spark, sf_oracle)
+    prod = pipeline_queries.q_dedup_sketch_production(spark, sf_oracle)
+    assert prod.schema == gate.schema
+    # same method labels present, and the battery actually produces rows
+    methods = {r["method"] for r in prod.select("method").distinct().collect()}
+    assert methods == {"minhash", "simhash", "fingerprint"}
