@@ -507,23 +507,58 @@ _sql_query(
 @register(
     "q_multimodal_features",
     oracle="""
-    SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           sha256(text) AS content_hash
-    FROM documents
+    SELECT doc_id, 'png' AS media_type,
+           CAST(4 + n_chars % 13 AS INT) AS width,
+           CAST(3 + doc_id % 7 AS INT) AS height,
+           CAST(NULL AS INT) AS sample_rate,
+           CAST(NULL AS INT) AS n_frames,
+           CAST(NULL AS BIGINT) AS duration_us,
+           CAST(list_sum(list_transform(
+             range((4 + n_chars % 13) * (3 + doc_id % 7)),
+             i -> (doc_id*31 + i) % 256)) AS BIGINT) AS sum_val,
+           CAST(list_min(list_transform(
+             range((4 + n_chars % 13) * (3 + doc_id % 7)),
+             i -> (doc_id*31 + i) % 256)) AS BIGINT) AS min_val,
+           CAST(list_max(list_transform(
+             range((4 + n_chars % 13) * (3 + doc_id % 7)),
+             i -> (doc_id*31 + i) % 256)) AS BIGINT) AS max_val
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, 'wav' AS media_type,
+           CAST(NULL AS INT) AS width,
+           CAST(NULL AS INT) AS height,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(64 + n_chars % 128 AS INT) AS n_frames,
+           CAST((64 + n_chars % 128) * 125 AS BIGINT) AS duration_us,
+           CAST(list_sum(list_transform(
+             range(64 + n_chars % 128),
+             i -> (doc_id*7 + i*13) % 2048 - 1024)) AS BIGINT) AS sum_val,
+           CAST(list_min(list_transform(
+             range(64 + n_chars % 128),
+             i -> (doc_id*7 + i*13) % 2048 - 1024)) AS BIGINT) AS min_val,
+           CAST(list_max(list_transform(
+             range(64 + n_chars % 128),
+             i -> (doc_id*7 + i*13) % 2048 - 1024)) AS BIGINT) AS max_val
+    FROM documents WHERE doc_id % 2 = 1
     """,
-    doc="E4: binary payload → feature extraction via Arrow-batched "
-    "mapInPandas (decode kernel stubbed — no codec libs in container; "
-    "plumbing real).  content_hash computed by Python hashlib must equal "
-    "DuckDB's sha256 over the same bytes: a cross-language byte-fidelity "
-    "check of the Arrow binary path.",
+    doc="E4: REAL multimodal decode, closed-loop against an independent "
+    "oracle.  Spark synthesizes genuine binaries from documents — even "
+    "doc_ids an 8-bit grayscale PNG (zlib IDAT, CRC-framed chunks), odd "
+    "doc_ids a 16-bit mono PCM WAV — then decodes them with the "
+    "pure-stdlib codecs in operators/multimodal.py (chunk walk + CRC "
+    "check + defilter; wave/struct) and reports decoded geometry, timing "
+    "and pixel/sample statistics.  The synthesis parameters are "
+    "closed-form in (doc_id, n_chars), so DuckDB recomputes every "
+    "expected feature WITHOUT touching the bytes: any corruption in "
+    "encoder, decoder, or the Arrow binary path breaks the hash match.  "
+    "Both encode and decode run distributed in Arrow-batched mapInPandas "
+    "with pre-Python column pruning — payload bytes never concentrate on "
+    "the driver (the 100 TB shape).",
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    media = multimodal.attach_fake_media(docs, "doc_id", "text")
-    return multimodal.extract_features(media).select(
-        "doc_id", "n_bytes", "content_hash"
-    )
+    media = multimodal.synthesize_media(docs)
+    return multimodal.decode_media(media)
 
 
 def _ann_oracle_sql(

@@ -70,3 +70,121 @@ def test_frame_sample(spark):
     frames = multimodal.frame_sample(media, every_n=3)
     got = sorted(r["frame_idx"] for r in frames.collect())
     assert got == [0, 3, 6, 9]
+
+# ---------------------------------------------------------------------------
+# Real pure-stdlib codecs (PNG / WAV) + synth→decode closed loop
+# ---------------------------------------------------------------------------
+
+
+def test_png_codec_roundtrip_local():
+    px = bytes((i * 7 + 3) % 256 for i in range(11 * 5))
+    blob = multimodal.png_encode(11, 5, px)
+    assert blob[:8] == multimodal.PNG_MAGIC
+    w, h, got = multimodal.png_decode(blob)
+    assert (w, h, got) == (11, 5, px)
+
+
+def test_png_decode_defilters_sub_and_up():
+    """The decoder is a real (subset) decoder: it must undo Sub/Up
+    scanline filters, not just the filter-0 rows our encoder emits."""
+    import struct as st
+    import zlib as zl
+
+    # hand-build a 3x2 PNG with row0 filter=1 (Sub), row1 filter=2 (Up)
+    pixels = [[10, 20, 30], [15, 25, 35]]
+    row0 = bytes([1, 10, 10, 10])          # Sub deltas for 10,20,30
+    row1 = bytes([2, 5, 5, 5])             # Up deltas vs row0
+    raw = row0 + row1
+
+    def chunk(tag, data):
+        return (
+            st.pack(">I", len(data)) + tag + data
+            + st.pack(">I", zl.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    blob = (
+        multimodal.PNG_MAGIC
+        + chunk(b"IHDR", st.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zl.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    w, h, got = multimodal.png_decode(blob)
+    assert (w, h) == (3, 2)
+    assert list(got) == pixels[0] + pixels[1]
+
+
+def test_png_decode_rejects_corruption():
+    import pytest
+
+    blob = bytearray(multimodal.png_encode(4, 3, bytes(range(12))))
+    blob[20] ^= 0xFF  # flip a byte inside IHDR -> CRC must catch it
+    with pytest.raises(ValueError):
+        multimodal.png_decode(bytes(blob))
+    with pytest.raises(ValueError):
+        multimodal.png_decode(b"not a png at all")
+
+
+def test_wav_codec_roundtrip_local():
+    samples = [(i * 13) % 2048 - 1024 for i in range(100)]
+    blob = multimodal.wav_encode(8000, samples)
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+    rate, n, got = multimodal.wav_decode(blob)
+    assert (rate, n, got) == (8000, 100, samples)
+
+
+def test_synthesize_and_decode_media_closed_loop(spark):
+    df = spark.createDataFrame(
+        [(0, 10), (1, 10), (2, 25), (7, 300)], "doc_id LONG, n_chars LONG"
+    )
+    media = multimodal.synthesize_media(df)
+    decoded = {r["doc_id"]: r for r in multimodal.decode_media(media).collect()}
+    # even ids -> png with closed-form geometry; odd -> wav with timing
+    assert decoded[0]["media_type"] == "png"
+    assert (decoded[0]["width"], decoded[0]["height"]) == (4 + 10 % 13, 3 + 0 % 7)
+    assert decoded[2]["media_type"] == "png"
+    assert (decoded[2]["width"], decoded[2]["height"]) == (4 + 25 % 13, 3 + 2 % 7)
+    assert decoded[1]["media_type"] == "wav"
+    assert decoded[1]["sample_rate"] == 8000
+    assert decoded[1]["n_frames"] == 64 + 10 % 128
+    assert decoded[1]["duration_us"] == (64 + 10 % 128) * 125
+    # pixel statistics equal an independent Python recomputation
+    w, h = decoded[2]["width"], decoded[2]["height"]
+    px = [(2 * 31 + i) % 256 for i in range(w * h)]
+    assert decoded[2]["sum_val"] == sum(px)
+    assert decoded[2]["min_val"] == min(px)
+    assert decoded[2]["max_val"] == max(px)
+    sm = [(7 * 7 + i * 13) % 2048 - 1024 for i in range(64 + 300 % 128)]
+    assert decoded[7]["sum_val"] == sum(sm)
+    assert (decoded[7]["min_val"], decoded[7]["max_val"]) == (min(sm), max(sm))
+
+
+def test_extract_features_decodes_real_media(spark):
+    df = spark.createDataFrame([(0, 20), (1, 20)], "doc_id LONG, n_chars LONG")
+    media = multimodal.synthesize_media(df)
+    feats = {
+        r["doc_id"]: r["feature"]
+        for r in multimodal.extract_features(media).collect()
+    }
+    assert feats[0][0] == 1.0  # png-decoded, not byte-stats
+    assert feats[0][1] == 4 + 20 % 13 and feats[0][2] == 3.0
+    assert feats[1][0] == 2.0  # wav-decoded
+    assert feats[1][1] == 8000.0
+
+
+def test_resize_png_real_nearest_neighbor(spark):
+    px = bytes(range(8 * 4))
+    df = spark.createDataFrame(
+        [(1, bytearray(multimodal.png_encode(8, 4, px)),
+          {"media_type": "image", "width": 8, "height": 4,
+           "sample_rate": None, "n_frames": 1})],
+        "doc_id LONG, payload BINARY, "
+        "meta STRUCT<media_type STRING, width INT, height INT, "
+        "sample_rate INT, n_frames INT>",
+    )
+    out = multimodal.resize(df, 4, 2).collect()[0]
+    assert out["meta"]["width"] == 4 and out["meta"]["height"] == 2
+    w, h, got = multimodal.png_decode(bytes(out["payload"]))
+    assert (w, h) == (4, 2)
+    # nearest-neighbor: sampled from the source grid at stride 2
+    expect = bytes(px[(y * 2) * 8 + (x * 2)] for y in range(2) for x in range(4))
+    assert got == expect
