@@ -1,0 +1,171 @@
+"""Continuous-mode streaming soak (reference analog: the always-on server
+loop, server.c:477-505, with its 10 s failure detector).
+
+Unlike tests/test_streaming_chaos.py (which drains a fixed directory with
+``trigger(availableNow=True)``), this runs `start_request_stream` with
+``available_now=False`` — a LIVE stream tailing a directory that GROWS
+while the query runs — and asserts:
+
+1. steady-state multi-batch progress (≥2 micro-batches with input rows,
+   sink grows as new request files land);
+2. chaos recovery on the live stream: every keyspace scan fails its
+   first attempt of partition 0, so EVERY micro-batch exercises task
+   retry mid-stream and must still produce correct verdicts;
+3. restart-from-checkpoint: the query is stopped mid-run and restarted
+   against the same checkpoint + sink, new requests keep flowing, and
+   the sink holds EXACTLY one verdict per request — no reprocessing
+   duplicates, no losses (exactly-once file-source accounting).
+
+Needs task retries (`local[N, maxFailures]`), so it runs in a subprocess
+with its own session, like tests/test_divergence.py.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+import textwrap
+
+SOAK_SCRIPT = textwrap.dedent(
+    """
+    import hashlib
+    import json
+    import shutil
+    import sys
+    import tempfile
+    import time
+
+    sys.path.insert(0, "/root/repo")
+    from pyspark import TaskContext
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[4, 2]")
+        .appName("streaming-soak")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import csce438_distributed_password_cracker_spark.streaming.requests as R
+
+    retries = spark.sparkContext.accumulator(0)
+    orig_keyspace = R.keyspace
+
+    def chaos_keyspace(spark, width, *a, **k):
+        ks = orig_keyspace(spark, width, *a, **k)
+
+        def flaky(batches):
+            ctx = TaskContext.get()
+            if ctx.partitionId() == 0:
+                if ctx.attemptNumber() == 0:
+                    raise RuntimeError("simulated worker death mid-stream")
+                retries.add(1)
+            for b in batches:
+                yield b
+
+        return ks.mapInPandas(flaky, ks.schema)
+
+    R.keyspace = chaos_keyspace  # every micro-batch pays one task retry
+
+    def req(rid, word=None):
+        h = (hashlib.sha256(word.encode()).hexdigest() if word
+             else hashlib.sha256(b"NO SUCH").hexdigest())
+        return json.dumps({"request_id": rid, "hash": h, "width": 3})
+
+    src = tempfile.mkdtemp(prefix="soak_src_")
+    ckpt = tempfile.mkdtemp(prefix="soak_ckpt_")
+    spark.sql("DROP TABLE IF EXISTS soak_verdicts")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(wh + "/soak_verdicts", ignore_errors=True)
+
+    def sink_ids():
+        try:
+            # the driver-side poll caches the table's file index; refresh so
+            # appends from the stream's foreachBatch become visible
+            spark.catalog.refreshTable("soak_verdicts")
+            return sorted(
+                r["request_id"] for r in spark.table("soak_verdicts").collect()
+            )
+        except Exception:   # table not created yet / transient file listing
+            return []
+
+    def await_ids(expect, q, deadline_s=120):
+        t0 = time.time()
+        while time.time() - t0 < deadline_s:
+            got = sink_ids()
+            if got == expect:
+                return got
+            if q.exception() is not None:
+                raise AssertionError("query died: %s" % q.exception())
+            time.sleep(0.5)
+        raise AssertionError("timeout waiting for %s, have %s" % (expect, sink_ids()))
+
+    # ---- phase 1: live stream over a growing directory -------------------
+    with open(src + "/b1.json", "w") as f:
+        f.write(req(1, "qed") + "\\n")
+        f.write(req(2) + "\\n")
+    q = R.start_request_stream(
+        spark, src, ckpt, sink_table="soak_verdicts",
+        hash_func="sha256", available_now=False,
+    )
+    await_ids([1, 2], q)
+
+    with open(src + "/b2.json", "w") as f:
+        f.write(req(3, "abc") + "\\n")
+    await_ids([1, 2, 3], q)
+
+    with open(src + "/b3.json", "w") as f:
+        f.write(req(4) + "\\n")
+        f.write(req(5, "zz") + "\\n")   # width mismatch -> honest miss
+    await_ids([1, 2, 3, 4, 5], q)
+
+    assert q.isActive, "stream should still be tailing the directory"
+    live_batches = {
+        p["batchId"] for p in q.recentProgress if p["numInputRows"] > 0
+    }
+    assert len(live_batches) >= 3, (
+        "expected >=3 distinct data batches, saw %s" % sorted(live_batches))
+    q.stop()
+    q.awaitTermination()
+
+    # ---- phase 2: restart from checkpoint, keep flowing ------------------
+    with open(src + "/b4.json", "w") as f:
+        f.write(req(6, "xyz") + "\\n")
+    q2 = R.start_request_stream(
+        spark, src, ckpt, sink_table="soak_verdicts",
+        hash_func="sha256", available_now=False,
+    )
+    await_ids([1, 2, 3, 4, 5, 6], q2)
+    q2.stop()
+    q2.awaitTermination()
+
+    rows = {r["request_id"]: (r["found"], r["password"], r["reply"])
+            for r in spark.table("soak_verdicts").collect()}
+    n_rows = spark.table("soak_verdicts").count()
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    # exactly-once: one verdict per request, none reprocessed after restart
+    assert n_rows == 6, "duplicate/lost verdicts: %d rows" % n_rows
+    assert rows[1] == (True, "qed", "f qed"), rows
+    assert rows[2] == (False, None, "x"), rows
+    assert rows[3] == (True, "abc", "f abc"), rows
+    assert rows[4] == (False, None, "x"), rows
+    assert rows[5] == (False, None, "x"), rows   # "zz" is width 2, space is 3
+    assert rows[6] == (True, "xyz", "f xyz"), rows  # answered post-restart
+    assert retries.value >= 3, "chaos injection fired %d times" % retries.value
+    print("SOAK_OK batches=%d retried_tasks=%d" % (len(live_batches), retries.value))
+    """
+)
+
+
+def test_live_stream_soak_growing_dir_chaos_and_restart():
+    out = subprocess.run(
+        [sys.executable, "-c", SOAK_SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert "SOAK_OK" in out.stdout, out.stdout + out.stderr
