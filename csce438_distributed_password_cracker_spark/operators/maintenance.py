@@ -127,13 +127,16 @@ def zorder_column(
 
 def compact_dedup_index(spark: SparkSession, index_path: str) -> dict[str, int]:
     """Compact the streaming dedup index (streaming/dedup_ingest.py
-    layout): ``bands/`` keeps its band_idx partitioning, ``sigs/`` is
-    flattened.  Returns the per-dataset file counts after compaction.
-    Verdicts are unaffected — the index is a set of rows; only file
-    boundaries change."""
+    layout): ``bands/`` keeps its partition layout — (band_idx,
+    band_bucket), or legacy band_idx-only — and ``sigs/`` is flattened.
+    Returns the per-dataset file counts after compaction.  Verdicts are
+    unaffected — the index is a set of rows; only file boundaries
+    change."""
+    band_cols = spark.read.parquet(f"{index_path}/bands").columns
+    part_by = [c for c in ("band_idx", "band_bucket") if c in band_cols]
     return {
         "bands": compact_parquet(
-            spark, f"{index_path}/bands", partition_by=["band_idx"]
+            spark, f"{index_path}/bands", partition_by=part_by
         ),
         "sigs": compact_parquet(spark, f"{index_path}/sigs"),
     }

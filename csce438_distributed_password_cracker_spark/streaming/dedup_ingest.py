@@ -6,16 +6,21 @@ batch is checked against the index and only novel documents are admitted
 and indexed).
 
 Index layout (parquet under ``index_path``):
-  bands/  (band_idx int, band_hash long, id long)  partitioned by band_idx
+  bands/  (band_hash long, id long)  partitioned by (band_idx,
+          band_bucket) where band_bucket = pmod(band_hash, BAND_BUCKETS)
   sigs/   (id long, sig array<bigint>)
 
 Probe shape: an incoming micro-batch is tiny relative to the corpus, so
 its band rows are **broadcast** against the index's band table — a
-broadcast hash join, no shuffle of the corpus side.  At cluster scale the
-band table should additionally be bucketed by ``band_hash`` so the probe
-reads only matching buckets; partitioning by ``band_idx`` alone keeps
-directory counts trivial (``bands`` dirs, not ``bands × hash`` dirs) and
-lets a per-band probe prune at planning time.
+broadcast hash join, no shuffle of the corpus side.  The band table is
+additionally sub-partitioned by ``band_bucket`` (a fixed modulus of
+``band_hash``), and the probe derives the batch's distinct
+(band_idx, band_bucket) pairs (≤ bands × BAND_BUCKETS literals) into a
+partition-column predicate, so the scan PRUNES to matching bucket
+directories at planning time instead of reading whole band partitions.
+Directory count stays bounded (bands × BAND_BUCKETS dirs); the finer
+layout writes proportionally more small files per append — bounded by
+operators/maintenance.compact_dedup_index, same as before.
 
 Duplicate verdicts use the MinHash similarity ESTIMATE (fraction of equal
 signature components — the textbook unbiased estimator of Jaccard), not
@@ -40,6 +45,10 @@ from ..operators.dedup import minhash_signature
 
 BANDS = 16
 NUM_HASHES = 64
+# band_hash sub-partitioning modulus: bands × BAND_BUCKETS directories
+# total (16×8 = 128 — trivial listing cost), and a probe that hits k of
+# them reads k/128 of the index instead of its full band partitions.
+BAND_BUCKETS = 8
 
 VERDICT_SCHEMA = (
     "id long, is_dup boolean, dup_of long, est_jaccard double"
@@ -68,7 +77,8 @@ def _sig_and_bands(
     bands: int = BANDS,
     seed: int = 42,
 ) -> tuple[DataFrame, DataFrame]:
-    """(sigs(id, sig), band_rows(id, band_idx, band_hash)) for a doc set."""
+    """(sigs(id, sig), band_rows(id, band_idx, band_hash, band_bucket))
+    for a doc set."""
     r = num_hashes // bands
     sigs = minhash_signature(docs, id_col, text_col, n, num_hashes, seed)
     band_rows = sigs.select(
@@ -79,7 +89,7 @@ def _sig_and_bands(
                 f"xxhash64(slice(sig, b * {r} + 1, {r}), b))"
             )
         ).alias("band_idx", "band_hash"),
-    )
+    ).withColumn("band_bucket", F.pmod("band_hash", F.lit(BAND_BUCKETS)))
     return sigs, band_rows
 
 
@@ -94,9 +104,9 @@ def build_dedup_index(
     Runs once per corpus version; every subsequent batch probes it."""
     sigs, band_rows = _sig_and_bands(docs, id_col, text_col, **params)
     (
-        band_rows.repartition("band_idx")
+        band_rows.repartition("band_idx", "band_bucket")
         .write.mode("overwrite")
-        .partitionBy("band_idx")
+        .partitionBy("band_idx", "band_bucket")
         .parquet(f"{index_path}/bands")
     )
     sigs.write.mode("overwrite").parquet(f"{index_path}/sigs")
@@ -106,6 +116,38 @@ def _index_exists(spark: SparkSession, index_path: str) -> bool:
     from pathlib import Path
 
     return (Path(index_path) / "sigs" / "_SUCCESS").exists()
+
+
+def _pruned_index_bands(
+    spark: SparkSession, index_path: str, band_rows: DataFrame
+) -> DataFrame:
+    """The index band table, PRUNED to the partition directories the
+    batch can possibly match.
+
+    The batch's distinct (band_idx, band_bucket) pairs are a tiny set
+    (≤ bands × BAND_BUCKETS; band_rows is already localCheckpointed, so
+    this is one sub-second job on batch-sized data) inlined as a
+    partition-column predicate — the scan prunes at planning time
+    (PartitionFilters in the FileSourceScan), reading k matching bucket
+    dirs instead of every band partition.  Indexes written before the
+    band_bucket layout (no such partition column) fall back to the
+    unpruned scan."""
+    idx_bands = spark.read.parquet(f"{index_path}/bands")
+    if "band_bucket" not in idx_bands.columns:
+        return idx_bands
+    pairs = sorted(
+        (r["band_idx"], r["band_bucket"])
+        for r in band_rows.select("band_idx", "band_bucket")
+        .distinct()
+        .collect()
+    )
+    if not pairs:
+        return idx_bands.filter(F.lit(False))
+    cond = None
+    for b_idx, b_bkt in pairs:
+        term = (F.col("band_idx") == b_idx) & (F.col("band_bucket") == b_bkt)
+        cond = term if cond is None else cond | term
+    return idx_bands.filter(cond)
 
 
 def ingest_batch(
@@ -131,7 +173,7 @@ def ingest_batch(
 
     cand_sides = []
     if _index_exists(spark, index_path):
-        idx_bands = spark.read.parquet(f"{index_path}/bands")
+        idx_bands = _pruned_index_bands(spark, index_path, band_rows)
         idx_sigs = spark.read.parquet(f"{index_path}/sigs")
         # batch side broadcast: the corpus-side band table is never shuffled
         corpus_cand = (
@@ -194,9 +236,9 @@ def ingest_batch(
     uniques = verdict.filter(~F.col("is_dup")).select("id")
     (
         band_rows.join(uniques, "id")
-        .repartition("band_idx")
+        .repartition("band_idx", "band_bucket")
         .write.mode("append")
-        .partitionBy("band_idx")
+        .partitionBy("band_idx", "band_bucket")
         .parquet(f"{index_path}/bands")
     )
     sigs.join(uniques, "id").write.mode("append").parquet(f"{index_path}/sigs")

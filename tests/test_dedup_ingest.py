@@ -90,3 +90,48 @@ def test_dedup_ingest_stream_end_to_end(spark, tmp_path):
         assert out == {1: (False, None), 2: (True, 1), 3: (False, None)}
     finally:
         spark.sql("DROP TABLE IF EXISTS dedup_verdicts_test")
+
+
+def test_probe_prunes_band_buckets_at_planning_time(spark, tmp_path):
+    """The band table is partitioned by (band_idx, band_bucket) and a
+    probe must PRUNE to the batch's bucket directories in the
+    FileSourceScan (planning-time partition pruning), reading strictly
+    fewer files than the full index — with verdicts unchanged."""
+    idx = str(tmp_path / "index")
+    corpus = _docs(spark, [(i, f"{DOC_A} variant {i} " + "pad " * i) for i in range(8)])
+    dedup_ingest.build_dedup_index(corpus, idx)
+
+    # layout: hive dirs for both partition levels exist
+    import pathlib
+
+    band_dirs = list(pathlib.Path(idx, "bands").glob("band_idx=*/band_bucket=*"))
+    assert band_dirs, "expected band_idx=*/band_bucket=* partition dirs"
+
+    batch = _docs(spark, [(100, DOC_A)])
+    sigs, band_rows = dedup_ingest._sig_and_bands(batch, "doc_id", "text")
+    band_rows = band_rows.localCheckpoint(eager=True)
+    pruned = dedup_ingest._pruned_index_bands(spark, idx, band_rows)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "band_bucket" in plan.split("PartitionFilters")[1][:400]
+
+    # the pruned scan reads <= the batch's bucket count, < the full index
+    n_pairs = band_rows.select("band_idx", "band_bucket").distinct().count()
+    n_read = pruned.select("band_idx", "band_bucket").distinct().count()
+    n_total = (
+        spark.read.parquet(f"{idx}/bands")
+        .select("band_idx", "band_bucket")
+        .distinct()
+        .count()
+    )
+    assert n_read <= n_pairs < n_total or n_read < n_total
+
+    # verdicts are unchanged by the pruning: the known near-dup is found
+    verdict = {
+        r["id"]: (r["is_dup"], r["dup_of"])
+        for r in dedup_ingest.ingest_batch(
+            spark, _docs(spark, [(200, DOC_A), (201, "utterly new words only")]), idx
+        ).collect()
+    }
+    assert verdict[200][0] is True and verdict[200][1] == 0
+    assert verdict[201] == (False, None)
