@@ -90,3 +90,46 @@ def test_sha1_format_matches_reference(spark):
     for row in df.collect():
         assert row["d"] == hashlib.sha1(row["s"].encode()).hexdigest()
         assert len(row["d"]) == 40 and row["d"] == row["d"].lower()
+
+
+def test_early_hit_launches_prefix_of_tasks_only(spark):
+    """crack()'s early termination is a LAUNCH property, not a cancel
+    property: a hit at a tiny ordinal must leave almost the whole
+    keyspace unlaunched (executeTake submits partition waves
+    incrementally and stops when a row arrives).  Pin it with the
+    status tracker so a Spark upgrade that changes executeTake's
+    incremental submission shows up as a test failure, not a silent
+    full-space scan."""
+    from csce438_distributed_password_cracker_spark.sources.keyspace import (
+        keyspace,
+    )
+
+    sc = spark.sparkContext
+    total_parts = keyspace(spark, 6).rdd.getNumPartitions()
+    assert total_parts >= 20, "width-6 space should span many partitions"
+
+    target = hashlib.sha1(b"aaaaab").hexdigest()  # ordinal 1: first wave
+    sc.setJobGroup("earlystop_probe", "crack early-stop launch assertion")
+    try:
+        res = crack_mod.crack(spark, target, 6)
+    finally:
+        sc.setJobGroup(None, None)
+    assert res.reply == "f aaaaab"
+
+    st = sc.statusTracker()
+    job_ids = st.getJobIdsForGroup("earlystop_probe")
+    assert job_ids, "probe jobs not visible in the status tracker"
+    launched = 0
+    for jid in job_ids:
+        info = st.getJobInfo(jid)
+        if info is None:
+            continue
+        for sid in info.stageIds:
+            sinfo = st.getStageInfo(sid)
+            if sinfo is not None:
+                launched += sinfo.numTasks
+    # the first take wave is 1 partition (+ scaleUpFactor growth only if
+    # it came back empty); an early hit must stay far below the space
+    assert 1 <= launched <= 5, (
+        f"expected a 1-2 wave prefix, launched {launched} of {total_parts}"
+    )
