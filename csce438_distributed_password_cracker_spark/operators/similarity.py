@@ -421,6 +421,119 @@ def ivf_probe(
     )
 
 
+def _table_planes(
+    n_planes: int, dim: int, n_tables: int, seed: int
+) -> list["np.ndarray"]:
+    """L independent hyperplane sets.  Table t is seeded ``seed + 1000*t``,
+    so table 0 reproduces the single-table operator exactly (pinned in
+    tests) and every table is re-derivable from (seed, t) — no stored
+    model state, same as the single-table path."""
+    return [
+        np.asarray(_hyperplanes(n_planes, dim, seed + 1000 * t), dtype=np.float64)
+        for t in range(n_tables)
+    ]
+
+
+def lsh_bucket_multi(
+    emb: DataFrame,
+    dim: int,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add a ``buckets array<bigint>`` column: the row's bucket in each of
+    ``n_tables`` independent LSH tables.
+
+    ONE Arrow-batched GEMM against the stacked (L·P × dim) plane matrix —
+    multi-table costs one matrix multiply, not L passes — then the bit
+    matrix is reshaped (rows, L, P) and collapsed to per-table bucket ids.
+    Narrow mapInPandas, no shuffle."""
+    import pyspark.sql.types as T
+
+    tables = _table_planes(n_planes, dim, n_tables, seed)
+    stacked = np.vstack(tables)
+    bc = emb.sparkSession.sparkContext.broadcast(stacked)
+    shifts = np.arange(n_planes, dtype=np.int64)
+
+    def bucketize(batches):
+        P = bc.value
+        for pdf in batches:
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            bits = (mat @ P.T > 0).astype(np.int64)
+            bits = bits.reshape(len(pdf), n_tables, n_planes)
+            buckets = (bits << shifts).sum(axis=2)
+            out = pdf.copy()
+            out["buckets"] = list(buckets)
+            yield out
+
+    schema = T.StructType(
+        list(emb.schema.fields)
+        + [T.StructField("buckets", T.ArrayType(T.LongType()))]
+    )
+    return emb.mapInPandas(bucketize, schema)
+
+
+def lsh_topk_multi(
+    emb: DataFrame,
+    query: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    multiprobe: int = 1,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """Multi-table LSH approximate top-k with recall control: a row is a
+    candidate if its bucket matches the query's bucket in ANY of the L
+    tables (``multiprobe``=1 additionally probes each table's Hamming-1
+    neighbor buckets — L·(P+1) target buckets total); the candidate union
+    is re-ranked ONCE by exact cosine, same expression as brute force.
+
+    Recall grows with n_tables and multiprobe and shrinks with n_planes —
+    the production knob set; tests/test_similarity.py measures recall ≥
+    0.9 vs brute force on the driver tables at sf0.1.  Probe cost stays
+    O(matched buckets): candidate generation is a narrow scan + filter
+    (bucket membership against L·(P+1) literals — no join, no shuffle)
+    and the re-rank is TakeOrderedAndProject.  At cluster scale, persist
+    via ``build_lsh_index`` per table (or one table partitioned by
+    (table, bucket)) so each probe prunes to L·(P+1) partitions.
+
+    Note on candidate volume: the driver's synthetic embeddings are
+    near-uniform on the sphere (no cluster structure), so high recall
+    requires probing a large fraction of buckets; on real clustered
+    embeddings the same configuration prunes far harder.  That trade is
+    data-dependent by nature — the operator exposes it as parameters."""
+    tables = _table_planes(n_planes, dim, n_tables, seed)
+    qrow = query.select(F.col(query_vec_col)).first()
+    qvec = np.asarray(qrow[0], dtype=np.float64)
+
+    bucketed = lsh_bucket_multi(emb, dim, n_planes, n_tables, seed, vec_col)
+    cond = None
+    for t, planes in enumerate(tables):
+        qb = _bucket_of(qvec, planes)
+        targets = {qb}
+        if multiprobe >= 1:
+            targets |= {qb ^ (1 << j) for j in range(n_planes)}
+        term = F.element_at("buckets", t + 1).isin([int(b) for b in targets])
+        cond = term if cond is None else cond | term
+    return (
+        bucketed.filter(cond)
+        .crossJoin(F.broadcast(query))
+        .select(
+            id_col,
+            F.round(vectors.cosine(vec_col, query_vec_col), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     query: DataFrame,

@@ -142,3 +142,66 @@ def test_build_then_probe_matches_in_memory(spark, sf_smoke, tmp_path):
         part = scan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
         assert key in part and part.strip(), scan
         assert "DataFilters: []" in scan, scan
+
+
+def test_multi_table_table0_matches_single_table(spark, sf_smoke):
+    """Table 0 of the multi-table bucketing reproduces the single-table
+    operator exactly (seed contract: table t is seeded seed + 1000*t)."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    single = {
+        r["vec_id"]: r["bucket"]
+        for r in similarity.lsh_bucket(emb, 64, n_planes=6).collect()
+    }
+    multi = {
+        r["vec_id"]: r["buckets"]
+        for r in similarity.lsh_bucket_multi(
+            emb, 64, n_planes=6, n_tables=3
+        ).collect()
+    }
+    assert all(len(b) == 3 for b in multi.values())
+    assert {k: b[0] for k, b in multi.items()} == single
+
+
+def test_multi_table_lsh_recall_at_sf01(spark):
+    """VERDICT r2 item 7: L independent hyperplane tables (+ Hamming-1
+    multi-probe), candidates unioned, ONE exact re-rank — measured recall
+    vs brute force ≥ 0.9 over the sf0.1 embeddings.  All inputs are
+    deterministic (seeded planes, fixed parquet), so this is a pinned
+    value, not a flaky sample."""
+    sf01 = "/root/testdata/sf0.1"
+    emb = load_table(spark, sf01, "embeddings")
+    recalls = []
+    for qid in range(12):
+        query = emb.filter(F.col("vec_id") == qid).select(
+            F.col("embedding").alias("qvec")
+        )
+        rest = emb.filter(F.col("vec_id") != qid)
+        truth = {
+            r["vec_id"]
+            for r in similarity.brute_force_topk(rest, query, k=10).collect()
+        }
+        approx = {
+            r["vec_id"]
+            for r in similarity.lsh_topk_multi(
+                rest, query, 64, k=10, n_planes=5, n_tables=8, multiprobe=1
+            ).collect()
+        }
+        recalls.append(len(truth & approx) / 10)
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.9, f"recall {avg} from {recalls}"
+
+
+def test_multi_table_probe_plan_no_shuffle(spark, sf_smoke):
+    """Candidate generation is a narrow scan + bucket-literal filter and
+    the re-rank is TakeOrderedAndProject: no Exchange anywhere."""
+    emb, _, query = _emb_and_query(spark, sf_smoke)
+    plan = (
+        similarity.lsh_topk_multi(emb, query, 64, n_planes=5, n_tables=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    tree = plan.split("\n\n")[0]
+    assert "TakeOrderedAndProject" in tree
+    # the only exchange is the broadcast of the 1-row query — no shuffle
+    assert tree.count("Exchange") == tree.count("BroadcastExchange")
