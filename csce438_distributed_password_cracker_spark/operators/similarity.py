@@ -52,6 +52,7 @@ def cosine_pairs_blocked(
     vec_col: str = "embedding",
     block_rows: int = 200_000,
     margin: float = 1e-6,
+    max_rows: int = 10_000_000,
 ) -> DataFrame:
     """EXACT all-pairs cosine ≥ threshold via blocked matrix multiply.
 
@@ -73,10 +74,28 @@ def cosine_pairs_blocked(
     survivors are re-verified with the SAME JVM-side cosine expression the
     naive plan uses, so results (incl. round(·, 6)) are bit-identical to
     the unblocked baseline and the SQL oracle.
+
+    APPLICABILITY BOUND — exact all-pairs is inherently quadratic: the
+    driver sequences ``n_blocks`` Spark jobs, each broadcasting one
+    ~``block_rows``-row matrix and re-scanning ``emb``.  That is the
+    right tool up to roughly 10M rows (≤ ~50 sequential passes at the
+    default block size); at 1e9 rows it would mean ~5,000 serial jobs
+    with ~GB broadcasts — use the sub-quadratic path instead
+    (LSH prefilter → exact re-verify: ``lsh_topk_multi`` /
+    ``minhash_lsh_pairs``-style banding), which is the documented 100 TB
+    design.  ``max_rows`` enforces the envelope; raise it explicitly to
+    opt into a bigger exact run.
     """
     spark = emb.sparkSession
     src = emb.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v"))
     n = src.count()
+    if n > max_rows:
+        raise ValueError(
+            f"cosine_pairs_blocked is the EXACT quadratic path, bounded to "
+            f"~{max_rows:,} rows ({n:,} given): driver-sequenced block scans "
+            f"stop amortizing beyond it.  Use an LSH prefilter + exact "
+            f"re-verify (see operators/similarity.py docstring) at this scale."
+        )
     n_blocks = max(1, math.ceil(n / block_rows))
     blocked = src.withColumn(
         "__blk", F.pmod(F.xxhash64("id"), F.lit(n_blocks))

@@ -129,31 +129,13 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders, customer.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
 
-@register(
-    "q_join_bucketed",
-    oracle=f"""
-    SELECT o.o_orderkey,
-           max(o.o_orderdate) AS o_orderdate,
-           {_money(f"{_dec('l.l_extendedprice')} * (1 - {_dec('l.l_discount')})", "revenue")},
-           count(*) AS n_lines
-    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-    GROUP BY o.o_orderkey
-    """,
-    doc="J2 at its co-located best: orders and lineitem written as "
-    "bucketed+sorted tables on the join key, then joined AND aggregated "
-    "with ZERO exchanges — bucketing satisfies the SortMergeJoin's "
-    "distribution requirement, and grouping on the bucket key rides the "
-    "same distribution (asserted in tests/test_plans.py).  The "
-    "intra-partition SMJ sorts remain: since SPARK-28595 bucketed scans "
-    "report sortBy ordering only under "
-    "spark.sql.legacy.bucketedTableScan.outputOrdering, and sorting "
-    "already-sorted runs is cheap next to the shuffle this plan avoids.  "
-    "This is THE 100 TB pattern for a fact-fact join both sides of which "
-    "are reused across queries: pay the shuffle once at ingest, never "
-    "again.  Result is bucketing-invariant, so the oracle is the plain "
-    "join over the raw tables.",
-)
-def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Idempotent INGEST step for q_join_bucketed: write orders/lineitem
+    as 8-bucket sorted tables on the join key (once per session × sf).
+    Factored out of the query body so callers that time the query —
+    bench.py pre-builds in its warmup — measure the zero-exchange probe,
+    not ingest: build cost belongs to the one-off ingest job at scale,
+    exactly like q_ann_probe's persisted index."""
     import os
     import shutil
 
@@ -179,6 +161,36 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .sortBy(key)
                 .saveAsTable(name)
             )
+    return names
+
+
+@register(
+    "q_join_bucketed",
+    oracle=f"""
+    SELECT o.o_orderkey,
+           max(o.o_orderdate) AS o_orderdate,
+           {_money(f"{_dec('l.l_extendedprice')} * (1 - {_dec('l.l_discount')})", "revenue")},
+           count(*) AS n_lines
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey
+    """,
+    doc="J2 at its co-located best: orders and lineitem written as "
+    "bucketed+sorted tables on the join key (ensure_bucketed_tables — "
+    "ingest-time, pre-built and reported separately by bench.py), then "
+    "joined AND aggregated with ZERO exchanges — bucketing satisfies the "
+    "SortMergeJoin's distribution requirement, and grouping on the "
+    "bucket key rides the same distribution (asserted in "
+    "tests/test_plans.py).  The intra-partition SMJ sorts remain: since "
+    "SPARK-28595 bucketed scans report sortBy ordering only under "
+    "spark.sql.legacy.bucketedTableScan.outputOrdering, and sorting "
+    "already-sorted runs is cheap next to the shuffle this plan avoids.  "
+    "This is THE 100 TB pattern for a fact-fact join both sides of which "
+    "are reused across queries: pay the shuffle once at ingest, never "
+    "again.  Result is bucketing-invariant, so the oracle is the plain "
+    "join over the raw tables.",
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = ensure_bucketed_tables(spark, sf_dir)
     o = spark.table(names["orders"])
     li = spark.table(names["lineitem"])
     # MERGE hint: at toy SF Catalyst would broadcast the orders side,

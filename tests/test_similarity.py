@@ -205,3 +205,13 @@ def test_multi_table_probe_plan_no_shuffle(spark, sf_smoke):
     assert "TakeOrderedAndProject" in tree
     # the only exchange is the broadcast of the 1-row query — no shuffle
     assert tree.count("Exchange") == tree.count("BroadcastExchange")
+
+
+def test_cosine_pairs_blocked_enforces_row_envelope(spark, sf_smoke):
+    """The exact quadratic path refuses tables beyond its documented
+    envelope (max_rows) with a pointer to the LSH prefilter path."""
+    import pytest
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    with pytest.raises(ValueError, match="LSH prefilter"):
+        similarity.cosine_pairs_blocked(emb, 0.4, max_rows=10)
