@@ -145,3 +145,58 @@ def test_zorder_rejects_overflow(spark):
     df = spark.range(1).select(F.col("id").alias("x"))
     with pytest.raises(ValueError):
         maintenance.zorder_column(df, ["x"] * 4, {"x": (0, 1)}, bits=16)
+
+
+def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
+    """The point of z-order clustering: after sorting by the z-value,
+    parquet footer min/max stats prune range predicates on EVERY
+    clustered column, not just the leading sort key.  A y-range box over
+    an x-sorted layout overlaps every file (y spans everything in each
+    file); over the z-ordered layout it overlaps only a strict subset."""
+    import glob as globmod
+
+    import pyarrow.parquet as pq
+
+    df = spark.range(40_000).select(
+        (F.col("id") % 197).cast("double").alias("x"),
+        F.pmod(F.xxhash64("id"), F.lit(197)).cast("double").alias("y"),
+    )
+    bounds = {"x": (0.0, 196.0), "y": (0.0, 196.0)}
+
+    x_path = str(tmp_path / "by_x")
+    z_path = str(tmp_path / "by_z")
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(x_path)
+    z = maintenance.zorder_column(df, ["x", "y"], bounds, bits=8)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(16, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.parquet(z_path)
+    )
+
+    def overlapping_files(path, col, lo, hi):
+        n_total, n_overlap = 0, 0
+        for f in globmod.glob(f"{path}/*.parquet"):
+            md = pq.read_metadata(f)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        mins.append(c.statistics.min)
+                        maxs.append(c.statistics.max)
+            n_total += 1
+            if mins and not (max(maxs) < lo or min(mins) > hi):
+                n_overlap += 1
+        return n_overlap, n_total
+
+    # a tight y-range: the x-sorted layout cannot prune it at all
+    y_x, total_x = overlapping_files(x_path, "y", 10.0, 20.0)
+    y_z, total_z = overlapping_files(z_path, "y", 10.0, 20.0)
+    assert y_x == total_x, "x-sorted files all span the y domain"
+    assert y_z < total_z, f"z-order should prune y ranges ({y_z}/{total_z})"
+    # and x-ranges still prune under z-order (coarser than an x-sort,
+    # but far better than nothing)
+    x_z, _ = overlapping_files(z_path, "x", 10.0, 20.0)
+    assert x_z < total_z
