@@ -215,3 +215,61 @@ def test_cosine_pairs_blocked_enforces_row_envelope(spark, sf_smoke):
     emb = load_table(spark, sf_smoke, "embeddings")
     with pytest.raises(ValueError, match="LSH prefilter"):
         similarity.cosine_pairs_blocked(emb, 0.4, max_rows=10)
+
+
+def test_ivf_refine_monotone_objective(spark, sf_smoke):
+    """Spherical Lloyd sweeps must not decrease the clustering objective
+    (mean cosine of each unit vector to its assigned centroid), and a
+    few sweeps must strictly beat the unrefined seeded sample on this
+    data.  Deterministic inputs -> pinned behavior."""
+    import numpy as np
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    unit = {
+        k: v / (np.linalg.norm(v) or 1.0) for k, v in vecs.items()
+    }
+
+    def objective(assigned_df, cent_mat):
+        assign = {r["id"]: r["cluster"] for r in assigned_df.collect()}
+        return float(
+            np.mean([unit[i] @ cent_mat[c] for i, c in assign.items()])
+        )
+
+    objs = []
+    for iters in (0, 1, 2, 3):
+        if iters == 0:
+            assigned, _, cent = similarity.ivf_assign(emb, n_centroids=8)
+        else:
+            assigned, cent = similarity.ivf_refine(
+                emb, n_centroids=8, n_iters=iters
+            )
+        objs.append(objective(assigned, cent))
+    for a, b in zip(objs, objs[1:]):
+        assert b >= a - 1e-9, f"objective decreased: {objs}"
+    assert objs[-1] > objs[0], f"refinement never improved: {objs}"
+
+
+def test_ivf_topk_refined_scores_are_exact(spark, sf_smoke):
+    """refine_iters changes WHICH lists are probed, never the scoring:
+    every returned score must equal the exact cosine for that id."""
+    import math as m
+
+    emb, _, query = _emb_and_query(spark, sf_smoke)
+    from csce438_distributed_password_cracker_spark.functions import vectors
+
+    exact_by_id = {
+        r["vec_id"]: r["cos_sim"]
+        for r in emb.crossJoin(F.broadcast(query))
+        .select(
+            "vec_id", F.round(vectors.cosine("embedding", "qvec"), 6).alias("cos_sim")
+        )
+        .collect()
+    }
+    out = similarity.ivf_topk(
+        emb, query, k=10, n_centroids=8, n_probe=2, refine_iters=2
+    ).collect()
+    assert len(out) == 10
+    for r in out:
+        assert m.isclose(r["cos_sim"], exact_by_id[r["vec_id"]], abs_tol=1e-9)
