@@ -134,3 +134,58 @@ def test_prefix_filter_join_equals_brute_force(spark):
             f"extra={got.keys() - want.keys()} "
             f"diff={ {k: (got[k], want[k]) for k in got.keys() & want.keys() if abs(got[k] - want[k]) > 1e-9} }"
         )
+
+
+# ── media codec round-trips (pure-Python kernels, no Spark needed) ───────
+
+from csce438_distributed_password_cracker_spark.operators import multimodal  # noqa: E402
+
+
+@given(st.data())
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(data):
+    w = data.draw(st.integers(min_value=1, max_value=40))
+    h = data.draw(st.integers(min_value=1, max_value=40))
+    px = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=w * h,
+                max_size=w * h,
+            )
+        )
+    )
+    blob = multimodal.png_encode(w, h, px)
+    assert multimodal.png_decode(blob) == (w, h, px)
+
+
+@given(st.data())
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_property(data):
+    rate = data.draw(st.sampled_from([8000, 16000, 44100]))
+    samples = data.draw(
+        st.lists(
+            st.integers(min_value=-32768, max_value=32767),
+            min_size=1,
+            max_size=500,
+        )
+    )
+    blob = multimodal.wav_encode(rate, samples)
+    assert multimodal.wav_decode(blob) == (rate, len(samples), samples)
+
+
+@given(st.data())
+@settings(max_examples=20, deadline=None)
+def test_png_decode_rejects_any_single_byte_corruption_in_chunks(data):
+    """Flipping any byte past the magic must either raise (CRC/structure)
+    or — never — silently return different pixels."""
+    px = bytes(range(48))
+    blob = bytearray(multimodal.png_encode(8, 6, px))
+    pos = data.draw(st.integers(min_value=8, max_value=len(blob) - 1))
+    flip = data.draw(st.integers(min_value=1, max_value=255))
+    blob[pos] ^= flip
+    try:
+        got = multimodal.png_decode(bytes(blob))
+    except Exception:
+        return  # rejected: the expected outcome
+    assert got == (8, 6, px)  # survived only if the byte was immaterial
