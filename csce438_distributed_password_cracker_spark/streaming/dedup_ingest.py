@@ -253,6 +253,8 @@ def start_dedup_ingest(
     sink_table: str = "dedup_verdicts",
     threshold: float = 0.7,
     available_now: bool = True,
+    compact_every: int = 0,
+    max_files_per_trigger: int | None = None,
     **params,
 ):
     """readStream over a directory of document files (json lines with
@@ -262,14 +264,29 @@ def start_dedup_ingest(
     later batch, so the stream converges to the same admitted set as a
     batch dedup over the concatenation (order-dependent only in which of
     two mutual near-dups is admitted — resolved by arrival order, as any
-    online dedup must)."""
-    stream = spark.readStream.schema("doc_id LONG, text STRING").json(source_dir)
+    online dedup must).
+
+    ``compact_every`` > 0 runs operators/maintenance.compact_dedup_index
+    every that-many micro-batches, INSIDE the single writer's foreachBatch
+    (so it never races an append) — the always-on maintenance cadence that
+    keeps the index's file count bounded no matter how long the stream
+    runs.  0 leaves compaction to an external maintenance window.
+    ``max_files_per_trigger`` caps each micro-batch's file intake (source
+    back-pressure; also what tests use to force multi-batch runs)."""
+    reader = spark.readStream.schema("doc_id LONG, text STRING")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(source_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         out = ingest_batch(
             spark, batch_df, index_path, threshold=threshold, **params
         )
         out.write.mode("append").saveAsTable(sink_table)
+        if compact_every > 0 and (batch_id + 1) % compact_every == 0:
+            from ..operators.maintenance import compact_dedup_index
+
+            compact_dedup_index(spark, index_path)
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

@@ -135,3 +135,62 @@ def test_probe_prunes_band_buckets_at_planning_time(spark, tmp_path):
     }
     assert verdict[200][0] is True and verdict[200][1] == 0
     assert verdict[201] == (False, None)
+
+
+def test_stream_inline_compaction_bounds_files_and_keeps_verdicts(spark, tmp_path):
+    """compact_every wires maintenance into the live ingest loop: after a
+    multi-file stream with per-batch compaction, the index's file count
+    stays bounded, later probes still find corpus dups, and all verdicts
+    match the no-compaction semantics."""
+    src = tmp_path / "incoming"
+    src.mkdir()
+    idx = str(tmp_path / "index")
+    dedup_ingest.build_dedup_index(_docs(spark, [(1, DOC_A), (2, DOC_B)]), idx)
+    # maxFilesPerTrigger=1 forces one micro-batch per file -> 3 batches,
+    # compaction fires after each (compact_every=1)
+    for i, (did, text) in enumerate(
+        [(10, DOC_C), (11, DOC_A), (12, DOC_B + " with brand new suffix tokens")]
+    ):
+        with open(src / f"b{i}.json", "w") as f:
+            f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+
+    spark.sql("DROP TABLE IF EXISTS dedup_compact_test")
+    q = dedup_ingest.start_dedup_ingest(
+        spark,
+        str(src),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        index_path=idx,
+        sink_table="dedup_compact_test",
+        compact_every=1,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    try:
+        out = {
+            r["id"]: (r["is_dup"], r["dup_of"])
+            for r in spark.table("dedup_compact_test").collect()
+        }
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dedup_compact_test")
+    assert out[10] == (False, None)
+    assert out[11] == (True, 1)
+    assert out[12] == (False, None)
+
+    from csce438_distributed_password_cracker_spark.operators import maintenance
+
+    # bounded: 1 file per non-empty (band_idx, band_bucket) dir + 1 sigs file
+    n_band_dirs = len(
+        list((tmp_path / "index" / "bands").glob("band_idx=*/band_bucket=*"))
+    )
+    assert maintenance.parquet_file_count(f"{idx}/bands") <= n_band_dirs
+    assert maintenance.parquet_file_count(f"{idx}/sigs") == 1
+
+    # the compacted index still serves: corpus dup found, novel admitted
+    verdict = {
+        r["id"]: (r["is_dup"], r["dup_of"])
+        for r in dedup_ingest.ingest_batch(
+            spark, _docs(spark, [(20, DOC_C), (21, "fresh unseen closing phrase")]), idx
+        ).collect()
+    }
+    assert verdict[20] == (True, 10)
+    assert verdict[21] == (False, None)
