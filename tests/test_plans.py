@@ -152,3 +152,16 @@ def test_sketch_production_twin_same_shape(spark, sf_oracle):
     # same method labels present, and the battery actually produces rows
     methods = {r["method"] for r in prod.select("method").distinct().collect()}
     assert methods == {"minhash", "simhash", "fingerprint"}
+
+
+def test_multimodal_synth_decode_no_shuffle_pruned_scan(spark, sf_oracle):
+    """q_multimodal_features: scan reads ONLY (doc_id, n_chars), both
+    Python stages (encode, decode) chain narrowly — zero Exchange — and
+    payload bytes never appear before the first mapInPandas."""
+    p = plan_str(
+        spark, corpus.REGISTRY["q_multimodal_features"].fn(spark, sf_oracle)
+    )
+    tree = p.split("\n\n")[0]
+    assert tree.count("Exchange") == 0
+    assert tree.count("MapInPandas") == 2
+    assert "ReadSchema: struct<doc_id:bigint,n_chars:bigint>" in p
