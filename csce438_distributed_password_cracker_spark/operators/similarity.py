@@ -93,8 +93,8 @@ def cosine_pairs_blocked(
         raise ValueError(
             f"cosine_pairs_blocked is the EXACT quadratic path, bounded to "
             f"~{max_rows:,} rows ({n:,} given): driver-sequenced block scans "
-            f"stop amortizing beyond it.  Use an LSH prefilter + exact "
-            f"re-verify (see operators/similarity.py docstring) at this scale."
+            f"stop amortizing beyond it.  Use cosine_pairs_lsh (multi-table "
+            f"LSH prefilter + exact re-verify) at this scale."
         )
     n_blocks = max(1, math.ceil(n / block_rows))
     blocked = src.withColumn(
@@ -639,6 +639,81 @@ def lsh_topk_multi(
         )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def cosine_pairs_lsh(
+    emb: DataFrame,
+    threshold: float,
+    dim: int,
+    n_planes: int = 3,
+    n_tables: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """SUB-QUADRATIC near-dup pairs: multi-table LSH prefilter → exact
+    cosine re-verify — the scale path ``cosine_pairs_blocked``'s
+    row-envelope guard points to.
+
+    Candidate generation is pure equality joins: per-row buckets for L
+    tables come from one stacked-GEMM pass (``lsh_bucket_multi``), are
+    exploded to (id, table, bucket) rows, and self-joined on (table,
+    bucket) with id_a < id_b — shuffle volume is Σ bucket² per (table,
+    bucket) group, never n².  Survivors are re-verified with the same
+    JVM cosine expression as the exact operator, so every emitted pair
+    is bit-identical to ``cosine_pairs_blocked``'s (precision 1.0 by
+    construction); recall is the probabilistic knob — P(candidate) =
+    1-(1-p^P)^L with p = 1-θ/π — tuned via (n_planes, n_tables) and
+    measured in tests (1.0 at the defaults on the driver tables).
+
+    ``max_bucket_size`` drops oversized (table, bucket) groups (skew
+    guard, same discipline as minhash_lsh_pairs): a dropped bucket can
+    only reduce recall, never correctness.  On near-uniform vectors and
+    mid thresholds the reduction factor is modest (loose buckets are
+    what recall demands — a data property); clustered real-world
+    embeddings concentrate near-dup pairs into tight buckets where the
+    same configuration prunes hard.
+    """
+    bucketed = lsh_bucket_multi(emb, dim, n_planes, n_tables, seed, vec_col)
+    brows = bucketed.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.posexplode("buckets").alias("tbl", "bucket"),
+    )
+    if max_bucket_size is not None:
+        oversized = (
+            brows.groupBy("tbl", "bucket")
+            .count()
+            .filter(F.col("count") > max_bucket_size)
+            .select("tbl", "bucket")
+        )
+        brows = brows.join(
+            F.broadcast(oversized), ["tbl", "bucket"], "left_anti"
+        )
+    left = brows.withColumnRenamed("id", "id_a")
+    right = brows.withColumnRenamed("id", "id_b")
+    cand = (
+        left.join(right, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = emb.select(
+        F.col(id_col).cast("long").alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    b = emb.select(
+        F.col(id_col).cast("long").alias("id_b"), F.col(vec_col).alias("__vb")
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(vectors.cosine("__va", "__vb"), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
     )
 
 

@@ -213,7 +213,7 @@ def test_cosine_pairs_blocked_enforces_row_envelope(spark, sf_smoke):
     import pytest
 
     emb = load_table(spark, sf_smoke, "embeddings")
-    with pytest.raises(ValueError, match="LSH prefilter"):
+    with pytest.raises(ValueError, match="cosine_pairs_lsh"):
         similarity.cosine_pairs_blocked(emb, 0.4, max_rows=10)
 
 
@@ -273,3 +273,47 @@ def test_ivf_topk_refined_scores_are_exact(spark, sf_smoke):
     assert len(out) == 10
     for r in out:
         assert m.isclose(r["cos_sim"], exact_by_id[r["vec_id"]], abs_tol=1e-9)
+
+
+def test_cosine_pairs_lsh_matches_exact_at_default_params(spark, sf_smoke):
+    """The sub-quadratic pairs path: precision 1.0 by construction (exact
+    re-verify) and, at the default (n_planes=3, n_tables=12) on the
+    deterministic driver table, recall 1.0 — the emitted pair set is
+    IDENTICAL to the exact blocked-GEMM operator, scores included."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in similarity.cosine_pairs_blocked(emb, threshold=0.4).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in similarity.cosine_pairs_lsh(emb, threshold=0.4, dim=64).collect()
+    }
+    assert approx == exact and len(exact) > 0
+
+    # candidate generation is equality joins only — never a cross join
+    plan = (
+        similarity.cosine_pairs_lsh(emb, 0.4, dim=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cosine_pairs_lsh_skew_guard_only_drops(spark, sf_smoke):
+    """max_bucket_size drops oversized buckets: the result is a SUBSET of
+    the unguarded pairs (never wrong pairs, possibly fewer)."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_pairs_lsh(emb, 0.4, dim=64).collect()
+    }
+    guarded = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_pairs_lsh(
+            emb, 0.4, dim=64, max_bucket_size=60
+        ).collect()
+    }
+    assert guarded <= full
