@@ -50,6 +50,13 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     sketch_mode = os.environ.get("SPARK_GRAFT_BENCH_SKETCH", "production")
+    if sketch_mode not in ("production", "portable"):
+        # a typo must not silently bench the ~2x-slower portable mode
+        # under a mislabeled sketch_mode in the emitted JSON
+        raise SystemExit(
+            f"SPARK_GRAFT_BENCH_SKETCH={sketch_mode!r}: "
+            "expected 'production' or 'portable'"
+        )
     overrides = (
         {"q_dedup_sketch": pipeline_queries.q_dedup_sketch_production}
         if sketch_mode == "production"

@@ -33,17 +33,3 @@ def dot(a: str, b: str) -> Column:
 
 def cosine(a: str, b: str) -> Column:
     return F.expr(cosine_sql(a, b))
-
-
-def l2_normalize_sql(a: str) -> str:
-    """Unit-normalize (zero vectors pass through unchanged via the
-    guarded denominator).  The norm sub-expression appears once per
-    element textually but codegen's common-subexpression elimination
-    evaluates it once per row."""
-    return (
-        f"transform({a}, x -> CAST(x AS DOUBLE) / greatest({norm_sql(a)}, 1e-300))"
-    )
-
-
-def l2_normalize(a: str) -> Column:
-    return F.expr(l2_normalize_sql(a))

@@ -158,6 +158,19 @@ def wav_decode(payload: bytes) -> tuple[int, int, list[int]]:
     return rate, n, samples
 
 
+def sniff(payload: bytes | None) -> str | None:
+    """Container sniff shared by every decode dispatch: 'png' / 'wav' for
+    payloads the codecs claim, None for opaque binaries."""
+    if not payload:
+        return None
+    b = bytes(payload)
+    if b[:8] == PNG_MAGIC:
+        return "png"
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
 # ---------------------------------------------------------------------------
 # Synthesis + decode as distributed operators
 # ---------------------------------------------------------------------------
@@ -242,19 +255,26 @@ def decode_media(media: DataFrame) -> DataFrame:
             rows = []
             for did, b in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(b) if b is not None else b""
-                if b[:8] == PNG_MAGIC:
+                kind = sniff(b)
+                if kind == "png":
                     w, h, px = png_decode(b)
                     vals = list(px)
                     rows.append(
                         (int(did), "png", w, h, None, None, None,
-                         sum(vals), min(vals), max(vals))
+                         # empty guard: a valid zero-area PNG must not
+                         # kill the job; stats are NULL, not a crash
+                         sum(vals) if vals else None,
+                         min(vals) if vals else None,
+                         max(vals) if vals else None)
                     )
-                elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                elif kind == "wav":
                     rate, n, samples = wav_decode(b)
                     rows.append(
                         (int(did), "wav", None, None, rate, n,
                          n * 1_000_000 // rate,
-                         sum(samples), min(samples), max(samples))
+                         sum(samples) if samples else None,
+                         min(samples) if samples else None,
+                         max(samples) if samples else None)
                     )
                 else:
                     rows.append(
@@ -297,14 +317,15 @@ def _feature_kernel(payload: bytes) -> list[float]:
     if payload is None:
         return []
     b = bytes(payload)
-    if b[:8] == PNG_MAGIC:
+    kind = sniff(b)
+    if kind == "png":
         w, h, px = png_decode(b)
         vals = list(px)
         n = len(vals) or 1
         return [1.0, float(w), float(h), float(len(vals)),
                 sum(vals) / n, float(min(vals, default=0)),
                 float(max(vals, default=0)), float(len(b))]
-    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+    if kind == "wav":
         rate, nf, samples = wav_decode(b)
         n = len(samples) or 1
         return [2.0, float(rate), float(nf), nf / rate,
@@ -364,7 +385,7 @@ def resize(media: DataFrame, width: int, height: int) -> DataFrame:
             if not b:
                 return b""
             b = bytes(b)
-            if b[:8] == PNG_MAGIC:
+            if sniff(b) == "png":
                 w, h, px = png_decode(b)
                 out = bytearray()
                 for y in range(height):

@@ -192,29 +192,10 @@ def ivf_assign(
         F.col(id_col),
     ).limit(n_centroids)
     cent_ids, cent_mat = _collect_matrix(cent, id_col, vec_col)
-    spark = emb.sparkSession
-    bc = spark.sparkContext.broadcast(cent_mat)
-
-    def assign(batches):
-        cmat = bc.value
-        for batch in batches:
-            amat = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in batch["v"]]
-            )
-            norms = np.linalg.norm(amat, axis=1)
-            amat = amat / np.where(norms == 0.0, 1.0, norms)[:, None]
-            yield pd.DataFrame(
-                {
-                    "id": batch["id"].to_numpy(dtype=np.int64),
-                    "cluster": np.argmax(amat @ cmat.T, axis=1).astype(np.int32),
-                }
-            )
-
     src = emb.select(
         F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
     )
-    assigned = src.mapInPandas(assign, "id long, cluster int")
-    return assigned, cent_ids, cent_mat
+    return _assign_to(src, cent_mat), cent_ids, cent_mat
 
 
 def ivf_refine(
@@ -228,12 +209,13 @@ def ivf_refine(
     """Spherical k-means (Lloyd) refinement of ``ivf_assign``'s seeded
     sample centroids — the quality step a production IVF build runs.
 
-    Fully distributed per iteration: (1) assignment is the same
-    broadcast-GEMM mapInPandas pass as ``ivf_assign`` (no shuffle);
-    (2) the centroid update is elementwise mean of each cluster's
-    unit-normalized members, computed as posexplode → partial-agg sum
-    per (cluster, dim) — ONE shuffle of n_centroids × dim partial sums,
-    never vectors to the driver; the collected update is tiny
+    Fully distributed, one pass per sweep: assignment AND the centroid
+    update fold into a single broadcast-GEMM mapInPandas pass — each
+    Arrow batch argmax-assigns its rows and emits its own K × dim
+    partial sums of unit-normalized members (map-side combine in numpy,
+    ``np.add.at``/``bincount``), so the only shuffle is the partial-sum
+    aggregation (K × dim × n_partitions rows) and the vector table is
+    never joined or re-shuffled.  The collected update is tiny
     (n_centroids × dim doubles).  Spherical update (normalize the mean)
     matches the cosine/argmax-dot assignment, so the Lloyd objective
     (mean cosine to the assigned centroid) is non-decreasing — asserted
@@ -243,20 +225,16 @@ def ivf_refine(
     Returns (assigned_df(id, cluster), centroid_matrix) after
     ``n_iters`` refinement sweeps.
     """
-    spark = emb.sparkSession
     src = emb.select(
         F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
     )
-    assigned, _, cent_mat = ivf_assign(emb, n_centroids, seed, id_col, vec_col)
+    _, _, cent_mat = ivf_assign(emb, n_centroids, seed, id_col, vec_col)
     dim = cent_mat.shape[1]
     for _ in range(n_iters):
-        joined = src.join(assigned, "id").select(
-            "cluster",
-            F.posexplode(vectors.l2_normalize("v")).alias("pos", "val"),
-        )
         sums = (
-            joined.groupBy("cluster", "pos")
-            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            _assign_partial_sums(src, cent_mat)
+            .groupBy("cluster", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .collect()
         )
         new_mat = cent_mat.copy()
@@ -270,8 +248,41 @@ def ivf_refine(
                 norm = np.linalg.norm(acc[c])
                 new_mat[c] = acc[c] / (norm if norm else 1.0)
         cent_mat = new_mat
-        assigned = _assign_to(src, cent_mat)
-    return assigned, cent_mat
+    return _assign_to(src, cent_mat), cent_mat
+
+
+def _assign_partial_sums(src: DataFrame, cent_mat: "np.ndarray") -> DataFrame:
+    """One fused Lloyd half-sweep: per Arrow batch, argmax-assign the
+    unit-normalized rows and emit the batch's (cluster, pos) partial
+    sums + member counts — K × dim rows per batch, never the vectors."""
+    bc = src.sparkSession.sparkContext.broadcast(cent_mat)
+
+    def gen(batches):
+        cmat = bc.value
+        K, D = cmat.shape
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            amat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in batch["v"]]
+            )
+            norms = np.linalg.norm(amat, axis=1)
+            amat = amat / np.where(norms == 0.0, 1.0, norms)[:, None]
+            cl = np.argmax(amat @ cmat.T, axis=1)
+            acc = np.zeros((K, D), dtype=np.float64)
+            np.add.at(acc, cl, amat)
+            counts = np.bincount(cl, minlength=K)
+            nz = np.nonzero(counts)[0]
+            yield pd.DataFrame(
+                {
+                    "cluster": np.repeat(nz, D).astype(np.int32),
+                    "pos": np.tile(np.arange(D, dtype=np.int32), len(nz)),
+                    "s": acc[nz].ravel(),
+                    "n": np.repeat(counts[nz], D).astype(np.int64),
+                }
+            )
+
+    return src.mapInPandas(gen, "cluster int, pos int, s double, n long")
 
 
 def _assign_to(src: DataFrame, cent_mat: "np.ndarray") -> DataFrame:
@@ -599,8 +610,9 @@ def lsh_topk_multi(
 ) -> DataFrame:
     """Multi-table LSH approximate top-k with recall control: a row is a
     candidate if its bucket matches the query's bucket in ANY of the L
-    tables (``multiprobe``=1 additionally probes each table's Hamming-1
-    neighbor buckets — L·(P+1) target buckets total); the candidate union
+    tables (``multiprobe``=r additionally probes every bucket within
+    Hamming distance ≤ r of the query's — Σ_{i≤r} C(P,i) targets per
+    table; r=1 ⇒ L·(P+1) total); the candidate union
     is re-ranked ONCE by exact cosine, same expression as brute force.
 
     Recall grows with n_tables and multiprobe and shrinks with n_planes —
@@ -617,6 +629,8 @@ def lsh_topk_multi(
     requires probing a large fraction of buckets; on real clustered
     embeddings the same configuration prunes far harder.  That trade is
     data-dependent by nature — the operator exposes it as parameters."""
+    import itertools
+
     tables = _table_planes(n_planes, dim, n_tables, seed)
     qrow = query.select(F.col(query_vec_col)).first()
     qvec = np.asarray(qrow[0], dtype=np.float64)
@@ -626,8 +640,14 @@ def lsh_topk_multi(
     for t, planes in enumerate(tables):
         qb = _bucket_of(qvec, planes)
         targets = {qb}
-        if multiprobe >= 1:
-            targets |= {qb ^ (1 << j) for j in range(n_planes)}
+        # probe every bucket within Hamming distance <= multiprobe of the
+        # query's bucket: sum_{r<=multiprobe} C(n_planes, r) targets/table
+        for r in range(1, min(multiprobe, n_planes) + 1):
+            for bits in itertools.combinations(range(n_planes), r):
+                flip = 0
+                for j in bits:
+                    flip |= 1 << j
+                targets.add(qb ^ flip)
         term = F.element_at("buckets", t + 1).isin([int(b) for b in targets])
         cond = term if cond is None else cond | term
     return (
@@ -680,7 +700,9 @@ def cosine_pairs_lsh(
     brows = bucketed.select(
         F.col(id_col).cast("long").alias("id"),
         F.posexplode("buckets").alias("tbl", "bucket"),
-    )
+    ).localCheckpoint(eager=True)  # reused 3×: skew count, both join sides
+    # — without this the full-table GEMM bucketing pass would re-execute
+    # per consumer (no common-subplan reuse across different projections)
     if max_bucket_size is not None:
         oversized = (
             brows.groupBy("tbl", "bucket")

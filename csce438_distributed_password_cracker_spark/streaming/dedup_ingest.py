@@ -234,11 +234,25 @@ def ingest_batch(
     )
 
     uniques = verdict.filter(~F.col("is_dup")).select("id")
+    # append in the layout that is ON DISK: mixing band_bucket dirs into a
+    # legacy band_idx-only tree would give leaf files at two partition
+    # depths — Spark's partition discovery rejects that and the index
+    # would be wedged for every later probe
+    if _index_exists(spark, index_path):
+        part_cols = [
+            c
+            for c in ("band_idx", "band_bucket")
+            if c in spark.read.parquet(f"{index_path}/bands").columns
+        ]
+    else:
+        part_cols = ["band_idx", "band_bucket"]
+    admit = band_rows.join(uniques, "id")
+    if "band_bucket" not in part_cols:
+        admit = admit.drop("band_bucket")
     (
-        band_rows.join(uniques, "id")
-        .repartition("band_idx", "band_bucket")
+        admit.repartition(*part_cols)
         .write.mode("append")
-        .partitionBy("band_idx", "band_bucket")
+        .partitionBy(*part_cols)
         .parquet(f"{index_path}/bands")
     )
     sigs.join(uniques, "id").write.mode("append").parquet(f"{index_path}/sigs")
@@ -286,7 +300,15 @@ def start_dedup_ingest(
         if compact_every > 0 and (batch_id + 1) % compact_every == 0:
             from ..operators.maintenance import compact_dedup_index
 
-            compact_dedup_index(spark, index_path)
+            # best-effort: by this point the batch's index/sink writes are
+            # durable, and a compaction error must NOT fail the micro-batch
+            # — a foreachBatch retry would re-probe docs already admitted
+            # to the index and mark each a duplicate of itself, appending
+            # contradictory verdicts next to the first attempt's rows
+            try:
+                compact_dedup_index(spark, index_path)
+            except Exception:
+                pass  # deferred to the next cadence / maintenance window
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

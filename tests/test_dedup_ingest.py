@@ -194,3 +194,43 @@ def test_stream_inline_compaction_bounds_files_and_keeps_verdicts(spark, tmp_pat
     }
     assert verdict[20] == (True, 10)
     assert verdict[21] == (False, None)
+
+
+def test_ingest_appends_in_legacy_layout_without_wedging(spark, tmp_path):
+    """A pre-band_bucket index (bands/ partitioned by band_idx only) must
+    keep working: ingest appends in the ON-DISK layout instead of mixing
+    partition depths (which Spark's discovery rejects), so later batches
+    still read the index and verdicts stay correct."""
+    idx = str(tmp_path / "legacy")
+    corpus = _docs(spark, [(1, DOC_A), (2, DOC_B)])
+    sigs, band_rows = dedup_ingest._sig_and_bands(corpus, "doc_id", "text")
+    (
+        band_rows.drop("band_bucket")          # the legacy writer's layout
+        .repartition("band_idx")
+        .write.mode("overwrite")
+        .partitionBy("band_idx")
+        .parquet(f"{idx}/bands")
+    )
+    sigs.write.mode("overwrite").parquet(f"{idx}/sigs")
+
+    # batch 1 admits a novel doc -> append must follow the legacy layout
+    v1 = {
+        r["id"]: r["is_dup"]
+        for r in dedup_ingest.ingest_batch(
+            spark, _docs(spark, [(10, DOC_C)]), idx
+        ).collect()
+    }
+    assert v1 == {10: False}
+    # batch 2 must still be able to READ the index (no mixed layouts) and
+    # see both the original corpus and batch 1's admission
+    v2 = {
+        r["id"]: (r["is_dup"], r["dup_of"])
+        for r in dedup_ingest.ingest_batch(
+            spark, _docs(spark, [(20, DOC_A), (21, DOC_C)]), idx
+        ).collect()
+    }
+    assert v2[20] == (True, 1)
+    assert v2[21] == (True, 10)
+    import pathlib
+
+    assert not list(pathlib.Path(idx, "bands").glob("band_idx=*/band_bucket=*"))
