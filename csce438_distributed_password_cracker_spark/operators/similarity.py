@@ -629,8 +629,6 @@ def lsh_topk_multi(
     requires probing a large fraction of buckets; on real clustered
     embeddings the same configuration prunes far harder.  That trade is
     data-dependent by nature — the operator exposes it as parameters."""
-    import itertools
-
     tables = _table_planes(n_planes, dim, n_tables, seed)
     qrow = query.select(F.col(query_vec_col)).first()
     qvec = np.asarray(qrow[0], dtype=np.float64)
@@ -639,15 +637,7 @@ def lsh_topk_multi(
     cond = None
     for t, planes in enumerate(tables):
         qb = _bucket_of(qvec, planes)
-        targets = {qb}
-        # probe every bucket within Hamming distance <= multiprobe of the
-        # query's bucket: sum_{r<=multiprobe} C(n_planes, r) targets/table
-        for r in range(1, min(multiprobe, n_planes) + 1):
-            for bits in itertools.combinations(range(n_planes), r):
-                flip = 0
-                for j in bits:
-                    flip |= 1 << j
-                targets.add(qb ^ flip)
+        targets = _probe_targets(qb, n_planes, multiprobe)
         term = F.element_at("buckets", t + 1).isin([int(b) for b in targets])
         cond = term if cond is None else cond | term
     return (
@@ -660,6 +650,21 @@ def lsh_topk_multi(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def _probe_targets(qb: int, n_planes: int, multiprobe: int) -> set[int]:
+    """All buckets within Hamming distance ≤ ``multiprobe`` of ``qb``:
+    Σ_{r≤multiprobe} C(n_planes, r) targets."""
+    import itertools
+
+    targets = {qb}
+    for r in range(1, min(multiprobe, n_planes) + 1):
+        for bits in itertools.combinations(range(n_planes), r):
+            flip = 0
+            for j in bits:
+                flip |= 1 << j
+            targets.add(qb ^ flip)
+    return targets
 
 
 def cosine_pairs_lsh(

@@ -317,3 +317,19 @@ def test_cosine_pairs_lsh_skew_guard_only_drops(spark, sf_smoke):
         ).collect()
     }
     assert guarded <= full
+
+
+def test_multiprobe_radius_grows_targets():
+    """multiprobe=r probes ALL buckets within Hamming distance <= r: the
+    target set has exactly sum_{i<=r} C(P, i) buckets, is monotone in r,
+    and r=2 really differs from r=1 (the knob is a radius, not a bool)."""
+    qb = 0b10110101
+    t0 = similarity._probe_targets(qb, 8, 0)
+    t1 = similarity._probe_targets(qb, 8, 1)
+    t2 = similarity._probe_targets(qb, 8, 2)
+    assert t0 == {qb}
+    assert len(t1) == 1 + 8 and t0 < t1
+    assert len(t2) == 1 + 8 + 28 and t1 < t2
+    assert all(bin(qb ^ b).count("1") <= 2 for b in t2)
+    # radius saturates at the full hypercube
+    assert len(similarity._probe_targets(qb, 4, 99)) == 16
