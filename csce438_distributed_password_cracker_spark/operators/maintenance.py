@@ -132,8 +132,11 @@ def compact_dedup_index(spark: SparkSession, index_path: str) -> dict[str, int]:
     Returns the per-dataset file counts after compaction.  Verdicts are
     unaffected — the index is a set of rows; only file boundaries
     change."""
-    band_cols = spark.read.parquet(f"{index_path}/bands").columns
-    part_by = [c for c in ("band_idx", "band_bucket") if c in band_cols]
+    from ..streaming.dedup_ingest import band_partition_cols
+
+    part_by = band_partition_cols(
+        spark.read.parquet(f"{index_path}/bands").columns
+    )
     return {
         "bands": compact_parquet(
             spark, f"{index_path}/bands", partition_by=part_by

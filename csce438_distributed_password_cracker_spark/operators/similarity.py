@@ -112,6 +112,8 @@ def cosine_pairs_blocked(
         def gen(batches, _bc=bc):
             bids, bmat = _bc.value
             for batch in batches:
+                if len(batch) == 0:  # empty Arrow batch: 1-D asarray breaks norm
+                    continue
                 a_ids = batch["id"].to_numpy(dtype=np.int64)
                 amat = np.asarray(
                     [np.asarray(v, dtype=np.float64) for v in batch["v"]]
@@ -293,6 +295,8 @@ def _assign_to(src: DataFrame, cent_mat: "np.ndarray") -> DataFrame:
     def assign(batches):
         cmat = bc.value
         for batch in batches:
+            if len(batch) == 0:  # empty Arrow batch: 1-D asarray breaks norm
+                continue
             amat = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in batch["v"]]
             )
@@ -394,6 +398,8 @@ def lsh_bucket(
     def bucketize(batches):
         P = bc.value
         for pdf in batches:
+            if len(pdf) == 0:  # empty Arrow batch: 1-D asarray breaks matmul
+                continue
             mat = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
@@ -578,6 +584,8 @@ def lsh_bucket_multi(
     def bucketize(batches):
         P = bc.value
         for pdf in batches:
+            if len(pdf) == 0:  # empty Arrow batch: 1-D asarray breaks matmul
+                continue
             mat = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
@@ -619,10 +627,12 @@ def lsh_topk_multi(
     the production knob set; tests/test_similarity.py measures recall ≥
     0.9 vs brute force on the driver tables at sf0.1.  Probe cost stays
     O(matched buckets): candidate generation is a narrow scan + filter
-    (bucket membership against L·(P+1) literals — no join, no shuffle)
-    and the re-rank is TakeOrderedAndProject.  At cluster scale, persist
-    via ``build_lsh_index`` per table (or one table partitioned by
-    (table, bucket)) so each probe prunes to L·(P+1) partitions.
+    (bucket membership against L·Σ_{i≤r}C(P,i) literals — no join, no
+    shuffle; ``_probe_targets`` refuses radii that would explode the
+    literal list) and the re-rank is TakeOrderedAndProject.  At cluster
+    scale, persist via ``build_lsh_index`` per table (or one table
+    partitioned by (table, bucket)) so each probe prunes to the same
+    target-bucket partitions.
 
     Note on candidate volume: the driver's synthetic embeddings are
     near-uniform on the sphere (no cluster structure), so high recall
@@ -652,11 +662,25 @@ def lsh_topk_multi(
     )
 
 
-def _probe_targets(qb: int, n_planes: int, multiprobe: int) -> set[int]:
+def _probe_targets(
+    qb: int, n_planes: int, multiprobe: int, max_targets: int = 4096
+) -> set[int]:
     """All buckets within Hamming distance ≤ ``multiprobe`` of ``qb``:
-    Σ_{r≤multiprobe} C(n_planes, r) targets."""
+    Σ_{r≤multiprobe} C(n_planes, r) targets.  Capped: an uncapped radius
+    (e.g. r=5 at P=20 → 21k literals per table) would silently build a
+    pathological OR-filter; refuse loudly instead."""
     import itertools
+    import math as _math
 
+    n_targets = sum(
+        _math.comb(n_planes, r) for r in range(min(multiprobe, n_planes) + 1)
+    )
+    if n_targets > max_targets:
+        raise ValueError(
+            f"multiprobe={multiprobe} at n_planes={n_planes} expands to "
+            f"{n_targets} target buckets per table (> {max_targets}): lower "
+            f"the radius or add tables (n_tables) for recall instead"
+        )
     targets = {qb}
     for r in range(1, min(multiprobe, n_planes) + 1):
         for bits in itertools.combinations(range(n_planes), r):
@@ -702,12 +726,18 @@ def cosine_pairs_lsh(
     same configuration prunes hard.
     """
     bucketed = lsh_bucket_multi(emb, dim, n_planes, n_tables, seed, vec_col)
+    # persist (NOT localCheckpoint): brows feeds both self-join sides and,
+    # with the skew guard, the bucket-size count — without reuse the
+    # full-table GEMM bucketing would re-execute per consumer.  persist
+    # keeps lineage, so on a real cluster a lost executor recomputes the
+    # block instead of failing the job (and no job runs at construction
+    # time).  Lifecycle: owned by the returned plan; Spark evicts LRU.
+    from pyspark import StorageLevel
+
     brows = bucketed.select(
         F.col(id_col).cast("long").alias("id"),
         F.posexplode("buckets").alias("tbl", "bucket"),
-    ).localCheckpoint(eager=True)  # reused 3×: skew count, both join sides
-    # — without this the full-table GEMM bucketing pass would re-execute
-    # per consumer (no common-subplan reuse across different projections)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     if max_bucket_size is not None:
         oversized = (
             brows.groupBy("tbl", "bucket")

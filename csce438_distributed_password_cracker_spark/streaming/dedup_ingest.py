@@ -68,6 +68,31 @@ def est_jaccard_expr(a: str, b: str, num_hashes: int = NUM_HASHES) -> F.Column:
     )
 
 
+def band_partition_cols(columns: list[str]) -> list[str]:
+    """Partition columns of a bands/ dataset, current or legacy layout —
+    the single source of truth for layout detection (ingest append and
+    compact_dedup_index both use it)."""
+    return [c for c in ("band_idx", "band_bucket") if c in columns]
+
+
+def _band_rows_of(
+    sigs: DataFrame, num_hashes: int = NUM_HASHES, bands: int = BANDS
+) -> DataFrame:
+    """band rows (id, band_idx, band_hash, band_bucket) derived from a
+    signature table — split from _sig_and_bands so callers can insert a
+    checkpoint between the (expensive) signature pass and the banding."""
+    r = num_hashes // bands
+    return sigs.select(
+        "id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"xxhash64(slice(sig, b * {r} + 1, {r}), b))"
+            )
+        ).alias("band_idx", "band_hash"),
+    ).withColumn("band_bucket", F.pmod("band_hash", F.lit(BAND_BUCKETS)))
+
+
 def _sig_and_bands(
     docs: DataFrame,
     id_col: str,
@@ -79,18 +104,8 @@ def _sig_and_bands(
 ) -> tuple[DataFrame, DataFrame]:
     """(sigs(id, sig), band_rows(id, band_idx, band_hash, band_bucket))
     for a doc set."""
-    r = num_hashes // bands
     sigs = minhash_signature(docs, id_col, text_col, n, num_hashes, seed)
-    band_rows = sigs.select(
-        "id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), b -> "
-                f"xxhash64(slice(sig, b * {r} + 1, {r}), b))"
-            )
-        ).alias("band_idx", "band_hash"),
-    ).withColumn("band_bucket", F.pmod("band_hash", F.lit(BAND_BUCKETS)))
-    return sigs, band_rows
+    return sigs, _band_rows_of(sigs, num_hashes, bands)
 
 
 def build_dedup_index(
@@ -121,6 +136,10 @@ def _index_exists(spark: SparkSession, index_path: str) -> bool:
 def _pruned_index_bands(
     spark: SparkSession, index_path: str, band_rows: DataFrame
 ) -> DataFrame:
+    return _prune_band_scan(spark.read.parquet(f"{index_path}/bands"), band_rows)
+
+
+def _prune_band_scan(idx_bands: DataFrame, band_rows: DataFrame) -> DataFrame:
     """The index band table, PRUNED to the partition directories the
     batch can possibly match.
 
@@ -132,7 +151,6 @@ def _pruned_index_bands(
     dirs instead of every band partition.  Indexes written before the
     band_bucket layout (no such partition column) fall back to the
     unpruned scan."""
-    idx_bands = spark.read.parquet(f"{index_path}/bands")
     if "band_bucket" not in idx_bands.columns:
         return idx_bands
     pairs = sorted(
@@ -167,20 +185,38 @@ def ingest_batch(
     best estimate, then the lowest candidate id — deterministic under
     any partitioning.
     """
-    sigs, band_rows = _sig_and_bands(batch, id_col, text_col, **params)
+    sig_params = {
+        k: params[k] for k in ("n", "num_hashes", "seed") if k in params
+    }
+    # checkpoint the signature pass FIRST, then band it: banding derived
+    # from an un-checkpointed plan would re-run the (dominant) shingling
+    # + hashing job a second time for band_rows' own checkpoint
+    sigs = minhash_signature(batch, id_col, text_col, **sig_params)
     sigs = sigs.localCheckpoint(eager=True)  # reused 3×: probe, self-join, admit
-    band_rows = band_rows.localCheckpoint(eager=True)
+    band_rows = _band_rows_of(
+        sigs,
+        params.get("num_hashes", NUM_HASHES),
+        params.get("bands", BANDS),
+    ).localCheckpoint(eager=True)
 
+    idx_band_cols: list[str] | None = None
     cand_sides = []
     if _index_exists(spark, index_path):
-        idx_bands = _pruned_index_bands(spark, index_path, band_rows)
+        idx_raw = spark.read.parquet(f"{index_path}/bands")
+        idx_band_cols = idx_raw.columns  # reused for the append layout
+        idx_bands = _prune_band_scan(idx_raw, band_rows)
         idx_sigs = spark.read.parquet(f"{index_path}/sigs")
-        # batch side broadcast: the corpus-side band table is never shuffled
+        # batch side broadcast: the corpus-side band table is never shuffled.
+        # cand_id != new_id: a doc is never a duplicate of ITSELF — on a
+        # foreachBatch replay after a durable index append, the doc's own
+        # rows are already in the index and would otherwise match at
+        # est_jaccard 1.0, flipping the replayed verdict to a self-dup
         corpus_cand = (
             idx_bands.join(
                 F.broadcast(band_rows.withColumnRenamed("id", "new_id")),
                 ["band_idx", "band_hash"],
             )
+            .filter(F.col("id") != F.col("new_id"))
             .select(F.col("new_id"), F.col("id").alias("cand_id"))
             .distinct()
             .join(idx_sigs.withColumnsRenamed({"id": "cand_id", "sig": "cand_sig"}), "cand_id")
@@ -237,15 +273,13 @@ def ingest_batch(
     # append in the layout that is ON DISK: mixing band_bucket dirs into a
     # legacy band_idx-only tree would give leaf files at two partition
     # depths — Spark's partition discovery rejects that and the index
-    # would be wedged for every later probe
-    if _index_exists(spark, index_path):
-        part_cols = [
-            c
-            for c in ("band_idx", "band_bucket")
-            if c in spark.read.parquet(f"{index_path}/bands").columns
-        ]
-    else:
-        part_cols = ["band_idx", "band_bucket"]
+    # would be wedged for every later probe.  idx_band_cols was captured
+    # from the probe's scan, so no second partition discovery happens.
+    part_cols = (
+        band_partition_cols(idx_band_cols)
+        if idx_band_cols is not None
+        else ["band_idx", "band_bucket"]
+    )
     admit = band_rows.join(uniques, "id")
     if "band_bucket" not in part_cols:
         admit = admit.drop("band_bucket")
@@ -302,13 +336,21 @@ def start_dedup_ingest(
 
             # best-effort: by this point the batch's index/sink writes are
             # durable, and a compaction error must NOT fail the micro-batch
-            # — a foreachBatch retry would re-probe docs already admitted
-            # to the index and mark each a duplicate of itself, appending
-            # contradictory verdicts next to the first attempt's rows
+            # (a foreachBatch retry would double-write the sink), but it
+            # must be VISIBLE — silent breakage would let small files
+            # accrete unbounded, the exact failure mode compaction exists
+            # to prevent
             try:
                 compact_dedup_index(spark, index_path)
             except Exception:
-                pass  # deferred to the next cadence / maintenance window
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "dedup-index compaction failed at batch %d "
+                    "(deferred to the next cadence)",
+                    batch_id,
+                    exc_info=True,
+                )
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

@@ -234,3 +234,33 @@ def test_ingest_appends_in_legacy_layout_without_wedging(spark, tmp_path):
     import pathlib
 
     assert not list(pathlib.Path(idx, "bands").glob("band_idx=*/band_bucket=*"))
+
+
+def test_ingest_replay_does_not_self_dup(spark, tmp_path):
+    """foreachBatch replay semantics: if a batch's index appends became
+    durable but the batch is re-run (sink failure, driver restart), the
+    replayed docs must NOT match their own earlier index rows — the
+    verdict stays (is_dup=False) instead of flipping to a self-dup at
+    est_jaccard 1.0, and later batches still dedup against them once."""
+    idx = str(tmp_path / "index")
+    dedup_ingest.build_dedup_index(_docs(spark, [(1, DOC_A)]), idx)
+
+    batch = _docs(spark, [(10, DOC_C)])
+    first = {
+        r["id"]: (r["is_dup"], r["dup_of"])
+        for r in dedup_ingest.ingest_batch(spark, batch, idx).collect()
+    }
+    replay = {  # same batch again: its rows are already in the index
+        r["id"]: (r["is_dup"], r["dup_of"])
+        for r in dedup_ingest.ingest_batch(spark, batch, idx).collect()
+    }
+    assert first == replay == {10: (False, None)}
+
+    # a different doc id with the same text still dedups against doc 10
+    v = {
+        r["id"]: (r["is_dup"], r["dup_of"])
+        for r in dedup_ingest.ingest_batch(
+            spark, _docs(spark, [(20, DOC_C)]), idx
+        ).collect()
+    }
+    assert v[20] == (True, 10)
