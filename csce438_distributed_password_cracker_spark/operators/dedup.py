@@ -441,18 +441,27 @@ def connected_components(
     for _ in range(max_iter):
         nbr = sym.join(
             labels.withColumnRenamed("id", "src"), "src"
-        ).select(F.col("dst").alias("id"), "comp")
+        ).select(
+            F.col("dst").alias("id"), "comp", F.lit(False).alias("own")
+        )
+        # fold the convergence check into the SAME aggregation: `old`
+        # (this id's previous label, present exactly once via own=true)
+        # rides the min-agg shuffle, so detecting a fixed point is a
+        # cheap scan of the checkpointed result instead of a second
+        # shuffle join per round
         new_labels = (
-            labels.union(nbr).groupBy("id").agg(F.min("comp").alias("comp"))
+            labels.withColumn("own", F.lit(True))
+            .unionByName(nbr)
+            .groupBy("id")
+            .agg(
+                F.min("comp").alias("comp"),
+                F.min(F.when(F.col("own"), F.col("comp"))).alias("old"),
+            )
         ).localCheckpoint(eager=True)
         changed = (
-            new_labels.withColumnRenamed("comp", "new_comp")
-            .join(labels, "id")
-            .filter(F.col("new_comp") != F.col("comp"))
-            .limit(1)
-            .count()
+            new_labels.filter(F.col("comp") != F.col("old")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.select("id", "comp")
         if changed == 0:
             break
     return ids.select("id").join(labels, "id", "left").select(
