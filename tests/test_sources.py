@@ -92,3 +92,58 @@ def test_events_ts_layout_drift(spark, tmp_path):
         "2026-01-01 12:30:00",
         "2026-01-02 00:15:30",
     ]
+
+
+def test_documents_embeddings_dtype_drift(spark, sf_smoke, tmp_path):
+    """The driver regenerates testdata between rounds and dtypes have
+    drifted before (events.ts: NANOS vs MICROS).  Pin gate-greenness for
+    the plausible next drifts — narrower integer ids/counts and a
+    float64 embedding element — on the dtype-sensitive queries: both
+    engines read the same files, so every query must stay hash-green."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from csce438_distributed_password_cracker_spark.catalog import TABLES
+    from csce438_distributed_password_cracker_spark.oracle import compare_query
+
+    tmp = str(tmp_path / "drift")
+    import os
+
+    os.makedirs(tmp)
+    for t in TABLES:
+        shutil.copy(f"{sf_smoke}/{t}.parquet", f"{tmp}/{t}.parquet")
+    d = pq.read_table(f"{sf_smoke}/documents.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": d["doc_id"].cast(pa.int32()),
+                "text": d["text"],
+                "lang": d["lang"],
+                "source": d["source"],
+                "n_chars": d["n_chars"].cast(pa.int32()),
+            }
+        ),
+        f"{tmp}/documents.parquet",
+    )
+    e = pq.read_table(f"{sf_smoke}/embeddings.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": e["vec_id"].cast(pa.int32()),
+                "embedding": e["embedding"].cast(pa.list_(pa.float64())),
+                "label": e["label"].cast(pa.int64()),
+            }
+        ),
+        f"{tmp}/embeddings.parquet",
+    )
+    for q in (
+        "q_text_profile",
+        "q_multimodal_features",
+        "q_dedup_exact",
+        "q_similarity_knn",
+        "q_split_assign",
+    ):
+        r = compare_query(spark, q, tmp)
+        assert r.ok, f"{q} broke under dtype drift: {getattr(r, 'detail', '')}"
