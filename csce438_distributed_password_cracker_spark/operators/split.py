@@ -30,6 +30,105 @@ def md5_bucket_sql(expr: str, n_buckets: int = 256) -> str:
     return f"((({c1}) * 16 + ({c2})) % {n_buckets})"
 
 
+_HASH_SPACE = 1_000_000
+
+
+def _sample_bucket(id_col: str, seed: int) -> Column:
+    """The shared sampling coordinate: ``xxhash64(key, seed) mod 1e6``.
+    hash_sample/stratified_sample THRESHOLD on it and group_quota RANKS
+    by it, so threshold-prefilter + rank compose exactly (the skewed-
+    stratum recipe in :func:`group_quota`)."""
+    return F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(_HASH_SPACE))
+
+
+def hash_sample(
+    df: DataFrame,
+    id_col: str,
+    fraction: float,
+    seed: int = 42,
+    flag_col: str = "in_sample",
+) -> DataFrame:
+    """Append a deterministic Bernoulli-style sample flag: keep iff
+    ``xxhash64(key, seed)`` falls in the first ``fraction`` of bucket
+    space.  Unlike ``df.sample`` this is reproducible across runs,
+    engines and partitionings, independent of any split assignment made
+    with a different seed, and new rows get a stable verdict without
+    touching old ones — one hash per row, no shuffle, no state."""
+    bucket = _sample_bucket(id_col, seed)
+    return df.withColumn(flag_col, bucket < int(fraction * _HASH_SPACE))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    id_col: str,
+    fractions: dict | float,
+    seed: int = 42,
+    flag_col: str = "in_sample",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: ``fractions`` is either one
+    rate for every stratum or a dict keyed by the (single) stratum
+    value.  Same hash-threshold mechanics as :func:`hash_sample` — the
+    stratum only picks the rate, so this is STILL one shuffle-free
+    map-side pass (the trap to avoid at 100 TB is sampleBy/window
+    designs that shuffle the corpus just to pick rows)."""
+    bucket = _sample_bucket(id_col, seed)
+    if isinstance(fractions, dict):
+        if len(strata_cols) != 1:
+            raise ValueError("dict fractions require exactly one stratum col")
+        expr = None
+        for val, frac in sorted(fractions.items()):
+            cond = F.col(strata_cols[0]) == val
+            thr = bucket < int(frac * _HASH_SPACE)
+            expr = F.when(cond, thr) if expr is None else expr.when(cond, thr)
+        expr = expr.otherwise(F.lit(False))
+    else:
+        expr = bucket < int(float(fractions) * _HASH_SPACE)
+    return df.withColumn(flag_col, expr)
+
+
+def group_quota(
+    df: DataFrame,
+    strata_cols: list[str],
+    id_col: str,
+    k: int,
+    seed: int = 42,
+    rank_col: str = "strat_rank",
+    flag_col: str = "in_quota",
+) -> DataFrame:
+    """Cap each stratum at ``k`` rows, chosen deterministically: rank
+    rows inside each stratum by the shared sampling bucket
+    (:func:`_sample_bucket`, tie-break on the key) and keep rank ≤ k —
+    the per-domain/per-source quota step of a corpus-curation pipeline,
+    reproducible across runs.
+
+    Scale note: this is one shuffle on the strata key plus a per-stratum
+    sort.  A pathological stratum (one domain = 10% of 100 TB) makes
+    that sort the straggler; when k ≪ stratum size, pre-filter with
+    :func:`hash_sample`/:func:`stratified_sample` at a rate that
+    overshoots k (e.g. 3·k/|stratum|) and rank only the survivors —
+    same final kept set, because ranking and thresholding use the SAME
+    bucket coordinate, so dropping rows above the threshold can only
+    remove ranks > k — at a fraction of the sort cost.  (Equivalence
+    pinned in tests/test_extended.py.)"""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*strata_cols)
+        .orderBy(_sample_bucket(id_col, seed), F.col(id_col))
+    )
+    out = df.withColumn(rank_col, F.row_number().over(w))
+    return out.withColumn(flag_col, F.col(rank_col) <= k)
+
+
+def md5_sample_sql(expr: str, tag: str, n_buckets: int = 256) -> str:
+    """Engine-portable sampling bucket: md5 of a TAGGED key so multiple
+    sampling decisions on the same key are independent (different tag ⇒
+    a fresh hash).  Same two-hex-char arithmetic as
+    :func:`md5_bucket_sql`; spells identically in Spark SQL and DuckDB."""
+    return md5_bucket_sql(f"concat('{tag}:', {expr})", n_buckets)
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,

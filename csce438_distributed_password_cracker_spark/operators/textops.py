@@ -83,6 +83,58 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_metrics(text_col: str = "text") -> list[Column]:
+    """Gopher-style intra-document repetition features as Column exprs:
+
+    - ``n_distinct_trigrams`` — distinct token-3-gram count (0 when the
+      doc has < 3 tokens);
+    - ``dup_trigram_frac`` — 1 − distinct/total trigrams: the fraction
+      of trigram positions occupied by a repeat.  High values flag
+      boilerplate/looping text, one of the published repetition-removal
+      signals (Gopher §A.1.2-style duplicate-n-gram filters).
+
+    Pure single-scan column expressions (no shuffle, no UDF); the
+    transform lambda runs interpreted but over one small per-row array —
+    corpus-scale repetition filtering stays a map-only pass."""
+    toks = f"split({text_col}, ' ')"
+    tris = (
+        f"transform(sequence(1, size({toks}) - 2), "
+        f"i -> concat_ws(' ', slice({toks}, i, 3)))"
+    )
+    return [
+        F.expr(
+            f"CASE WHEN size({toks}) >= 3 THEN "
+            f"CAST(size(array_distinct({tris})) AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END"
+        ).alias("n_distinct_trigrams"),
+        F.expr(
+            f"CASE WHEN size({toks}) >= 3 THEN "
+            f"round(1.0 - CAST(size(array_distinct({tris})) AS DOUBLE) "
+            f"/ (size({toks}) - 2), 6) ELSE 0.0 END"
+        ).alias("dup_trigram_frac"),
+    ]
+
+
+def dedup_segments(
+    text_col: str = "text",
+    sep: str = "\\. ",
+    join: str = ". ",
+    out_col: str = "text_deduped",
+) -> Column:
+    """Intra-document repetition removal: split the doc into segments
+    (sentences by default), keep each segment's FIRST occurrence in
+    order, and reassemble — the boilerplate/loop-removal step that runs
+    after the inter-doc dedup passes.  ``array_distinct`` preserves
+    first-occurrence order by contract, so this is one map-only column
+    expression: no shuffle, no UDF, applies to 100 TB as a projection.
+    (Built from column functions, not an F.expr string — the regex
+    separator must not go through SQL string-literal escaping.)
+    """
+    return F.array_join(
+        F.array_distinct(F.split(F.col(text_col), sep)), join
+    ).alias(out_col)
+
+
 def token_counts(
     df: DataFrame, text_col: str = "text", bpe_regex: str = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 ) -> DataFrame:

@@ -20,8 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators import dedup, multimodal, similarity, textops
-from ..operators.split import md5_bucket_sql
+from ..operators import decontam, dedup, multimodal, similarity, textops
+from ..operators.split import md5_bucket_sql, md5_sample_sql
 from .registry import register
 from .relational import _sql_query
 
@@ -73,6 +73,7 @@ _SCORES = [f"score_{lang}" for lang in sorted(textops.DEFAULT_PROFILES)]
     oracle=f"""
     SELECT doc_id, lang, n_chars, n_tokens, n_distinct_tokens,
            stopword_ratio, avg_token_len, q_punct_ratio, q_stopword_ratio,
+           n_distinct_trigrams, dup_trigram_frac,
            {", ".join(_SCORES)},
            {_langid_case_duckdb()} AS lang_pred
     FROM (
@@ -81,6 +82,22 @@ _SCORES = [f"score_{lang}" for lang in sorted(textops.DEFAULT_PROFILES)]
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
              CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
                AS n_distinct_tokens,
+             CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+               CAST(len(list_distinct(list_transform(
+                 generate_series(1, len(string_split(text, ' ')) - 2),
+                 i -> concat_ws(' ', string_split(text, ' ')[i],
+                                     string_split(text, ' ')[i+1],
+                                     string_split(text, ' ')[i+2]))))
+                 AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END AS n_distinct_trigrams,
+             CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+               round(1.0 - CAST(len(list_distinct(list_transform(
+                 generate_series(1, len(string_split(text, ' ')) - 2),
+                 i -> concat_ws(' ', string_split(text, ' ')[i],
+                                     string_split(text, ' ')[i+1],
+                                     string_split(text, ' ')[i+2]))))
+                 AS DOUBLE) / (len(string_split(text, ' ')) - 2), 6)
+             ELSE 0.0 END AS dup_trigram_frac,
              round(CAST(len(list_filter(string_split(text, ' '),
                    x -> x = 'the' OR x = 'a' OR x = 'data' OR x = 'row')) AS DOUBLE)
                  / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stopword_ratio,
@@ -100,7 +117,10 @@ _SCORES = [f"score_{lang}" for lang in sorted(textops.DEFAULT_PROFILES)]
     "token counting (split/array ops fully JVM-side), quality features "
     "(stopword ratio, mean token length, punctuation ratio — codegen'd "
     "higher-order filter lambdas, no UDF; the filter stage of a "
-    "pretraining pipeline), and marker-overlap language ID (per-language "
+    "pretraining pipeline), Gopher-style repetition metrics (distinct "
+    "trigram count + duplicate-trigram fraction, "
+    "textops.repetition_metrics — the repetition-removal signal), and "
+    "marker-overlap language ID (per-language "
     "array_intersect scores + argmax over (score, lang) structs with "
     "deterministic tie-break).  The composite `quality` product is "
     "excluded from the gated output: its dyadic-fraction factors land "
@@ -131,6 +151,7 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_token_len"),
         "q_punct_ratio",
         "q_stopword_ratio",
+        *textops.repetition_metrics("text"),
         *_SCORES,
         "lang_pred",
     )
@@ -193,25 +214,78 @@ def q_similarity_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    string_split(text, ' ')[i+1],
                                    string_split(text, ' ')[i+2])) AS s
       FROM documents
+    ),
+    jac AS (
+      SELECT 'jaccard' AS method, id_a, id_b, jaccard AS score FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        FROM sh a, sh b
+        WHERE a.doc_id < b.doc_id
+      ) WHERE jaccard >= 0.8
+    ),
+    sh5 AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 4, 1)),
+               i -> concat_ws(' ', string_split(text, ' ')[i],
+                                   string_split(text, ' ')[i+1],
+                                   string_split(text, ' ')[i+2],
+                                   string_split(text, ' ')[i+3],
+                                   string_split(text, ' ')[i+4]))) AS s
+      FROM documents
+    ),
+    trg AS (SELECT doc_id, unnest(s) AS g FROM sh5 WHERE doc_id % 7 <> 0),
+    evg AS (SELECT doc_id, unnest(s) AS g FROM sh5 WHERE doc_id % 7 = 0),
+    dec AS (
+      SELECT 'decontam' AS method, train_id AS id_a, eval_id AS id_b,
+             CAST(n_shared AS DOUBLE) AS score
+      FROM (
+        SELECT trg.doc_id AS train_id, evg.doc_id AS eval_id,
+               count(*) AS n_shared
+        FROM trg JOIN evg USING (g)
+        GROUP BY 1, 2
+      ) WHERE n_shared >= 2
     )
-    SELECT * FROM (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
-      FROM sh a, sh b
-      WHERE a.doc_id < b.doc_id
-    ) WHERE jaccard >= 0.8
+    SELECT * FROM jac UNION ALL SELECT * FROM dec
     """,
-    doc="E1/near-dup: EXACT 3-gram-shingle Jaccard ≥ 0.8 pairs via "
-    "prefix-filtered set-similarity join (no cross join on the Spark side; "
-    "the oracle brute-forces all pairs).  3-gram shingles, not unigrams: "
-    "the synthetic docs draw from a ~31-token vocabulary, so unigram SETS "
-    "are degenerate (every doc ≈ the whole vocab) — shingling restores "
-    "discriminative sets, exactly why real pipelines shingle.",
+    doc="E1/near-dup + corpus hygiene, one labeled union: jaccard — EXACT "
+    "3-gram-shingle Jaccard ≥ 0.8 pairs via prefix-filtered set-similarity "
+    "join (no cross join on the Spark side; the oracle brute-forces all "
+    "pairs).  3-gram shingles, not unigrams: the synthetic docs draw from "
+    "a ~31-token vocabulary, so unigram SETS are degenerate — shingling "
+    "restores discriminative sets, exactly why real pipelines shingle.  "
+    "decontam — benchmark decontamination (operators/decontam.py): "
+    "distinct 5-gram overlap counts between the training partition "
+    "(doc_id % 7 <> 0) and the eval partition (doc_id % 7 = 0), pairs "
+    "with ≥ 2 shared grams; eval gram set broadcast, so the corpus side "
+    "is flagged in one map-side pass (the GPT-3/PaLM-style dirty-doc "
+    "sweep, Spark-first).",
 )
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    jac = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8
+    ).select(
+        F.lit("jaccard").alias("method"),
+        "id_a",
+        "id_b",
+        F.col("jaccard").cast("double").alias("score"),
+    )
+    dec = decontam.ngram_overlap(
+        docs.filter(F.col("doc_id") % 7 != 0),
+        docs.filter(F.col("doc_id") % 7 == 0),
+        "doc_id",
+        "text",
+        n=5,
+        min_hits=2,
+    ).select(
+        F.lit("decontam").alias("method"),
+        F.col("train_id").alias("id_a"),
+        F.col("eval_id").alias("id_b"),
+        F.col("n_shared").cast("double").alias("score"),
+    )
+    return jac.unionAll(dec)
 
 
 def _sketch_oracle_sql(
@@ -484,6 +558,7 @@ _sql_query(
 
 
 _BUCKET = md5_bucket_sql("CAST(doc_id AS STRING)", 256)
+_SAMP = md5_sample_sql("CAST(doc_id AS STRING)", "s", 256)
 
 _sql_query(
     "q_split_assign",
@@ -492,14 +567,33 @@ _sql_query(
            CAST({_BUCKET} AS BIGINT) AS bucket,
            CASE WHEN {_BUCKET} < 204 THEN 'train'
                 WHEN {_BUCKET} < 230 THEN 'val'
-                ELSE 'test' END AS split
-    FROM documents
+                ELSE 'test' END AS split,
+           {_SAMP} < 26 AS in_sample10,
+           CAST(strat_rank AS BIGINT) AS strat_rank,
+           strat_rank <= 40 AS in_quota
+    FROM (
+      SELECT doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(concat('q:', CAST(doc_id AS STRING))), doc_id
+             ) AS strat_rank
+      FROM documents
+    )
     """,
-    doc="Train/val/test assignment as a pure hash of the key (~80/10/10) — "
-    "reproducible across runs/engines/partitionings, unlike sample(); the "
-    "md5-hex bucket arithmetic is engine-portable so the full per-row "
-    "assignment is oracle-checked.  Production path: "
-    "operators/split.hash_split (xxhash64, no string materialization).",
+    doc="Dataset carving, fused per-row (split + sampling, SURVEY §2.12 "
+    "sampling surface): (1) train/val/test assignment as a pure hash of "
+    "the key (~80/10/10) — reproducible across runs/engines/"
+    "partitionings, unlike sample(); (2) in_sample10 — an INDEPENDENT "
+    "deterministic ~10% sample from a tag-salted hash of the same key "
+    "(different tag ⇒ fresh hash ⇒ uncorrelated with the split), the "
+    "shuffle-free Bernoulli sample of a 100 TB pipeline; (3) strat_rank/"
+    "in_quota — per-lang quota capping (≤ 40 docs per stratum) by "
+    "hash-order row_number, the per-domain/per-source cap step of corpus "
+    "curation (deterministic, engine-portable).  The md5-hex arithmetic "
+    "makes all three per-row verdicts oracle-checked.  Production path: "
+    "operators/split.hash_split / hash_sample / stratified_sample / "
+    "group_quota (xxhash64, no string materialization; group_quota "
+    "documents the skewed-stratum pre-filter).",
     tables=("documents",),
 )
 

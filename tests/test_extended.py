@@ -77,6 +77,78 @@ def test_hash_split_deterministic_proportions(spark):
     assert sorted(map(tuple, out.collect())) != sorted(map(tuple, other.collect()))
 
 
+def test_hash_sample_and_stratified(spark):
+    from csce438_distributed_password_cracker_spark.operators.split import (
+        hash_sample,
+        stratified_sample,
+    )
+
+    df = spark.range(50_000).withColumn(
+        "grp", (F.col("id") % 4).cast("string")
+    )
+    out = hash_sample(df, "id", 0.1)
+    frac = out.filter("in_sample").count() / 50_000
+    assert abs(frac - 0.1) < 0.01
+    # repartition-invariant (pure function of key+seed)
+    again = hash_sample(df.repartition(7), "id", 0.1)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+    # map-side only: no exchange in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+    strat = stratified_sample(
+        df, ["grp"], "id", {"0": 0.5, "1": 0.1, "2": 0.0, "3": 1.0}
+    )
+    got = {
+        r["grp"]: r["n"]
+        for r in strat.filter("in_sample")
+        .groupBy("grp")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    n_per = 12_500
+    assert abs(got.get("0", 0) / n_per - 0.5) < 0.03
+    assert abs(got.get("1", 0) / n_per - 0.1) < 0.03
+    assert "2" not in got
+    assert got["3"] == n_per
+    splan = strat._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in splan, splan
+
+
+def test_group_quota_cap_and_prefilter_equivalence(spark):
+    from csce438_distributed_password_cracker_spark.operators.split import (
+        group_quota,
+        hash_sample,
+    )
+
+    df = spark.range(10_000).withColumn(
+        "grp", (F.col("id") % 5).cast("string")
+    )
+    out = group_quota(df, ["grp"], "id", k=37)
+    kept = out.filter("in_quota")
+    counts = [
+        r["n"]
+        for r in kept.groupBy("grp").agg(F.count("*").alias("n")).collect()
+    ]
+    assert counts == [37] * 5
+    # deterministic across repartitioning
+    again = group_quota(df.repartition(11), ["grp"], "id", k=37)
+    assert sorted(
+        (r["id"]) for r in kept.select("id").collect()
+    ) == sorted(r["id"] for r in again.filter("in_quota").select("id").collect())
+    # the documented skewed-stratum recipe: hash-threshold prefilter at an
+    # overshooting rate, then rank survivors -> identical kept set
+    # (hash order is preserved under hash-threshold filtering because both
+    # use the same hash)
+    pre = hash_sample(df, "id", 0.2).filter("in_sample").drop("in_sample")
+    fast = group_quota(pre, ["grp"], "id", k=37)
+    assert sorted(r["id"] for r in kept.select("id").collect()) == sorted(
+        r["id"] for r in fast.filter("in_quota").select("id").collect()
+    )
+
+
 def test_quality_score_composite_bounds(spark, sf_smoke):
     """The composite `quality` (excluded from the oracle hash for
     round-half-tie reasons — see q_text_quality_score) is bounded in

@@ -37,6 +37,38 @@ def test_token_counts(spark):
     assert r["bpe_tokens"] == 7
 
 
+def test_repetition_metrics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),  # 7 trigram positions, 3 distinct
+            (2, "a b c d e"),  # 3 positions, all distinct
+            (3, "a b"),  # < 3 tokens: defined as no repetition
+            (4, "x x x x"),  # 2 positions, 1 distinct
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", *textops.repetition_metrics()).collect()
+    }
+    assert rows[1]["n_distinct_trigrams"] == 3
+    assert rows[1]["dup_trigram_frac"] == round(1 - 3 / 7, 6)
+    assert rows[2]["n_distinct_trigrams"] == 3
+    assert rows[2]["dup_trigram_frac"] == 0.0
+    assert rows[3]["n_distinct_trigrams"] == 0
+    assert rows[3]["dup_trigram_frac"] == 0.0
+    assert rows[4]["n_distinct_trigrams"] == 1
+    assert rows[4]["dup_trigram_frac"] == 0.5
+    # map-only: no exchange in the plan
+    plan = (
+        df.select("doc_id", *textops.repetition_metrics())
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
 def test_fingerprint_properties(spark):
     df = spark.createDataFrame(
         [(1, "a" * 50 + "b" * 50), (2, "a" * 50 + "b" * 50), (3, "x" * 100)],
