@@ -93,13 +93,22 @@ def repetition_metrics(text_col: str = "text") -> list[Column]:
       boilerplate/looping text, one of the published repetition-removal
       signals (Gopher §A.1.2-style duplicate-n-gram filters).
 
-    Pure single-scan column expressions (no shuffle, no UDF); the
-    transform lambda runs interpreted but over one small per-row array —
-    corpus-scale repetition filtering stays a map-only pass."""
+    Pure single-scan column expressions (no shuffle, no UDF).  The
+    trigram array is built with nested ``zip_with`` over three shifted
+    slices — each slice evaluates the token split ONCE per document —
+    instead of ``transform(sequence(...), i -> slice(split(...), i, 3))``,
+    whose lambda would re-split the text per trigram position (O(T²)
+    characters per doc, the trap dedup.shingle_rows documents).  The
+    lambdas run interpreted, but per-element work is two concats —
+    corpus-scale repetition filtering stays a cheap map-only pass."""
     toks = f"split({text_col}, ' ')"
     tris = (
-        f"transform(sequence(1, size({toks}) - 2), "
-        f"i -> concat_ws(' ', slice({toks}, i, 3)))"
+        f"zip_with("
+        f"  zip_with(slice({toks}, 1, size({toks}) - 2),"
+        f"           slice({toks}, 2, size({toks}) - 2),"
+        f"           (x, y) -> concat(x, ' ', y)),"
+        f"  slice({toks}, 3, size({toks}) - 2),"
+        f"  (x, y) -> concat(x, ' ', y))"
     )
     return [
         F.expr(
