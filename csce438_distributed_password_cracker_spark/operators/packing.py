@@ -38,6 +38,28 @@ from pyspark.sql.types import StructField, StructType
 from .split import _sample_bucket
 
 
+def next_fit_assign(
+    tokens: list[int], budget: int
+) -> tuple[list[int], list[int]]:
+    """The pure next-fit kernel: for docs in the given order, return
+    (pack index, position inside pack) per doc.  Opens a new pack when
+    the next doc would overflow the current one.  Extracted so the
+    Arrow UDF and the hypothesis property tests exercise the SAME code
+    (tests/test_properties.py pins budget bound, coverage, and the
+    >½-utilization next-fit guarantee over random inputs)."""
+    packs, pos = [], []
+    cur_pack, cur_fill, cur_pos = 0, 0, 0
+    for tok in tokens:
+        if cur_fill + tok > budget and cur_fill > 0:
+            cur_pack += 1
+            cur_fill, cur_pos = 0, 0
+        packs.append(cur_pack)
+        pos.append(cur_pos)
+        cur_fill += int(tok)
+        cur_pos += 1
+    return packs, pos
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,
@@ -86,16 +108,7 @@ def pack_sequences(
                 f"doc {bad!r} exceeds pack budget {budget}; chunk oversized "
                 "docs before packing"
             )
-        packs, pos = [], []
-        cur_pack, cur_fill, cur_pos = 0, 0, 0
-        for tok in pdf["n_tok"]:
-            if cur_fill + tok > budget and cur_fill > 0:
-                cur_pack += 1
-                cur_fill, cur_pos = 0, 0
-            packs.append(cur_pack)
-            pos.append(cur_pos)
-            cur_fill += int(tok)
-            cur_pos += 1
+        packs, pos = next_fit_assign([int(t) for t in pdf["n_tok"]], budget)
         return pdf.assign(pack_local=packs, pack_pos=pos)
 
     packed = src.groupBy("group_id").applyInPandas(_pack, out_schema)

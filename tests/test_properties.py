@@ -189,3 +189,39 @@ def test_png_decode_rejects_any_single_byte_corruption_in_chunks(data):
     except Exception:
         return  # rejected: the expected outcome
     assert got == (8, 6, px)  # survived only if the byte was immaterial
+
+
+# ── next-fit packing kernel (the pure function the Arrow UDF runs) ───────
+
+@given(st.data())
+@settings(max_examples=300)
+def test_next_fit_packing_properties(data):
+    """operators/packing.next_fit_assign over random inputs: (1) no pack
+    exceeds the budget; (2) every doc is assigned once, pack indices are
+    contiguous from 0 and positions restart per pack; (3) the classic
+    next-fit bound — when all docs ≤ budget/2, every pack except
+    possibly the last is > budget/2 full."""
+    from csce438_distributed_password_cracker_spark.operators.packing import (
+        next_fit_assign,
+    )
+
+    budget = data.draw(st.integers(min_value=2, max_value=4096))
+    tokens = data.draw(
+        st.lists(st.integers(min_value=1, max_value=budget), max_size=200)
+    )
+    packs, pos = next_fit_assign(tokens, budget)
+    assert len(packs) == len(pos) == len(tokens)
+    fills: dict[int, int] = {}
+    next_pos: dict[int, int] = {}
+    for p, q, tok in zip(packs, pos, tokens):
+        assert q == next_pos.get(p, 0)
+        next_pos[p] = q + 1
+        fills[p] = fills.get(p, 0) + tok
+    assert all(f <= budget for f in fills.values())
+    if tokens:
+        assert sorted(fills) == list(range(max(packs) + 1))
+    if tokens and all(t <= budget // 2 for t in tokens):
+        last = max(packs)
+        assert all(
+            f > budget / 2 for p, f in fills.items() if p != last
+        ), (budget, tokens, fills)
