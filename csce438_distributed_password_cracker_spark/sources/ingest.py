@@ -1,0 +1,111 @@
+"""Schema-enforced multi-format ingestion — the front door a pipeline
+runs before anything in ``operators/`` touches the data.
+
+Reference analog: none beyond the generated keyspace (the reference's
+only "source"); this is north-star surface (BASELINE.json) for the
+table-shaped inputs a real corpus arrives as (CSV / JSON lines /
+parquet drops).
+
+The 100 TB rules this module encodes:
+
+- **Schema is declared, never inferred.**  ``inferSchema`` on
+  CSV/JSON is a full extra pass over the input before the real read —
+  at corpus scale that doubles ingest cost, and worse, the inferred
+  types can drift batch-to-batch.  ``ingest`` requires an explicit
+  schema and the reader prunes to it.
+- **Malformed rows are data, not exceptions.**  Default PERMISSIVE
+  mode routes undecodable rows to a quarantine column; ``split_valid``
+  separates them so the pipeline loads what parses and audits what
+  doesn't.  FAILFAST is one flag away for contract-enforced feeds.
+- **Land as parquet, bounded file count.**  ``land`` rewrites the
+  ingested batch as parquet with an explicit output-partition bound —
+  a million tiny CSV shards must not become a million parquet footers
+  (the same operational killer operators/maintenance.py compacts
+  against on the sink side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+CORRUPT_COL = "_corrupt_record"
+
+_FORMATS = ("csv", "json", "parquet")
+
+
+def ingest(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    schema: StructType,
+    mode: str = "PERMISSIVE",
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Read ``path`` as ``fmt`` with the DECLARED schema.
+
+    PERMISSIVE (default) appends :data:`CORRUPT_COL` holding the raw
+    text of rows that failed to decode (NULL for clean rows) — feed the
+    result to :func:`split_valid`.  ``mode='FAILFAST'`` raises on the
+    first malformed row instead.  Parquet is self-describing, so the
+    schema acts as a read-time contract (missing columns -> nulls,
+    extra columns -> pruned) and no corrupt column is added.
+    """
+    if fmt not in _FORMATS:
+        raise ValueError(f"fmt must be one of {_FORMATS}, got {fmt!r}")
+    if fmt == "parquet":
+        return spark.read.schema(schema).parquet(path)
+    read_schema = schema
+    if mode.upper() == "PERMISSIVE" and CORRUPT_COL not in schema.names:
+        read_schema = StructType(
+            list(schema.fields) + [StructField(CORRUPT_COL, StringType(), True)]
+        )
+    reader = (
+        spark.read.format(fmt)
+        .schema(read_schema)
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    )
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def split_valid(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantine): clean rows with the corrupt column dropped,
+    and the raw text of rows that failed to decode — write the latter
+    to an audit sink, never silently drop it.
+
+    The parsed batch is cached first: Spark refuses to answer queries
+    whose file scan references ONLY the corrupt-record column
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN — the raw
+    reader cannot know which rows are corrupt without parsing the data
+    columns), and both halves re-scan the input anyway, so one
+    materialization serves the clean load and the audit.  Callers
+    should ``unpersist`` the inputs after landing if the batch is
+    large."""
+    if CORRUPT_COL not in df.columns:
+        return df, df.sparkSession.createDataFrame(
+            [], f"{CORRUPT_COL} string"
+        )
+    df = df.cache()
+    clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+    return clean, bad
+
+
+def land(
+    df: DataFrame,
+    out_dir: str,
+    max_output_files: int = 64,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Land an ingested batch as parquet with a bounded file count.
+    ``repartition`` (not coalesce) so the write parallelism is real and
+    the output files are evenly sized regardless of how ragged the
+    source shards were."""
+    writer = df.repartition(max_output_files).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(out_dir)

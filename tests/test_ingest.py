@@ -1,0 +1,135 @@
+"""Schema-enforced ingestion (sources/ingest.py): CSV/JSON round-trips
+against the parquet truth, quarantine semantics, FAILFAST, and the
+bounded-file-count landing."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from csce438_distributed_password_cracker_spark.sources import ingest
+
+DOCS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+EMB_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ]
+)
+
+
+def _canon(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_csv_roundtrip_matches_parquet(spark, sf_smoke, tmp_path):
+    truth = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    csv_dir = str(tmp_path / "docs_csv")
+    # quoteAll: the text column contains commas/spaces
+    truth.write.option("header", True).option("quoteAll", True).csv(csv_dir)
+    got = ingest.ingest(
+        spark, csv_dir, "csv", DOCS_SCHEMA, options={"header": "true"}
+    )
+    clean, bad = ingest.split_valid(got)
+    assert bad.count() == 0
+    assert _canon(clean) == _canon(truth)
+
+
+def test_json_roundtrip_preserves_arrays(spark, sf_smoke, tmp_path):
+    truth = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    json_dir = str(tmp_path / "emb_json")
+    truth.write.json(json_dir)
+    clean, bad = ingest.split_valid(
+        ingest.ingest(spark, json_dir, "json", EMB_SCHEMA)
+    )
+    assert bad.count() == 0
+    assert clean.schema["embedding"].dataType == ArrayType(FloatType())
+    assert _canon(clean.select("vec_id", "label")) == _canon(
+        truth.select("vec_id", "label")
+    )
+    # float32 array values survive the text round-trip exactly enough to
+    # compare after a fixed rounding
+    a = clean.select("vec_id", F.round(F.element_at("embedding", 1), 5).alias("v"))
+    b = truth.select("vec_id", F.round(F.element_at("embedding", 1), 5).alias("v"))
+    assert _canon(a) == _canon(b)
+
+
+def test_permissive_quarantines_malformed_rows(spark, tmp_path):
+    json_dir = str(tmp_path / "mixed_json")
+    os.makedirs(json_dir)
+    with open(f"{json_dir}/part-0.json", "w") as f:
+        f.write('{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}\n')
+        f.write("this is not json\n")
+        f.write('{"doc_id": 2, "text": "also ok", "lang": "en", "source": "s", "n_chars": 7}\n')
+    clean, bad = ingest.split_valid(
+        ingest.ingest(spark, json_dir, "json", DOCS_SCHEMA)
+    )
+    assert clean.count() == 2
+    assert ingest.CORRUPT_COL not in clean.columns
+    quarantined = [r[0] for r in bad.collect()]
+    assert quarantined == ["this is not json"]
+
+
+def test_failfast_raises_on_malformed(spark, tmp_path):
+    json_dir = str(tmp_path / "bad_json")
+    os.makedirs(json_dir)
+    with open(f"{json_dir}/part-0.json", "w") as f:
+        f.write('{"doc_id": 1}\n')
+        f.write("not json either\n")
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        ingest.ingest(
+            spark, json_dir, "json", DOCS_SCHEMA, mode="FAILFAST"
+        ).collect()
+
+
+def test_parquet_contract_prunes_and_nulls(spark, sf_smoke):
+    """Against self-describing parquet the schema is a contract: extra
+    source columns are pruned, missing requested columns read as
+    null."""
+    narrow = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("no_such_col", StringType()),
+        ]
+    )
+    got = ingest.ingest(
+        spark, f"{sf_smoke}/documents.parquet", "parquet", narrow
+    )
+    assert got.columns == ["doc_id", "no_such_col"]
+    assert got.filter(F.col("no_such_col").isNotNull()).count() == 0
+    assert got.count() == 500
+
+
+def test_land_bounds_file_count(spark, sf_smoke, tmp_path):
+    df = spark.read.parquet(f"{sf_smoke}/documents.parquet").repartition(37)
+    out = str(tmp_path / "landed")
+    ingest.land(df, out, max_output_files=4)
+    files = glob.glob(f"{out}/*.parquet")
+    assert 1 <= len(files) <= 4
+    assert spark.read.parquet(out).count() == 500
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
