@@ -1,0 +1,154 @@
+"""End-to-end corpus-pipeline integration: raw JSON drop → schema-enforced
+ingest + quarantine → exact dedup → benchmark decontamination → quality
+filter → split/sample → sequence packing.
+
+Each stage is oracle- or property-tested on its own elsewhere; this test
+pins that they COMPOSE — the full path a user of the engine actually
+runs, with counts reconciled at every stage and end-to-end determinism
+across reruns.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from csce438_distributed_password_cracker_spark.operators import (
+    decontam,
+    dedup,
+    packing,
+    textops,
+)
+from csce438_distributed_password_cracker_spark.operators.split import (
+    hash_sample,
+    hash_split,
+)
+from csce438_distributed_password_cracker_spark.sources import ingest
+
+SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+
+def _raw_drop(spark, sf_smoke, tmp_path) -> str:
+    """A realistic messy drop: the documents table as JSON lines, plus
+    exact duplicates under fresh ids and two malformed lines."""
+    raw_dir = str(tmp_path / "raw")
+    os.makedirs(raw_dir)
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    dups = docs.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    # hand-written file (not Spark's writer): appending to a Spark-written
+    # part file would invalidate its Hadoop .crc sidecar and fail the read
+    import json as _json
+
+    with open(f"{raw_dir}/drop.json", "w") as f:
+        for r in docs.unionAll(dups).collect():
+            f.write(_json.dumps(r.asDict()) + "\n")
+        f.write("not json at all\n")
+        f.write('{"doc_id": "also-not-a-long"\n')
+    return raw_dir
+
+
+def _run_pipeline(spark, raw_dir):
+    clean, bad = ingest.split_valid(
+        ingest.ingest(spark, raw_dir, "json", SCHEMA)
+    )
+
+    # exact dedup: keep the min-id representative per distinct text
+    deduped = dedup.exact_dedup(clean, ["text"], "doc_id")
+
+    # benchmark decontamination against the held-out eval partition
+    train = deduped.filter(F.col("doc_id") % 7 != 0)
+    eval_df = deduped.filter(F.col("doc_id") % 7 == 0)
+    decon = decontam.decontaminate(
+        train, eval_df, "doc_id", "text", n=5, min_hits=2
+    )
+
+    # quality filter: drop highly repetitive docs
+    profiled = decon.select(
+        "*", *textops.repetition_metrics("text")
+    ).filter(F.col("dup_trigram_frac") < 0.9)
+
+    # carve: independent 10% sample flag + train/val/test split
+    carved = hash_split(
+        hash_sample(profiled, "doc_id", 0.1),
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+
+    # pack the train split into 512-token sequences
+    train_docs = carved.filter(F.col("split") == "train").withColumn(
+        "n_tokens", F.size(F.split("text", " "))
+    )
+    packed = packing.pack_sequences(
+        train_docs, "doc_id", "n_tokens", budget=512, n_groups=8
+    )
+    return clean, bad, deduped, train, decon, profiled, carved, packed
+
+
+def test_pipeline_composes_with_reconciled_counts(spark, sf_smoke, tmp_path):
+    raw_dir = _raw_drop(spark, sf_smoke, tmp_path)
+    clean, bad, deduped, train, decon, profiled, carved, packed = _run_pipeline(
+        spark, raw_dir
+    )
+
+    # ingest: 500 originals + 10 injected dups parsed, 2 lines quarantined
+    assert clean.count() == 510
+    assert bad.count() == 2
+
+    # exact dedup folds the 10 injected copies (plus any natural exact
+    # dups in the table) — one row per distinct text survives
+    n_dedup = deduped.count()
+    assert n_dedup == clean.select("text").distinct().count()
+
+    # decontamination only ever removes training docs, never adds
+    n_train, n_decon = train.count(), decon.count()
+    assert 0 < n_decon < n_train  # sf0.001 is calibrated to have hits
+    flagged = decontam.contaminated_ids(
+        train, deduped.filter(F.col("doc_id") % 7 == 0), "doc_id", "text",
+        n=5, min_hits=2,
+    ).count()
+    assert n_decon == n_train - flagged
+
+    # the quality filter and carving preserve rows (flags, not drops,
+    # except the repetition cut)
+    assert profiled.count() <= n_decon
+    assert carved.count() == profiled.count()
+    assert set(carved.select("split").distinct().toPandas()["split"]) <= {
+        "train", "val", "test",
+    }
+
+    # packing: exactly-once, budget respected
+    n_train_split = carved.filter(F.col("split") == "train").count()
+    assert packed.count() == n_train_split
+    over = packing.pack_stats(packed, 512).filter("tokens > 512").count()
+    assert over == 0
+
+
+def test_pipeline_deterministic_across_reruns(spark, sf_smoke, tmp_path):
+    raw_dir = _raw_drop(spark, sf_smoke, tmp_path)
+    *_, packed_a = _run_pipeline(spark, raw_dir)
+    *_, packed_b = _run_pipeline(spark, raw_dir)
+    assert sorted(map(tuple, packed_a.collect())) == sorted(
+        map(tuple, packed_b.collect())
+    )
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
