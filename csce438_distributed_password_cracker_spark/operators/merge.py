@@ -1,0 +1,171 @@
+"""Copy-on-write MERGE (upsert + delete) into a plain-parquet table,
+with partition pruning — the Delta/Iceberg ``MERGE INTO`` shape without
+a table format.
+
+Reference analog: none (north-star extension, BASELINE.json).  A corpus
+pipeline needs this constantly: late-arriving document fixes, metadata
+backfills, takedown/tombstone removals — a trickle of changes against a
+100 TB table that must NOT cost a full rewrite.
+
+The 100 TB contract this module encodes:
+
+- **Touch only the partitions the delta touches.**  The delta's
+  distinct partition values are computed first (the delta is small by
+  contract); the target is then read with an ``isin`` partition filter,
+  so planning prunes every untouched partition directory — merge cost
+  is proportional to the CHANGED slice of the table, not its size.
+  Untouched partition directories are never read, rewritten, or even
+  listed beyond planning.
+- **Broadcast the delta's keys.**  The upsert anti-join (drop target
+  rows whose key the delta replaces) broadcasts the delta, so the
+  touched slice streams through a map-side hash join — no shuffle of
+  the big side.
+- **Swap directories, don't overwrite in place.**  The rewritten
+  partitions are written to a temp dataset and swapped per-directory
+  (write-new → rename-old-away → rename-new-in → delete-old), the same
+  discipline as :func:`operators.maintenance.compact_parquet` and with
+  the same caveat: on an object store, flip a manifest/metastore
+  pointer instead — plain renames are only per-directory atomic on a
+  real filesystem.
+
+Deletes ride the same pass: delta rows flagged by ``delete_col`` act as
+tombstones — their keys are removed from the target and the tombstone
+row itself is not inserted.  An unpartitioned target degenerates to a
+bounded full rewrite (one "partition"), which is still the correct
+semantics — just without pruning to save.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _partition_dir(part_col: str, value) -> str:
+    """Hive-style directory name for one partition value (matches what
+    ``DataFrameWriter.partitionBy`` emits for the primitive types the
+    test tables use; None -> __HIVE_DEFAULT_PARTITION__)."""
+    if value is None:
+        return f"{part_col}=__HIVE_DEFAULT_PARTITION__"
+    if isinstance(value, bool):  # Spark writes true/false lowercase
+        return f"{part_col}={str(value).lower()}"
+    return f"{part_col}={value}"
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    delta: DataFrame,
+    key_cols: list[str],
+    partition_col: str | None = None,
+    delete_col: str | None = None,
+    files_per_partition: int = 4,
+) -> dict[str, int]:
+    """MERGE ``delta`` into the parquet table at ``target_path``:
+    delta rows replace target rows with the same ``key_cols`` (last
+    writer wins), new keys are inserted, and rows where ``delete_col``
+    is true are tombstones (key removed, row not inserted).
+
+    Returns ``{"partitions_touched": ..., "partitions_total": ...,
+    "rows_upserted": ..., "rows_deleted": ...}``.
+
+    ``partition_col`` must be the target's hive partition column when
+    the target is partitioned (pruning + per-directory swap); omit it
+    for an unpartitioned target (full copy-on-write rewrite).  The
+    delta must carry the target's data columns (plus ``delete_col``);
+    tombstone rows only need their key and partition values.
+    """
+    src = Path(target_path)
+    if not src.exists():
+        raise FileNotFoundError(target_path)
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+
+    target = spark.read.parquet(target_path)
+    data_cols = target.columns  # includes partition_col (Spark appends it)
+    if delete_col is not None and delete_col not in delta.columns:
+        raise ValueError(f"delete_col {delete_col!r} not in delta columns")
+
+    is_del = (
+        F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+        if delete_col is not None
+        else F.lit(False)
+    )
+    upserts = delta.filter(~is_del)
+    tombstones = delta.filter(is_del)
+    missing = [c for c in data_cols if c not in upserts.columns]
+    if missing:
+        raise ValueError(f"delta is missing target columns: {missing}")
+
+    n_upsert = upserts.count()
+    n_delete = tombstones.count()
+
+    if partition_col is not None:
+        if partition_col not in delta.columns:
+            raise ValueError(
+                f"partition_col {partition_col!r} not in delta columns"
+            )
+        touched = [
+            r[0]
+            for r in delta.select(partition_col).distinct().collect()
+        ]
+        # isin on the partition column prunes untouched directories at
+        # planning time (PartitionFilters in the scan)
+        slice_df = target.filter(F.col(partition_col).isin(touched))
+        part_dirs = {_partition_dir(partition_col, v) for v in touched}
+        total_parts = sum(
+            1 for p in src.iterdir()
+            if p.is_dir() and p.name.startswith(f"{partition_col}=")
+        )
+    else:
+        touched, part_dirs = [], set()
+        slice_df = target
+        total_parts = 1
+
+    # keys the delta claims (upserts replace, tombstones remove) — small
+    # by contract, so the anti-join broadcasts and the touched slice
+    # never shuffles
+    claimed = delta.select(*key_cols).distinct()
+    kept = slice_df.join(F.broadcast(claimed), key_cols, "left_anti")
+    merged = kept.unionByName(upserts.select(*data_cols))
+
+    tmp = src.with_name(src.name + ".__merge_tmp__")
+    old = src.with_name(src.name + ".__merge_old__")
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+
+    if partition_col is not None:
+        (
+            merged.repartition(files_per_partition, partition_col)
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(str(tmp))
+        )
+        # swap ONLY the touched partition directories; everything else
+        # in the target is untouched on disk
+        old.mkdir()
+        for d in sorted(part_dirs):
+            cur, new = src / d, tmp / d
+            if cur.exists():
+                cur.rename(old / d)
+            if new.exists():  # fully-deleted partitions vanish
+                new.rename(cur)
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+    else:
+        merged.repartition(files_per_partition).write.mode(
+            "overwrite"
+        ).parquet(str(tmp))
+        src.rename(old)
+        tmp.rename(src)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return {
+        "partitions_touched": len(part_dirs) if partition_col else 1,
+        "partitions_total": total_parts,
+        "rows_upserted": n_upsert,
+        "rows_deleted": n_delete,
+    }

@@ -1,0 +1,147 @@
+"""Copy-on-write MERGE: semantics (upsert/insert/delete, last-writer-
+wins), partition pruning of the target scan, and the on-disk contract
+that untouched partition directories are not rewritten."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from csce438_distributed_password_cracker_spark.operators.merge import (
+    merge_upsert,
+)
+
+
+@pytest.fixture()
+def seeded_table(spark, tmp_path):
+    """Partitioned parquet table: 40 rows over 4 lang partitions."""
+    path = str(tmp_path / "docs")
+    df = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text-"), F.col("id")).alias("body"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("ja")),
+            (F.col("id") % 4 + 1).cast("int"),
+        ).alias("lang"),
+    )
+    df.repartition(2, "lang").write.partitionBy("lang").parquet(path)
+    return path
+
+
+def _snapshot(path):
+    """(relative file path -> mtime_ns) for every parquet data file."""
+    root = Path(path)
+    return {
+        str(p.relative_to(root)): p.stat().st_mtime_ns
+        for p in root.rglob("*.parquet")
+    }
+
+
+def test_merge_semantics_and_pruned_io(spark, seeded_table):
+    before = _snapshot(seeded_table)
+
+    # delta touches ONLY lang=en (doc_id % 4 == 0): update doc 0,
+    # insert doc 100, tombstone doc 4
+    delta = spark.createDataFrame(
+        [
+            (0, "text-0-v2", "en", False),
+            (100, "text-100", "en", False),
+            (4, None, "en", True),
+        ],
+        "doc_id long, body string, lang string, deleted boolean",
+    )
+    stats = merge_upsert(
+        spark,
+        seeded_table,
+        delta,
+        key_cols=["doc_id"],
+        partition_col="lang",
+        delete_col="deleted",
+    )
+    assert stats == {
+        "partitions_touched": 1,
+        "partitions_total": 4,
+        "rows_upserted": 2,
+        "rows_deleted": 1,
+    }
+
+    out = spark.read.parquet(seeded_table)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 40  # 40 - 1 deleted + 1 inserted
+    assert rows[0].body == "text-0-v2" and rows[0].lang == "en"
+    assert rows[100].body == "text-100"
+    assert 4 not in rows
+    assert rows[1].body == "text-1"  # untouched partition intact
+
+    # on-disk contract: every file in the three untouched partitions is
+    # the SAME file (same path, same mtime); lang=en was rewritten
+    after = _snapshot(seeded_table)
+    untouched_before = {k: v for k, v in before.items() if "lang=en" not in k}
+    untouched_after = {k: v for k, v in after.items() if "lang=en" not in k}
+    assert untouched_before == untouched_after
+    assert {k for k in after if "lang=en" in k} != {
+        k for k in before if "lang=en" in k
+    }
+
+
+def test_merge_new_partition_and_full_delete(spark, seeded_table):
+    # insert into a brand-new partition AND tombstone every row of lang=ja
+    ja_ids = [
+        r.doc_id
+        for r in spark.read.parquet(seeded_table)
+        .filter(F.col("lang") == "ja")
+        .collect()
+    ]
+    delta = spark.createDataFrame(
+        [(200, "hola", "es", False)]
+        + [(i, None, "ja", True) for i in ja_ids],
+        "doc_id long, body string, lang string, deleted boolean",
+    )
+    merge_upsert(
+        spark,
+        seeded_table,
+        delta,
+        key_cols=["doc_id"],
+        partition_col="lang",
+        delete_col="deleted",
+    )
+    out = spark.read.parquet(seeded_table)
+    langs = {r[0] for r in out.select("lang").distinct().collect()}
+    assert langs == {"en", "de", "fr", "es"}  # ja vanished, es appeared
+    assert not (Path(seeded_table) / "lang=ja").exists()
+    assert out.filter(F.col("doc_id") == 200).count() == 1
+
+
+def test_merge_unpartitioned_and_validation(spark, tmp_path):
+    path = str(tmp_path / "flat")
+    spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).write.parquet(path)
+
+    delta = spark.createDataFrame([(3, 999), (50, 100)], "k long, v long")
+    stats = merge_upsert(spark, path, delta, key_cols=["k"])
+    assert stats["partitions_touched"] == stats["partitions_total"] == 1
+    rows = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert rows[3] == 999 and rows[50] == 100 and len(rows) == 11
+
+    with pytest.raises(ValueError, match="missing target columns"):
+        merge_upsert(
+            spark, path, delta.select("k"), key_cols=["k"]
+        )
+    with pytest.raises(FileNotFoundError):
+        merge_upsert(spark, str(tmp_path / "nope"), delta, key_cols=["k"])
+
+
+def test_merge_prunes_target_scan(spark, seeded_table):
+    """The slice read during a merge carries an isin partition filter —
+    verify via the same plan the operator builds."""
+    target = spark.read.parquet(seeded_table)
+    plan = (
+        target.filter(F.col("lang").isin(["en"]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "lang" in plan
