@@ -1,0 +1,87 @@
+"""Incremental materialized rollup: multi-batch streaming maintenance
+must equal the from-scratch batch aggregate, prune its merges to the
+touched days, and no-op on crash-replayed batches."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from csce438_distributed_password_cracker_spark.catalog import load_table
+from csce438_distributed_password_cracker_spark.streaming import rollup
+
+
+def _canon(df):
+    return sorted(
+        (
+            str(r.day),
+            r.event_type,
+            r.n_events,
+            round(r.sum_value, 6),
+            round(r.sum_sq, 4),
+            round(r.min_value, 6),
+            round(r.max_value, 6),
+        )
+        for r in df.collect()
+    )
+
+
+def test_rollup_matches_batch_answer(spark, sf_smoke, tmp_path):
+    events = load_table(spark, sf_smoke, "events")
+    src = str(tmp_path / "events_in")
+    # 4 input files -> maxFilesPerTrigger=1 forces 4 micro-batches
+    events.repartition(4).write.parquet(src)
+
+    table = str(tmp_path / "rollup")
+    q = rollup.start_rollup_stream(
+        spark,
+        src,
+        table,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(table)
+    want = rollup.rollup_of(events)
+    assert _canon(got.drop("last_batch_id")) == _canon(want)
+    # multi-batch: the highest absorbed batch id proves >1 merge ran
+    assert got.select(F.max("last_batch_id")).first()[0] >= 3
+
+
+def test_rollup_merge_prunes_and_replay_noop(spark, sf_smoke, tmp_path):
+    events = load_table(spark, sf_smoke, "events")
+    days = [
+        r[0]
+        for r in events.select(F.to_date("ts").alias("d"))
+        .distinct()
+        .orderBy("d")
+        .collect()
+    ]
+    early, late = days[: len(days) // 2], days[len(days) // 2 :]
+    b0 = events.filter(F.to_date("ts").isin(early))
+    b1 = events.filter(F.to_date("ts").isin(late))
+
+    table = str(tmp_path / "rollup")
+    assert rollup.merge_batch(spark, table, b0, batch_id=0)
+
+    def snap(only_early=True):
+        root = Path(table)
+        return {
+            str(p.relative_to(root)): p.stat().st_mtime_ns
+            for p in root.rglob("*.parquet")
+            if any(f"day={d}" in str(p) for d in early) == only_early
+        }
+
+    early_files = snap(only_early=True)
+    assert rollup.merge_batch(spark, table, b1, batch_id=1)
+    # batch 1 touches only late days: every early-day file untouched
+    assert snap(only_early=True) == early_files
+
+    merged = _canon(spark.read.parquet(table).drop("last_batch_id"))
+    assert merged == _canon(rollup.rollup_of(events))
+
+    # crash replay: re-offering an absorbed batch must be a no-op
+    assert rollup.merge_batch(spark, table, b1, batch_id=1) is False
+    assert _canon(spark.read.parquet(table).drop("last_batch_id")) == merged
