@@ -10,7 +10,7 @@ broadcast the dims (region/nation) and shuffle the facts, aggregate
 pushdown through multi-way joins, selective date-range scans with full
 predicate pushdown.
 
-Q3/Q5/Q10 are registered as ONE labeled union (`q_tpch`) so the driver
+Q1/Q6/Q3/Q5/Q10 are registered as ONE labeled union (`q_tpch`) so the driver
 correctness gate — which records at most 50 registry entries — covers
 all three: each branch keeps its own joins, pushed-down predicates, and
 deterministic top-k; the outer union only harmonizes the output schema
@@ -28,12 +28,50 @@ _REVENUE = f"{_dec('l.l_extendedprice')} * (1 - {_dec('l.l_discount')})"
 _sql_query(
     "q_tpch",
     f"""
+    SELECT 'q1' AS tpch_q,
+           CAST(NULL AS BIGINT) AS k_id,
+           l_returnflag AS k_name,
+           l_linestatus AS k_name2,
+           CAST(NULL AS TIMESTAMP) AS order_ts,
+           revenue,
+           n_rows,
+           sum_qty
+    FROM (
+      SELECT l.l_returnflag, l.l_linestatus,
+             {_money(_REVENUE, "revenue")},
+             COUNT(*) AS n_rows,
+             CAST(round(sum({_dec("l.l_quantity")}), 2) AS DOUBLE) AS sum_qty
+      FROM lineitem l
+      WHERE l.l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      GROUP BY l.l_returnflag, l.l_linestatus
+    )
+    UNION ALL
+    SELECT 'q6' AS tpch_q,
+           CAST(NULL AS BIGINT) AS k_id,
+           CAST(NULL AS STRING) AS k_name,
+           CAST(NULL AS STRING) AS k_name2,
+           CAST(NULL AS TIMESTAMP) AS order_ts,
+           revenue,
+           n_rows,
+           CAST(NULL AS DOUBLE) AS sum_qty
+    FROM (
+      SELECT {_money(f"{_dec('l.l_extendedprice')} * {_dec('l.l_discount')}", "revenue")},
+             COUNT(*) AS n_rows
+      FROM lineitem l
+      WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        AND {_dec("l.l_discount")} BETWEEN 0.04 AND 0.08
+        AND l.l_quantity < 24
+    )
+    UNION ALL
     SELECT 'q3' AS tpch_q,
            CAST(l_orderkey AS BIGINT) AS k_id,
            o_orderpriority AS k_name,
            CAST(NULL AS STRING) AS k_name2,
            o_orderdate AS order_ts,
-           revenue
+           revenue,
+           CAST(NULL AS BIGINT) AS n_rows,
+           CAST(NULL AS DOUBLE) AS sum_qty
     FROM (
       SELECT l.l_orderkey,
              {_money(_REVENUE, "revenue")},
@@ -55,7 +93,9 @@ _sql_query(
            n_name AS k_name,
            CAST(NULL AS STRING) AS k_name2,
            CAST(NULL AS TIMESTAMP) AS order_ts,
-           revenue
+           revenue,
+           CAST(NULL AS BIGINT) AS n_rows,
+           CAST(NULL AS DOUBLE) AS sum_qty
     FROM (
       SELECT n.n_name,
              {_money(_REVENUE, "revenue")}
@@ -77,7 +117,9 @@ _sql_query(
            c_name AS k_name,
            n_name AS k_name2,
            CAST(NULL AS TIMESTAMP) AS order_ts,
-           revenue
+           revenue,
+           CAST(NULL AS BIGINT) AS n_rows,
+           CAST(NULL AS DOUBLE) AS sum_qty
     FROM (
       SELECT c.c_custkey, c.c_name, n.n_name,
              {_money(_REVENUE, "revenue")}
@@ -93,7 +135,11 @@ _sql_query(
       LIMIT 20
     )
     """,
-    doc="TPC-H battery, one labeled union: Q3 shipping priority — 3-way "
+    doc="TPC-H battery, one labeled union: Q1 pricing summary — the "
+    "full-fact-scan partial-agg benchmark (6-group output, map-side "
+    "combine does all the work; measures trimmed to the union schema); "
+    "Q6 forecast revenue — filter-only scan, every predicate pushed to "
+    "the parquet reader, single-row sum; Q3 shipping priority — 3-way "
     "join, date-range pushdown on both fact scans, grouped revenue, "
     "deterministic top-10 (orderkey tie-break); Q5 local supplier volume "
     "— 6-way star join, Catalyst broadcasts region/nation/supplier and "
