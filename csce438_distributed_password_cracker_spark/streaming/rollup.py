@@ -12,8 +12,12 @@ Why this shape scales:
   squares for variance) merge associatively, so each micro-batch
   contributes a per-key partial and the stored rollup absorbs it with
   one more group-by — the historical raw events are NEVER re-read.
-  (Non-mergeable aggregates — exact distincts, exact medians — don't
-  belong in a rollup; use sketches and store their mergeable state.)
+  Exact distincts are NOT mergeable, so distinct users ride as a
+  DataSketches HLL sketch column (``hll_sketch_agg`` per batch,
+  ``hll_union_agg`` at merge — register-max union is order-independent
+  and lossless at fixed lgK): the rollup stores the sketch's binary
+  state and any reader calls ``hll_sketch_estimate`` on it.  (Exact
+  medians likewise don't belong in a rollup.)
 - **The merge is partition-pruned.**  The rollup table is
   hive-partitioned by day; a batch's partial touches only the days in
   the batch (a live stream touches ~today), so the stored slice read
@@ -54,6 +58,7 @@ def _partial(batch: DataFrame) -> DataFrame:
         F.sum(F.col("value") * F.col("value")).alias("sum_sq"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
+        F.expr("hll_sketch_agg(user_id)").alias("users_hll"),
     )
 
 
@@ -66,6 +71,7 @@ def _combine(stacked: DataFrame) -> DataFrame:
         F.sum("sum_sq").alias("sum_sq"),
         F.min("min_value").alias("min_value"),
         F.max("max_value").alias("max_value"),
+        F.expr("hll_union_agg(users_hll)").alias("users_hll"),
         F.max("last_batch_id").alias("last_batch_id"),
     )
 
@@ -139,8 +145,16 @@ def start_rollup_stream(
     return writer.start()
 
 
+def with_user_estimate(df: DataFrame) -> DataFrame:
+    """Decode the stored HLL state into the per-key distinct-user
+    estimate a dashboard reads."""
+    return df.withColumn(
+        "approx_users", F.expr("hll_sketch_estimate(users_hll)")
+    ).drop("users_hll")
+
+
 def rollup_of(events: DataFrame) -> DataFrame:
     """The batch (from-scratch) answer the incremental table must equal:
     same aggregates over the full event history, minus the bookkeeping
     column."""
-    return _partial(events).drop("last_batch_id")
+    return _partial(events)

@@ -22,8 +22,9 @@ def _canon(df):
             round(r.sum_sq, 4),
             round(r.min_value, 6),
             round(r.max_value, 6),
+            r.approx_users,
         )
-        for r in df.collect()
+        for r in rollup.with_user_estimate(df).collect()
     )
 
 
@@ -48,6 +49,22 @@ def test_rollup_matches_batch_answer(spark, sf_smoke, tmp_path):
     assert _canon(got.drop("last_batch_id")) == _canon(want)
     # multi-batch: the highest absorbed batch id proves >1 merge ran
     assert got.select(F.max("last_batch_id")).first()[0] >= 3
+
+    # the HLL estimate tracks the exact per-key distinct-user count
+    # (HLL error at lgK=12 is ~1.6% std; these keys have ≤ a few
+    # hundred distinct users, well inside the sketch's exact range)
+    exact = {
+        (str(r.day), r.event_type): r.u
+        for r in events.groupBy(
+            F.to_date("ts").alias("day"), "event_type"
+        )
+        .agg(F.count_distinct("user_id").alias("u"))
+        .collect()
+    }
+    for r in rollup.with_user_estimate(got).collect():
+        assert abs(r.approx_users - exact[(str(r.day), r.event_type)]) <= max(
+            2, 0.05 * exact[(str(r.day), r.event_type)]
+        )
 
 
 def test_rollup_merge_prunes_and_replay_noop(spark, sf_smoke, tmp_path):
