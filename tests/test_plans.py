@@ -165,3 +165,40 @@ def test_multimodal_synth_decode_no_shuffle_pruned_scan(spark, sf_oracle):
     assert tree.count("Exchange") == 0
     assert tree.count("MapInPandas") == 2
     assert "ReadSchema: struct<doc_id:bigint,n_chars:bigint>" in p
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_oracle):
+    """At 100 TB both join sides exceed the broadcast threshold, and the
+    defense against shuffling the whole fact table is Spark's runtime
+    Bloom filter: the selective side's keys build a bloom_filter_agg,
+    and might_contain() is injected into the fact scan, so most fact
+    rows drop BEFORE the exchange.  Inert at test SF only because of the
+    10 GB application-side threshold — simulate the big-table case by
+    lowering it and disabling broadcast, then assert the filter is
+    actually injected (protects against a session config or Spark
+    upgrade silently turning runtime filtering off)."""
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        orders = load_table(spark, sf_oracle, "orders").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        lineitem = load_table(spark, sf_oracle, "lineitem")
+        j = lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey
+        ).groupBy("o_orderpriority").count()
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in optimized
+        assert "might_contain" in optimized
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
