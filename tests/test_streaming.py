@@ -178,3 +178,95 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     }
     assert streamed == batch
     assert len(batch) == 3  # conn 1 splits into two sessions, conn 2 has one
+
+
+def test_watermark_finalizes_windows_and_drops_late_rows(spark, tmp_path):
+    """Event-time semantics under APPEND mode: a tumbling window is only
+    emitted once the watermark passes its end (finalization), and a row
+    arriving after the watermark has moved past its window is DROPPED —
+    the bounded-state contract that lets a windowed aggregation run
+    forever at 100 TB (without a watermark, window state grows without
+    bound and late data reopens arbitrarily old windows).
+
+    Four single-file micro-batches (maxFilesPerTrigger=1, ordered by
+    mtime).  Note the micro-batch watermark discipline: the late-row
+    filter of batch N uses the watermark computed at the END of batch
+    N-1, so a row only counts as late once a PRIOR batch advanced the
+    watermark past it:
+      b0: two rows in window [00:00, 00:10)   -> nothing emitted yet
+      b1: one row at 00:00:30                 -> end-of-batch watermark
+          becomes 00:00:25
+      b2: one row at 00:00:50                 -> batch runs with wm 25:
+          [00:00, 00:10) finalizes with n=2; wm advances to 00:00:45
+      b3: a LATE row at 00:00:02 (< wm 45)    -> DROPPED; the finalized
+          window is not reopened or re-emitted
+    """
+    src = tmp_path / "events"
+    src.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    _write_json(
+        str(src / "b0.json"),
+        [
+            {"user_id": 1, "ts": "2026-01-01T00:00:01.000Z", "value": 1.0},
+            {"user_id": 2, "ts": "2026-01-01T00:00:03.000Z", "value": 2.0},
+        ],
+    )
+    _write_json(
+        str(src / "b1.json"),
+        [{"user_id": 1, "ts": "2026-01-01T00:00:30.000Z", "value": 4.0}],
+    )
+    _write_json(
+        str(src / "b2.json"),
+        [{"user_id": 1, "ts": "2026-01-01T00:00:50.000Z", "value": 16.0}],
+    )
+    _write_json(
+        str(src / "b3.json"),
+        [{"user_id": 3, "ts": "2026-01-01T00:00:02.000Z", "value": 8.0}],
+    )
+    # the file source orders batches by modification time, not name —
+    # pin distinct mtimes so b0 -> b1 -> b2 -> b3 is the processing order
+    import os
+
+    for i, name in enumerate(["b0.json", "b1.json", "b2.json", "b3.json"]):
+        t = time.time() - 300 + i * 10
+        os.utime(str(src / name), (t, t))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        sessions.tumbling(stream, duration="10 seconds", watermark="5 seconds")
+        .writeStream.format("memory")
+        .queryName("wm_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = {
+        (str(r.window_start), r.n_events, r.window_value)
+        for r in spark.sql("SELECT * FROM wm_test").collect()
+    }
+    # finalized windows only, late row in none of them: [00:00, 00:10)
+    # has n=2/value 1+2, [00:30, 00:40) finalized by b2's watermark jump
+    assert rows == {
+        ("2026-01-01 00:00:00", 2, 3.0),
+        ("2026-01-01 00:00:30", 1, 4.0),
+    }
+    # the drop is observable in the state-operator metrics
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    assert dropped >= 1
