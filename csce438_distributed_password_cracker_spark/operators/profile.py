@@ -1,0 +1,115 @@
+"""One-pass dataset profiling — the data-quality audit a pipeline runs
+on every new drop before admitting it (null rates, cardinalities,
+ranges, heavy hitters), plus a fixed-width histogram.
+
+Reference analog: none (north-star extension, BASELINE.json).
+
+Scale shape: :func:`profile` compiles ALL requested metrics for ALL
+columns into ONE ``df.agg(...)`` — a single scan with map-side partial
+aggregation reducing to a single driver row, no matter how many columns
+are profiled; there is no per-column pass and no shuffle of data rows.
+Distincts are ``approx_count_distinct`` (HLL++) and heavy hitters are
+``approx_top_k`` (a mergeable frequent-items sketch) — both sketch
+aggregates with bounded state, because exact versions of either would
+shuffle the full column at 100 TB.  The wide one-row result is then
+unpivoted driver-side into the long (column, metric, ...) audit table —
+a driver-side loop over METRIC COUNT, never over data.
+
+:func:`histogram` is the one shape that needs a shuffle: width_bucket →
+groupBy over ``nbins`` keys, i.e. a shuffle of at most nbins rows after
+map-side combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType, StringType
+
+TOPK_MAX_ITEMS = 10_000  # approx_top_k sketch capacity (its default)
+
+
+def profile(
+    df: DataFrame, columns: list[str] | None = None, top_k: int = 5
+) -> DataFrame:
+    """Long-format profile: one row per (column, metric) with
+    ``value_num`` (numeric metrics), ``value_str`` (string min/max and
+    the JSON-encoded heavy-hitter list).
+
+    Metrics for every column: n_nonnull, n_null, approx_distinct.
+    Numeric columns add min/max/mean/stddev; string columns add
+    min/max/avg length, n_empty, and top_k items.
+    """
+    cols = columns or df.columns
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    per_col: dict[str, list[str]] = {}
+
+    def add(c: str, metric: str, expr: Column) -> None:
+        aggs.append(expr.alias(f"{c}::{metric}"))
+        per_col.setdefault(c, []).append(metric)
+
+    for c in cols:
+        dt = df.schema[c].dataType
+        add(c, "n_nonnull", F.count(c))
+        add(c, "approx_distinct", F.approx_count_distinct(c))
+        if isinstance(dt, NumericType):
+            add(c, "min", F.min(c).cast("double"))
+            add(c, "max", F.max(c).cast("double"))
+            add(c, "mean", F.avg(c))
+            add(c, "stddev", F.stddev(c))
+        elif isinstance(dt, StringType):
+            add(c, "min_len", F.min(F.length(c)).cast("double"))
+            add(c, "max_len", F.max(F.length(c)).cast("double"))
+            add(c, "avg_len", F.avg(F.length(c)))
+            add(c, "n_empty", F.count(F.when(F.col(c) == "", 1)))
+            add(
+                c,
+                "top_k",
+                F.to_json(
+                    F.expr(f"approx_top_k({c}, {top_k}, {TOPK_MAX_ITEMS})")
+                ),
+            )
+
+    row = df.agg(*aggs).first()
+    n = row["__n"]
+    out = []
+    for c in cols:
+        out.append((c, "n_rows", float(n), None))
+        out.append((c, "n_null", float(n - row[f"{c}::n_nonnull"]), None))
+        for m in per_col[c]:
+            v = row[f"{c}::{m}"]
+            if m == "top_k":
+                out.append((c, m, None, v))
+            else:
+                out.append(
+                    (c, m, float(v) if v is not None else None, None)
+                )
+    return df.sparkSession.createDataFrame(
+        out, "column string, metric string, value_num double, value_str string"
+    )
+
+
+def histogram(
+    df: DataFrame, col: str, lo: float, hi: float, nbins: int = 20
+) -> DataFrame:
+    """(bucket, lo, hi, n) fixed-width histogram over [lo, hi); values
+    outside the range land in underflow bucket 0 / overflow nbins+1
+    (width_bucket semantics).  One scan, shuffle of ≤ nbins+2 rows."""
+    if hi <= lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    width = (hi - lo) / nbins
+    return (
+        df.select(
+            F.width_bucket(F.col(col), F.lit(lo), F.lit(hi), F.lit(nbins))
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bucket",
+            (F.lit(lo) + (F.col("bucket") - 1) * width).alias("bucket_lo"),
+            (F.lit(lo) + F.col("bucket") * width).alias("bucket_hi"),
+            "n",
+        )
+        .orderBy("bucket")
+    )

@@ -1,0 +1,120 @@
+"""Profiling and snapshot-diff operators: metric correctness against
+hand-computed values, single-scan plan shape, and diff classification
+(including the null-sentinel canonicalization edge)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from csce438_distributed_password_cracker_spark.catalog import load_table
+from csce438_distributed_password_cracker_spark.operators import diff, profile
+
+
+def test_profile_metrics_match_exact(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "aa"),
+            (2, 20.0, ""),
+            (3, None, "bb"),
+            (4, 40.0, None),
+            (5, 10.0, "aa"),
+        ],
+        "id long, x double, s string",
+    )
+    p = profile.profile(df)
+    got = {
+        (r.column, r.metric): (r.value_num, r.value_str) for r in p.collect()
+    }
+    assert got[("x", "n_rows")][0] == 5.0
+    assert got[("x", "n_null")][0] == 1.0
+    assert got[("x", "min")][0] == 10.0
+    assert got[("x", "max")][0] == 40.0
+    assert got[("x", "mean")][0] == 20.0
+    assert got[("x", "approx_distinct")][0] == 3.0  # exact at tiny n
+    assert got[("s", "n_null")][0] == 1.0
+    assert got[("s", "n_empty")][0] == 1.0
+    assert got[("s", "min_len")][0] == 0.0
+    assert got[("s", "max_len")][0] == 2.0
+    top = json.loads(got[("s", "top_k")][1])
+    assert top[0] == {"item": "aa", "count": 2}
+
+
+def test_profile_is_one_pass_and_covers_all_metrics(spark, sf_oracle):
+    docs = load_table(spark, sf_oracle, "documents")
+    p = profile.profile(docs, columns=["doc_id", "text"])
+    # 4 common metrics per column, +4 numeric (doc_id), +5 string (text)
+    assert p.count() == (4 + 4) + (4 + 5)
+
+    # plan shape of the underlying aggregation: ONE scan of the table,
+    # partial aggregation before the single-partition reduce
+    agg_plan = (
+        docs.agg(
+            F.count("doc_id"), F.approx_count_distinct("text")
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert agg_plan.count("Scan parquet") + agg_plan.count("FileScan") >= 1
+    assert "partial" in agg_plan.lower()
+
+
+def test_histogram_buckets(spark):
+    df = spark.range(100).select(F.col("id").cast("double").alias("v"))
+    h = {
+        r.bucket: (r.bucket_lo, r.bucket_hi, r.n)
+        for r in profile.histogram(df, "v", 0.0, 100.0, nbins=4).collect()
+    }
+    # width_bucket: [0,25) -> 1 ... [75,100) -> 4; 100 values 0..99
+    assert h[1] == (0.0, 25.0, 25)
+    assert h[4] == (75.0, 100.0, 25)
+    with pytest.raises(ValueError):
+        profile.histogram(df, "v", 5.0, 5.0)
+
+
+def test_snapshot_diff_classifies(spark):
+    before = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (4, None, 4.0)],
+        "k long, s string, v double",
+    )
+    after = spark.createDataFrame(
+        [(2, "b", 2.0), (3, "C", 3.0), (5, "e", 5.0), (4, "x", None)],
+        "k long, s string, v double",
+    )
+    d = diff.snapshot_diff(before, after, ["k"])
+    got = {r.k: r.diff_status for r in d.collect()}
+    assert got == {
+        1: "removed",
+        2: "unchanged",
+        3: "changed",
+        4: "changed",  # (None, 4.0) -> ("x", None): null-shift must NOT
+        # cancel out — the per-column sentinel guarantees it
+        5: "added",
+    }
+    assert diff.diff_stats(d) == {
+        "added": 1,
+        "removed": 1,
+        "changed": 2,
+        "unchanged": 1,
+    }
+
+
+def test_snapshot_diff_null_swap_is_changed(spark):
+    """(NULL, 'x') vs ('x', NULL) across two payload columns must be
+    'changed' — the exact collision a naive xxhash64(*cols) would miss
+    because xxhash64 skips NULL arguments."""
+    before = spark.createDataFrame([(1, None, "x")], "k long, a string, b string")
+    after = spark.createDataFrame([(1, "x", None)], "k long, a string, b string")
+    d = diff.snapshot_diff(before, after, ["k"])
+    assert d.first().diff_status == "changed"
+
+
+def test_snapshot_diff_key_validation(spark):
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    with pytest.raises(ValueError, match="non-empty"):
+        diff.snapshot_diff(df, df, [])
+    with pytest.raises(ValueError, match="missing"):
+        diff.snapshot_diff(df, df, ["nope"])
