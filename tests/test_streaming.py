@@ -270,3 +270,69 @@ def test_watermark_finalizes_windows_and_drops_late_rows(spark, tmp_path):
         for op in p["stateOperators"]
     )
     assert dropped >= 1
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Stream-stream inner join with watermark-bounded state: two live
+    file streams correlated on user_id within a 60 s window must
+    produce exactly the batch join's pairs.  Both sides are unbounded,
+    so Spark buffers rows in join state and needs the watermark + the
+    two-sided time bound to evict — without them this query would be
+    rejected or grow state forever."""
+    from csce438_distributed_password_cracker_spark.streaming import correlate
+
+    clicks = tmp_path / "clicks"
+    buys = tmp_path / "buys"
+    clicks.mkdir(), buys.mkdir()
+    _write_json(
+        str(clicks / "c.json"),
+        [
+            {"user_id": 1, "ts": "2026-01-01T00:00:00.000Z"},
+            {"user_id": 1, "ts": "2026-01-01T00:02:00.000Z"},
+            {"user_id": 2, "ts": "2026-01-01T00:00:10.000Z"},
+        ],
+    )
+    _write_json(
+        str(buys / "b.json"),
+        [
+            {"user_id": 1, "ts": "2026-01-01T00:00:30.000Z"},  # pairs c1
+            {"user_id": 2, "ts": "2026-01-01T00:05:00.000Z"},  # outside 60s
+            {"user_id": 3, "ts": "2026-01-01T00:00:05.000Z"},  # no click
+        ],
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    l_stream = spark.readStream.schema(schema).json(str(clicks))
+    r_stream = spark.readStream.schema(schema).json(str(buys))
+    q = (
+        correlate.correlate_streams(
+            l_stream, r_stream, within_seconds=60
+        )
+        .writeStream.format("memory")
+        .queryName("sj_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.user_id, str(r.l_ts), str(r.r_ts), r.lag_seconds)
+        for r in spark.sql("SELECT * FROM sj_test").collect()
+    }
+    l_batch = spark.read.schema(schema).json(str(clicks))
+    r_batch = spark.read.schema(schema).json(str(buys))
+    batch = {
+        (r.user_id, str(r.l_ts), str(r.r_ts), r.lag_seconds)
+        for r in correlate.correlate_streams(
+            l_batch, r_batch, within_seconds=60
+        ).collect()
+    }
+    assert streamed == batch
+    assert batch == {
+        (1, "2026-01-01 00:00:00", "2026-01-01 00:00:30", 30),
+    }
