@@ -52,13 +52,22 @@ def _sql_query(
 _sql_query(
     "q_events_scan",
     """
-    SELECT event_id, user_id, event_type, value
+    SELECT event_id, user_id, event_type, value,
+           CAST(get_json_object(props, '$.k') AS BIGINT) AS props_k
     FROM events
     WHERE event_type = 'purchase'
     """,
     doc="S3 batch analog: tagged-message scan with pushed-down filter "
-    "(server main read loop, server.c:477-505).",
+    "(server main read loop, server.c:477-505), plus semi-structured "
+    "extraction from the JSON props payload (message-body parse, "
+    "request.c:34-36 analog) — JVM-side JSON path evaluation, no UDF.",
     tables=("events",),
+    oracle="""
+    SELECT event_id, user_id, event_type, value,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
 )
 
 _sql_query(
