@@ -32,7 +32,10 @@ from pyspark.sql.types import StringType, StructField, StructType
 
 CORRUPT_COL = "_corrupt_record"
 
-_FORMATS = ("csv", "json", "parquet")
+_FORMATS = ("csv", "json", "parquet", "orc")
+# self-describing columnar formats: schema acts as a read-time contract
+# (missing -> nulls, extra -> pruned); no corrupt-record column exists
+_COLUMNAR = ("parquet", "orc")
 
 
 def ingest(
@@ -48,14 +51,14 @@ def ingest(
     PERMISSIVE (default) appends :data:`CORRUPT_COL` holding the raw
     text of rows that failed to decode (NULL for clean rows) — feed the
     result to :func:`split_valid`.  ``mode='FAILFAST'`` raises on the
-    first malformed row instead.  Parquet is self-describing, so the
-    schema acts as a read-time contract (missing columns -> nulls,
-    extra columns -> pruned) and no corrupt column is added.
+    first malformed row instead.  Parquet and ORC are self-describing,
+    so the schema acts as a read-time contract (missing columns ->
+    nulls, extra columns -> pruned) and no corrupt column is added.
     """
     if fmt not in _FORMATS:
         raise ValueError(f"fmt must be one of {_FORMATS}, got {fmt!r}")
-    if fmt == "parquet":
-        return spark.read.schema(schema).parquet(path)
+    if fmt in _COLUMNAR:
+        return spark.read.schema(schema).format(fmt).load(path)
     read_schema = schema
     if mode.upper() == "PERMISSIVE" and CORRUPT_COL not in schema.names:
         read_schema = StructType(

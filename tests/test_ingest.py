@@ -133,3 +133,28 @@ def test_land_bounds_file_count(spark, sf_smoke, tmp_path):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_orc_roundtrip_schema_contract(spark, tmp_path):
+    """ORC rides the same self-describing contract as parquet: declared
+    schema prunes extra columns and nulls missing ones."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from csce438_distributed_password_cracker_spark.sources import ingest as ing
+
+    src = str(tmp_path / "drop.orc")
+    spark.createDataFrame(
+        [(1, "a", 9.0), (2, "b", 8.0)], "k long, s string, extra double"
+    ).write.orc(src)
+
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("s", StringType()),
+            StructField("missing", StringType()),
+        ]
+    )
+    df = ing.ingest(spark, src, "orc", schema)
+    assert df.columns == ["k", "s", "missing"]  # extra pruned, missing added
+    rows = {r.k: (r.s, r.missing) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None)}
