@@ -44,15 +44,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _partition_dir(part_col: str, value) -> str:
-    """Hive-style directory name for one partition value (matches what
-    ``DataFrameWriter.partitionBy`` emits for the primitive types the
-    test tables use; None -> __HIVE_DEFAULT_PARTITION__)."""
+def _partition_dir(spark: SparkSession, part_col: str, value) -> str:
+    """Hive-style directory name for one partition value — rendered by
+    Spark's OWN path escaper (ExternalCatalogUtils.escapePathName), so
+    values needing escaping (':', '/', '%', …) map to the exact
+    directory ``DataFrameWriter.partitionBy`` wrote; a hand-rolled
+    format here would silently miss the swap for such values."""
     if value is None:
         return f"{part_col}=__HIVE_DEFAULT_PARTITION__"
     if isinstance(value, bool):  # Spark writes true/false lowercase
         return f"{part_col}={str(value).lower()}"
-    return f"{part_col}={value}"
+    escaped = (
+        spark._jvm.org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.escapePathName(str(value))
+    )
+    return f"{part_col}={escaped}"
 
 
 def merge_upsert(
@@ -115,7 +121,7 @@ def merge_upsert(
         # isin on the partition column prunes untouched directories at
         # planning time (PartitionFilters in the scan)
         slice_df = target.filter(F.col(partition_col).isin(touched))
-        part_dirs = {_partition_dir(partition_col, v) for v in touched}
+        part_dirs = {_partition_dir(spark, partition_col, v) for v in touched}
         total_parts = sum(
             1 for p in src.iterdir()
             if p.is_dir() and p.name.startswith(f"{partition_col}=")
@@ -153,6 +159,19 @@ def merge_upsert(
                 cur.rename(old / d)
             if new.exists():  # fully-deleted partitions vanish
                 new.rename(cur)
+        # safety net: every partition the rewrite produced must have been
+        # swapped in — a leftover means the directory-name derivation
+        # disagreed with what Spark wrote (silent data loss otherwise)
+        leftover = [
+            p.name
+            for p in tmp.iterdir()
+            if p.is_dir() and p.name.startswith(f"{partition_col}=")
+        ]
+        if leftover:
+            raise RuntimeError(
+                f"merge produced partitions not covered by the swap set: "
+                f"{leftover} (dir-name escaping mismatch?)"
+            )
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(old, ignore_errors=True)
     else:

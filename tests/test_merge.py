@@ -145,3 +145,34 @@ def test_merge_prunes_target_scan(spark, seeded_table):
         .toString()
     )
     assert "PartitionFilters" in plan and "lang" in plan
+
+
+def test_merge_escaped_partition_values(spark, tmp_path):
+    """Partition values needing Hive path-escaping (':' -> %3A) must be
+    swapped correctly — the merge derives directory names with Spark's
+    own escaper, and its safety net raises rather than silently losing
+    a rewritten partition."""
+    path = str(tmp_path / "esc")
+    df = spark.createDataFrame(
+        [(1, "v1", "a:b"), (2, "v2", "plain")],
+        "k long, body string, part string",
+    )
+    df.repartition(1).write.partitionBy("part").parquet(path)
+    assert (Path(path) / "part=a%3Ab").exists()
+
+    delta = spark.createDataFrame(
+        [(1, "v1-new", "a:b", False), (3, "v3", "x/y", False)],
+        "k long, body string, part string, deleted boolean",
+    )
+    stats = merge_upsert(
+        spark, path, delta, key_cols=["k"], partition_col="part",
+        delete_col="deleted",
+    )
+    assert stats["partitions_touched"] == 2
+    rows = {r.k: (r.body, r.part) for r in spark.read.parquet(path).collect()}
+    assert rows == {
+        1: ("v1-new", "a:b"),
+        2: ("v2", "plain"),
+        3: ("v3", "x/y"),
+    }
+    assert (Path(path) / "part=x%2Fy").exists()
