@@ -94,16 +94,20 @@ def merge_batch(
         )
         return True
 
-    stored = spark.read.parquet(rollup_path)
-    if (
-        stored.select(F.max("last_batch_id")).first()[0] or -1
-    ) >= batch_id:
-        return False  # crash-replay of an already-merged batch
-
     days = [r[0] for r in part.select("day").distinct().collect()]
     if not days:
         return True  # empty batch
+
+    stored = spark.read.parquet(rollup_path)
+    # replay detection stays partition-pruned: a crash-replayed batch
+    # re-reads the same source files, so its touched days are identical
+    # and carry its batch id — no need to scan the table's full history
     slice_df = stored.filter(F.col("day").isin(days))
+    if (
+        slice_df.select(F.max("last_batch_id")).first()[0] or -1
+    ) >= batch_id:
+        return False  # crash-replay of an already-merged batch
+
     merged = _combine(slice_df.unionByName(part))
     merge_upsert(
         spark,
