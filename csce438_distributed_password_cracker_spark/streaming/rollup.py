@@ -16,8 +16,12 @@ Why this shape scales:
   DataSketches HLL sketch column (``hll_sketch_agg`` per batch,
   ``hll_union_agg`` at merge — register-max union is order-independent
   and lossless at fixed lgK): the rollup stores the sketch's binary
-  state and any reader calls ``hll_sketch_estimate`` on it.  (Exact
-  medians likewise don't belong in a rollup.)
+  state and any reader calls ``hll_sketch_estimate`` on it.  Exact
+  medians likewise don't merge, so quantiles ride as a fixed-bin
+  HISTOGRAM array (width_bucket counts; merge = element-wise sum —
+  trivially associative), decoded by :func:`hist_quantile` with
+  within-bin linear interpolation: error is bounded by bin width, the
+  classic mergeable-quantile trade every metrics store makes.
 - **The merge is partition-pruned.**  The rollup table is
   hive-partitioned by day; a batch's partial touches only the days in
   the batch (a live stream touches ~today), so the stored slice read
@@ -47,6 +51,13 @@ from ..operators.merge import merge_upsert
 
 ROLLUP_KEYS = ["day", "event_type"]
 
+# histogram layout for the mergeable quantile column: HIST_BINS equal
+# bins over [HIST_LO, HIST_HI) plus underflow (index 0) and overflow
+# (index HIST_BINS+1), matching width_bucket's bucket numbering.  The
+# bounds are a deployment choice (events.value is generated in
+# [0, 1000)); out-of-range values still count, in the edge buckets.
+HIST_LO, HIST_HI, HIST_BINS = 0.0, 1000.0, 40
+
 
 def _partial(batch: DataFrame) -> DataFrame:
     """Per-(day, event_type) algebraic partial of one events batch."""
@@ -59,6 +70,23 @@ def _partial(batch: DataFrame) -> DataFrame:
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
         F.expr("hll_sketch_agg(user_id)").alias("users_hll"),
+        F.array(
+            *[
+                F.count(
+                    F.when(
+                        F.width_bucket(
+                            "value",
+                            F.lit(HIST_LO),
+                            F.lit(HIST_HI),
+                            F.lit(HIST_BINS),
+                        )
+                        == i,
+                        1,
+                    )
+                )
+                for i in range(HIST_BINS + 2)
+            ]
+        ).alias("value_hist"),
     )
 
 
@@ -72,6 +100,12 @@ def _combine(stacked: DataFrame) -> DataFrame:
         F.min("min_value").alias("min_value"),
         F.max("max_value").alias("max_value"),
         F.expr("hll_union_agg(users_hll)").alias("users_hll"),
+        F.array(
+            *[
+                F.sum(F.element_at("value_hist", i + 1))
+                for i in range(HIST_BINS + 2)
+            ]
+        ).alias("value_hist"),
         F.max("last_batch_id").alias("last_batch_id"),
     )
 
@@ -147,6 +181,32 @@ def start_rollup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def hist_quantile(hist: list[int], q: float) -> float:
+    """Approximate quantile from a stored ``value_hist`` array: find the
+    bucket where the cumulative count crosses q·total and interpolate
+    linearly inside it.  Error ≤ one bin width for in-range data; the
+    open-ended edge buckets answer with their finite boundary."""
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q}")
+    total = sum(hist)
+    if total == 0:
+        raise ValueError("empty histogram")
+    width = (HIST_HI - HIST_LO) / HIST_BINS
+    target = q * total
+    cum = 0
+    for i, n in enumerate(hist):
+        if cum + n >= target and n > 0:
+            frac = (target - cum) / n
+            if i == 0:  # underflow bucket: no lower bound to lerp from
+                return HIST_LO
+            if i == HIST_BINS + 1:  # overflow bucket
+                return HIST_HI
+            lo = HIST_LO + (i - 1) * width
+            return lo + frac * width
+        cum += n
+    return HIST_HI
 
 
 def with_user_estimate(df: DataFrame) -> DataFrame:

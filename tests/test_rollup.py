@@ -23,6 +23,7 @@ def _canon(df):
             round(r.min_value, 6),
             round(r.max_value, 6),
             r.approx_users,
+            tuple(r.value_hist),
         )
         for r in rollup.with_user_estimate(df).collect()
     )
@@ -102,3 +103,44 @@ def test_rollup_merge_prunes_and_replay_noop(spark, sf_smoke, tmp_path):
     # crash replay: re-offering an absorbed batch must be a no-op
     assert rollup.merge_batch(spark, table, b1, batch_id=1) is False
     assert _canon(spark.read.parquet(table).drop("last_batch_id")) == merged
+
+
+def test_hist_quantile_tracks_exact_percentiles(spark, sf_smoke):
+    """The mergeable histogram answers quantiles within one bin width of
+    the exact percentile (the documented trade)."""
+    from csce438_distributed_password_cracker_spark.streaming.rollup import (
+        HIST_BINS,
+        HIST_HI,
+        HIST_LO,
+    )
+
+    events = load_table(spark, sf_smoke, "events")
+    bin_w = (HIST_HI - HIST_LO) / HIST_BINS
+    agg = rollup.rollup_of(events).collect()
+    exact = {
+        (str(r.day), r.event_type): r.ps
+        for r in events.groupBy(
+            F.to_date("ts").alias("day"), "event_type"
+        )
+        .agg(F.expr("percentile(value, array(0.5, 0.95))").alias("ps"))
+        .collect()
+    }
+    del exact  # sf0.001 keys are tiny; check the MERGED global histogram
+    # merge all per-key histograms element-wise — the associativity the
+    # design claims — and compare against the exact global percentiles
+    merged_hist = [0] * len(agg[0].value_hist)
+    for r in agg:
+        merged_hist = [a + b for a, b in zip(merged_hist, r.value_hist)]
+    g50, g95 = events.agg(
+        F.expr("percentile(value, array(0.5, 0.95))")
+    ).first()[0]
+    assert abs(rollup.hist_quantile(merged_hist, 0.5) - g50) <= bin_w
+    assert abs(rollup.hist_quantile(merged_hist, 0.95) - g95) <= bin_w
+    assert sum(merged_hist) == events.count()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rollup.hist_quantile([0] * (HIST_BINS + 2), 0.5)
+    with _pytest.raises(ValueError):
+        rollup.hist_quantile([1] * (HIST_BINS + 2), 1.5)
