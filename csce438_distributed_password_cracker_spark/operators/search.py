@@ -1,0 +1,173 @@
+"""BM25 full-text retrieval over the corpus — the inverted-index probe
+shape, Spark-first: a persisted postings table partitioned by a term
+bucket, probed with a handful of broadcast query terms, scored with the
+standard BM25 saturation formula, top-k by TakeOrdered.
+
+Reference analog: none (north-star extension, BASELINE.json); this is
+the lexical retrieval counterpart of :mod:`operators.similarity`'s ANN
+probes, and deliberately mirrors their build-then-probe discipline
+(similarity.py build_lsh_index/lsh_probe).
+
+Scale shape:
+
+- **Build (pay once, at ingest).**  ``bm25_build`` shuffles the corpus
+  once into (term, doc, tf) postings plus per-doc lengths, and lands
+  the postings parquet-partitioned by ``term_bucket =
+  pmod(xxhash64(term), n_buckets)`` — the same trick as the ANN
+  indexes: a probe's terms map to a handful of bucket literals, so the
+  scan PRUNES to matching directories at planning time instead of
+  reading the index.
+- **Probe (per query).**  Query terms are a tiny in-plan literal list:
+  the postings filter is `term IN (...)` + the derived bucket
+  predicate; matched postings (bounded by the query's document
+  frequency, not the corpus) join the small doc-length table, score as
+  one codegen'd expression, and reduce via groupBy(doc) + top-k
+  (TakeOrderedAndProject).  Corpus-wide statistics (N, avgdl, df) are
+  computed at build time and stored — probes read, never recompute.
+- IDF uses the Robertson-Sparck-Jones smooth form
+  ln(1 + (N - df + 0.5)/(df + 0.5)), non-negative by construction.
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import tokens_col
+
+N_TERM_BUCKETS = 64
+
+
+def _postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(term, id, tf) term frequencies — explode + count, one shuffle."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("term")
+        )
+        .groupBy("term", "id")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def bm25_build(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    n_buckets: int = N_TERM_BUCKETS,
+) -> dict[str, float]:
+    """Build and persist the BM25 index under ``index_path``:
+    ``postings/`` (term, id, tf, df_t) partitioned by term_bucket,
+    ``doclen/`` (id, dl), ``stats/`` one row (n_docs, avgdl,
+    n_buckets).  Returns the stats dict."""
+    post = _postings(df, id_col, text_col)
+    # document frequency rides the postings rows (denormalized at build
+    # time) so a probe never joins a separate term-stats table
+    df_t = post.groupBy("term").agg(F.count("*").alias("df_t"))
+    enriched = post.join(df_t, "term").withColumn(
+        "term_bucket",
+        F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
+    )
+    (
+        enriched.repartition(n_buckets, "term_bucket")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(f"{index_path}/postings")
+    )
+    doclen = df.select(
+        F.col(id_col).alias("id"), F.size(tokens_col(text_col)).alias("dl")
+    )
+    doclen.repartition(1).write.mode("overwrite").parquet(
+        f"{index_path}/doclen"
+    )
+    n_docs, avgdl = df.select(
+        F.count("*"), F.avg(F.size(tokens_col(text_col)))
+    ).first()
+    stats = {
+        "n_docs": float(n_docs),
+        "avgdl": float(avgdl),
+        "n_buckets": float(n_buckets),
+    }
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [tuple(stats.values())], "n_docs double, avgdl double, n_buckets double"
+    ).repartition(1).write.mode("overwrite").parquet(f"{index_path}/stats")
+    return stats
+
+
+def bm25_search(
+    spark: SparkSession,
+    index_path: str,
+    query: str,
+    top_n: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(id, score) of the ``top_n`` BM25-scoring documents for the
+    whitespace-tokenized ``query`` against a :func:`bm25_build` index.
+    Repeated query terms weight once (standard bag-of-terms probe)."""
+    if not Path(index_path).exists():
+        raise FileNotFoundError(index_path)
+    st = spark.read.parquet(f"{index_path}/stats").first()
+    n_docs, avgdl, n_buckets = st.n_docs, st.avgdl, int(st.n_buckets)
+    terms = sorted(set(query.split()))
+    if not terms:
+        raise ValueError("empty query")
+    # bucket literals -> planning-time partition pruning of postings/
+    # (one tiny local job computes every term's bucket)
+    buckets = sorted(
+        {
+            r[0]
+            for r in spark.createDataFrame([(t,) for t in terms], "term string")
+            .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+            .collect()
+        }
+    )
+    post = (
+        spark.read.parquet(f"{index_path}/postings")
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+    )
+    doclen = spark.read.parquet(f"{index_path}/doclen")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n_docs) - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+    )
+    tf_sat = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))
+    )
+    return (
+        post.join(doclen, "id")
+        .select("id", (idf * tf_sat).alias("partial"))
+        .groupBy("id")
+        .agg(F.round(F.sum("partial"), 6).alias("score"))
+        .orderBy(F.desc("score"), "id")
+        .limit(top_n)
+    )
+
+
+def bm25_score_py(
+    docs: dict, query: str, k1: float = 1.2, b: float = 0.75
+) -> dict:
+    """Pure-Python reference scorer for tests: ``docs`` is {id: text}."""
+    toks = {i: t.split() for i, t in docs.items()}
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    out = {}
+    for i, t in toks.items():
+        score = 0.0
+        for term in sorted(set(query.split())):
+            tf = t.count(term)
+            if tf == 0:
+                continue
+            df_t = sum(1 for tt in toks.values() if term in tt)
+            idf = math.log(1 + (n - df_t + 0.5) / (df_t + 0.5))
+            score += idf * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * len(t) / avgdl)
+            )
+        if score > 0:
+            out[i] = round(score, 6)
+    return out

@@ -1,0 +1,72 @@
+"""BM25 retrieval: score parity with a pure-Python reference scorer,
+partition-pruned probe plan, and index stats round-trip."""
+
+from __future__ import annotations
+
+import pytest
+
+from csce438_distributed_password_cracker_spark.catalog import load_table
+from csce438_distributed_password_cracker_spark.operators import search
+
+
+DOCS = {
+    1: "the quick brown fox jumps over the lazy dog",
+    2: "the quick red fox",
+    3: "lazy dog sleeps all day the dog snores",
+    4: "completely unrelated text about spark engines",
+    5: "quick quick quick fox fox dog",
+}
+
+
+@pytest.fixture()
+def index(spark, tmp_path):
+    df = spark.createDataFrame(
+        list(DOCS.items()), "doc_id long, text string"
+    )
+    path = str(tmp_path / "bm25")
+    stats = search.bm25_build(df, "doc_id", "text", path, n_buckets=8)
+    assert stats["n_docs"] == 5.0
+    return path
+
+
+def test_bm25_matches_reference_scorer(spark, index):
+    for query in ["quick fox", "lazy dog", "the", "spark"]:
+        got = {
+            r.id: r.score
+            for r in search.bm25_search(spark, index, query, top_n=10).collect()
+        }
+        want = search.bm25_score_py(DOCS, query)
+        assert got.keys() == want.keys(), query
+        for i in got:
+            assert abs(got[i] - want[i]) < 1e-4, (query, i)
+
+
+def test_bm25_ranking_properties(spark, index):
+    rows = search.bm25_search(spark, index, "quick fox", top_n=3).collect()
+    assert len(rows) == 3
+    # doc 5 repeats both terms most within a short doc -> ranks first
+    assert rows[0].id == 5
+    assert rows[0].score >= rows[1].score >= rows[2].score
+
+    with pytest.raises(ValueError, match="empty"):
+        search.bm25_search(spark, index, "   ")
+    with pytest.raises(FileNotFoundError):
+        search.bm25_search(spark, index + "nope", "x")
+
+
+def test_bm25_probe_prunes_postings_partitions(spark, index):
+    probe = search.bm25_search(spark, index, "quick fox", top_n=3)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "term_bucket" in plan
+
+
+def test_bm25_over_corpus_documents(spark, sf_smoke, tmp_path):
+    docs = load_table(spark, sf_smoke, "documents")
+    path = str(tmp_path / "bm25_corpus")
+    search.bm25_build(docs, "doc_id", "text", path, n_buckets=16)
+    # any frequent corpus word must retrieve a full page of hits with
+    # monotone scores
+    rows = search.bm25_search(spark, path, "the data", top_n=10).collect()
+    assert len(rows) == 10
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
