@@ -16,14 +16,27 @@ Scale shape:
   pmod(xxhash64(term), n_buckets)`` — the same trick as the ANN
   indexes: a probe's terms map to a handful of bucket literals, so the
   scan PRUNES to matching directories at planning time instead of
-  reading the index.
+  reading the index.  Term document-frequencies live in a separate
+  small ``termstats/`` table (normalized, NOT denormalized onto the
+  postings rows) precisely so the index can be grown incrementally.
+- **Update (per new-document batch).**  ``bm25_update`` APPENDS the
+  batch's postings into the same bucket layout (no rewrite of existing
+  postings — the write only adds files under the touched bucket dirs),
+  merges term stats with one small aggregate, and folds the corpus
+  stats incrementally.  Cost ∝ batch size; history is never re-read.
+  Append-only id contract (re-ingesting an existing doc id would
+  double its postings) — run the stream through dedup-at-ingest first,
+  which is exactly what streaming/dedup_ingest.py exists for.  The
+  accreting small files are the same operational problem every
+  append-mode sink here has; operators/maintenance.compact_parquet
+  bounds them.
 - **Probe (per query).**  Query terms are a tiny in-plan literal list:
   the postings filter is `term IN (...)` + the derived bucket
   predicate; matched postings (bounded by the query's document
-  frequency, not the corpus) join the small doc-length table, score as
-  one codegen'd expression, and reduce via groupBy(doc) + top-k
-  (TakeOrderedAndProject).  Corpus-wide statistics (N, avgdl, df) are
-  computed at build time and stored — probes read, never recompute.
+  frequency, not the corpus) join the small doc-length and term-stats
+  tables, score as one codegen'd expression, and reduce via
+  groupBy(doc) + top-k (TakeOrderedAndProject).  Corpus-wide
+  statistics (N, avgdl) are read from ``stats/`` — never recomputed.
 - IDF uses the Robertson-Sparck-Jones smooth form
   ln(1 + (N - df + 0.5)/(df + 0.5)), non-negative by construction.
 """
@@ -31,6 +44,7 @@ Scale shape:
 from __future__ import annotations
 
 import math
+import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,15 +55,60 @@ from .dedup import tokens_col
 N_TERM_BUCKETS = 64
 
 
-def _postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(term, id, tf) term frequencies — explode + count, one shuffle."""
+def _postings(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int
+) -> DataFrame:
+    """(term, id, tf, term_bucket) term frequencies — explode + count,
+    one shuffle."""
     return (
         df.select(
             F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("term")
         )
         .groupBy("term", "id")
         .agg(F.count("*").alias("tf"))
+        .withColumn(
+            "term_bucket",
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
+        )
     )
+
+
+def _doclen(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"), F.size(tokens_col(text_col)).alias("dl")
+    )
+
+
+def _write_stats(
+    spark: SparkSession, index_path: str, n_docs: float, total_len: float,
+    n_buckets: int,
+) -> dict[str, float]:
+    stats = {
+        "n_docs": float(n_docs),
+        "total_len": float(total_len),
+        "n_buckets": float(n_buckets),
+    }
+    spark.createDataFrame(
+        [tuple(stats.values())],
+        "n_docs double, total_len double, n_buckets double",
+    ).repartition(1).write.mode("overwrite").parquet(f"{index_path}/stats")
+    return stats
+
+
+def _swap_in(df: DataFrame, final_dir: str) -> None:
+    """Rewrite a small index table via tmp + rename (same discipline as
+    operators/maintenance.compact_parquet) so a reader never sees a
+    half-written table and the input can be derived from the old one."""
+    final = Path(final_dir)
+    tmp = final.with_name(final.name + ".__tmp__")
+    old = final.with_name(final.name + ".__old__")
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    df.repartition(1).write.parquet(str(tmp))
+    if final.exists():
+        final.rename(old)
+    tmp.rename(final)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def bm25_build(
@@ -60,42 +119,77 @@ def bm25_build(
     n_buckets: int = N_TERM_BUCKETS,
 ) -> dict[str, float]:
     """Build and persist the BM25 index under ``index_path``:
-    ``postings/`` (term, id, tf, df_t) partitioned by term_bucket,
-    ``doclen/`` (id, dl), ``stats/`` one row (n_docs, avgdl,
-    n_buckets).  Returns the stats dict."""
-    post = _postings(df, id_col, text_col)
-    # document frequency rides the postings rows (denormalized at build
-    # time) so a probe never joins a separate term-stats table
-    df_t = post.groupBy("term").agg(F.count("*").alias("df_t"))
-    enriched = post.join(df_t, "term").withColumn(
-        "term_bucket",
-        F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
-    )
+    ``postings/`` (term, id, tf) partitioned by term_bucket,
+    ``termstats/`` (term, df_t), ``doclen/`` (id, dl), ``stats/`` one
+    row (n_docs, total_len, n_buckets).  Returns the stats dict."""
+    post = _postings(df, id_col, text_col, n_buckets)
     (
-        enriched.repartition(n_buckets, "term_bucket")
+        post.repartition(n_buckets, "term_bucket")
         .write.mode("overwrite")
         .partitionBy("term_bucket")
         .parquet(f"{index_path}/postings")
     )
-    doclen = df.select(
-        F.col(id_col).alias("id"), F.size(tokens_col(text_col)).alias("dl")
+    _swap_in(
+        post.groupBy("term").agg(F.count("*").alias("df_t")),
+        f"{index_path}/termstats",
     )
-    doclen.repartition(1).write.mode("overwrite").parquet(
+    _doclen(df, id_col, text_col).repartition(1).write.mode(
+        "overwrite"
+    ).parquet(f"{index_path}/doclen")
+    n_docs, total_len = df.select(
+        F.count("*"), F.sum(F.size(tokens_col(text_col)))
+    ).first()
+    return _write_stats(
+        df.sparkSession, index_path, n_docs, total_len, n_buckets
+    )
+
+
+def bm25_update(
+    df_new: DataFrame, id_col: str, text_col: str, index_path: str
+) -> dict[str, float]:
+    """Grow the index with a batch of NEW documents (append-only ids —
+    see module docstring): postings and doc lengths append under the
+    existing layout, term stats merge with one aggregate over
+    (old stats ∪ batch counts), corpus stats fold incrementally.
+    Returns the updated stats dict."""
+    spark = df_new.sparkSession
+    if not Path(index_path).exists():
+        raise FileNotFoundError(index_path)
+    st = spark.read.parquet(f"{index_path}/stats").first()
+    n_buckets = int(st.n_buckets)
+
+    post = _postings(df_new, id_col, text_col, n_buckets)
+    (
+        post.repartition("term_bucket")
+        .write.mode("append")
+        .partitionBy("term_bucket")
+        .parquet(f"{index_path}/postings")
+    )
+    _doclen(df_new, id_col, text_col).write.mode("append").parquet(
         f"{index_path}/doclen"
     )
-    n_docs, avgdl = df.select(
-        F.count("*"), F.avg(F.size(tokens_col(text_col)))
+    old_stats = spark.read.parquet(f"{index_path}/termstats")
+    batch_stats = post.groupBy("term").agg(F.count("*").alias("df_t"))
+    merged = (
+        old_stats.unionByName(batch_stats)
+        .groupBy("term")
+        .agg(F.sum("df_t").alias("df_t"))
+        # the union reads the table being replaced: materialize before
+        # the swap unlinks the input files
+        .localCheckpoint(eager=True)
+    )
+    _swap_in(merged, f"{index_path}/termstats")
+
+    add_docs, add_len = df_new.select(
+        F.count("*"), F.sum(F.size(tokens_col(text_col)))
     ).first()
-    stats = {
-        "n_docs": float(n_docs),
-        "avgdl": float(avgdl),
-        "n_buckets": float(n_buckets),
-    }
-    spark = df.sparkSession
-    spark.createDataFrame(
-        [tuple(stats.values())], "n_docs double, avgdl double, n_buckets double"
-    ).repartition(1).write.mode("overwrite").parquet(f"{index_path}/stats")
-    return stats
+    return _write_stats(
+        spark,
+        index_path,
+        st.n_docs + add_docs,
+        st.total_len + (add_len or 0),
+        n_buckets,
+    )
 
 
 def bm25_search(
@@ -112,7 +206,8 @@ def bm25_search(
     if not Path(index_path).exists():
         raise FileNotFoundError(index_path)
     st = spark.read.parquet(f"{index_path}/stats").first()
-    n_docs, avgdl, n_buckets = st.n_docs, st.avgdl, int(st.n_buckets)
+    n_docs, avgdl = st.n_docs, st.total_len / st.n_docs
+    n_buckets = int(st.n_buckets)
     terms = sorted(set(query.split()))
     if not terms:
         raise ValueError("empty query")
@@ -131,6 +226,9 @@ def bm25_search(
         .filter(F.col("term_bucket").isin(buckets))
         .filter(F.col("term").isin(terms))
     )
+    termstats = spark.read.parquet(f"{index_path}/termstats").filter(
+        F.col("term").isin(terms)
+    )
     doclen = spark.read.parquet(f"{index_path}/doclen")
     idf = F.log(
         F.lit(1.0)
@@ -140,7 +238,8 @@ def bm25_search(
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))
     )
     return (
-        post.join(doclen, "id")
+        post.join(F.broadcast(termstats), "term")
+        .join(doclen, "id")
         .select("id", (idf * tf_sat).alias("partial"))
         .groupBy("id")
         .agg(F.round(F.sum("partial"), 6).alias("score"))

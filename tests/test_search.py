@@ -70,3 +70,36 @@ def test_bm25_over_corpus_documents(spark, sf_smoke, tmp_path):
     assert len(rows) == 10
     scores = [r.score for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_incremental_update_equals_full_rebuild(spark, tmp_path):
+    """Growing the index batch-by-batch must answer every query exactly
+    like a from-scratch build over the full corpus (postings append,
+    term stats merge, corpus stats fold)."""
+    half1 = {k: v for k, v in DOCS.items() if k <= 3}
+    half2 = {k: v for k, v in DOCS.items() if k > 3}
+    inc_path = str(tmp_path / "inc")
+    full_path = str(tmp_path / "full")
+
+    df1 = spark.createDataFrame(list(half1.items()), "doc_id long, text string")
+    df2 = spark.createDataFrame(list(half2.items()), "doc_id long, text string")
+    full = spark.createDataFrame(list(DOCS.items()), "doc_id long, text string")
+
+    search.bm25_build(df1, "doc_id", "text", inc_path, n_buckets=8)
+    stats = search.bm25_update(df2, "doc_id", "text", inc_path)
+    assert stats["n_docs"] == 5.0
+    search.bm25_build(full, "doc_id", "text", full_path, n_buckets=8)
+
+    for query in ["quick fox", "lazy dog", "spark engines", "the"]:
+        inc = {
+            r.id: r.score
+            for r in search.bm25_search(spark, inc_path, query).collect()
+        }
+        ref = {
+            r.id: r.score
+            for r in search.bm25_search(spark, full_path, query).collect()
+        }
+        assert inc == ref, query
+
+    with pytest.raises(FileNotFoundError):
+        search.bm25_update(df2, "doc_id", "text", str(tmp_path / "missing"))
