@@ -1,6 +1,7 @@
 """End-to-end corpus-pipeline integration: raw JSON drop → schema-enforced
 ingest + quarantine → exact dedup → benchmark decontamination → quality
-filter → split/sample → sequence packing.
+filter → split/sample → chunking → sequence packing → BM25 retrieval
+over the curated corpus.
 
 Each stage is oracle- or property-tested on its own elsewhere; this test
 pins that they COMPOSE — the full path a user of the engine actually
@@ -22,9 +23,11 @@ from pyspark.sql.types import (
 )
 
 from csce438_distributed_password_cracker_spark.operators import (
+    chunking,
     decontam,
     dedup,
     packing,
+    search,
     textops,
 )
 from csce438_distributed_password_cracker_spark.operators.split import (
@@ -92,21 +95,24 @@ def _run_pipeline(spark, raw_dir):
         {"train": 0.8, "val": 0.1, "test": 0.1},
     )
 
-    # pack the train split into 512-token sequences
-    train_docs = carved.filter(F.col("split") == "train").withColumn(
-        "n_tokens", F.size(F.split("text", " "))
+    # chunk the train split into overlapping 128-token windows, then
+    # pack chunks into 512-token sequences (chunking guarantees no
+    # oversized doc ever reaches the packer's budget guard)
+    train_docs = carved.filter(F.col("split") == "train")
+    chunked = chunking.chunk_documents(
+        train_docs, "doc_id", "text", chunk_tokens=128, overlap=16
     )
     packed = packing.pack_sequences(
-        train_docs, "doc_id", "n_tokens", budget=512, n_groups=8
+        chunked, "chunk_id", "n_tokens", budget=512, n_groups=8
     )
-    return clean, bad, deduped, train, decon, profiled, carved, packed
+    return clean, bad, deduped, train, decon, profiled, carved, chunked, packed
 
 
 def test_pipeline_composes_with_reconciled_counts(spark, sf_smoke, tmp_path):
     raw_dir = _raw_drop(spark, sf_smoke, tmp_path)
-    clean, bad, deduped, train, decon, profiled, carved, packed = _run_pipeline(
-        spark, raw_dir
-    )
+    (
+        clean, bad, deduped, train, decon, profiled, carved, chunked, packed,
+    ) = _run_pipeline(spark, raw_dir)
 
     # ingest: 500 originals + 10 injected dups parsed, 2 lines quarantined
     assert clean.count() == 510
@@ -134,11 +140,22 @@ def test_pipeline_composes_with_reconciled_counts(spark, sf_smoke, tmp_path):
         "train", "val", "test",
     }
 
-    # packing: exactly-once, budget respected
+    # chunk + pack: every chunk lands in exactly one pack, budget held
     n_train_split = carved.filter(F.col("split") == "train").count()
-    assert packed.count() == n_train_split
+    assert chunked.count() >= n_train_split  # long docs fan out
+    assert packed.count() == chunked.count()
     over = packing.pack_stats(packed, 512).filter("tokens > 512").count()
     assert over == 0
+
+    # the curated corpus is retrievable: BM25 index over the
+    # decontaminated training set answers a probe with monotone scores
+    idx = str(tmp_path / "bm25")
+    search.bm25_build(decon, "doc_id", "text", idx, n_buckets=8)
+    hits = search.bm25_search(spark, idx, "the data", top_n=5).collect()
+    assert len(hits) == 5
+    assert [h.score for h in hits] == sorted(
+        (h.score for h in hits), reverse=True
+    )
 
 
 def test_pipeline_deterministic_across_reruns(spark, sf_smoke, tmp_path):
