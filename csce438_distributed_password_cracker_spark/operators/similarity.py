@@ -448,6 +448,28 @@ def build_lsh_index(
     ).write.mode("overwrite").partitionBy("bucket").parquet(path)
 
 
+def lsh_index_update(
+    emb_new: DataFrame,
+    path: str,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> None:
+    """Grow a persisted LSH index with a batch of NEW vectors: bucketize
+    with the SAME deterministic hyperplanes (re-derived from seed — the
+    index carries no state to reconcile) and APPEND under the existing
+    bucket layout.  Because bucketing is a pure function of the vector,
+    an updated index is bit-identical in content to a full rebuild over
+    the union — probes see the new vectors immediately.  Cost ∝ batch.
+    Append-only id contract, and appends accrete small files per batch:
+    bound them with operators/maintenance.compact_parquet(partition_by=
+    ['bucket']) on the maintenance cadence."""
+    lsh_bucket(emb_new, dim, n_planes, seed, vec_col).repartition(
+        "bucket"
+    ).write.mode("append").partitionBy("bucket").parquet(path)
+
+
 def lsh_probe(
     spark,
     path: str,
@@ -509,6 +531,44 @@ def build_ivf_index(
     spark.createDataFrame(
         cent_rows, "cluster int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_index_update(
+    emb_new: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Grow a persisted IVF index with a batch of NEW vectors: assign
+    them against the STORED centroids (one broadcast-GEMM pass) and
+    APPEND into the matching inverted-list partitions.  Unlike the LSH
+    update this is NOT rebuild-equivalent — a rebuild would re-derive
+    centroids from the larger corpus — it is the standard production
+    trade: lists stay probe-consistent with the stored quantizer, and
+    centroid drift is repaid on the maintenance cadence (ivf_refine +
+    rebuild).  Append-only id contract; compact with
+    maintenance.compact_parquet(partition_by=['cluster'])."""
+    spark = emb_new.sparkSession
+    cent = (
+        spark.read.parquet(f"{path}/centroids").orderBy("cluster").collect()
+    )
+    cent_mat = np.asarray(
+        [r.centroid for r in cent], dtype=np.float64
+    )
+    norms = np.linalg.norm(cent_mat, axis=1)
+    cent_mat = cent_mat / np.where(norms == 0.0, 1.0, norms)[:, None]
+    src = emb_new.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+    )
+    assigned = _assign_to(src, cent_mat)
+    (
+        emb_new.join(assigned, F.col(id_col) == F.col("id"))
+        .drop("id")
+        .repartition("cluster")
+        .write.mode("append")
+        .partitionBy("cluster")
+        .parquet(f"{path}/vectors")
+    )
 
 
 def ivf_probe(

@@ -333,3 +333,57 @@ def test_multiprobe_radius_grows_targets():
     assert all(bin(qb ^ b).count("1") <= 2 for b in t2)
     # radius saturates at the full hypercube
     assert len(similarity._probe_targets(qb, 4, 99)) == 16
+
+
+def test_lsh_index_update_equals_full_rebuild(spark, sf_smoke, tmp_path):
+    """Appending a batch through lsh_index_update must answer probes
+    exactly like a full rebuild over the union — bucketing is a pure
+    function of (seed, n_planes, dim), so the layouts coincide."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    dim = len(emb.first().embedding)
+    half1 = emb.filter(F.col("vec_id") % 2 == 0)
+    half2 = emb.filter(F.col("vec_id") % 2 == 1)
+
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    similarity.build_lsh_index(half1, inc, dim, n_planes=6)
+    similarity.lsh_index_update(half2, inc, dim, n_planes=6)
+    similarity.build_lsh_index(emb, full, dim, n_planes=6)
+
+    query = emb.limit(1).select(F.col("embedding").alias("qvec"))
+    got = [
+        (r.vec_id, r.cos_sim)
+        for r in similarity.lsh_probe(
+            spark, inc, query, dim, k=10, n_planes=6
+        ).collect()
+    ]
+    want = [
+        (r.vec_id, r.cos_sim)
+        for r in similarity.lsh_probe(
+            spark, full, query, dim, k=10, n_planes=6
+        ).collect()
+    ]
+    assert got == want and len(got) > 0
+
+
+def test_ivf_index_update_probe_consistent(spark, sf_smoke, tmp_path):
+    """IVF growth against the STORED quantizer: every appended vector
+    lands in the list its stored-centroid assignment dictates, and a
+    probe for an appended vector finds it (cos_sim 1.0 at rank 1)."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    half1 = emb.filter(F.col("vec_id") % 2 == 0)
+    half2 = emb.filter(F.col("vec_id") % 2 == 1)
+
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(half1, path, n_centroids=8)
+    similarity.ivf_index_update(half2, path)
+
+    vecs = spark.read.parquet(f"{path}/vectors")
+    assert vecs.count() == emb.count()
+
+    # probe for a vector that arrived via the UPDATE path
+    target = half2.first()
+    query = spark.createDataFrame(
+        [(target.embedding,)], "qvec array<float>"
+    )
+    top = similarity.ivf_probe(spark, path, query, k=3, n_probe=2).first()
+    assert top.vec_id == target.vec_id and abs(top.cos_sim - 1.0) < 1e-6
