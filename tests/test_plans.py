@@ -202,3 +202,38 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_oracle):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The AUTOMATIC half of the skew story (the manual half is
+    q_join_skew_salted): with AQE on, a shuffle join whose one key
+    dominates must have its oversized partitions split at runtime —
+    the executed adaptive plan marks the sort-merge join skew=true.
+    Thresholds are lowered to make a test-sized skew visible; at 100 TB
+    the defaults fire on genuinely oversized partitions."""
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        left = spark.range(400_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        j = left.join(right, "k").groupBy().agg(F.count("*").alias("n"))
+        [row] = j.collect()  # AQE decides AFTER runtime stats exist
+        assert row.n == 400_000  # 90% of left hits k=7, right has k=7 once
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
