@@ -57,6 +57,16 @@ def profile(
             add(c, "max", F.max(c).cast("double"))
             add(c, "mean", F.avg(c))
             add(c, "stddev", F.stddev(c))
+            # approx_percentile is a single mergeable aggregate (GK
+            # sketch), so quantiles ride the same one-pass agg
+            for q, name in ((0.25, "p25"), (0.5, "p50"), (0.95, "p95")):
+                add(
+                    c,
+                    name,
+                    F.expr(f"approx_percentile({c}, {q}, 1000)").cast(
+                        "double"
+                    ),
+                )
         elif isinstance(dt, StringType):
             add(c, "min_len", F.min(F.length(c)).cast("double"))
             add(c, "max_len", F.max(F.length(c)).cast("double"))

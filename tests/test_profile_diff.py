@@ -34,6 +34,8 @@ def test_profile_metrics_match_exact(spark):
     assert got[("x", "max")][0] == 40.0
     assert got[("x", "mean")][0] == 20.0
     assert got[("x", "approx_distinct")][0] == 3.0  # exact at tiny n
+    assert got[("x", "p50")][0] in (10.0, 20.0)  # GK sketch, exact at tiny n
+    assert got[("x", "p95")][0] == 40.0
     assert got[("s", "n_null")][0] == 1.0
     assert got[("s", "n_empty")][0] == 1.0
     assert got[("s", "min_len")][0] == 0.0
@@ -45,8 +47,8 @@ def test_profile_metrics_match_exact(spark):
 def test_profile_is_one_pass_and_covers_all_metrics(spark, sf_oracle):
     docs = load_table(spark, sf_oracle, "documents")
     p = profile.profile(docs, columns=["doc_id", "text"])
-    # 4 common metrics per column, +4 numeric (doc_id), +5 string (text)
-    assert p.count() == (4 + 4) + (4 + 5)
+    # 4 common metrics per column, +7 numeric (doc_id), +5 string (text)
+    assert p.count() == (4 + 7) + (4 + 5)
 
     # plan shape of the underlying aggregation: ONE scan of the table,
     # partial aggregation before the single-partition reduce
