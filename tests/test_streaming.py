@@ -336,3 +336,74 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     assert batch == {
         (1, "2026-01-01 00:00:00", "2026-01-01 00:00:30", 30),
     }
+
+
+def test_liveness_timeout_declares_silent_connection_dead(spark, tmp_path):
+    """T2 stateful-timeout analog of the reference's failure detector
+    (5 silent epochs => dead, lsp_server.c:31-35): a live stream where
+    conn 2 goes silent must emit its terminal 'dead' row on a later
+    micro-batch via ProcessingTimeTimeout, while the still-active
+    conn 1 stays alive."""
+    import os
+
+    from csce438_distributed_password_cracker_spark.streaming.stateful import (
+        liveness_stream,
+    )
+
+    src = tmp_path / "msgs"
+    src.mkdir()
+    schema = T.StructType([T.StructField("connid", T.LongType())])
+    _write_json(str(src / "f1.json"), [{"connid": 1}, {"connid": 2}])
+
+    q = (
+        liveness_stream(
+            spark.readStream.schema(schema).json(str(src)),
+            # large enough that conn 1's refresh (written right after
+            # batch 1 is observed) lands before ITS deadline even under
+            # cold-start JIT latency, small enough that the test
+            # observes conn 2's death promptly
+            dead_after_ms=8000,
+        )
+        .writeStream.format("memory")
+        .queryName("liveness_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        # wait for batch 1 (both conns alive)
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM liveness_test").count() >= 2:
+                break
+            time.sleep(0.5)
+        # conn 1 keeps talking; conn 2 stays silent past its deadline
+        _write_json(str(src / "f2.json"), [{"connid": 1}])
+        # wait until conn 1's refresh batch is VISIBLE (n_msgs=2 alive
+        # row) — proof its timer re-armed before observing any death
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if any(
+                r.connid == 1 and r.status == "alive" and r.n_msgs == 2
+                for r in spark.sql("SELECT * FROM liveness_test").collect()
+            ):
+                break
+            time.sleep(0.5)
+        deadline = time.time() + 60
+        dead = set()
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM liveness_test").collect()
+            dead = {r.connid for r in rows if r.status == "dead"}
+            if dead:
+                break
+            time.sleep(0.5)
+        assert dead == {2}
+        rows = spark.sql("SELECT * FROM liveness_test").collect()
+        dead_row = next(r for r in rows if r.status == "dead")
+        assert dead_row.n_msgs == 1  # it saw one message before dying
+        alive_counts = [
+            r.n_msgs for r in rows if r.connid == 1 and r.status == "alive"
+        ]
+        assert max(alive_counts) == 2  # conn 1 counted both its messages
+    finally:
+        q.stop()
