@@ -44,6 +44,29 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _key_cond(left: DataFrame, right: DataFrame, key_cols: list[str]):
+    """Null-safe conjunction ``left.k <=> right.__k_k`` over the key
+    columns (the right side carries ``__k_``-prefixed aliases so the
+    join condition is unambiguous)."""
+    cond = None
+    for k in key_cols:
+        c = left[k].eqNullSafe(right[f"__k_{k}"])
+        cond = c if cond is None else (cond & c)
+    return cond
+
+
+def partition_pred(part_col: str, values: list):
+    """Predicate matching ``part_col`` against a value list INCLUDING
+    None — plain ``isin`` follows SQL IN semantics and never matches
+    NULL, which is exactly wrong for pruning toward the
+    ``__HIVE_DEFAULT_PARTITION__`` directory."""
+    non_null = [v for v in values if v is not None]
+    pred = F.col(part_col).isin(non_null) if non_null else F.lit(False)
+    if any(v is None for v in values):
+        pred = pred | F.col(part_col).isNull()
+    return pred
+
+
 def _partition_dir(spark: SparkSession, part_col: str, value) -> str:
     """Hive-style directory name for one partition value — rendered by
     Spark's OWN path escaper (ExternalCatalogUtils.escapePathName), so
@@ -83,12 +106,26 @@ def merge_upsert(
     for an unpartitioned target (full copy-on-write rewrite).  The
     delta must carry the target's data columns (plus ``delete_col``);
     tombstone rows only need their key and partition values.
+
+    Partition-moving keys: pruning is only sound if a key's partition
+    value never changes (the Delta/Iceberg partition-predicate-merge
+    assumption).  When ``partition_col`` is part of ``key_cols`` a move
+    is impossible and nothing extra is read; otherwise the UNTOUCHED
+    partitions' key columns are scanned (column-pruned) and the merge
+    raises if a delta key already lives outside the touched slice —
+    silently leaving a stale duplicate would be worse than the scan.
     """
     src = Path(target_path)
     if not src.exists():
         raise FileNotFoundError(target_path)
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
+
+    # the delta is small by contract and is consumed several times
+    # (counts, partition values, claimed keys, the rewrite) — pay its
+    # plan exactly once.  For streaming callers the delta is itself an
+    # aggregation over stored state; without this it re-executes per use.
+    delta = delta.localCheckpoint(eager=True)
 
     target = spark.read.parquet(target_path)
     data_cols = target.columns  # includes partition_col (Spark appends it)
@@ -119,13 +156,47 @@ def merge_upsert(
             for r in delta.select(partition_col).distinct().collect()
         ]
         # isin on the partition column prunes untouched directories at
-        # planning time (PartitionFilters in the scan)
-        slice_df = target.filter(F.col(partition_col).isin(touched))
+        # planning time (PartitionFilters in the scan).  SQL's IN never
+        # matches NULL, so a null partition value (the
+        # __HIVE_DEFAULT_PARTITION__ directory) needs its own predicate
+        # — without it the null partition's existing rows would be
+        # dropped from `kept` while its directory still gets swapped.
+        touched_pred = partition_pred(partition_col, touched)
+        slice_df = target.filter(touched_pred)
         part_dirs = {_partition_dir(spark, partition_col, v) for v in touched}
         total_parts = sum(
             1 for p in src.iterdir()
             if p.is_dir() and p.name.startswith(f"{partition_col}=")
         )
+        if partition_col not in key_cols:
+            # keys CAN move partitions under this schema: a delta key
+            # already stored in an untouched partition would survive as
+            # a stale duplicate.  Column-pruned scan of the untouched
+            # remainder, broadcast semi-join against the delta's keys.
+            # ~touched_pred is null-hostile (NULL partition rows would
+            # escape the check), so spell the complement null-safely.
+            rest = target.filter(
+                F.coalesce(~touched_pred, F.lit(True))
+            ).select(*key_cols)
+            delta_keys = delta.select(
+                *[F.col(k).alias(f"__k_{k}") for k in key_cols]
+            ).distinct()
+            moved = (
+                rest.join(
+                    F.broadcast(delta_keys),
+                    _key_cond(rest, delta_keys, key_cols),
+                    "left_semi",
+                )
+                .limit(1)
+                .count()
+            )
+            if moved:
+                raise ValueError(
+                    "delta moves existing key(s) across partitions; "
+                    "rewrite the old partition too (include it in the "
+                    "delta as tombstones) or key the table by its "
+                    "partition column"
+                )
     else:
         touched, part_dirs = [], set()
         slice_df = target
@@ -133,9 +204,15 @@ def merge_upsert(
 
     # keys the delta claims (upserts replace, tombstones remove) — small
     # by contract, so the anti-join broadcasts and the touched slice
-    # never shuffles
-    claimed = delta.select(*key_cols).distinct()
-    kept = slice_df.join(F.broadcast(claimed), key_cols, "left_anti")
+    # never shuffles.  NULL-SAFE key equality: with plain equality a
+    # NULL key component never matches, so the stored row would survive
+    # the anti-join AND the delta row would be inserted — a duplicate.
+    claimed = delta.select(
+        *[F.col(k).alias(f"__k_{k}") for k in key_cols]
+    ).distinct()
+    kept = slice_df.join(
+        F.broadcast(claimed), _key_cond(slice_df, claimed, key_cols), "left_anti"
+    )
     merged = kept.unionByName(upserts.select(*data_cols))
 
     tmp = src.with_name(src.name + ".__merge_tmp__")

@@ -59,11 +59,13 @@ def profile(
             add(c, "stddev", F.stddev(c))
             # approx_percentile is a single mergeable aggregate (GK
             # sketch), so quantiles ride the same one-pass agg
+            # backquoted: a CSV-born column like `order date` must not
+            # blow up the expr parse (everything else uses Column APIs)
             for q, name in ((0.25, "p25"), (0.5, "p50"), (0.95, "p95")):
                 add(
                     c,
                     name,
-                    F.expr(f"approx_percentile({c}, {q}, 1000)").cast(
+                    F.expr(f"approx_percentile(`{c}`, {q}, 1000)").cast(
                         "double"
                     ),
                 )
@@ -76,7 +78,7 @@ def profile(
                 c,
                 "top_k",
                 F.to_json(
-                    F.expr(f"approx_top_k({c}, {top_k}, {TOPK_MAX_ITEMS})")
+                    F.expr(f"approx_top_k(`{c}`, {top_k}, {TOPK_MAX_ITEMS})")
                 ),
             )
 

@@ -33,8 +33,10 @@ Scale shape:
 - **Probe (per query).**  Query terms are a tiny in-plan literal list:
   the postings filter is `term IN (...)` + the derived bucket
   predicate; matched postings (bounded by the query's document
-  frequency, not the corpus) join the small doc-length and term-stats
-  tables, score as one codegen'd expression, and reduce via
+  frequency, not the corpus) carry their doc length inline
+  (denormalized at build — a probe must never join a corpus-sized
+  doc-length table), broadcast-join the tiny filtered term-stats
+  table, score as one codegen'd expression, and reduce via
   groupBy(doc) + top-k (TakeOrderedAndProject).  Corpus-wide
   statistics (N, avgdl) are read from ``stats/`` — never recomputed.
 - IDF uses the Robertson-Sparck-Jones smooth form
@@ -58,13 +60,18 @@ N_TERM_BUCKETS = 64
 def _postings(
     df: DataFrame, id_col: str, text_col: str, n_buckets: int
 ) -> DataFrame:
-    """(term, id, tf, term_bucket) term frequencies — explode + count,
-    one shuffle."""
+    """(term, id, tf, dl, term_bucket) term frequencies — explode +
+    count, one shuffle.  The document length is DENORMALIZED onto every
+    posting (it is static per doc) so a probe never touches a
+    corpus-sized doc-length table: probe cost stays bounded by the
+    query's document frequency."""
     return (
         df.select(
-            F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("term")
+            F.col(id_col).alias("id"),
+            F.size(tokens_col(text_col)).alias("dl"),
+            F.explode(tokens_col(text_col)).alias("term"),
         )
-        .groupBy("term", "id")
+        .groupBy("term", "id", "dl")
         .agg(F.count("*").alias("tf"))
         .withColumn(
             "term_bucket",
@@ -229,7 +236,6 @@ def bm25_search(
     termstats = spark.read.parquet(f"{index_path}/termstats").filter(
         F.col("term").isin(terms)
     )
-    doclen = spark.read.parquet(f"{index_path}/doclen")
     idf = F.log(
         F.lit(1.0)
         + (F.lit(n_docs) - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
@@ -239,7 +245,6 @@ def bm25_search(
     )
     return (
         post.join(F.broadcast(termstats), "term")
-        .join(doclen, "id")
         .select("id", (idf * tf_sat).alias("partial"))
         .groupBy("id")
         .agg(F.round(F.sum("partial"), 6).alias("score"))

@@ -555,6 +555,9 @@ def ivf_index_update(
     cent_mat = np.asarray(
         [r.centroid for r in cent], dtype=np.float64
     )
+    # stored centroids are already unit-norm (build goes through
+    # _collect_matrix); renormalizing is an idempotent guard against a
+    # future build path that forgets to
     norms = np.linalg.norm(cent_mat, axis=1)
     cent_mat = cent_mat / np.where(norms == 0.0, 1.0, norms)[:, None]
     src = emb_new.select(

@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.merge import merge_upsert
+from ..operators.merge import merge_upsert, partition_pred
 
 ROLLUP_KEYS = ["day", "event_type"]
 
@@ -118,25 +118,32 @@ def merge_batch(
 ) -> bool:
     """Absorb one micro-batch into the rollup table; returns False if
     ``batch_id`` was already absorbed (idempotent replay no-op)."""
-    exists = Path(rollup_path).exists()
     part = _partial(batch).withColumn(
         "last_batch_id", F.lit(batch_id).cast("long")
-    )
-    if not exists:
+    ).localCheckpoint(eager=True)
+    days = [r[0] for r in part.select("day").distinct().collect()]
+    if not days:
+        # empty batch — and deliberately checked BEFORE the existence
+        # branch: an empty FIRST batch must not create a zero-row
+        # partitioned dataset (no data files -> every later read would
+        # die with UNABLE_TO_INFER_SCHEMA, permanently poisoning the
+        # table)
+        return True
+    if not Path(rollup_path).exists():
         part.repartition(1, "day").write.partitionBy("day").parquet(
             rollup_path
         )
         return True
 
-    days = [r[0] for r in part.select("day").distinct().collect()]
-    if not days:
-        return True  # empty batch
-
     stored = spark.read.parquet(rollup_path)
     # replay detection stays partition-pruned: a crash-replayed batch
     # re-reads the same source files, so its touched days are identical
-    # and carry its batch id — no need to scan the table's full history
-    slice_df = stored.filter(F.col("day").isin(days))
+    # and carry its batch id — no need to scan the table's full history.
+    # partition_pred (not isin) so a NULL day — events with NULL ts roll
+    # up under __HIVE_DEFAULT_PARTITION__ — merges instead of being
+    # invisible to the slice (replay would double-count it and the swap
+    # would overwrite its history).
+    slice_df = stored.filter(partition_pred("day", days))
     if (
         slice_df.select(F.max("last_batch_id")).first()[0] or -1
     ) >= batch_id:

@@ -176,3 +176,54 @@ def test_merge_escaped_partition_values(spark, tmp_path):
         3: ("v3", "x/y"),
     }
     assert (Path(path) / "part=x%2Fy").exists()
+
+
+def test_merge_null_partition_value(spark, tmp_path):
+    """NULL partition values (the __HIVE_DEFAULT_PARTITION__ dir) must
+    merge, not be silently replaced: plain isin never matches NULL, so
+    without the null-safe predicate the null partition's existing rows
+    would vanish on any delta touching it."""
+    path = str(tmp_path / "nulls")
+    spark.createDataFrame(
+        [(1, "a", None), (2, "b", None), (3, "c", "en")],
+        "k long, body string, part string",
+    ).repartition(1).write.partitionBy("part").parquet(path)
+
+    delta = spark.createDataFrame(
+        [(9, "new-null", None, False), (1, "a-v2", None, False)],
+        "k long, body string, part string, deleted boolean",
+    )
+    merge_upsert(
+        spark, path, delta, key_cols=["k"], partition_col="part",
+        delete_col="deleted",
+    )
+    rows = {r.k: (r.body, r.part) for r in spark.read.parquet(path).collect()}
+    assert rows == {
+        1: ("a-v2", None),
+        2: ("b", None),  # the pre-existing null-partition row SURVIVES
+        3: ("c", "en"),
+        9: ("new-null", None),
+    }
+
+
+def test_merge_rejects_partition_moving_keys(spark, seeded_table):
+    """A delta that moves a key to a different partition must raise —
+    pruned rewriting would otherwise leave the stale old row behind as
+    a silent duplicate."""
+    delta = spark.createDataFrame(
+        [(0, "moved", "de", False)],  # doc 0 lives in lang=en
+        "doc_id long, body string, lang string, deleted boolean",
+    )
+    with pytest.raises(ValueError, match="moves existing key"):
+        merge_upsert(
+            spark, seeded_table, delta, key_cols=["doc_id"],
+            partition_col="lang", delete_col="deleted",
+        )
+    # the guard is skipped (and moves impossible) when the partition
+    # column is part of the key
+    merge_upsert(
+        spark, seeded_table, delta, key_cols=["doc_id", "lang"],
+        partition_col="lang", delete_col="deleted",
+    )
+    out = spark.read.parquet(seeded_table)
+    assert out.filter(F.col("doc_id") == 0).count() == 2  # both keys exist

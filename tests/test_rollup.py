@@ -144,3 +144,43 @@ def test_hist_quantile_tracks_exact_percentiles(spark, sf_smoke):
         rollup.hist_quantile([0] * (HIST_BINS + 2), 0.5)
     with _pytest.raises(ValueError):
         rollup.hist_quantile([1] * (HIST_BINS + 2), 1.5)
+
+
+def test_rollup_empty_first_batch_does_not_poison(spark, sf_smoke, tmp_path):
+    """An empty first micro-batch must be a no-op, NOT create a
+    zero-row partitioned dataset that breaks every later read."""
+    events = load_table(spark, sf_smoke, "events")
+    table = str(tmp_path / "rollup")
+    empty = events.filter(F.lit(False))
+    assert rollup.merge_batch(spark, table, empty, batch_id=0)
+    assert not Path(table).exists()
+    assert rollup.merge_batch(spark, table, events, batch_id=1)
+    assert _canon(spark.read.parquet(table).drop("last_batch_id")) == _canon(
+        rollup.rollup_of(events)
+    )
+
+
+def test_rollup_null_ts_events_merge_and_replay(spark, sf_smoke, tmp_path):
+    """Events with NULL ts roll up under the null day and must MERGE
+    across batches (null-safe slice + key matching) and be replay-proof
+    like any other day."""
+    events = load_table(spark, sf_smoke, "events")
+    nulled = events.limit(20).withColumn("ts", F.lit(None).cast("timestamp"))
+    table = str(tmp_path / "rollup")
+    assert rollup.merge_batch(spark, table, nulled.limit(10), batch_id=0)
+    assert rollup.merge_batch(
+        spark, table, nulled.subtract(nulled.limit(10)), batch_id=1
+    )
+    got = spark.read.parquet(table)
+    null_rows = got.filter(F.col("day").isNull())
+    assert null_rows.count() == null_rows.select("event_type").distinct().count()
+    assert (
+        null_rows.agg(F.sum("n_events")).first()[0] == 20
+    )  # both batches merged, no overwrite
+    # replay of batch 1 must be detected even for the null day
+    assert (
+        rollup.merge_batch(
+            spark, table, nulled.subtract(nulled.limit(10)), batch_id=1
+        )
+        is False
+    )
