@@ -33,6 +33,7 @@ def correlate_streams(
     right_ts: str = "ts",
     within_seconds: int = 600,
     watermark: str = "30 seconds",
+    how: str = "inner",
 ) -> DataFrame:
     """Pairs (left row, right row) with equal ``key`` where the right
     event lands in ``[left_ts, left_ts + within_seconds]`` — "what
@@ -41,7 +42,16 @@ def correlate_streams(
     Output: (key, left_ts as l_ts, right_ts as r_ts, lag_seconds).
     Streaming inputs get ``withWatermark`` applied; batch inputs run
     the identical join for oracle comparison.
+
+    ``how='left_outer'`` additionally emits each UNMATCHED left event
+    (null r_ts/lag) — in streaming, only once the watermark has passed
+    its whole match window, proving no future right row can pair with
+    it (the same eviction that bounds the join state also licenses the
+    null emission; the global watermark is the MIN across both
+    sources, so both streams must advance for outer results to flush).
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be inner or left_outer, got {how!r}")
     l_df = left.select(
         F.col(key).alias("__k"), F.col(left_ts).alias("l_ts")
     )
@@ -61,7 +71,7 @@ def correlate_streams(
         )
     )
     return (
-        l_df.join(r_df, cond, "inner")
+        l_df.join(r_df, cond, how)
         .select(
             F.col("__k").alias(key),
             "l_ts",

@@ -407,3 +407,89 @@ def test_liveness_timeout_declares_silent_connection_dead(spark, tmp_path):
         assert max(alive_counts) == 2  # conn 1 counted both its messages
     finally:
         q.stop()
+
+
+def test_stream_stream_left_outer_emits_unmatched_on_watermark(
+    spark, tmp_path
+):
+    """Left-outer stream-stream join: an unmatched left event emits its
+    null-padded row only after the global watermark (the MIN across
+    both sources) passes its whole match window — the same eviction
+    that bounds join state.  Both sources get a far-future row so the
+    watermark actually advances and flushes the outer results."""
+    import os
+
+    from csce438_distributed_password_cracker_spark.streaming import correlate
+
+    clicks = tmp_path / "clicks"
+    buys = tmp_path / "buys"
+    clicks.mkdir(), buys.mkdir()
+    _write_json(
+        str(clicks / "c1.json"),
+        [
+            {"user_id": 1, "ts": "2026-01-01T00:00:00.000Z"},  # matches
+            {"user_id": 5, "ts": "2026-01-01T00:00:05.000Z"},  # never buys
+        ],
+    )
+    _write_json(
+        str(buys / "b1.json"),
+        [{"user_id": 1, "ts": "2026-01-01T00:00:30.000Z"}],
+    )
+    # far-future rows push BOTH sources' watermarks past every window
+    _write_json(
+        str(clicks / "c2.json"),
+        [{"user_id": 90, "ts": "2026-01-01T01:00:00.000Z"}],
+    )
+    _write_json(
+        str(buys / "b2.json"),
+        [{"user_id": 91, "ts": "2026-01-01T01:00:00.000Z"}],
+    )
+    for d, names in ((clicks, ["c1.json", "c2.json"]), (buys, ["b1.json", "b2.json"])):
+        for i, n in enumerate(names):
+            t = time.time() - 300 + i * 10
+            os.utime(str(d / n), (t, t))
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    q = (
+        correlate.correlate_streams(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(clicks)),
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(buys)),
+            within_seconds=60,
+            watermark="5 seconds",
+            how="left_outer",
+        )
+        .writeStream.format("memory")
+        .queryName("sj_outer_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r.user_id, str(r.l_ts), r.r_ts and str(r.r_ts), r.lag_seconds)
+        for r in spark.sql("SELECT * FROM sj_outer_test").collect()
+    }
+    # matched pair for user 1; null-padded rows for the never-matched
+    # click of user 5 (its window [5s, 65s] is fully behind the final
+    # watermark ~59:55)
+    assert (1, "2026-01-01 00:00:00", "2026-01-01 00:00:30", 30) in rows
+    assert (5, "2026-01-01 00:00:05", None, None) in rows
+    # validation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="left_outer"):
+        correlate.correlate_streams(
+            spark.read.schema(schema).json(str(clicks)),
+            spark.read.schema(schema).json(str(buys)),
+            how="full",
+        )
