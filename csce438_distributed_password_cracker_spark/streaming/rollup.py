@@ -229,3 +229,33 @@ def rollup_of(events: DataFrame) -> DataFrame:
     same aggregates over the full event history, minus the bookkeeping
     column."""
     return _partial(events)
+
+
+def rollup_verify(
+    spark: SparkSession, events: DataFrame, rollup_path: str
+) -> DataFrame:
+    """Reconciliation audit: snapshot-diff the stored incremental table
+    against the from-scratch aggregate over the raw history — the
+    periodic drift check a production rollup runs (a bug, a manual
+    table edit, or a non-idempotent replay shows up as changed/
+    added/removed keys; a healthy table is 100% unchanged).  Sketch
+    columns are compared by their decoded ESTIMATES (the stored HLL
+    binary for a key can differ byte-wise from a from-scratch sketch
+    while being the same registers logically)."""
+    from ..operators.diff import snapshot_diff
+
+    def canon(df: DataFrame) -> DataFrame:
+        return with_user_estimate(df).select(
+            *ROLLUP_KEYS,
+            "n_events",
+            F.round("sum_value", 6).alias("sum_value"),
+            F.round("sum_sq", 2).alias("sum_sq"),
+            F.round("min_value", 6).alias("min_value"),
+            F.round("max_value", 6).alias("max_value"),
+            "approx_users",
+            F.col("value_hist").cast("array<long>").alias("value_hist"),
+        )
+
+    stored = canon(spark.read.parquet(rollup_path).drop("last_batch_id"))
+    truth = canon(rollup_of(events))
+    return snapshot_diff(truth, stored, ROLLUP_KEYS)

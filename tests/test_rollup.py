@@ -184,3 +184,42 @@ def test_rollup_null_ts_events_merge_and_replay(spark, sf_smoke, tmp_path):
         )
         is False
     )
+
+
+def test_rollup_verify_clean_and_detects_drift(spark, sf_smoke, tmp_path):
+    """A healthy incremental table reconciles 100% unchanged against
+    the raw history; a corrupted key shows up as changed."""
+    from csce438_distributed_password_cracker_spark.operators.diff import (
+        diff_stats,
+    )
+
+    events = load_table(spark, sf_smoke, "events")
+    table = str(tmp_path / "rollup")
+    days = sorted(
+        r[0] for r in events.select(F.to_date("ts")).distinct().collect()
+    )
+    assert rollup.merge_batch(
+        spark, table, events.filter(F.to_date("ts") <= days[2]), 0
+    )
+    assert rollup.merge_batch(
+        spark, table, events.filter(F.to_date("ts") > days[2]), 1
+    )
+
+    stats = diff_stats(rollup.rollup_verify(spark, events, table))
+    assert stats["changed"] == stats["added"] == stats["removed"] == 0
+    assert stats["unchanged"] > 0
+
+    # corrupt one stored row -> exactly one changed key
+    stored = spark.read.parquet(table).localCheckpoint(eager=True)
+    first = stored.first()
+    corrupted = stored.withColumn(
+        "n_events",
+        F.when(
+            (F.col("day") == F.lit(first.day))
+            & (F.col("event_type") == first.event_type),
+            F.col("n_events") + 1,
+        ).otherwise(F.col("n_events")),
+    )
+    corrupted.write.mode("overwrite").partitionBy("day").parquet(table)
+    stats = diff_stats(rollup.rollup_verify(spark, events, table))
+    assert stats["changed"] == 1
