@@ -225,3 +225,73 @@ def test_next_fit_packing_properties(data):
         assert all(
             f > budget / 2 for p, f in fills.items() if p != last
         ), (budget, tokens, fills)
+
+
+@given(st.data())
+@settings(max_examples=200, deadline=None)
+def test_hist_quantile_properties(data):
+    """hist_quantile over arbitrary histograms: results stay inside
+    [HIST_LO, HIST_HI], are monotone in q, and for in-range single-bin
+    mass land inside that bin."""
+    from csce438_distributed_password_cracker_spark.streaming.rollup import (
+        HIST_BINS,
+        HIST_HI,
+        HIST_LO,
+        hist_quantile,
+    )
+
+    hist = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=1000),
+            min_size=HIST_BINS + 2,
+            max_size=HIST_BINS + 2,
+        )
+    )
+    if sum(hist) == 0:
+        return
+    qs = sorted(
+        data.draw(
+            st.lists(
+                st.floats(min_value=0.0, max_value=1.0),
+                min_size=2,
+                max_size=5,
+            )
+        )
+    )
+    vals = [hist_quantile(hist, q) for q in qs]
+    assert all(HIST_LO <= v <= HIST_HI for v in vals)
+    assert all(a <= b + 1e-9 for a, b in zip(vals, vals[1:]))  # monotone
+
+    # all mass in one interior bin -> every quantile inside that bin
+    bin_i = data.draw(st.integers(min_value=1, max_value=HIST_BINS))
+    single = [0] * (HIST_BINS + 2)
+    single[bin_i] = data.draw(st.integers(min_value=1, max_value=1000))
+    width = (HIST_HI - HIST_LO) / HIST_BINS
+    lo = HIST_LO + (bin_i - 1) * width
+    for q in qs:
+        v = hist_quantile(single, q)
+        assert lo - 1e-9 <= v <= lo + width + 1e-9
+
+
+@given(st.data())
+@settings(max_examples=200, deadline=None)
+def test_next_fit_then_chunk_arithmetic(data):
+    """The pure chunk-start arithmetic chunk_documents encodes: starts
+    are 0, stride, 2·stride, ... with last start < n - overlap (or the
+    single start 0), so the windows cover [0, n) exactly with the
+    declared overlap."""
+    chunk = data.draw(st.integers(min_value=1, max_value=64))
+    overlap = data.draw(st.integers(min_value=0, max_value=chunk - 1))
+    n = data.draw(st.integers(min_value=1, max_value=500))
+    stride = chunk - overlap
+    starts = list(range(0, max(n - overlap, 1), stride))
+    # coverage: the union of [s, s+chunk) windows covers [0, n)
+    covered = 0  # first uncovered position
+    for s in starts:
+        assert s <= covered  # no gap
+        covered = max(covered, min(s + chunk, n))
+    assert covered >= min(n, starts[-1] + chunk)
+    if n <= chunk:
+        assert starts == [0]
+    else:
+        assert covered == n or starts[-1] + chunk >= n
