@@ -217,3 +217,62 @@ def fingerprint(
             "fingerprint"
         )
     )
+
+
+# ── PII redaction ────────────────────────────────────────────────────────
+
+# Patterns deliberately favor precision over recall (a training corpus
+# tolerates a missed phone number; mangling ordinary prose hurts) and
+# run as JVM regexp_replace — map-only, no UDF.  Order matters: emails
+# before phones (an email's digits must not be half-eaten), IPs before
+# phones (dotted quads contain phone-length digit runs).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    (
+        "email",
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "<EMAIL>",
+    ),
+    (
+        "ipv4",
+        r"\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}"
+        r"(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\b",
+        "<IP>",
+    ),
+    (
+        "phone",
+        r"(?<![0-9])(?:\+?[0-9]{1,3}[ .-]?)?(?:\([0-9]{3}\)[ .-]?|[0-9]{3}[ .-])"
+        r"[0-9]{3}[ .-][0-9]{4}(?![0-9])",
+        "<PHONE>",
+    ),
+]
+
+
+def redact_pii(
+    text_col: str = "text",
+    out_col: str = "text_redacted",
+    patterns: list[tuple[str, str, str]] | None = None,
+) -> list[Column]:
+    """[redacted text, n_redactions] — the corpus-hygiene scrub (C4/
+    Dolma-style) as chained ``regexp_replace`` column expressions: one
+    map-only projection, 100 TB-safe by construction.  The redaction
+    count rides along so a quality gate can drop documents that are
+    mostly PII.  Patterns are (name, regex, token) triples; pass a
+    custom list to extend (the defaults favor precision — see
+    PII_PATTERNS).
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+    redacted = F.col(text_col)
+    for _, rx, token in pats:
+        redacted = F.regexp_replace(redacted, F.lit(rx), F.lit(token))
+    # count = tokens present AFTER redaction (each replacement leaves
+    # exactly one token per hit)
+    n = F.lit(0)
+    for _, _, token in pats:
+        esc = token.replace("<", "\\<").replace(">", "\\>")
+        n = n + F.size(
+            F.regexp_extract_all(redacted, F.lit(esc), F.lit(0))
+        )
+    return [
+        redacted.alias(out_col),
+        n.cast("long").alias("n_redactions"),
+    ]

@@ -220,3 +220,45 @@ def test_resize_png_real_nearest_neighbor(spark):
     # nearest-neighbor: sampled from the source grid at stride 2
     expect = bytes(px[(y * 2) * 8 + (x * 2)] for y in range(2) for x in range(4))
     assert got == expect
+
+
+def test_redact_pii_patterns_and_count(spark):
+    from csce438_distributed_password_cracker_spark.operators.textops import (
+        redact_pii,
+    )
+
+    rows = [
+        (1, "contact john.doe+x@example.co.uk for details"),
+        (2, "server at 192.168.1.254 port 80"),
+        (3, "call (555) 123-4567 or +1 555 987 6543 now"),
+        (4, "clean text with numbers 12345 and v1.2.3 intact"),
+        (5, "mail a@b.io from 10.0.0.1 phone 555-123-4567"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r.id: (r.text_redacted, r.n_redactions)
+        for r in df.select("id", *redact_pii()).collect()
+    }
+    assert out[1] == ("contact <EMAIL> for details", 1)
+    assert out[2] == ("server at <IP> port 80", 1)
+    assert out[3][0] == "call <PHONE> or <PHONE> now"
+    assert out[3][1] == 2
+    # precision: versions and plain numbers survive untouched
+    assert out[4] == ("clean text with numbers 12345 and v1.2.3 intact", 0)
+    assert out[5] == ("mail <EMAIL> from <IP> phone <PHONE>", 3)
+
+
+def test_redact_pii_is_map_only(spark, sf_smoke):
+    from csce438_distributed_password_cracker_spark.catalog import load_table
+    from csce438_distributed_password_cracker_spark.operators.textops import (
+        redact_pii,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    plan = (
+        docs.select("doc_id", *redact_pii())
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
