@@ -83,8 +83,11 @@ def _run_pipeline(spark, raw_dir):
         train, eval_df, "doc_id", "text", n=5, min_hits=2
     )
 
-    # quality filter: drop highly repetitive docs
-    profiled = decon.select(
+    # PII scrub, then quality filter: drop highly repetitive docs
+    scrubbed = decon.select(
+        "doc_id", "lang", *textops.redact_pii(out_col="text")
+    )
+    profiled = scrubbed.select(
         "*", *textops.repetition_metrics("text")
     ).filter(F.col("dup_trigram_frac") < 0.9)
 
