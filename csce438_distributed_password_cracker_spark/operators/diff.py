@@ -53,10 +53,21 @@ def snapshot_diff(
     if missing:
         raise ValueError(f"key columns missing from a snapshot: {missing}")
     b = _hashed(before, key_cols, "b")
-    a = _hashed(after, key_cols, "a")
-    joined = b.join(a, key_cols, "full_outer")
+    # NULL-SAFE key join: a USING join treats NULL keys as unequal, so a
+    # key with a NULL component present in both snapshots would split
+    # into a spurious added+removed pair instead of comparing
+    a = _hashed(after, key_cols, "a").select(
+        *[F.col(k).alias(f"__k_{k}") for k in key_cols], "__h_a"
+    )
+    cond = None
+    for k in key_cols:
+        c = b[k].eqNullSafe(a[f"__k_{k}"])
+        cond = c if cond is None else (cond & c)
+    joined = b.join(a, cond, "full_outer")
     return joined.select(
-        *key_cols,
+        *[
+            F.coalesce(b[k], a[f"__k_{k}"]).alias(k) for k in key_cols
+        ],
         F.when(F.col("__h_b").isNull(), F.lit("added"))
         .when(F.col("__h_a").isNull(), F.lit("removed"))
         .when(F.col("__h_b") == F.col("__h_a"), F.lit("unchanged"))

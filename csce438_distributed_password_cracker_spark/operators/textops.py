@@ -261,17 +261,16 @@ def redact_pii(
     PII_PATTERNS).
     """
     pats = PII_PATTERNS if patterns is None else patterns
+    # count each pattern's matches on the PRE-replacement text of its
+    # stage (counting tokens in the final text would miscount when the
+    # source already contains a literal '<EMAIL>', and would need
+    # token-escaping that breaks for custom tokens with regex
+    # metacharacters)
     redacted = F.col(text_col)
-    for _, rx, token in pats:
-        redacted = F.regexp_replace(redacted, F.lit(rx), F.lit(token))
-    # count = tokens present AFTER redaction (each replacement leaves
-    # exactly one token per hit)
     n = F.lit(0)
-    for _, _, token in pats:
-        esc = token.replace("<", "\\<").replace(">", "\\>")
-        n = n + F.size(
-            F.regexp_extract_all(redacted, F.lit(esc), F.lit(0))
-        )
+    for _, rx, token in pats:
+        n = n + F.size(F.regexp_extract_all(redacted, F.lit(rx), F.lit(0)))
+        redacted = F.regexp_replace(redacted, F.lit(rx), F.lit(token))
     return [
         redacted.alias(out_col),
         n.cast("long").alias("n_redactions"),

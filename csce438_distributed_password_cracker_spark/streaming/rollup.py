@@ -232,30 +232,70 @@ def rollup_of(events: DataFrame) -> DataFrame:
 
 
 def rollup_verify(
-    spark: SparkSession, events: DataFrame, rollup_path: str
+    spark: SparkSession,
+    events: DataFrame,
+    rollup_path: str,
+    rel_tol: float = 1e-9,
 ) -> DataFrame:
-    """Reconciliation audit: snapshot-diff the stored incremental table
+    """Reconciliation audit: compare the stored incremental table
     against the from-scratch aggregate over the raw history — the
     periodic drift check a production rollup runs (a bug, a manual
-    table edit, or a non-idempotent replay shows up as changed/
-    added/removed keys; a healthy table is 100% unchanged).  Sketch
-    columns are compared by their decoded ESTIMATES (the stored HLL
-    binary for a key can differ byte-wise from a from-scratch sketch
-    while being the same registers logically)."""
-    from ..operators.diff import snapshot_diff
+    table edit, or a non-idempotent replay shows up as changed/added/
+    removed keys; a healthy table is 100% unchanged).  Returns
+    (ROLLUP_KEYS..., diff_status) like :func:`operators.diff.
+    snapshot_diff`, but with the comparison the float semantics
+    demand: ACCUMULATED sums (sum_value, sum_sq) differ in their last
+    bits between the incremental and from-scratch addition orders, so
+    they compare under ``rel_tol`` relative tolerance (hashing rounded
+    floats would false-alarm at scale); counts, histograms, min/max
+    (order-independent), and the DECODED HLL estimate (stored sketch
+    bytes are representation-dependent) compare exactly.  The key join
+    is null-safe (NULL-day history must reconcile, not false-alarm)."""
 
-    def canon(df: DataFrame) -> DataFrame:
+    def canon(df: DataFrame, tag: str) -> DataFrame:
         return with_user_estimate(df).select(
-            *ROLLUP_KEYS,
-            "n_events",
-            F.round("sum_value", 6).alias("sum_value"),
-            F.round("sum_sq", 2).alias("sum_sq"),
-            F.round("min_value", 6).alias("min_value"),
-            F.round("max_value", 6).alias("max_value"),
-            "approx_users",
-            F.col("value_hist").cast("array<long>").alias("value_hist"),
+            *[F.col(k).alias(f"{tag}_{k}") for k in ROLLUP_KEYS],
+            *[
+                F.col(c).alias(f"{tag}_{c}")
+                for c in (
+                    "n_events", "sum_value", "sum_sq", "min_value",
+                    "max_value", "approx_users",
+                )
+            ],
+            F.col("value_hist").cast("array<long>").alias(f"{tag}_hist"),
         )
 
-    stored = canon(spark.read.parquet(rollup_path).drop("last_batch_id"))
-    truth = canon(rollup_of(events))
-    return snapshot_diff(truth, stored, ROLLUP_KEYS)
+    truth = canon(rollup_of(events), "t")
+    stored = canon(
+        spark.read.parquet(rollup_path).drop("last_batch_id"), "s"
+    )
+    cond = None
+    for k in ROLLUP_KEYS:
+        c = truth[f"t_{k}"].eqNullSafe(stored[f"s_{k}"])
+        cond = c if cond is None else (cond & c)
+    joined = truth.join(stored, cond, "full_outer")
+
+    def close(c: str):  # accumulated floats: relative tolerance
+        t, s = F.col(f"t_{c}"), F.col(f"s_{c}")
+        return F.abs(t - s) <= F.lit(rel_tol) * F.greatest(
+            F.abs(t), F.abs(s), F.lit(1.0)
+        )
+
+    exact = [
+        F.col(f"t_{c}").eqNullSafe(F.col(f"s_{c}"))
+        for c in ("n_events", "min_value", "max_value", "approx_users")
+    ] + [F.col("t_hist").eqNullSafe(F.col("s_hist"))]
+    same = F.lit(True)
+    for e in exact + [close("sum_value"), close("sum_sq")]:
+        same = same & e
+    return joined.select(
+        *[
+            F.coalesce(F.col(f"t_{k}"), F.col(f"s_{k}")).alias(k)
+            for k in ROLLUP_KEYS
+        ],
+        F.when(F.col("s_n_events").isNull(), F.lit("removed"))
+        .when(F.col("t_n_events").isNull(), F.lit("added"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("diff_status"),
+    )

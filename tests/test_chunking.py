@@ -92,3 +92,27 @@ def test_chunking_plan_is_map_only(spark, sf_smoke):
         .toString()
     )
     assert "Exchange" not in plan  # no shuffle: pure per-row fan-out
+
+
+def test_chunk_sweep_against_reference_model(spark):
+    """Drive the REAL operator across a sweep of (chunk, overlap) and
+    doc lengths in one DataFrame per combo, and check every doc's
+    chunks against an independent Python reference (starts, window
+    contents, lossless reconstruction)."""
+    docs = [(n, _doc(n)) for n in range(1, 61)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for chunk, ov in [(4, 1), (7, 3), (16, 0), (64, 63), (5, 4)]:
+        got = {}
+        for r in chunking.chunk_documents(
+            df, "doc_id", "text", chunk_tokens=chunk, overlap=ov
+        ).collect():
+            got.setdefault(r.doc_id, {})[r.chunk_idx] = r.chunk_text
+        for n, text in docs:
+            toks = text.split(" ")
+            stride = chunk - ov
+            starts = list(range(0, max(n - ov, 1), stride))
+            want = {
+                i: " ".join(toks[s : s + chunk])
+                for i, s in enumerate(starts)
+            }
+            assert got[n] == want, (chunk, ov, n)

@@ -150,10 +150,11 @@ def test_pipeline_composes_with_reconciled_counts(spark, sf_smoke, tmp_path):
     over = packing.pack_stats(packed, 512).filter("tokens > 512").count()
     assert over == 0
 
-    # the curated corpus is retrievable: BM25 index over the
-    # decontaminated training set answers a probe with monotone scores
+    # the curated corpus is retrievable: BM25 index over the SCRUBBED
+    # + quality-filtered corpus (indexing pre-scrub text would ship PII
+    # in the retrieval index) answers a probe with monotone scores
     idx = str(tmp_path / "bm25")
-    search.bm25_build(decon, "doc_id", "text", idx, n_buckets=8)
+    search.bm25_build(profiled, "doc_id", "text", idx, n_buckets=8)
     hits = search.bm25_search(spark, idx, "the data", top_n=5).collect()
     assert len(hits) == 5
     assert [h.score for h in hits] == sorted(

@@ -120,3 +120,26 @@ def test_snapshot_diff_key_validation(spark):
         diff.snapshot_diff(df, df, [])
     with pytest.raises(ValueError, match="missing"):
         diff.snapshot_diff(df, df, ["nope"])
+
+
+def test_snapshot_diff_null_key_components_compare(spark):
+    """A key with a NULL component present in both snapshots must
+    compare (null-safe join), not split into spurious added+removed."""
+    before = spark.createDataFrame(
+        [(None, "a", 1.0), (2, "b", 2.0)], "k string, s string, v double"
+    )
+    after_same = spark.createDataFrame(
+        [(None, "a", 1.0), (2, "b", 2.0)], "k string, s string, v double"
+    )
+    d = diff.snapshot_diff(before, after_same, ["k"])
+    assert diff.diff_stats(d) == {
+        "added": 0, "removed": 0, "changed": 0, "unchanged": 2,
+    }
+    after_edit = spark.createDataFrame(
+        [(None, "a", 9.0), (2, "b", 2.0)], "k string, s string, v double"
+    )
+    got = {
+        r.k: r.diff_status
+        for r in diff.snapshot_diff(before, after_edit, ["k"]).collect()
+    }
+    assert got == {None: "changed", "2": "unchanged"}

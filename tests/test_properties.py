@@ -271,27 +271,3 @@ def test_hist_quantile_properties(data):
     for q in qs:
         v = hist_quantile(single, q)
         assert lo - 1e-9 <= v <= lo + width + 1e-9
-
-
-@given(st.data())
-@settings(max_examples=200, deadline=None)
-def test_next_fit_then_chunk_arithmetic(data):
-    """The pure chunk-start arithmetic chunk_documents encodes: starts
-    are 0, stride, 2·stride, ... with last start < n - overlap (or the
-    single start 0), so the windows cover [0, n) exactly with the
-    declared overlap."""
-    chunk = data.draw(st.integers(min_value=1, max_value=64))
-    overlap = data.draw(st.integers(min_value=0, max_value=chunk - 1))
-    n = data.draw(st.integers(min_value=1, max_value=500))
-    stride = chunk - overlap
-    starts = list(range(0, max(n - overlap, 1), stride))
-    # coverage: the union of [s, s+chunk) windows covers [0, n)
-    covered = 0  # first uncovered position
-    for s in starts:
-        assert s <= covered  # no gap
-        covered = max(covered, min(s + chunk, n))
-    assert covered >= min(n, starts[-1] + chunk)
-    if n <= chunk:
-        assert starts == [0]
-    else:
-        assert covered == n or starts[-1] + chunk >= n

@@ -262,3 +262,27 @@ def test_redact_pii_is_map_only(spark, sf_smoke):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_redact_pii_counts_real_replacements_only(spark):
+    """A pre-existing literal '<EMAIL>' token must not inflate the
+    count, and custom tokens with regex metacharacters must count
+    correctly (matches are counted on the pre-replacement text)."""
+    from csce438_distributed_password_cracker_spark.operators.textops import (
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "already scrubbed <EMAIL> here, new a@b.co too")],
+        "id long, text string",
+    )
+    [r] = df.select(*redact_pii()).collect()
+    assert r.n_redactions == 1  # only the real address counts
+
+    custom = [("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "[SSN]")]
+    df2 = spark.createDataFrame(
+        [(1, "ssn 123-45-6789 and 987-65-4321 end")], "id long, text string"
+    )
+    [r2] = df2.select(*redact_pii(patterns=custom)).collect()
+    assert r2.text_redacted == "ssn [SSN] and [SSN] end"
+    assert r2.n_redactions == 2  # '[SSN]' metacharacters don't miscount
