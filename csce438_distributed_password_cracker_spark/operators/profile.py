@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType, StringType
+from pyspark.sql.window import Window
 
 TOPK_MAX_ITEMS = 10_000  # approx_top_k sketch capacity (its default)
 
@@ -98,6 +99,77 @@ def profile(
                 )
     return df.sparkSession.createDataFrame(
         out, "column string, metric string, value_num double, value_str string"
+    )
+
+
+def profile_drift(
+    before: DataFrame,
+    after: DataFrame,
+    columns: list[str] | None = None,
+    rel_threshold: float = 0.1,
+    top_k: int = 5,
+) -> DataFrame:
+    """Metric-level drift between two snapshots' profiles — the
+    scheduled data-quality monitor (schema rot, null-rate spikes,
+    cardinality collapse, distribution shift between yesterday's drop
+    and today's).
+
+    One :func:`profile` pass per side (each a single scan), then a
+    metric-key join of two tiny long tables — the comparison itself
+    costs nothing at any scale.  Numeric metrics flag when the
+    relative change exceeds ``rel_threshold`` (denominator floored at
+    1 so near-zero baselines don't scream); COUNT-like metrics
+    (n_rows/n_null/n_empty/n_nonnull) compare as RATES of their
+    snapshot's row count, so a bigger drop with the same null fraction
+    does not flag.  String metrics (top_k lists) flag on any change of
+    the top item.  Returns (column, metric, before, after, rel_change,
+    drifted)."""
+    p_b = profile(before, columns, top_k).withColumnsRenamed(
+        {"value_num": "before_num", "value_str": "before_str"}
+    )
+    p_a = profile(after, columns, top_k).withColumnsRenamed(
+        {"value_num": "after_num", "value_str": "after_str"}
+    )
+    j = p_b.join(p_a, ["column", "metric"], "full_outer")
+
+    n_b = F.first(
+        F.when(F.col("metric") == "n_rows", F.col("before_num")), True
+    ).over(Window.partitionBy(F.lit(1)))
+    n_a = F.first(
+        F.when(F.col("metric") == "n_rows", F.col("after_num")), True
+    ).over(Window.partitionBy(F.lit(1)))
+    counts = ("n_rows", "n_null", "n_empty", "n_nonnull")
+    b_val = F.when(
+        F.col("metric").isin(*counts[1:]), F.col("before_num") / n_b
+    ).otherwise(F.col("before_num"))
+    a_val = F.when(
+        F.col("metric").isin(*counts[1:]), F.col("after_num") / n_a
+    ).otherwise(F.col("after_num"))
+    rel = (a_val - b_val) / F.greatest(F.abs(b_val), F.lit(1.0))
+
+    top_item = lambda c: F.get_json_object(F.col(c), "$[0].item")  # noqa: E731
+    drift = (
+        F.when(
+            F.col("before_num").isNull() & F.col("before_str").isNull(),
+            F.lit(True),  # metric appeared (new column)
+        )
+        .when(
+            F.col("after_num").isNull() & F.col("after_str").isNull(),
+            F.lit(True),  # metric vanished (column dropped)
+        )
+        .when(
+            F.col("metric") == "top_k",
+            top_item("before_str") != top_item("after_str"),
+        )
+        .otherwise(F.abs(rel) > rel_threshold)
+    )
+    return j.select(
+        "column",
+        "metric",
+        F.col("before_num").alias("before"),
+        F.col("after_num").alias("after"),
+        F.round(rel, 6).alias("rel_change"),
+        drift.alias("drifted"),
     )
 
 

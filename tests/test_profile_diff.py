@@ -143,3 +143,33 @@ def test_snapshot_diff_null_key_components_compare(spark):
         for r in diff.snapshot_diff(before, after_edit, ["k"]).collect()
     }
     assert got == {None: "changed", "2": "unchanged"}
+
+
+def test_profile_drift_flags_real_shifts_only(spark):
+    before = spark.createDataFrame(
+        [(i, float(i % 10), "en" if i % 5 else "de") for i in range(100)],
+        "id long, x double, lang string",
+    )
+    # same distributions, half the rows (id<50 preserves the id%10 and
+    # id%5 value mixes exactly) -> only n_rows itself may flag
+    same_shape = before.filter(F.col("id") < 50)
+    d = profile.profile_drift(before, same_shape)
+    drifted = {(r.column, r.metric) for r in d.collect() if r.drifted}
+    assert ("x", "n_null") not in drifted  # rate-based: 0% -> 0%
+    assert ("x", "mean") not in drifted
+    assert ("lang", "top_k") not in drifted  # 'en' still dominates
+
+    # real shifts: nulls spike, mean shifts, dominant language flips
+    shifted = before.select(
+        "id",
+        F.when(F.col("id") < 40, None).otherwise(F.col("x") + 100).alias("x"),
+        F.when(F.col("lang") == "en", "de").otherwise("en").alias("lang"),
+    )
+    d2 = {
+        (r.column, r.metric): r
+        for r in profile.profile_drift(before, shifted).collect()
+    }
+    assert d2[("x", "n_null")].drifted  # 0% -> 40% null rate
+    assert d2[("x", "mean")].drifted
+    assert d2[("lang", "top_k")].drifted  # dominant item flipped
+    assert not d2[("id", "mean")].drifted  # untouched column quiet
