@@ -1,0 +1,130 @@
+"""Versioned tables: atomic pointer commits, immutable time travel,
+file-level reuse across versions (hard links), and vacuum retention."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from csce438_distributed_password_cracker_spark.operators import versioned
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    df = spark.range(20).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v1-"), F.col("id")).alias("body"),
+        (F.col("id") % 4).cast("string").alias("part"),
+    )
+    assert versioned.commit_version(df, root, partition_by="part") == 1
+    return root
+
+
+def test_commit_read_and_time_travel(spark, table):
+    v1 = versioned.read_version(spark, table)
+    assert v1.count() == 20
+
+    delta = spark.createDataFrame(
+        [(0, "v2-0", "0", False), (100, "v2-100", "0", False)],
+        "k long, body string, part string, deleted boolean",
+    )
+    v = versioned.merge_versioned(
+        spark, table, delta, key_cols=["k"], partition_col="part",
+        delete_col="deleted",
+    )
+    assert v == 2
+    latest = {r.k: r.body for r in versioned.read_version(spark, table).collect()}
+    assert latest[0] == "v2-0" and latest[100] == "v2-100"
+    assert len(latest) == 21
+
+    # time travel: version 1 still answers exactly as before
+    old = {r.k: r.body for r in versioned.read_version(spark, table, 1).collect()}
+    assert old[0] == "v1-0" and 100 not in old and len(old) == 20
+    assert [h["version"] for h in versioned.history(table)] == [1, 2]
+
+
+def test_merge_reuses_unchanged_files_via_hard_links(spark, table):
+    delta = spark.createDataFrame(
+        [(1, "changed", "1", False)],
+        "k long, body string, part string, deleted boolean",
+    )
+    versioned.merge_versioned(
+        spark, table, delta, key_cols=["k"], partition_col="part",
+        delete_col="deleted",
+    )
+    root = Path(table)
+    m = json.loads((root / versioned.MANIFEST).read_text())
+    v1, v2 = (root / h["dir"] for h in m["history"])
+
+    def inodes(vdir, part):
+        return {
+            p.name: p.stat().st_ino for p in (vdir / f"part={part}").iterdir()
+            if p.name.startswith("part-")
+        }
+
+    # untouched partitions: SAME inodes (hard links, zero data copied)
+    for part in ("0", "2", "3"):
+        assert inodes(v1, part) == inodes(v2, part)
+    # the touched partition was rewritten (disjoint inodes)
+    assert not (
+        set(inodes(v1, "1").values()) & set(inodes(v2, "1").values())
+    )
+
+
+def test_manifest_swap_is_atomic_for_readers(spark, table):
+    """A reader that resolved the manifest BEFORE a commit keeps
+    reading its immutable version directory."""
+    pinned = versioned.read_version(spark, table)  # resolves v1's dir
+    before = pinned.count()
+    delta = spark.createDataFrame(
+        [(k, "bulk", "0", False) for k in range(200, 260)],
+        "k long, body string, part string, deleted boolean",
+    )
+    versioned.merge_versioned(
+        spark, table, delta, key_cols=["k"], partition_col="part",
+        delete_col="deleted",
+    )
+    assert pinned.count() == before  # unaffected by the commit
+    assert versioned.read_version(spark, table).count() == before + 60
+
+
+def test_vacuum_trims_history_and_keeps_retained_readable(spark, table):
+    for i in range(3):
+        delta = spark.createDataFrame(
+            [(i, f"rev-{i}", str(i % 4), False)],
+            "k long, body string, part string, deleted boolean",
+        )
+        versioned.merge_versioned(
+            spark, table, delta, key_cols=["k"], partition_col="part",
+            delete_col="deleted",
+        )
+    assert [h["version"] for h in versioned.history(table)] == [1, 2, 3, 4]
+
+    removed = versioned.vacuum(table, keep_last=2)
+    assert removed == [1, 2]
+    assert [h["version"] for h in versioned.history(table)] == [3, 4]
+    # retained versions are self-sufficient despite deleted ancestors
+    assert versioned.read_version(spark, table, 3).count() == 20
+    assert versioned.read_version(spark, table, 4).count() == 20
+    with pytest.raises(ValueError, match="vacuumed"):
+        versioned.read_version(spark, table, 1)
+    with pytest.raises(ValueError, match="keep_last"):
+        versioned.vacuum(table, keep_last=0)
+
+
+def test_partitioning_is_a_table_property(spark, tmp_path, table):
+    flat = str(tmp_path / "flat")
+    df = spark.range(5).select(F.col("id").alias("k"))
+    versioned.commit_version(df, flat)  # unpartitioned table
+    delta = spark.createDataFrame([(1, "x", "0", False)],
+        "k long, body string, part string, deleted boolean")
+    with pytest.raises(ValueError, match="partitioned by"):
+        versioned.merge_versioned(
+            spark, flat, delta, key_cols=["k"], partition_col="part",
+        )
+    with pytest.raises(ValueError, match="partitioned by"):
+        versioned.commit_version(df, table, partition_by=None)
