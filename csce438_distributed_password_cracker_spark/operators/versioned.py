@@ -197,7 +197,6 @@ def merge_versioned(
         .write.partitionBy(partition_col)
         .parquet(str(vdir))
     )
-    written = {p.name for p in vdir.iterdir() if p.name.startswith(f"{partition_col}=")}
 
     # hard-link every UNtouched partition's files into the new version:
     # O(files) metadata, zero data copied, both versions readable
@@ -214,7 +213,6 @@ def merge_versioned(
         for fp in pdir.iterdir():
             if fp.suffix == ".parquet" or fp.name.startswith("part-"):
                 os.link(fp, dest / fp.name)
-    del written  # (informational; the swap-set safety lives in merge.py)
 
     manifest["history"] = manifest["history"] + [
         {"version": version, "dir": vdir.name}

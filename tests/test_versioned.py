@@ -128,3 +128,19 @@ def test_partitioning_is_a_table_property(spark, tmp_path, table):
         )
     with pytest.raises(ValueError, match="partitioned by"):
         versioned.commit_version(df, table, partition_by=None)
+
+
+def test_schema_evolution_across_versions(spark, tmp_path):
+    """Each version directory is self-contained, so a column added in a
+    later full-snapshot commit coexists with earlier versions — time
+    travel returns each version's own schema."""
+    root = str(tmp_path / "evolving")
+    v1_df = spark.range(3).select(F.col("id").alias("k"))
+    versioned.commit_version(v1_df, root)
+    v2_df = v1_df.withColumn("quality", F.col("k") * 0.5)
+    versioned.commit_version(v2_df, root)
+
+    assert versioned.read_version(spark, root, 1).columns == ["k"]
+    latest = versioned.read_version(spark, root)
+    assert latest.columns == ["k", "quality"]
+    assert latest.count() == 3
