@@ -107,6 +107,7 @@ def profile_drift(
     after: DataFrame,
     columns: list[str] | None = None,
     rel_threshold: float = 0.1,
+    rate_threshold: float = 0.02,
     top_k: int = 5,
 ) -> DataFrame:
     """Metric-level drift between two snapshots' profiles — the
@@ -118,18 +119,28 @@ def profile_drift(
     metric-key join of two tiny long tables — the comparison itself
     costs nothing at any scale.  Numeric metrics flag when the
     relative change exceeds ``rel_threshold`` (denominator floored at
-    1 so near-zero baselines don't scream); COUNT-like metrics
-    (n_rows/n_null/n_empty/n_nonnull) compare as RATES of their
-    snapshot's row count, so a bigger drop with the same null fraction
-    does not flag.  String metrics (top_k lists) flag on any change of
-    the top item.  Returns (column, metric, before, after, rel_change,
-    drifted)."""
+    1 so near-zero baselines don't scream).  COUNT-like metrics
+    (n_null/n_empty/n_nonnull) compare as RATES of their snapshot's
+    row count — a bigger drop with the same null fraction stays quiet
+    — and flag when the absolute rate delta exceeds
+    ``rate_threshold`` OR the rate changed by ``rel_threshold``
+    relative to the baseline rate (so a 0.1%→9% null spike flags even
+    though both rates are small).  String metrics (top_k lists) flag
+    on any change of the top item (null-safe: a vanished dominant item
+    counts as drift).  A metric present on only one side — a column
+    appeared or vanished, i.e. schema rot — always flags; a metric
+    whose VALUE is legitimately NULL on both sides (e.g. mean of an
+    all-null column) does not.  Returns (column, metric, before,
+    after, rel_change, drifted)."""
+    # explicit presence markers: value-nullness is NOT a proxy for the
+    # full-outer join missing a side (an all-null column's mean is a
+    # legitimately NULL value on a present row)
     p_b = profile(before, columns, top_k).withColumnsRenamed(
         {"value_num": "before_num", "value_str": "before_str"}
-    )
+    ).withColumn("__in_b", F.lit(True))
     p_a = profile(after, columns, top_k).withColumnsRenamed(
         {"value_num": "after_num", "value_str": "after_str"}
-    )
+    ).withColumn("__in_a", F.lit(True))
     j = p_b.join(p_a, ["column", "metric"], "full_outer")
 
     n_b = F.first(
@@ -138,28 +149,44 @@ def profile_drift(
     n_a = F.first(
         F.when(F.col("metric") == "n_rows", F.col("after_num")), True
     ).over(Window.partitionBy(F.lit(1)))
-    counts = ("n_rows", "n_null", "n_empty", "n_nonnull")
-    b_val = F.when(
-        F.col("metric").isin(*counts[1:]), F.col("before_num") / n_b
-    ).otherwise(F.col("before_num"))
-    a_val = F.when(
-        F.col("metric").isin(*counts[1:]), F.col("after_num") / n_a
-    ).otherwise(F.col("after_num"))
+    rate_metrics = ("n_null", "n_empty", "n_nonnull")
+    is_rate = F.col("metric").isin(*rate_metrics)
+    b_val = F.when(is_rate, F.col("before_num") / n_b).otherwise(
+        F.col("before_num")
+    )
+    a_val = F.when(is_rate, F.col("after_num") / n_a).otherwise(
+        F.col("after_num")
+    )
     rel = (a_val - b_val) / F.greatest(F.abs(b_val), F.lit(1.0))
+    # rates live in [0,1], so the floored-at-1 denominator above would
+    # reduce rel to an ABSOLUTE delta and a 0.1%→9% spike would slip
+    # under rel_threshold; rates get their own two-part test
+    rate_drift = (
+        F.abs(a_val - b_val) > rate_threshold
+    ) | (
+        (F.col("before_num") > 0)
+        & (F.abs(a_val - b_val) / b_val > rel_threshold)
+    )
 
     top_item = lambda c: F.get_json_object(F.col(c), "$[0].item")  # noqa: E731
     drift = (
-        F.when(
-            F.col("before_num").isNull() & F.col("before_str").isNull(),
-            F.lit(True),  # metric appeared (new column)
-        )
-        .when(
-            F.col("after_num").isNull() & F.col("after_str").isNull(),
-            F.lit(True),  # metric vanished (column dropped)
-        )
+        F.when(F.col("__in_b").isNull(), F.lit(True))  # metric appeared
+        .when(F.col("__in_a").isNull(), F.lit(True))  # metric vanished
         .when(
             F.col("metric") == "top_k",
-            top_item("before_str") != top_item("after_str"),
+            # null-safe: a vanished dominant item IS drift
+            ~top_item("before_str").eqNullSafe(top_item("after_str")),
+        )
+        .when(is_rate, rate_drift)
+        # both values legitimately NULL (all-null column's mean, 1-row
+        # stddev): no change to report
+        .when(
+            F.col("before_num").isNull() & F.col("after_num").isNull(),
+            F.lit(False),
+        )
+        .when(
+            F.col("before_num").isNull() | F.col("after_num").isNull(),
+            F.lit(True),  # became (or stopped being) computable
         )
         .otherwise(F.abs(rel) > rel_threshold)
     )

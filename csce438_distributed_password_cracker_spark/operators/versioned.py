@@ -48,7 +48,7 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .merge import partition_pred
+from .merge import _key_cond, partition_pred
 
 MANIFEST = "_manifest.json"
 
@@ -94,6 +94,10 @@ def commit_version(
             f"got partition_by={partition_by!r}"
         )
     vdir = f"v{version:08d}"
+    # clear any orphan from a commit that crashed pre-manifest-rename
+    # (unreferenced by construction); without this the retried commit
+    # fails on 'path already exists' forever
+    shutil.rmtree(root / vdir, ignore_errors=True)
     if partition_by:
         (
             df.repartition(num_files, partition_by)
@@ -164,6 +168,10 @@ def merge_versioned(
             "partition_by to enable partition-level copy-on-write)"
         )
     cur = root / m["dir"]
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if delete_col is not None and delete_col not in delta.columns:
+        raise ValueError(f"delete_col {delete_col!r} not in delta columns")
 
     delta = delta.localCheckpoint(eager=True)
     target = spark.read.parquet(str(cur))
@@ -174,24 +182,48 @@ def merge_versioned(
         else F.lit(False)
     )
     upserts = delta.filter(~is_del)
+    missing = [c for c in data_cols if c not in upserts.columns]
+    if missing:
+        raise ValueError(f"delta is missing target columns: {missing}")
     touched = [r[0] for r in delta.select(partition_col).distinct().collect()]
     pred = partition_pred(partition_col, touched)
 
-    version, manifest = _next_version(root)
-    vdir = root / f"v{version:08d}"
-
-    # rewrite ONLY the touched slice, hive-partitioned
+    # same kernel and constraints as merge_upsert — including its
+    # partition-moving-key guard: a delta key stored in an UNtouched
+    # partition would survive its hard-linked files as a stale duplicate
     claimed = delta.select(
         *[F.col(k).alias(f"__k_{k}") for k in key_cols]
     ).distinct()
+    if partition_col not in key_cols:
+        rest = target.filter(
+            F.coalesce(~pred, F.lit(True))
+        ).select(*key_cols)
+        if (
+            rest.join(
+                F.broadcast(claimed), _key_cond(rest, claimed, key_cols),
+                "left_semi",
+            )
+            .limit(1)
+            .count()
+        ):
+            raise ValueError(
+                "delta moves existing key(s) across partitions; "
+                "tombstone the old partition too or key the table by "
+                "its partition column"
+            )
+
+    version, manifest = _next_version(root)
+    vdir = root / f"v{version:08d}"
+    # an orphan directory from a commit that crashed before its
+    # manifest rename would wedge every future commit — it is
+    # unreferenced by construction, so clear it
+    shutil.rmtree(vdir, ignore_errors=True)
+
+    # rewrite ONLY the touched slice, hive-partitioned
     slice_df = target.filter(pred)
-    cond = None
-    for k in key_cols:
-        c = slice_df[k].eqNullSafe(claimed[f"__k_{k}"])
-        cond = c if cond is None else (cond & c)
-    merged = slice_df.join(F.broadcast(claimed), cond, "left_anti").unionByName(
-        upserts.select(*data_cols)
-    )
+    merged = slice_df.join(
+        F.broadcast(claimed), _key_cond(slice_df, claimed, key_cols), "left_anti"
+    ).unionByName(upserts.select(*data_cols))
     (
         merged.repartition(4, partition_col)
         .write.partitionBy(partition_col)

@@ -173,3 +173,47 @@ def test_profile_drift_flags_real_shifts_only(spark):
     assert d2[("x", "mean")].drifted
     assert d2[("lang", "top_k")].drifted  # dominant item flipped
     assert not d2[("id", "mean")].drifted  # untouched column quiet
+
+
+def test_profile_drift_null_and_rate_edges(spark):
+    """Legitimately-NULL aggregate values (all-null column) must stay
+    quiet when unchanged; a vanished dominant item must flag
+    (null-safe top-k compare); and a small-baseline null-rate spike
+    (0.5% -> 9%) must flag despite both rates being small."""
+    base = spark.createDataFrame(
+        [
+            (i, None, "en" if i < 190 else None)
+            for i in range(200)
+        ],
+        "id long, allnull double, lang string",
+    )
+    d = {
+        (r.column, r.metric): r
+        for r in profile.profile_drift(base, base).collect()
+    }
+    # identical snapshots: nothing drifts, and no NULL verdicts
+    assert all(r.drifted is False for r in d.values())
+
+    # dominant item vanishes entirely (lang becomes all NULL)
+    gone = base.withColumn("lang", F.lit(None).cast("string"))
+    d2 = {
+        (r.column, r.metric): r
+        for r in profile.profile_drift(base, gone).collect()
+    }
+    assert d2[("lang", "top_k")].drifted is True
+    assert d2[("allnull", "mean")].drifted is False  # still all-null
+
+    # null-rate spike on a small baseline: 1/200 -> 18/200
+    before = spark.createDataFrame(
+        [(i, None if i < 1 else float(i)) for i in range(200)],
+        "id long, x double",
+    )
+    after = spark.createDataFrame(
+        [(i, None if i < 18 else float(i)) for i in range(200)],
+        "id long, x double",
+    )
+    d3 = {
+        (r.column, r.metric): r
+        for r in profile.profile_drift(before, after).collect()
+    }
+    assert d3[("x", "n_null")].drifted is True
