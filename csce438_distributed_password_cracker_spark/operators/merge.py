@@ -11,22 +11,25 @@ The 100 TB contract this module encodes:
 
 - **Touch only the partitions the delta touches.**  The delta's
   distinct partition values are computed first (the delta is small by
-  contract); the target is then read with an ``isin`` partition filter,
+  contract); the target is then read with a partition-tuple filter,
   so planning prunes every untouched partition directory — merge cost
   is proportional to the CHANGED slice of the table, not its size.
   Untouched partition directories are never read, rewritten, or even
-  listed beyond planning.
+  listed beyond planning.  Multi-level hive layouts (e.g.
+  ``day=…/source=…``) prune at every level.
 - **Broadcast the delta's keys.**  The upsert anti-join (drop target
   rows whose key the delta replaces) broadcasts the delta, so the
   touched slice streams through a map-side hash join — no shuffle of
   the big side.
 - **Swap directories, don't overwrite in place.**  The rewritten
-  partitions are written to a temp dataset and swapped per-directory
-  (write-new → rename-old-away → rename-new-in → delete-old), the same
-  discipline as :func:`operators.maintenance.compact_parquet` and with
-  the same caveat: on an object store, flip a manifest/metastore
-  pointer instead — plain renames are only per-directory atomic on a
-  real filesystem.
+  partitions are written to a temp dataset, the derived swap set is
+  VALIDATED against what Spark actually wrote (a rendering mismatch
+  aborts with the target untouched — never half-merged), then swapped
+  per-leaf-directory (rename-old-away → rename-new-in → delete-old),
+  the same discipline as :func:`operators.maintenance.compact_parquet`
+  and with the same caveat: on an object store, flip a
+  manifest/metastore pointer instead — plain renames are only
+  per-directory atomic on a real filesystem.
 
 Deletes ride the same pass: delta rows flagged by ``delete_col`` act as
 tombstones — their keys are removed from the target and the tombstone
@@ -43,6 +46,42 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Characters Hive/Spark escape in partition path names
+# (org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+# .charToEscape, itself a port of Hive's FileUtils): ASCII control
+# chars, DEL, and the shell/URI-special set below.
+_ESCAPE_CHARS = frozenset(chr(c) for c in range(0x01, 0x20)) | frozenset(
+    '"#%\'*/:=?\\\x7f{[]^'
+)
+
+DEFAULT_PARTITION_NAME = "__HIVE_DEFAULT_PARTITION__"
+
+
+def escape_path_name(s: str) -> str:
+    """Pure-Python port of Spark's partition-path escaping (each
+    escaped char becomes ``%XX`` uppercase hex).  Ported rather than
+    called through ``spark._jvm`` — the private-JVM route is
+    unavailable under Spark Connect, and the swap set is pre-validated
+    against the written directories anyway (see ``merge_upsert``), so a
+    divergence aborts cleanly instead of corrupting the target."""
+    return "".join(
+        f"%{ord(c):02X}" if c in _ESCAPE_CHARS else c for c in s
+    )
+
+
+def _write_salt(key_cols: list[str], n: int):
+    """Deterministic per-row salt in [0, n) for the rewrite's
+    repartition: hash-partitioning on the partition columns alone lands
+    each leaf's rows in ONE task (same tuple → same hash), so a large
+    touched partition would funnel through a single writer and emerge
+    as one oversized file.  Salting by the row's key hash spreads each
+    leaf over up to ``n`` tasks/files — the file-sizing knob actually
+    working at cluster scale.  (The repartition widens numPartitions
+    ×4 so distinct (leaf, salt) combos rarely collide into one
+    shuffle partition; a collision only merges files, never splits a
+    leaf across unintended directories.)"""
+    return F.pmod(F.xxhash64(*key_cols), F.lit(n))
+
 
 def _key_cond(left: DataFrame, right: DataFrame, key_cols: list[str]):
     """Null-safe conjunction ``left.k <=> right.__k_k`` over the key
@@ -53,6 +92,19 @@ def _key_cond(left: DataFrame, right: DataFrame, key_cols: list[str]):
         c = left[k].eqNullSafe(right[f"__k_{k}"])
         cond = c if cond is None else (cond & c)
     return cond
+
+
+def normalize_partition_cols(
+    partition_cols: str | list[str] | None,
+) -> list[str]:
+    """Accept a single column name or a list; return a list (possibly
+    empty).  Single-column callers keep their ``partition_col="day"``
+    spelling."""
+    if partition_cols is None:
+        return []
+    if isinstance(partition_cols, str):
+        return [partition_cols]
+    return list(partition_cols)
 
 
 def partition_pred(part_col: str, values: list):
@@ -67,21 +119,68 @@ def partition_pred(part_col: str, values: list):
     return pred
 
 
-def _partition_dir(spark: SparkSession, part_col: str, value) -> str:
-    """Hive-style directory name for one partition value — rendered by
-    Spark's OWN path escaper (ExternalCatalogUtils.escapePathName), so
-    values needing escaping (':', '/', '%', …) map to the exact
-    directory ``DataFrameWriter.partitionBy`` wrote; a hand-rolled
-    format here would silently miss the swap for such values."""
-    if value is None:
-        return f"{part_col}=__HIVE_DEFAULT_PARTITION__"
+def partition_tuple_pred(part_cols: list[str], tuples: list[tuple]):
+    """Predicate matching the partition-column TUPLE against a list of
+    touched tuples: OR over tuples of AND over null-safe per-column
+    equality.  Touched sets are small by contract (the delta's distinct
+    partition values), so the expression stays compact and Spark's
+    partition pruning evaluates it at planning time."""
+    if not tuples:
+        return F.lit(False)
+    pred = None
+    for tup in tuples:
+        conj = None
+        for c, v in zip(part_cols, tup):
+            eq = (
+                F.col(c).isNull()
+                if v is None
+                else F.col(c).eqNullSafe(F.lit(v))
+            )
+            conj = eq if conj is None else (conj & eq)
+        pred = conj if pred is None else (pred | conj)
+    return pred
+
+
+def _partition_level(part_col: str, value) -> str:
+    """One ``col=value`` path segment, rendered like
+    ``DataFrameWriter.partitionBy`` renders it."""
+    if value is None or value == "":
+        # Spark sends null AND empty-string values to the default
+        # partition (ExternalCatalogUtils.getPartitionPathString)
+        return f"{part_col}={DEFAULT_PARTITION_NAME}"
     if isinstance(value, bool):  # Spark writes true/false lowercase
         return f"{part_col}={str(value).lower()}"
-    escaped = (
-        spark._jvm.org.apache.spark.sql.catalyst.catalog
-        .ExternalCatalogUtils.escapePathName(str(value))
+    return f"{part_col}={escape_path_name(str(value))}"
+
+
+def partition_rel_dir(part_cols: list[str], values: tuple) -> str:
+    """Relative directory (possibly nested) for one partition tuple,
+    e.g. ``day=2024-01-01/source=web``.  Values whose Python ``str()``
+    differs from Spark's rendering (Decimal, timestamps) are caught by
+    the pre-swap validation in ``merge_upsert`` — the merge aborts with
+    the target untouched rather than swapping the wrong directory."""
+    return "/".join(
+        _partition_level(c, v) for c, v in zip(part_cols, values)
     )
-    return f"{part_col}={escaped}"
+
+
+def list_leaf_partitions(root: Path, part_cols: list[str]) -> list[str]:
+    """Relative paths of every leaf partition directory under ``root``
+    for the given hive layout depth (driver-side listing of DIRECTORY
+    names only — O(partitions), not O(files))."""
+    leaves: list[str] = []
+
+    def walk(cur: Path, depth: int, rel: str) -> None:
+        if depth == len(part_cols):
+            leaves.append(rel)
+            return
+        prefix = f"{part_cols[depth]}="
+        for p in sorted(cur.iterdir()):
+            if p.is_dir() and p.name.startswith(prefix):
+                walk(p, depth + 1, f"{rel}/{p.name}" if rel else p.name)
+
+    walk(root, 0, "")
+    return leaves
 
 
 def merge_upsert(
@@ -89,7 +188,7 @@ def merge_upsert(
     target_path: str,
     delta: DataFrame,
     key_cols: list[str],
-    partition_col: str | None = None,
+    partition_col: str | list[str] | None = None,
     delete_col: str | None = None,
     files_per_partition: int = 4,
 ) -> dict[str, int]:
@@ -101,25 +200,28 @@ def merge_upsert(
     Returns ``{"partitions_touched": ..., "partitions_total": ...,
     "rows_upserted": ..., "rows_deleted": ...}``.
 
-    ``partition_col`` must be the target's hive partition column when
-    the target is partitioned (pruning + per-directory swap); omit it
-    for an unpartitioned target (full copy-on-write rewrite).  The
-    delta must carry the target's data columns (plus ``delete_col``);
-    tombstone rows only need their key and partition values.
+    ``partition_col`` is the target's hive partition column — a single
+    name or a LIST for multi-level layouts like ``["day", "source"]``
+    (pruning + per-leaf-directory swap); omit it for an unpartitioned
+    target (full copy-on-write rewrite).  The delta must carry the
+    target's data columns (plus ``delete_col``); tombstone rows only
+    need their key and partition values.
 
     Partition-moving keys: pruning is only sound if a key's partition
-    value never changes (the Delta/Iceberg partition-predicate-merge
-    assumption).  When ``partition_col`` is part of ``key_cols`` a move
-    is impossible and nothing extra is read; otherwise the UNTOUCHED
-    partitions' key columns are scanned (column-pruned) and the merge
-    raises if a delta key already lives outside the touched slice —
-    silently leaving a stale duplicate would be worse than the scan.
+    tuple never changes (the Delta/Iceberg partition-predicate-merge
+    assumption).  When every partition column is part of ``key_cols``
+    a move is impossible and nothing extra is read; otherwise the
+    UNTOUCHED partitions' key columns are scanned (column-pruned) and
+    the merge raises if a delta key already lives outside the touched
+    slice — silently leaving a stale duplicate would be worse than the
+    scan.
     """
     src = Path(target_path)
     if not src.exists():
         raise FileNotFoundError(target_path)
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
+    part_cols = normalize_partition_cols(partition_col)
 
     # the delta is small by contract and is consumed several times
     # (counts, partition values, claimed keys, the rewrite) — pay its
@@ -128,7 +230,7 @@ def merge_upsert(
     delta = delta.localCheckpoint(eager=True)
 
     target = spark.read.parquet(target_path)
-    data_cols = target.columns  # includes partition_col (Spark appends it)
+    data_cols = target.columns  # includes partition cols (Spark appends)
     if delete_col is not None and delete_col not in delta.columns:
         raise ValueError(f"delete_col {delete_col!r} not in delta columns")
 
@@ -146,29 +248,25 @@ def merge_upsert(
     n_upsert = upserts.count()
     n_delete = tombstones.count()
 
-    if partition_col is not None:
-        if partition_col not in delta.columns:
+    if part_cols:
+        absent = [c for c in part_cols if c not in delta.columns]
+        if absent:
             raise ValueError(
-                f"partition_col {partition_col!r} not in delta columns"
+                f"partition column(s) {absent} not in delta columns"
             )
         touched = [
-            r[0]
-            for r in delta.select(partition_col).distinct().collect()
+            tuple(r)
+            for r in delta.select(*part_cols).distinct().collect()
         ]
-        # isin on the partition column prunes untouched directories at
-        # planning time (PartitionFilters in the scan).  SQL's IN never
-        # matches NULL, so a null partition value (the
-        # __HIVE_DEFAULT_PARTITION__ directory) needs its own predicate
-        # — without it the null partition's existing rows would be
-        # dropped from `kept` while its directory still gets swapped.
-        touched_pred = partition_pred(partition_col, touched)
+        # the tuple predicate prunes untouched directories at planning
+        # time (PartitionFilters in the scan), null-safely — a null
+        # partition value (the __HIVE_DEFAULT_PARTITION__ directory)
+        # must merge, not vanish.
+        touched_pred = partition_tuple_pred(part_cols, touched)
         slice_df = target.filter(touched_pred)
-        part_dirs = {_partition_dir(spark, partition_col, v) for v in touched}
-        total_parts = sum(
-            1 for p in src.iterdir()
-            if p.is_dir() and p.name.startswith(f"{partition_col}=")
-        )
-        if partition_col not in key_cols:
+        part_dirs = {partition_rel_dir(part_cols, t) for t in touched}
+        total_parts = len(list_leaf_partitions(src, part_cols))
+        if any(c not in key_cols for c in part_cols):
             # keys CAN move partitions under this schema: a delta key
             # already stored in an untouched partition would survive as
             # a stale duplicate.  Column-pruned scan of the untouched
@@ -195,7 +293,7 @@ def merge_upsert(
                     "delta moves existing key(s) across partitions; "
                     "rewrite the old partition too (include it in the "
                     "delta as tombstones) or key the table by its "
-                    "partition column"
+                    "partition columns"
                 )
     else:
         touched, part_dirs = [], set()
@@ -220,35 +318,46 @@ def merge_upsert(
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
 
-    if partition_col is not None:
+    if part_cols:
         (
-            merged.repartition(files_per_partition, partition_col)
+            merged.repartition(
+                4 * files_per_partition * max(1, len(part_dirs)),
+                *part_cols,
+                _write_salt(key_cols, files_per_partition),
+            )
             .write.mode("overwrite")
-            .partitionBy(partition_col)
+            .partitionBy(*part_cols)
             .parquet(str(tmp))
         )
+        # VALIDATE the derived swap set against what Spark actually
+        # wrote BEFORE touching the target: a partition value whose
+        # Python rendering diverges from Spark's (exotic Decimal /
+        # timestamp formatting) must abort with the target fully
+        # intact — the old post-swap check detected the mismatch only
+        # after some renames had happened, leaving a half-merged table.
+        written = set(list_leaf_partitions(tmp, part_cols))
+        stray = sorted(written - part_dirs)
+        if stray:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(
+                f"merge wrote partitions outside the derived swap set: "
+                f"{stray} (dir-name rendering mismatch?) — target left "
+                f"untouched"
+            )
         # swap ONLY the touched partition directories; everything else
-        # in the target is untouched on disk
+        # in the target is untouched on disk.  Fully-deleted partitions
+        # are in part_dirs but not in `written` — their target dir is
+        # renamed away and nothing replaces it (they vanish).
         old.mkdir()
         for d in sorted(part_dirs):
             cur, new = src / d, tmp / d
             if cur.exists():
-                cur.rename(old / d)
-            if new.exists():  # fully-deleted partitions vanish
+                dst = old / d
+                dst.parent.mkdir(parents=True, exist_ok=True)
+                cur.rename(dst)
+            if new.exists():
+                cur.parent.mkdir(parents=True, exist_ok=True)
                 new.rename(cur)
-        # safety net: every partition the rewrite produced must have been
-        # swapped in — a leftover means the directory-name derivation
-        # disagreed with what Spark wrote (silent data loss otherwise)
-        leftover = [
-            p.name
-            for p in tmp.iterdir()
-            if p.is_dir() and p.name.startswith(f"{partition_col}=")
-        ]
-        if leftover:
-            raise RuntimeError(
-                f"merge produced partitions not covered by the swap set: "
-                f"{leftover} (dir-name escaping mismatch?)"
-            )
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(old, ignore_errors=True)
     else:
@@ -260,7 +369,7 @@ def merge_upsert(
         shutil.rmtree(old, ignore_errors=True)
 
     return {
-        "partitions_touched": len(part_dirs) if partition_col else 1,
+        "partitions_touched": len(part_dirs) if part_cols else 1,
         "partitions_total": total_parts,
         "rows_upserted": n_upsert,
         "rows_deleted": n_delete,

@@ -31,14 +31,16 @@ Scale shape:
   append-mode sink here has; operators/maintenance.compact_parquet
   bounds them.
 - **Probe (per query).**  Query terms are a tiny in-plan literal list:
-  the postings filter is `term IN (...)` + the derived bucket
-  predicate; matched postings (bounded by the query's document
+  the postings filter is `term IN (...)` + the bucket predicate
+  (term → bucket is STORED in termstats at build, so no per-probe
+  hash job runs); matched postings (bounded by the query's document
   frequency, not the corpus) carry their doc length inline
   (denormalized at build — a probe must never join a corpus-sized
-  doc-length table), broadcast-join the tiny filtered term-stats
-  table, score as one codegen'd expression, and reduce via
-  groupBy(doc) + top-k (TakeOrderedAndProject).  Corpus-wide
-  statistics (N, avgdl) are read from ``stats/`` — never recomputed.
+  doc-length table), IDF per term folds driver-side into a literal
+  map (no join in the probe plan at all), score as one codegen'd
+  expression, and reduce via groupBy(doc) + top-k
+  (TakeOrderedAndProject).  Corpus-wide statistics (N, avgdl) are
+  read from ``stats/`` — never recomputed.
 - IDF uses the Robertson-Sparck-Jones smooth form
   ln(1 + (N - df + 0.5)/(df + 0.5)), non-negative by construction.
 """
@@ -55,6 +57,15 @@ from pyspark.sql import functions as F
 from .dedup import tokens_col
 
 N_TERM_BUCKETS = 64
+
+
+def tokenize_py(text: str) -> list[str]:
+    """Python twin of :func:`dedup.tokens_col` (``split(text, ' ')``):
+    single-space split, empty tokens kept.  Probe and index MUST share
+    one tokenization — Python's bare ``str.split()`` (any whitespace,
+    drops empties) silently diverges on tabs/newlines/double spaces, so
+    every query-side tokenization routes through this helper."""
+    return text.split(" ")
 
 
 def _postings(
@@ -127,8 +138,9 @@ def bm25_build(
 ) -> dict[str, float]:
     """Build and persist the BM25 index under ``index_path``:
     ``postings/`` (term, id, tf) partitioned by term_bucket,
-    ``termstats/`` (term, df_t), ``doclen/`` (id, dl), ``stats/`` one
-    row (n_docs, total_len, n_buckets).  Returns the stats dict."""
+    ``termstats/`` (term, term_bucket, df_t), ``doclen/`` (id, dl),
+    ``stats/`` one row (n_docs, total_len, n_buckets).  Returns the
+    stats dict."""
     post = _postings(df, id_col, text_col, n_buckets)
     (
         post.repartition(n_buckets, "term_bucket")
@@ -137,7 +149,7 @@ def bm25_build(
         .parquet(f"{index_path}/postings")
     )
     _swap_in(
-        post.groupBy("term").agg(F.count("*").alias("df_t")),
+        post.groupBy("term", "term_bucket").agg(F.count("*").alias("df_t")),
         f"{index_path}/termstats",
     )
     _doclen(df, id_col, text_col).repartition(1).write.mode(
@@ -176,10 +188,14 @@ def bm25_update(
         f"{index_path}/doclen"
     )
     old_stats = spark.read.parquet(f"{index_path}/termstats")
-    batch_stats = post.groupBy("term").agg(F.count("*").alias("df_t"))
+    batch_stats = post.groupBy("term", "term_bucket").agg(
+        F.count("*").alias("df_t")
+    )
     merged = (
         old_stats.unionByName(batch_stats)
-        .groupBy("term")
+        # term_bucket is functionally determined by term (same hash, same
+        # n_buckets), so grouping by both merges correctly
+        .groupBy("term", "term_bucket")
         .agg(F.sum("df_t").alias("df_t"))
         # the union reads the table being replaced: materialize before
         # the swap unlinks the input files
@@ -208,44 +224,54 @@ def bm25_search(
     b: float = 0.75,
 ) -> DataFrame:
     """(id, score) of the ``top_n`` BM25-scoring documents for the
-    whitespace-tokenized ``query`` against a :func:`bm25_build` index.
-    Repeated query terms weight once (standard bag-of-terms probe)."""
+    ``query`` (tokenized exactly like the index — :func:`tokenize_py`)
+    against a :func:`bm25_build` index.  Repeated query terms weight
+    once (standard bag-of-terms probe).
+
+    Probe cost: ONE tiny driver lookup into ``termstats/`` (term →
+    df_t, term_bucket are stored at build, so no hash job runs per
+    probe) + the pruned postings scan.  IDF per term is folded
+    driver-side into a literal map, so the main job has no join at all:
+    scan matched postings → codegen'd score expression → groupBy(id) →
+    TakeOrdered."""
     if not Path(index_path).exists():
         raise FileNotFoundError(index_path)
     st = spark.read.parquet(f"{index_path}/stats").first()
     n_docs, avgdl = st.n_docs, st.total_len / st.n_docs
-    n_buckets = int(st.n_buckets)
-    terms = sorted(set(query.split()))
+    terms = sorted(set(tokenize_py(query)) - {""})
     if not terms:
         raise ValueError("empty query")
-    # bucket literals -> planning-time partition pruning of postings/
-    # (one tiny local job computes every term's bucket)
-    buckets = sorted(
-        {
-            r[0]
-            for r in spark.createDataFrame([(t,) for t in terms], "term string")
-            .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
-            .collect()
-        }
+    # term → (df_t, bucket) from the small termstats table (stored at
+    # build — closes the per-probe scheduler round-trip that used to
+    # hash the terms in a Spark job); terms absent from the index have
+    # no postings and drop out here.
+    hits = (
+        spark.read.parquet(f"{index_path}/termstats")
+        .filter(F.col("term").isin(terms))
+        .collect()
+    )
+    if not hits:
+        return spark.createDataFrame([], "id long, score double")
+    buckets = sorted({int(r.term_bucket) for r in hits})
+    idf_py = {
+        r.term: math.log(1 + (n_docs - r.df_t + 0.5) / (r.df_t + 0.5))
+        for r in hits
+    }
+    idf_map = F.create_map(
+        *[F.lit(x) for kv in idf_py.items() for x in kv]
     )
     post = (
         spark.read.parquet(f"{index_path}/postings")
         .filter(F.col("term_bucket").isin(buckets))
-        .filter(F.col("term").isin(terms))
-    )
-    termstats = spark.read.parquet(f"{index_path}/termstats").filter(
-        F.col("term").isin(terms)
-    )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(n_docs) - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+        .filter(F.col("term").isin(sorted(idf_py)))
     )
     tf_sat = (F.col("tf") * (k1 + 1)) / (
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))
     )
     return (
-        post.join(F.broadcast(termstats), "term")
-        .select("id", (idf * tf_sat).alias("partial"))
+        post.select(
+            "id", (idf_map[F.col("term")] * tf_sat).alias("partial")
+        )
         .groupBy("id")
         .agg(F.round(F.sum("partial"), 6).alias("score"))
         .orderBy(F.desc("score"), "id")
@@ -257,13 +283,13 @@ def bm25_score_py(
     docs: dict, query: str, k1: float = 1.2, b: float = 0.75
 ) -> dict:
     """Pure-Python reference scorer for tests: ``docs`` is {id: text}."""
-    toks = {i: t.split() for i, t in docs.items()}
+    toks = {i: tokenize_py(t) for i, t in docs.items()}
     n = len(docs)
     avgdl = sum(len(t) for t in toks.values()) / n
     out = {}
     for i, t in toks.items():
         score = 0.0
-        for term in sorted(set(query.split())):
+        for term in sorted(set(tokenize_py(query)) - {""}):
             tf = t.count(term)
             if tf == 0:
                 continue

@@ -269,7 +269,13 @@ def redact_pii(
     redacted = F.col(text_col)
     n = F.lit(0)
     for _, rx, token in pats:
-        n = n + F.size(F.regexp_extract_all(redacted, F.lit(rx), F.lit(0)))
+        # coalesce: regexp_extract_all of NULL text is NULL, which would
+        # poison n_redactions to NULL instead of 0 — a numeric quality
+        # gate downstream would then treat NULL-text rows inconsistently
+        n = n + F.coalesce(
+            F.size(F.regexp_extract_all(redacted, F.lit(rx), F.lit(0))),
+            F.lit(0),
+        )
         redacted = F.regexp_replace(redacted, F.lit(rx), F.lit(token))
     return [
         redacted.alias(out_col),

@@ -1,7 +1,8 @@
 """Versioned parquet tables — a minimal manifest-pointer format giving
 plain parquet the three properties the directory-swap operators
 (merge/compaction) honestly disclaim: ATOMIC commits, TIME TRAVEL, and
-safe concurrent readers.
+safe concurrent readers — plus, since round 4, OPTIMISTIC CONCURRENCY
+for writers.
 
 Reference analog: none (north-star extension, BASELINE.json); this is
 the "table format lite" every production lakehouse interposes between
@@ -13,30 +14,41 @@ Layout::
     root/
       v00000001/part-*.parquet     immutable version directories
       v00000002/...
+      _staging-<pid>-<nonce>/      in-flight writes (invisible to readers)
+      _commit.lock                 tiny mutex around the commit point
       _manifest.json               the POINTER (atomic rename commit)
 
 Why this shape holds at 100 TB:
 
-- **Commit = one rename.**  Data lands in a fresh version directory
-  that no reader knows about, then the manifest is replaced via
-  write-tmp → ``os.replace`` (atomic on POSIX).  A reader that loaded
-  the manifest an instant earlier keeps reading its version's
-  directory, which is immutable — no torn reads, no retry loops.  (On
-  an object store, swap the rename for a conditional PUT of the
-  manifest object — the layout is unchanged.)
+- **Commit = one rename.**  Data lands in a fresh STAGING directory
+  that no reader knows about; the commit critical section (guarded by
+  a create-exclusive lock file) renames it to its version directory
+  and replaces the manifest via write-tmp → ``os.replace`` (atomic on
+  POSIX).  A reader that loaded the manifest an instant earlier keeps
+  reading its version's directory, which is immutable — no torn
+  reads, no retry loops.  (On an object store, swap the rename for a
+  conditional PUT of the manifest object — the layout is unchanged.)
+- **Writers serialize via commit preconditions.**  Every write lands
+  in its own uniquely-named staging directory, so concurrent writers
+  never collide on disk; the commit point assigns the version number
+  under the lock.  ``merge_versioned`` additionally carries the
+  PARENT-VERSION PRECONDITION: its merged content was computed
+  against a specific snapshot, so if another commit landed first the
+  commit aborts with :class:`ConcurrentWriteError` (or transparently
+  recomputes, with ``retries``) instead of silently clobbering the
+  other writer's update — the lost-update anomaly a bare
+  read-increment-rename scheme has.
 - **Copy-on-write reuses unchanged files.**  ``merge_versioned``
   rewrites only the partitions the delta touches and HARD-LINKS every
   unchanged partition file into the new version directory — a new
   snapshot costs O(changed slice) I/O and O(files) metadata, never a
-  table copy.  (Object-store variant: list unchanged files in the
-  manifest instead of linking; same idea, file-level reuse.)
+  table copy.  Multi-level hive layouts (``["day", "source"]``) link
+  per leaf directory.  (Object-store variant: list unchanged files in
+  the manifest instead of linking; same idea, file-level reuse.)
 - **Time travel is free.**  Old versions are just directories the
   manifest's history remembers; ``read_version(..., version=N)`` pins
   one.  ``vacuum`` bounds disk by deleting directories beyond a
   retention count — the same maintenance cadence as compaction.
-- **Single writer.**  Like every swap-based operator here, writers
-  must be serialized (the streaming modules already run one writer);
-  the manifest makes READERS safe, not writers concurrent.
 """
 
 from __future__ import annotations
@@ -44,13 +56,30 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
+import uuid
+from contextlib import contextmanager
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .merge import _key_cond, partition_pred
+from .merge import (
+    _key_cond,
+    list_leaf_partitions,
+    normalize_partition_cols,
+    partition_rel_dir,
+    partition_tuple_pred,
+)
 
 MANIFEST = "_manifest.json"
+COMMIT_LOCK = "_commit.lock"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed between this merge's snapshot read and
+    its commit point; the merge result would clobber their update.
+    Retry the merge against the new head (``merge_versioned`` does so
+    itself when ``retries > 0``)."""
 
 
 def _load_manifest(root: Path) -> dict:
@@ -58,60 +87,136 @@ def _load_manifest(root: Path) -> dict:
         return json.load(f)
 
 
-def _commit_manifest(root: Path, manifest: dict) -> None:
+def _write_manifest(root: Path, manifest: dict) -> None:
     tmp = root / (MANIFEST + ".tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
         f.flush()
         os.fsync(f.fileno())
-    os.replace(tmp, root / MANIFEST)  # the atomic commit point
+    os.replace(tmp, root / MANIFEST)  # the atomic pointer flip
 
 
-def _next_version(root: Path) -> tuple[int, dict]:
+def _head(root: Path) -> dict:
     if (root / MANIFEST).exists():
-        m = _load_manifest(root)
-        return m["version"] + 1, m
-    return 1, {"version": 0, "dir": None, "history": []}
+        return _load_manifest(root)
+    return {"version": 0, "dir": None, "history": []}
+
+
+@contextmanager
+def _commit_lock(root: Path, timeout: float = 30.0, poll: float = 0.05):
+    """Create-exclusive lock file serializing the commit critical
+    section (manifest read-check → staging rename → manifest replace).
+    The section is a few syscalls, so contention is brief; a crashed
+    writer leaves a stale lock that surfaces as a loud TimeoutError
+    naming the file (delete it after confirming no writer is alive —
+    the staging layout guarantees a crashed writer left no
+    partially-visible state)."""
+    lock = root / COMMIT_LOCK
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            if time.monotonic() >= deadline:
+                raise TimeoutError(
+                    f"commit lock {lock} not released in {timeout}s — "
+                    f"stale lock from a crashed writer? verify and delete"
+                )
+            time.sleep(poll)
+    try:
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+        yield
+    finally:
+        os.unlink(lock)
+
+
+def _staging_dir(root: Path) -> Path:
+    """Unique per-attempt staging path: concurrent writers never
+    collide on disk, and readers never see it (only manifest-referenced
+    ``v*`` directories are ever read)."""
+    return root / f"_staging-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+
+
+def _commit_staged(
+    root: Path,
+    staging: Path,
+    partition_by: list[str],
+    expected_parent: int | None,
+) -> int:
+    """The commit critical section: under the lock, verify the
+    precondition, assign the next version number, rename the staging
+    directory to it, flip the manifest.  Returns the new version."""
+    with _commit_lock(root):
+        manifest = _head(root)
+        if (
+            expected_parent is not None
+            and manifest["version"] != expected_parent
+        ):
+            shutil.rmtree(staging, ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"table advanced to v{manifest['version']} while this "
+                f"merge was computed against v{expected_parent}"
+            )
+        stored_parts = normalize_partition_cols(
+            manifest.get("partition_by")
+        )
+        if manifest["version"] > 0 and stored_parts != partition_by:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise ValueError(
+                f"table is partitioned by {stored_parts!r}; "
+                f"got partition_by={partition_by!r}"
+            )
+        version = manifest["version"] + 1
+        vdir = f"v{version:08d}"
+        # an orphan directory from a writer that crashed after the
+        # staging rename but before the manifest flip is unreferenced
+        # by construction — clear it so the retried commit proceeds
+        shutil.rmtree(root / vdir, ignore_errors=True)
+        staging.rename(root / vdir)
+        manifest["history"] = manifest["history"] + [
+            {"version": version, "dir": vdir}
+        ]
+        manifest.update(
+            version=version,
+            dir=vdir,
+            partition_by=partition_by if partition_by else None,
+        )
+        _write_manifest(root, manifest)
+    return version
 
 
 def commit_version(
     df: DataFrame,
     root_dir: str,
-    partition_by: str | None = None,
+    partition_by: str | list[str] | None = None,
     num_files: int = 4,
 ) -> int:
     """Write ``df`` as the table's next version (full snapshot) and
     atomically move the pointer; returns the new version number.
-    ``partition_by`` is a TABLE property recorded in the manifest —
-    hive partitioning is what lets :func:`merge_versioned` rewrite
-    only touched partitions and hard-link the rest."""
+    ``partition_by`` is a TABLE property recorded in the manifest — a
+    single column or a list for multi-level hive layouts — and is what
+    lets :func:`merge_versioned` rewrite only touched partitions and
+    hard-link the rest.  ``num_files`` sizes the write (files per
+    partition for a partitioned table); tune it so files land near the
+    100–1024 MB sweet spot at the table's real scale."""
     root = Path(root_dir)
     root.mkdir(parents=True, exist_ok=True)
-    version, manifest = _next_version(root)
-    if version > 1 and manifest.get("partition_by") != partition_by:
-        raise ValueError(
-            f"table is partitioned by {manifest.get('partition_by')!r}; "
-            f"got partition_by={partition_by!r}"
-        )
-    vdir = f"v{version:08d}"
-    # clear any orphan from a commit that crashed pre-manifest-rename
-    # (unreferenced by construction); without this the retried commit
-    # fails on 'path already exists' forever
-    shutil.rmtree(root / vdir, ignore_errors=True)
-    if partition_by:
+    part_cols = normalize_partition_cols(partition_by)
+    staging = _staging_dir(root)
+    if part_cols:
         (
-            df.repartition(num_files, partition_by)
-            .write.partitionBy(partition_by)
-            .parquet(str(root / vdir))
+            df.repartition(num_files, *part_cols)
+            .write.partitionBy(*part_cols)
+            .parquet(str(staging))
         )
     else:
-        df.repartition(num_files).write.parquet(str(root / vdir))
-    manifest["history"] = manifest["history"] + [
-        {"version": version, "dir": vdir}
-    ]
-    manifest.update(version=version, dir=vdir, partition_by=partition_by)
-    _commit_manifest(root, manifest)
-    return version
+        df.repartition(num_files).write.parquet(str(staging))
+    # full snapshots carry no parent precondition: their content does
+    # not depend on the previous version, so "serialize after whoever
+    # got there first" is the correct semantics
+    return _commit_staged(root, staging, part_cols, expected_parent=None)
 
 
 def read_version(
@@ -141,39 +246,33 @@ def history(root_dir: str) -> list[dict]:
     return list(_load_manifest(Path(root_dir))["history"])
 
 
-def merge_versioned(
+def _merge_once(
     spark: SparkSession,
-    root_dir: str,
+    root: Path,
     delta: DataFrame,
     key_cols: list[str],
-    partition_col: str,
-    delete_col: str | None = None,
+    part_cols: list[str],
+    delete_col: str | None,
+    num_files: int,
 ) -> int:
-    """Copy-on-write MERGE as a NEW VERSION: rewrite only the
-    partitions the delta touches, hard-link every other partition file
-    from the current version, commit the pointer atomically; returns
-    the new version.  Same upsert/tombstone semantics and constraints
-    as :func:`operators.merge.merge_upsert` (partition-moving keys:
-    key by the partition column or tombstone the old partition)."""
+    """One optimistic merge attempt: snapshot the head, compute the
+    merged touched slice against it, stage, commit with the
+    parent-version precondition."""
     from pyspark.sql import functions as F
 
-    root = Path(root_dir)
-    m = _load_manifest(root)
+    m = _head(root)
     if m["dir"] is None:
         raise ValueError("commit an initial version first")
-    if m.get("partition_by") != partition_col:
+    stored_parts = normalize_partition_cols(m.get("partition_by"))
+    if stored_parts != part_cols:
         raise ValueError(
-            f"table is partitioned by {m.get('partition_by')!r}; "
-            f"merge asked for {partition_col!r} (commit_version with "
+            f"table is partitioned by {stored_parts!r}; "
+            f"merge asked for {part_cols!r} (commit_version with "
             "partition_by to enable partition-level copy-on-write)"
         )
+    parent = m["version"]
     cur = root / m["dir"]
-    if not key_cols:
-        raise ValueError("key_cols must be non-empty")
-    if delete_col is not None and delete_col not in delta.columns:
-        raise ValueError(f"delete_col {delete_col!r} not in delta columns")
 
-    delta = delta.localCheckpoint(eager=True)
     target = spark.read.parquet(str(cur))
     data_cols = target.columns
     is_del = (
@@ -185,8 +284,10 @@ def merge_versioned(
     missing = [c for c in data_cols if c not in upserts.columns]
     if missing:
         raise ValueError(f"delta is missing target columns: {missing}")
-    touched = [r[0] for r in delta.select(partition_col).distinct().collect()]
-    pred = partition_pred(partition_col, touched)
+    touched = [
+        tuple(r) for r in delta.select(*part_cols).distinct().collect()
+    ]
+    pred = partition_tuple_pred(part_cols, touched)
 
     # same kernel and constraints as merge_upsert — including its
     # partition-moving-key guard: a delta key stored in an UNtouched
@@ -194,7 +295,7 @@ def merge_versioned(
     claimed = delta.select(
         *[F.col(k).alias(f"__k_{k}") for k in key_cols]
     ).distinct()
-    if partition_col not in key_cols:
+    if any(c not in key_cols for c in part_cols):
         rest = target.filter(
             F.coalesce(~pred, F.lit(True))
         ).select(*key_cols)
@@ -209,56 +310,118 @@ def merge_versioned(
             raise ValueError(
                 "delta moves existing key(s) across partitions; "
                 "tombstone the old partition too or key the table by "
-                "its partition column"
+                "its partition columns"
             )
 
-    version, manifest = _next_version(root)
-    vdir = root / f"v{version:08d}"
-    # an orphan directory from a commit that crashed before its
-    # manifest rename would wedge every future commit — it is
-    # unreferenced by construction, so clear it
-    shutil.rmtree(vdir, ignore_errors=True)
-
-    # rewrite ONLY the touched slice, hive-partitioned
+    # rewrite ONLY the touched slice, hive-partitioned, into staging
+    staging = _staging_dir(root)
     slice_df = target.filter(pred)
     merged = slice_df.join(
         F.broadcast(claimed), _key_cond(slice_df, claimed, key_cols), "left_anti"
     ).unionByName(upserts.select(*data_cols))
+    from .merge import _write_salt
+
     (
-        merged.repartition(4, partition_col)
-        .write.partitionBy(partition_col)
-        .parquet(str(vdir))
+        merged.repartition(
+            4 * num_files * max(1, len(touched)),
+            *part_cols,
+            _write_salt(key_cols, num_files),
+        )
+        .write.partitionBy(*part_cols)
+        .parquet(str(staging))
     )
 
-    # hard-link every UNtouched partition's files into the new version:
-    # O(files) metadata, zero data copied, both versions readable
-    from .merge import _partition_dir
+    # validate the rendered touched set against what Spark wrote BEFORE
+    # linking: a rendering divergence would hard-link a touched
+    # partition's OLD files alongside the newly-written ones — silent
+    # duplicate data in the new version
+    touched_dirs = {partition_rel_dir(part_cols, t) for t in touched}
+    written = set(list_leaf_partitions(staging, part_cols))
+    stray = sorted(written - touched_dirs)
+    if stray:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise RuntimeError(
+            f"merge wrote partitions outside the derived touched set: "
+            f"{stray} (dir-name rendering mismatch?) — nothing committed"
+        )
 
-    touched_dirs = {_partition_dir(spark, partition_col, v) for v in touched}
-    for pdir in cur.iterdir():
-        if not pdir.is_dir() or not pdir.name.startswith(f"{partition_col}="):
+    # hard-link every UNtouched leaf partition's files into staging:
+    # O(files) metadata, zero data copied, both versions readable
+    for rel in list_leaf_partitions(cur, part_cols):
+        if rel in touched_dirs:
             continue
-        if pdir.name in touched_dirs:
-            continue
-        dest = vdir / pdir.name
-        dest.mkdir()
-        for fp in pdir.iterdir():
+        src_leaf = cur / rel
+        dest = staging / rel
+        dest.mkdir(parents=True, exist_ok=True)
+        for fp in src_leaf.iterdir():
             if fp.suffix == ".parquet" or fp.name.startswith("part-"):
                 os.link(fp, dest / fp.name)
 
-    manifest["history"] = manifest["history"] + [
-        {"version": version, "dir": vdir.name}
-    ]
-    manifest.update(version=version, dir=vdir.name)
-    _commit_manifest(root, manifest)
-    return version
+    return _commit_staged(root, staging, part_cols, expected_parent=parent)
+
+
+def merge_versioned(
+    spark: SparkSession,
+    root_dir: str,
+    delta: DataFrame,
+    key_cols: list[str],
+    partition_col: str | list[str],
+    delete_col: str | None = None,
+    num_files: int = 4,
+    retries: int = 0,
+) -> int:
+    """Copy-on-write MERGE as a NEW VERSION: rewrite only the
+    partitions the delta touches, hard-link every other partition file
+    from the current version, commit the pointer atomically; returns
+    the new version.  Same upsert/tombstone semantics and constraints
+    as :func:`operators.merge.merge_upsert` (partition-moving keys:
+    key by the partition columns or tombstone the old partition);
+    ``partition_col`` may be a list for multi-level layouts.
+
+    Concurrency: the commit carries a parent-version precondition.  If
+    another writer committed since this merge's snapshot read, the
+    attempt raises :class:`ConcurrentWriteError` — with ``retries > 0``
+    the merge transparently recomputes against the new head instead
+    (each retry re-reads the head, so the serial history is correct:
+    both writers' updates survive).
+
+    ``num_files`` sizes the rewrite (files per touched partition);
+    the default suits test-scale tables — at cluster scale set it so
+    rewritten files land near the 100–1024 MB sweet spot, exactly as
+    :func:`commit_version` already exposes."""
+    root = Path(root_dir)
+    part_cols = normalize_partition_cols(partition_col)
+    if not part_cols:
+        raise ValueError("merge_versioned requires partition column(s)")
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if delete_col is not None and delete_col not in delta.columns:
+        raise ValueError(f"delete_col {delete_col!r} not in delta columns")
+
+    delta = delta.localCheckpoint(eager=True)
+    attempts = retries + 1
+    for i in range(attempts):
+        try:
+            return _merge_once(
+                spark, root, delta, key_cols, part_cols, delete_col,
+                num_files,
+            )
+        except ConcurrentWriteError:
+            if i == attempts - 1:
+                raise
+    raise AssertionError("unreachable")
 
 
 def vacuum(root_dir: str, keep_last: int = 2) -> list[int]:
     """Delete version directories beyond the newest ``keep_last``
     (hard links make retained versions self-sufficient — deleting an
-    old directory never breaks a newer one).  Returns the removed
-    version numbers; the manifest's history is trimmed to match."""
+    old directory never breaks a newer one), plus any abandoned
+    ``_staging-*`` directories from crashed writers.  Returns the
+    removed version numbers; the manifest's history is trimmed to
+    match.  Run on the maintenance cadence, when no writer is
+    mid-flight (an in-flight writer's staging dir would be swept —
+    its commit then fails loudly on the missing rename source, nothing
+    corrupts)."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     root = Path(root_dir)
@@ -268,7 +431,9 @@ def vacuum(root_dir: str, keep_last: int = 2) -> list[int]:
     # trim the manifest FIRST: a reader must never resolve a version
     # whose directory is mid-delete
     m["history"] = keep
-    _commit_manifest(root, m)
+    _write_manifest(root, m)
     for h in drop:
         shutil.rmtree(root / h["dir"], ignore_errors=True)
+    for p in root.glob("_staging-*"):
+        shutil.rmtree(p, ignore_errors=True)
     return [h["version"] for h in drop]

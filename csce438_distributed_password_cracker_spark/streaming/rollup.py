@@ -25,10 +25,16 @@ Why this shape scales:
 - **The merge is partition-pruned.**  The rollup table is
   hive-partitioned by day; a batch's partial touches only the days in
   the batch (a live stream touches ~today), so the stored slice read
-  back for merging prunes to those directories and
-  :func:`operators.merge.merge_upsert` swaps only them on disk.  Cost
-  per batch ∝ batch size + touched-day rollup rows — independent of
-  table history.
+  back for merging prunes to those directories and the copy-on-write
+  merge rewrites only them.  Cost per batch ∝ batch size +
+  touched-day rollup rows — independent of table history.
+- **The sink is a VERSIONED table** (:mod:`operators.versioned`,
+  round 4): each micro-batch lands as an atomic manifest commit via
+  ``merge_versioned``, so dashboard readers get torn-read-free
+  snapshots mid-merge and the rollup's history is time-travelable for
+  free (read the table as of any absorbed batch).  Untouched day
+  directories hard-link forward — per-batch I/O stays O(touched
+  days).
 - **Single writer, exactly-once.**  The file source + checkpoint give
   exactly-once batch delivery; the merge runs inside ``foreachBatch``
   (the documented idempotent-sink escape hatch).  A replayed batch
@@ -36,7 +42,9 @@ Why this shape scales:
   classic streaming-upsert pitfall — so the rollup stores
   ``last_batch_id`` per key and ``merge_batch`` SKIPS batches it has
   already absorbed (idempotence via the sink's own state, the same
-  trick as Delta's txn-version dedup).
+  trick as Delta's txn-version dedup).  The versioned commit's
+  parent-version precondition additionally makes an accidental second
+  writer loud (ConcurrentWriteError) instead of silently lost.
 """
 
 from __future__ import annotations
@@ -47,7 +55,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.merge import merge_upsert, partition_pred
+from ..operators.merge import partition_pred
+from ..operators.versioned import (
+    MANIFEST,
+    commit_version,
+    merge_versioned,
+    read_version,
+)
 
 ROLLUP_KEYS = ["day", "event_type"]
 
@@ -116,8 +130,9 @@ def merge_batch(
     batch: DataFrame,
     batch_id: int,
 ) -> bool:
-    """Absorb one micro-batch into the rollup table; returns False if
-    ``batch_id`` was already absorbed (idempotent replay no-op)."""
+    """Absorb one micro-batch into the versioned rollup table (one
+    atomic manifest commit per batch); returns False if ``batch_id``
+    was already absorbed (idempotent replay no-op)."""
     part = _partial(batch).withColumn(
         "last_batch_id", F.lit(batch_id).cast("long")
     ).localCheckpoint(eager=True)
@@ -129,13 +144,13 @@ def merge_batch(
         # die with UNABLE_TO_INFER_SCHEMA, permanently poisoning the
         # table)
         return True
-    if not Path(rollup_path).exists():
-        part.repartition(1, "day").write.partitionBy("day").parquet(
-            rollup_path
+    if not (Path(rollup_path) / MANIFEST).exists():
+        commit_version(
+            part, rollup_path, partition_by="day", num_files=1
         )
         return True
 
-    stored = spark.read.parquet(rollup_path)
+    stored = read_version(spark, rollup_path)
     # replay detection stays partition-pruned: a crash-replayed batch
     # re-reads the same source files, so its touched days are identical
     # and carry its batch id — no need to scan the table's full history.
@@ -144,19 +159,25 @@ def merge_batch(
     # invisible to the slice (replay would double-count it and the swap
     # would overwrite its history).
     slice_df = stored.filter(partition_pred("day", days))
-    if (
-        slice_df.select(F.max("last_batch_id")).first()[0] or -1
-    ) >= batch_id:
+    # explicit None check, NOT `or -1`: foreachBatch ids start at 0 and
+    # a stored last_batch_id of 0 is falsy — the truthiness spelling
+    # would re-merge a crash-replayed batch 0 and double-count every
+    # aggregate of the table-creating batch.
+    max_absorbed = slice_df.select(F.max("last_batch_id")).first()[0]
+    if (max_absorbed if max_absorbed is not None else -1) >= batch_id:
         return False  # crash-replay of an already-merged batch
 
     merged = _combine(slice_df.unionByName(part))
-    merge_upsert(
+    # single-writer by streaming contract, so no retries: a concurrent
+    # writer is a deployment bug and must surface as
+    # ConcurrentWriteError, not be silently serialized around
+    merge_versioned(
         spark,
         rollup_path,
         merged,
         key_cols=ROLLUP_KEYS,
         partition_col="day",
-        files_per_partition=1,
+        num_files=1,
     )
     return True
 
@@ -188,6 +209,15 @@ def start_rollup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_rollup(
+    spark: SparkSession, rollup_path: str, version: int | None = None
+) -> DataFrame:
+    """The rollup table's latest committed snapshot (or a time-travel
+    ``version``) — readers go through the manifest, never the raw
+    directory tree, so a mid-merge read is impossible to tear."""
+    return read_version(spark, rollup_path, version)
 
 
 def hist_quantile(hist: list[int], q: float) -> float:
@@ -267,7 +297,7 @@ def rollup_verify(
 
     truth = canon(rollup_of(events), "t")
     stored = canon(
-        spark.read.parquet(rollup_path).drop("last_batch_id"), "s"
+        read_version(spark, rollup_path).drop("last_batch_id"), "s"
     )
     cond = None
     for k in ROLLUP_KEYS:

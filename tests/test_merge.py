@@ -227,3 +227,174 @@ def test_merge_rejects_partition_moving_keys(spark, seeded_table):
     )
     out = spark.read.parquet(seeded_table)
     assert out.filter(F.col("doc_id") == 0).count() == 2  # both keys exist
+
+
+@pytest.fixture()
+def multi_part_table(spark, tmp_path):
+    """(day, source)-partitioned table: the multi-level hive layout a
+    production corpus actually uses."""
+    path = str(tmp_path / "events2d")
+    df = spark.range(60).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("b-"), F.col("id")).alias("body"),
+        F.date_add(F.lit("2024-01-01"), (F.col("id") % 3).cast("int"))
+        .cast("string")
+        .alias("day"),
+        F.element_at(
+            F.array(F.lit("web"), F.lit("api")),
+            (F.col("id") % 2 + 1).cast("int"),
+        ).alias("source"),
+    )
+    df.repartition(2, "day", "source").write.partitionBy(
+        "day", "source"
+    ).parquet(path)
+    return path
+
+
+def test_multi_column_partition_merge_prunes_and_swaps_leaves(
+    spark, multi_part_table
+):
+    """Merge into a (day, source) layout: only the touched LEAF
+    directory is rewritten; every other leaf's files are untouched on
+    disk, and pruning reaches the scan."""
+    delta = spark.createDataFrame(
+        [
+            # k=0 lives in (2024-01-01, web): id%3=0, id%2=0
+            (0, "updated", "2024-01-01", "web", False),  # existing key
+            (600, "new", "2024-01-01", "web", False),  # insert
+            (2, None, "2024-01-03", "web", True),  # tombstone (id%3=2)
+        ],
+        "k long, body string, day string, source string, deleted boolean",
+    )
+    before = _snapshot(multi_part_table)
+    stats = merge_upsert(
+        spark,
+        multi_part_table,
+        delta,
+        key_cols=["k", "day", "source"],
+        partition_col=["day", "source"],
+        delete_col="deleted",
+    )
+    assert stats["partitions_touched"] == 2
+    assert stats["partitions_total"] == 6
+    assert stats["rows_upserted"] == 2 and stats["rows_deleted"] == 1
+
+    after = _snapshot(multi_part_table)
+    touched = ("day=2024-01-01/source=web", "day=2024-01-03/source=web")
+    for rel, mtime in before.items():
+        if not rel.startswith(touched):
+            assert after[rel] == mtime, f"untouched leaf rewritten: {rel}"
+
+    got = {r.k: r.body for r in spark.read.parquet(multi_part_table).collect()}
+    assert got[0] == "updated" and got[600] == "new" and 2 not in got
+    assert len(got) == 60  # 60 - 1 delete + 1 insert
+
+    # pruning is plan-visible: the touched-tuple filter reaches
+    # PartitionFilters (not a post-scan Filter)
+    target = spark.read.parquet(multi_part_table)
+    from csce438_distributed_password_cracker_spark.operators.merge import (
+        partition_tuple_pred,
+    )
+
+    plan = (
+        target.filter(
+            partition_tuple_pred(
+                ["day", "source"], [("2024-01-01", "api")]
+            )
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [" in plan
+
+
+def test_multi_column_partition_moving_key_detected(spark, multi_part_table):
+    """A delta that relocates an existing key to a different (day,
+    source) tuple must raise, not leave a stale duplicate."""
+    delta = spark.createDataFrame(
+        [(0, "moved", "2024-01-02", "web", False)],
+        "k long, body string, day string, source string, deleted boolean",
+    )
+    # k=0 lives in day=2024-01-01/source=api; keying by k alone lets it move
+    with pytest.raises(ValueError, match="moves existing key"):
+        merge_upsert(
+            spark,
+            multi_part_table,
+            delta,
+            key_cols=["k"],
+            partition_col=["day", "source"],
+            delete_col="deleted",
+        )
+
+
+def test_escape_path_name_matches_spark_rendering(spark, tmp_path):
+    """Partition values needing hive escaping (':', '/', '%', '#') map
+    to the exact directories Spark writes, so the swap set derivation
+    agrees with the writer — pinned by merging such a table."""
+    from csce438_distributed_password_cracker_spark.operators.merge import (
+        escape_path_name,
+        partition_rel_dir,
+    )
+
+    path = str(tmp_path / "weird")
+    vals = ["a:b", "a/b", "50%", "x#y", "plain", "sp ace"]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "k long, part string"
+    )
+    df.repartition(1).write.partitionBy("part").parquet(path)
+    written = {
+        p.name for p in Path(path).iterdir() if p.name.startswith("part=")
+    }
+    derived = {partition_rel_dir(["part"], (v,)) for v in vals}
+    assert derived == written
+
+    # escaping round-trip basics
+    assert escape_path_name("a:b") == "a%3Ab"
+    assert escape_path_name("a/b") == "a%2Fb"
+    assert escape_path_name("plain") == "plain"
+
+    # and the merge itself works against the escaped layout
+    delta = spark.createDataFrame(
+        [(0, "a:b"), (99, "a/b")], "k long, part string"
+    )
+    stats = merge_upsert(
+        spark, path, delta, key_cols=["k", "part"], partition_col="part"
+    )
+    assert stats["partitions_touched"] == 2
+    assert spark.read.parquet(path).count() == 7
+
+
+def test_rendering_mismatch_aborts_before_any_rename(spark, tmp_path):
+    """If the derived swap set disagrees with what Spark wrote, the
+    merge must abort with the TARGET FULLY INTACT (no half-merged
+    state) — pinned by faking a divergent rendering."""
+    import csce438_distributed_password_cracker_spark.operators.merge as M
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"b{i}", str(i % 2)) for i in range(8)],
+        "k long, body string, part string",
+    )
+    df.repartition(1).write.partitionBy("part").parquet(path)
+    before = _snapshot(path)
+
+    delta = spark.createDataFrame([(0, "new", "0")], "k long, body string, part string")
+    real = M.partition_rel_dir
+
+    def broken(cols, values):
+        return real(cols, tuple(f"{v}XX" for v in values))
+
+    orig = M.partition_rel_dir
+    M.partition_rel_dir = broken
+    try:
+        with pytest.raises(RuntimeError, match="outside the derived swap set"):
+            merge_upsert(
+                spark, path, delta, key_cols=["k", "part"],
+                partition_col="part",
+            )
+    finally:
+        M.partition_rel_dir = orig
+    # target untouched, temp dirs cleaned
+    assert _snapshot(path) == before
+    assert not list(Path(path).parent.glob("*.__merge_tmp__"))

@@ -45,7 +45,7 @@ def test_rollup_matches_batch_answer(spark, sf_smoke, tmp_path):
     )
     q.awaitTermination(120)
 
-    got = spark.read.parquet(table)
+    got = rollup.read_rollup(spark, table)
     want = rollup.rollup_of(events)
     assert _canon(got.drop("last_batch_id")) == _canon(want)
     # multi-batch: the highest absorbed batch id proves >1 merge ran
@@ -84,25 +84,43 @@ def test_rollup_merge_prunes_and_replay_noop(spark, sf_smoke, tmp_path):
     table = str(tmp_path / "rollup")
     assert rollup.merge_batch(spark, table, b0, batch_id=0)
 
-    def snap(only_early=True):
-        root = Path(table)
+    def day_inodes(vdir, only_early=True):
+        root = Path(table) / vdir
         return {
-            str(p.relative_to(root)): p.stat().st_mtime_ns
+            str(p.relative_to(root)): p.stat().st_ino
             for p in root.rglob("*.parquet")
             if any(f"day={d}" in str(p) for d in early) == only_early
         }
 
-    early_files = snap(only_early=True)
-    assert rollup.merge_batch(spark, table, b1, batch_id=1)
-    # batch 1 touches only late days: every early-day file untouched
-    assert snap(only_early=True) == early_files
+    from csce438_distributed_password_cracker_spark.operators import versioned
 
-    merged = _canon(spark.read.parquet(table).drop("last_batch_id"))
+    v1 = versioned.history(table)[-1]["dir"]
+    early_files = day_inodes(v1, only_early=True)
+    assert rollup.merge_batch(spark, table, b1, batch_id=1)
+    v2 = versioned.history(table)[-1]["dir"]
+    assert v2 != v1
+    # batch 1 touches only late days: every early-day file in the new
+    # version is a HARD LINK of the previous version's file (same
+    # inode — O(changed) I/O, the copy-on-write contract)
+    assert day_inodes(v2, only_early=True) == early_files
+
+    merged = _canon(rollup.read_rollup(spark, table).drop("last_batch_id"))
     assert merged == _canon(rollup.rollup_of(events))
+
+    # time travel: the pre-batch-1 snapshot still answers exactly the
+    # early-days aggregate (versioned sink, round 4)
+    v1_num = versioned.history(table)[0]["version"]
+    assert _canon(
+        rollup.read_rollup(spark, table, version=v1_num).drop(
+            "last_batch_id"
+        )
+    ) == _canon(rollup.rollup_of(b0))
 
     # crash replay: re-offering an absorbed batch must be a no-op
     assert rollup.merge_batch(spark, table, b1, batch_id=1) is False
-    assert _canon(spark.read.parquet(table).drop("last_batch_id")) == merged
+    assert _canon(
+        rollup.read_rollup(spark, table).drop("last_batch_id")
+    ) == merged
 
 
 def test_hist_quantile_tracks_exact_percentiles(spark, sf_smoke):
@@ -155,9 +173,9 @@ def test_rollup_empty_first_batch_does_not_poison(spark, sf_smoke, tmp_path):
     assert rollup.merge_batch(spark, table, empty, batch_id=0)
     assert not Path(table).exists()
     assert rollup.merge_batch(spark, table, events, batch_id=1)
-    assert _canon(spark.read.parquet(table).drop("last_batch_id")) == _canon(
-        rollup.rollup_of(events)
-    )
+    assert _canon(
+        rollup.read_rollup(spark, table).drop("last_batch_id")
+    ) == _canon(rollup.rollup_of(events))
 
 
 def test_rollup_null_ts_events_merge_and_replay(spark, sf_smoke, tmp_path):
@@ -171,7 +189,7 @@ def test_rollup_null_ts_events_merge_and_replay(spark, sf_smoke, tmp_path):
     assert rollup.merge_batch(
         spark, table, nulled.subtract(nulled.limit(10)), batch_id=1
     )
-    got = spark.read.parquet(table)
+    got = rollup.read_rollup(spark, table)
     null_rows = got.filter(F.col("day").isNull())
     assert null_rows.count() == null_rows.select("event_type").distinct().count()
     assert (
@@ -209,8 +227,11 @@ def test_rollup_verify_clean_and_detects_drift(spark, sf_smoke, tmp_path):
     assert stats["changed"] == stats["added"] == stats["removed"] == 0
     assert stats["unchanged"] > 0
 
-    # corrupt one stored row -> exactly one changed key
-    stored = spark.read.parquet(table).localCheckpoint(eager=True)
+    # corrupt one stored row (committed as a new version, as a manual
+    # table edit would be) -> exactly one changed key
+    from csce438_distributed_password_cracker_spark.operators import versioned
+
+    stored = rollup.read_rollup(spark, table).localCheckpoint(eager=True)
     first = stored.first()
     corrupted = stored.withColumn(
         "n_events",
@@ -220,6 +241,21 @@ def test_rollup_verify_clean_and_detects_drift(spark, sf_smoke, tmp_path):
             F.col("n_events") + 1,
         ).otherwise(F.col("n_events")),
     )
-    corrupted.write.mode("overwrite").partitionBy("day").parquet(table)
+    versioned.commit_version(corrupted, table, partition_by="day")
     stats = diff_stats(rollup.rollup_verify(spark, events, table))
     assert stats["changed"] == 1
+
+
+def test_rollup_replay_of_batch_zero_is_noop(spark, sf_smoke, tmp_path):
+    """foreachBatch ids start at 0: a crash-replay of the
+    TABLE-CREATING batch 0 must be skipped, not double-counted (a
+    stored last_batch_id of 0 is falsy — the regression a truthiness
+    check reintroduces)."""
+    events = load_table(spark, sf_smoke, "events")
+    table = str(tmp_path / "rollup")
+    assert rollup.merge_batch(spark, table, events, batch_id=0)
+    before = _canon(rollup.read_rollup(spark, table).drop("last_batch_id"))
+    # crash replay of batch 0
+    assert rollup.merge_batch(spark, table, events, batch_id=0) is False
+    after = _canon(rollup.read_rollup(spark, table).drop("last_batch_id"))
+    assert after == before  # aggregates not doubled

@@ -103,3 +103,51 @@ def test_bm25_incremental_update_equals_full_rebuild(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         search.bm25_update(df2, "doc_id", "text", str(tmp_path / "missing"))
+
+
+def test_query_tokenization_matches_index_tokenization(spark, tmp_path):
+    """Probe and index must share ONE tokenization (single-space
+    split): a query with tabs/double spaces scores identically to its
+    single-space spelling, and the Python reference scorer agrees."""
+    from csce438_distributed_password_cracker_spark.operators import search
+
+    docs = spark.createDataFrame(
+        [(1, "quick brown fox"), (2, "quick  brown dog"), (3, "lazy dog")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "bm25tok")
+    search.bm25_build(docs, "doc_id", "text", path, n_buckets=8)
+
+    def scores(q):
+        return {
+            r.id: r.score
+            for r in search.bm25_search(spark, path, q, top_n=10).collect()
+        }
+
+    # tab and repeated spaces are NOT token separators in the index
+    # tokenization; "quick\tbrown" is one (unindexed) token
+    assert scores("quick brown") == scores("quick brown")
+    assert scores("quick\tbrown") == {}  # single unindexed token
+    # doc 2's double space produces an empty token that inflates dl but
+    # never matches a query (empty query tokens are dropped)
+    ref = search.bm25_score_py(
+        {1: "quick brown fox", 2: "quick  brown dog", 3: "lazy dog"},
+        "quick brown",
+    )
+    got = scores("quick brown")
+    assert set(got) == set(ref)
+    for k in ref:
+        assert abs(got[k] - ref[k]) < 1e-5
+
+
+def test_probe_handles_all_unindexed_terms(spark, tmp_path):
+    from csce438_distributed_password_cracker_spark.operators import search
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "bm25empty")
+    search.bm25_build(docs, "doc_id", "text", path, n_buckets=4)
+    out = search.bm25_search(spark, path, "gamma delta", top_n=5)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["id", "score"]

@@ -144,3 +144,188 @@ def test_schema_evolution_across_versions(spark, tmp_path):
     latest = versioned.read_version(spark, root)
     assert latest.columns == ["k", "quality"]
     assert latest.count() == 3
+
+
+def test_concurrent_writer_loses_loudly_without_retries(spark, table):
+    """Two interleaved merges: writer B commits while writer A is
+    mid-flight (between A's snapshot read and its commit point).  A's
+    commit must raise ConcurrentWriteError — NOT silently clobber B's
+    update (the lost-update anomaly of a bare read-increment-rename)."""
+    delta_a = spark.createDataFrame(
+        [(0, "A-wrote", "0", False)],
+        "k long, body string, part string, deleted boolean",
+    )
+    delta_b = spark.createDataFrame(
+        [(3, "B-wrote", "3", False)],
+        "k long, body string, part string, deleted boolean",
+    )
+
+    state = {"injected": False}
+    real_staging = versioned._staging_dir
+
+    def staging_with_interleaved_b(root):
+        if not state["injected"]:
+            state["injected"] = True
+            # B sneaks a full merge in while A holds its v1 snapshot
+            versioned.merge_versioned(
+                spark, table, delta_b, key_cols=["k"],
+                partition_col="part", delete_col="deleted",
+            )
+        return real_staging(root)
+
+    versioned._staging_dir = staging_with_interleaved_b
+    try:
+        with pytest.raises(versioned.ConcurrentWriteError):
+            versioned.merge_versioned(
+                spark, table, delta_a, key_cols=["k"],
+                partition_col="part", delete_col="deleted",
+            )
+    finally:
+        versioned._staging_dir = real_staging
+
+    # B's update survived; A landed nothing; no staging litter
+    latest = {r.k: r.body for r in versioned.read_version(spark, table).collect()}
+    assert latest[3] == "B-wrote" and latest[0] == "v1-0"
+    assert [h["version"] for h in versioned.history(table)] == [1, 2]
+    assert not list(Path(table).glob("_staging-*"))
+
+
+def test_concurrent_writer_retries_to_correct_serial_history(spark, table):
+    """Same interleave, but with retries=1: A recomputes against B's
+    commit and BOTH updates survive in the final version."""
+    delta_a = spark.createDataFrame(
+        [(0, "A-wrote", "0", False)],
+        "k long, body string, part string, deleted boolean",
+    )
+    delta_b = spark.createDataFrame(
+        [(3, "B-wrote", "3", False)],
+        "k long, body string, part string, deleted boolean",
+    )
+
+    state = {"injected": False}
+    real_staging = versioned._staging_dir
+
+    def staging_with_interleaved_b(root):
+        if not state["injected"]:
+            state["injected"] = True
+            versioned.merge_versioned(
+                spark, table, delta_b, key_cols=["k"],
+                partition_col="part", delete_col="deleted",
+            )
+        return real_staging(root)
+
+    versioned._staging_dir = staging_with_interleaved_b
+    try:
+        v = versioned.merge_versioned(
+            spark, table, delta_a, key_cols=["k"],
+            partition_col="part", delete_col="deleted", retries=1,
+        )
+    finally:
+        versioned._staging_dir = real_staging
+
+    assert v == 3  # serial history: v1 -> B's v2 -> A's retried v3
+    latest = {r.k: r.body for r in versioned.read_version(spark, table).collect()}
+    assert latest[0] == "A-wrote" and latest[3] == "B-wrote"
+    assert [h["version"] for h in versioned.history(table)] == [1, 2, 3]
+
+
+def test_parallel_writers_all_land(spark, table):
+    """Thread-level sanity: N concurrent merges with retries all land;
+    the final table carries every writer's key and the history is a
+    clean serial chain (commit-lock + precondition discipline)."""
+    import threading
+
+    errors = []
+
+    def writer(i):
+        try:
+            delta = spark.createDataFrame(
+                [(1000 + i, f"w{i}", str(i % 4), False)],
+                "k long, body string, part string, deleted boolean",
+            )
+            versioned.merge_versioned(
+                spark, table, delta, key_cols=["k"], partition_col="part",
+                delete_col="deleted", retries=8,
+            )
+        except Exception as e:  # surface in the main thread
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    latest = {r.k for r in versioned.read_version(spark, table).collect()}
+    assert {1000, 1001, 1002, 1003} <= latest
+    assert [h["version"] for h in versioned.history(table)] == [1, 2, 3, 4, 5]
+
+
+def test_multi_column_partitioned_versioned_merge(spark, tmp_path):
+    """(day, source)-layout: merge rewrites one leaf, hard-links every
+    other leaf (inode equality), and num_files sizes the rewrite."""
+    root = str(tmp_path / "tbl2d")
+    df = spark.range(24).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v1-"), F.col("id")).alias("body"),
+        F.date_add(F.lit("2024-03-01"), (F.col("id") % 2).cast("int"))
+        .cast("string")
+        .alias("day"),
+        F.element_at(
+            F.array(F.lit("web"), F.lit("api")),
+            (F.col("id") % 2 + 1).cast("int"),
+        ).alias("source"),
+    )
+    assert (
+        versioned.commit_version(df, root, partition_by=["day", "source"])
+        == 1
+    )
+    # id%2 couples day and source here: leaves are (03-01, web), (03-02, api)
+    delta = spark.createDataFrame(
+        [(0, "changed", "2024-03-01", "web", False)],
+        "k long, body string, day string, source string, deleted boolean",
+    )
+    v = versioned.merge_versioned(
+        spark, root, delta, key_cols=["k", "day", "source"],
+        partition_col=["day", "source"], delete_col="deleted", num_files=2,
+    )
+    assert v == 2
+    rootp = Path(root)
+    m = json.loads((rootp / versioned.MANIFEST).read_text())
+    v1, v2 = (rootp / h["dir"] for h in m["history"])
+
+    def inodes(vdir, rel):
+        return {
+            p.name: p.stat().st_ino
+            for p in (vdir / rel).iterdir()
+            if p.name.startswith("part-")
+        }
+
+    untouched = "day=2024-03-02/source=api"
+    touched = "day=2024-03-01/source=web"
+    assert inodes(v1, untouched) == inodes(v2, untouched)  # hard links
+    assert not (
+        set(inodes(v1, touched).values()) & set(inodes(v2, touched).values())
+    )
+    # num_files=2 sized the rewritten leaf
+    assert len(inodes(v2, touched)) == 2
+
+    latest = {r.k: r.body for r in versioned.read_version(spark, root).collect()}
+    assert latest[0] == "changed" and len(latest) == 24
+
+
+def test_vacuum_sweeps_abandoned_staging(spark, table):
+    (Path(table) / "_staging-999-deadbeef").mkdir()
+    versioned.merge_versioned(
+        spark,
+        table,
+        spark.createDataFrame(
+            [(1, "x", "1", False)],
+            "k long, body string, part string, deleted boolean",
+        ),
+        key_cols=["k"],
+        partition_col="part",
+        delete_col="deleted",
+    )
+    versioned.vacuum(table, keep_last=1)
+    assert not list(Path(table).glob("_staging-*"))
