@@ -865,3 +865,166 @@ def lsh_topk(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+# ── scalar-quantized IVF (SQ8): compressed inverted lists ────────────────
+
+
+def _with_sq8(df: DataFrame, vec_col: str) -> DataFrame:
+    """Add (sq_scale DOUBLE, sq_vec ARRAY<TINYINT>) — per-vector symmetric
+    int8 quantization, pure codegen'd column expressions (no UDF):
+    scale = max|x| / 127, q_i = round(x_i / scale) ∈ [-127, 127].
+    Cosine is scale-invariant, so the probe scores the int8 arrays
+    DIRECTLY (no dequantization) — the per-vector scale only matters
+    for reconstruction and is stored for completeness.  Two steps so the
+    transform lambda references the MATERIALIZED sq_scale column —
+    inlining the aggregate into the lambda would re-evaluate it per
+    array element (the interpreted-lambda trap textops hit in r3)."""
+    scale = (
+        F.expr(
+            f"aggregate({vec_col}, 0D, "
+            f"(acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"
+        )
+        / 127.0
+    )
+    return df.withColumn(
+        "sq_scale", F.greatest(scale, F.lit(1e-30))
+    ).withColumn(
+        "sq_vec",
+        F.expr(
+            f"transform({vec_col}, "
+            f"x -> CAST(round(CAST(x AS DOUBLE) / sq_scale) AS TINYINT))"
+        ),
+    )
+
+
+def build_ivf_sq_index(
+    emb: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    write_partitions: int = 16,
+    fullvec_buckets: int = 16,
+    refine_iters: int = 0,
+) -> None:
+    """IVF index with SCALAR-QUANTIZED (int8) inverted lists — the
+    compression layer that makes the index itself affordable at corpus
+    scale (VERDICT r3 #4): a float64[64] row is ~512 B of vector; its
+    SQ8 twin is ~64 B + one scale, so the hot probe path reads ~8×
+    less.  Reference analog: none (north-star ANN family).
+
+    Layout::
+
+        path/lists/cluster=C/      (id, sq_scale, sq_vec int8[]) — probed
+        path/fullvec/fv_bucket=B/  (id, full vector) — re-rank fetch only
+        path/centroids/            tiny (cluster, centroid) planner table
+        path/meta/                 (fullvec_buckets,)
+
+    The probe shortlists on int8 cosine (scale cancels), then re-ranks
+    the top ``rerank_n`` ids against full-precision vectors fetched
+    PARTITION-PRUNED from ``fullvec`` (bucket = id % fullvec_buckets is
+    derivable driver-side from the candidate ids — no scan, no hash
+    job).  Quantization error only reorders near-ties inside the
+    shortlist, which the exact re-rank repairs."""
+    if refine_iters > 0:
+        assigned, cent_mat = ivf_refine(
+            emb, n_centroids, refine_iters, seed, id_col, vec_col
+        )
+    else:
+        assigned, _, cent_mat = ivf_assign(
+            emb, n_centroids, seed, id_col, vec_col
+        )
+    spark = emb.sparkSession
+    (
+        _with_sq8(
+            emb.join(assigned, F.col(id_col) == F.col("id")).drop("id"),
+            vec_col,
+        )
+        .select(id_col, "cluster", "sq_scale", "sq_vec")
+        .repartition(write_partitions, "cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{path}/lists")
+    )
+    (
+        emb.select(
+            id_col,
+            vec_col,
+            F.pmod(F.col(id_col), F.lit(fullvec_buckets))
+            .cast("int")
+            .alias("fv_bucket"),
+        )
+        .repartition(fullvec_buckets, "fv_bucket")
+        .write.mode("overwrite")
+        .partitionBy("fv_bucket")
+        .parquet(f"{path}/fullvec")
+    )
+    cent_rows = [
+        (int(i), [float(x) for x in row]) for i, row in enumerate(cent_mat)
+    ]
+    spark.createDataFrame(
+        cent_rows, "cluster int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [(int(fullvec_buckets),)], "fullvec_buckets int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def ivf_sq_probe(
+    spark,
+    path: str,
+    query: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    rerank_n: int = 50,
+    id_col: str = "vec_id",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """PROBE of :func:`build_ivf_sq_index`: rank centroids driver-side,
+    read only the ``n_probe`` chosen (quantized) lists, shortlist
+    ``rerank_n`` ids by int8 cosine, fetch their full vectors from the
+    bucket-pruned ``fullvec`` store, exact cosine top-k.  Driver state
+    is bounded by ``rerank_n`` ids; list I/O is the compressed ~1/8."""
+    cent = spark.read.parquet(f"{path}/centroids").orderBy("cluster").collect()
+    cent_mat = np.asarray([r["centroid"] for r in cent], dtype=np.float64)
+    fv_buckets = int(
+        spark.read.parquet(f"{path}/meta").first()["fullvec_buckets"]
+    )
+    qrow = query.select(F.col(query_vec_col)).first()
+    qvec = np.asarray(qrow[0], dtype=np.float64)
+    qn = np.linalg.norm(qvec)
+    probe = _top_clusters(cent_mat @ (qvec / (qn if qn else 1.0)), n_probe)
+
+    shortlist = (
+        spark.read.parquet(f"{path}/lists")
+        .filter(F.col("cluster").isin(probe))
+        .crossJoin(F.broadcast(query))
+        .select(
+            id_col,
+            vectors.cosine("sq_vec", query_vec_col).alias("approx_sim"),
+        )
+        .orderBy(F.desc("approx_sim"), F.asc(id_col))
+        .limit(rerank_n)
+    )
+    ids = [r[0] for r in shortlist.select(id_col).collect()]  # ≤ rerank_n
+    if not ids:
+        return spark.createDataFrame([], f"{id_col} long, cos_sim double")
+    buckets = sorted({int(i) % fv_buckets for i in ids})
+    full = (
+        spark.read.parquet(f"{path}/fullvec")
+        .filter(F.col("fv_bucket").isin(buckets))
+        .filter(F.col(id_col).isin(ids))
+    )
+    return (
+        full.crossJoin(F.broadcast(query))
+        .select(
+            id_col,
+            F.round(
+                vectors.cosine("embedding", query_vec_col), 6
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

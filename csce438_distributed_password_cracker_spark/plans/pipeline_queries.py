@@ -25,20 +25,98 @@ from ..operators.split import md5_bucket_sql, md5_sample_sql
 from .registry import register
 from .relational import _sql_query
 
-_sql_query(
+@register(
     "q_dedup_exact",
-    """
-    SELECT md5(text) AS fingerprint,
-           min(doc_id) AS keeper_id,
-           count(*) AS n_copies
-    FROM documents
-    GROUP BY md5(text)
+    oracle="""
+    WITH exact AS (
+      SELECT 'exact' AS branch, md5(text) AS k,
+             CAST(min(doc_id) AS DOUBLE) AS val_a,
+             CAST(count(*) AS DOUBLE) AS val_b
+      FROM documents
+      GROUP BY md5(text)
+    ),
+    mrg AS (
+      -- closed-form twin of the copy-on-write MERGE the Spark side
+      -- actually executes on disk: target = orders with key%5<>4,
+      -- delta = updates (%5=0: +1000), inserts (%5=4), tombstones
+      -- (%5=1) -> merged table below
+      SELECT 'merge' AS branch, CAST(o_orderkey AS VARCHAR) AS k,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000
+                  ELSE o_totalprice END AS val_a,
+             CAST(o_custkey % 4 AS DOUBLE) AS val_b
+      FROM orders
+      WHERE o_orderkey % 5 <> 1
+    )
+    SELECT * FROM exact UNION ALL SELECT * FROM mrg
     """,
-    doc="E1: exact dedup — hash-groupBy on content fingerprint, keep the "
-    "min doc_id.  At 100 TB this is one shuffle on a 128-bit key; "
-    "map-side partial grouping collapses most duplicates before exchange.",
-    tables=("documents",),
+    doc="E1 + table maintenance, one labeled union (round-4 fusion — the "
+    "gate cap is full, so the MERGE operator gets its hard CORRECTNESS "
+    "row by riding an existing entry, the decontam-fusion pattern): "
+    "exact — dedup via hash-groupBy on a content fingerprint (one "
+    "shuffle on a 128-bit key at 100 TB; map-side partials collapse "
+    "most duplicates pre-exchange).  merge — operators/merge.py's "
+    "copy-on-write MERGE INTO run FOR REAL on disk: a hive-partitioned "
+    "orders snapshot is written, a derived delta (updates + inserts + "
+    "tombstones) is merged through the partition-pruned directory-swap "
+    "kernel, and the branch returns the POST-MERGE table contents read "
+    "back from parquet — any lost partition, missed tombstone, or "
+    "duplicated key diverges from the oracle's closed-form expected "
+    "state.",
 )
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    from pathlib import Path
+
+    from ..operators.merge import merge_upsert
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = docs.groupBy(F.md5("text").alias("k")).agg(
+        F.min("doc_id").cast("double").alias("val_a"),
+        F.count("*").cast("double").alias("val_b"),
+    ).select(F.lit("exact").alias("branch"), "k", "val_a", "val_b")
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("k_id"),
+        F.col("o_totalprice").alias("price"),
+        F.pmod(F.col("o_custkey"), F.lit(4)).cast("int").alias("part"),
+    )
+    root = Path(__file__).resolve().parents[2] / "spark-warehouse"
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    target_path = str(root / f"merge_gate_{tag}")
+    # rebuild the pre-merge snapshot fresh each run: the merge MUTATES
+    # it, so starting from a stale (already-merged) state would test
+    # idempotence instead of the merge itself
+    mod5 = F.pmod(F.col("k_id"), F.lit(5))
+    base.filter(mod5 != 4).repartition(2, "part").write.mode(
+        "overwrite"
+    ).partitionBy("part").parquet(target_path)
+    delta = (
+        base.filter(mod5 == 0)
+        .withColumn("price", F.col("price") + 1000)
+        .withColumn("deleted", F.lit(False))
+        .unionByName(
+            base.filter(mod5 == 4).withColumn("deleted", F.lit(False))
+        )
+        .unionByName(
+            base.filter(mod5 == 1).withColumn("deleted", F.lit(True))
+        )
+    )
+    merge_upsert(
+        spark,
+        target_path,
+        delta,
+        key_cols=["k_id"],
+        partition_col="part",
+        delete_col="deleted",
+    )
+    merged = spark.read.parquet(target_path).select(
+        F.lit("merge").alias("branch"),
+        F.col("k_id").cast("string").alias("k"),
+        F.col("price").alias("val_a"),
+        F.col("part").cast("double").alias("val_b"),
+    )
+    return exact.unionAll(merged)
 
 
 def _langid_score_cols_duckdb() -> list[str]:
@@ -178,29 +256,104 @@ _sql_query(
 )
 
 
+_BM25_GATE_QUERY = "dup merge vector"  # one rare + two common terms
+_BM25_TERMS_SQL = "', '".join(sorted(set(_BM25_GATE_QUERY.split(" "))))
+
+
 @register(
     "q_similarity_knn",
-    oracle="""
-    SELECT e.vec_id,
-           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                        CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim
-    FROM embeddings e,
-         (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-    WHERE e.vec_id <> 0
-    ORDER BY cos_sim DESC, e.vec_id
-    LIMIT 10
+    oracle=f"""
+    WITH knn AS (
+      SELECT 'knn' AS method, e.vec_id AS id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(q.embedding AS DOUBLE[])), 6)
+               AS score
+      FROM embeddings e,
+           (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      WHERE e.vec_id <> 0
+      ORDER BY score DESC, e.vec_id
+      LIMIT 10
+    ),
+    bm_toks AS (
+      SELECT doc_id AS id, string_split(text, ' ') AS t FROM documents
+    ),
+    bm_stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(len(t)) AS DOUBLE) / count(*) AS avgdl
+      FROM bm_toks
+    ),
+    bm_post AS (
+      SELECT id, q.term,
+             CAST(len(list_filter(t, x -> x = q.term)) AS DOUBLE) AS tf,
+             CAST(len(t) AS DOUBLE) AS dl
+      FROM bm_toks, (SELECT unnest(['{_BM25_TERMS_SQL}']) AS term) q
+    ),
+    bm_df AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS df_t
+      FROM bm_post WHERE tf > 0 GROUP BY term
+    ),
+    bm AS (
+      SELECT 'bm25' AS method, id, score FROM (
+        SELECT id,
+               round(sum(ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6)
+                 AS score
+        FROM bm_post JOIN bm_df USING (term), bm_stats
+        WHERE tf > 0
+        GROUP BY id
+      )
+      ORDER BY score DESC, id
+      LIMIT 10
+    )
+    SELECT * FROM knn UNION ALL SELECT * FROM bm
     """,
-    doc="E2 baseline: brute-force cosine top-k against a query vector — "
-    "broadcast the 1-row query, zip_with/aggregate dot product in codegen, "
-    "TakeOrderedAndProject for the top-k (no full sort).  The LSH-bucketed "
-    "scale path is operators/similarity.py.",
+    doc="E2 retrieval baselines, one labeled union (round-4 fusion — the "
+    "BM25 index gets its hard CORRECTNESS row by riding this entry): "
+    "knn — brute-force cosine top-k against a query vector: broadcast "
+    "the 1-row query, zip_with/aggregate dot product in codegen, "
+    "TakeOrderedAndProject (no full sort); the LSH-bucketed scale path "
+    "is operators/similarity.py.  bm25 — operators/search.py's "
+    "build-then-probe lexical retrieval run FOR REAL: postings built "
+    "once per corpus into a term-bucket-partitioned parquet index, the "
+    "probe prunes to the query terms' bucket dirs (buckets stored in "
+    "termstats at build — no per-probe hash job), IDF folds driver-side "
+    "into a literal map, score+top-k in one codegen'd pass.  The oracle "
+    "recomputes the smooth-IDF saturation formula closed-form from the "
+    "raw documents table, so any index/probe bug (wrong df, stale "
+    "stats, dropped bucket) diverges.",
 )
 def q_similarity_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    from pathlib import Path
+
+    from ..operators import search
+
     emb = load_table(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qvec")
     )
-    return similarity.brute_force_topk(emb.filter(F.col("vec_id") != 0), query)
+    knn = similarity.brute_force_topk(
+        emb.filter(F.col("vec_id") != 0), query
+    ).select(
+        F.lit("knn").alias("method"),
+        F.col("vec_id").alias("id"),
+        F.col("cos_sim").cast("double").alias("score"),
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = Path(__file__).resolve().parents[2] / "spark-warehouse"
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    # build once per corpus version (the whole point of build/probe —
+    # probes must not pay the build); tag carries the layout params so
+    # a schema change invalidates by path
+    idx = str(root / f"bm25_{tag}_b16tb")
+    if not (Path(idx) / "stats").exists():
+        search.bm25_build(docs, "doc_id", "text", idx, n_buckets=16)
+    bm = search.bm25_search(
+        spark, idx, _BM25_GATE_QUERY, top_n=10
+    ).select(F.lit("bm25").alias("method"), "id", "score")
+    return knn.unionAll(bm)
 
 
 @register(

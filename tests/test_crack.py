@@ -133,3 +133,80 @@ def test_early_hit_launches_prefix_of_tasks_only(spark):
     assert 1 <= launched <= 5, (
         f"expected a 1-2 wave prefix, launched {launched} of {total_parts}"
     )
+
+
+def test_width7_crack_past_reference_uint32_ceiling(spark):
+    """Width-7 viability: the reference's base-26 ordinal is uint32 and
+    overflows at width >= 7 (26^7 = 8.03e9 > 2^32; pass_char2num,
+    server.c:199-209) — its keyspace math silently wraps there.  The
+    engine's int64 ordinals are exact through width 13, so a width-7
+    crack must (a) decode ordinals beyond 2^32 correctly and (b) find a
+    preimage in a targeted high-ordinal window — the overflow divergence
+    proven as behavior, not just documented."""
+    from csce438_distributed_password_cracker_spark.functions import codec
+    from csce438_distributed_password_cracker_spark.operators.crack import (
+        crack_verdict_df,
+    )
+
+    n = codec.keyspace_size(7)
+    assert n == 26**7 > 2**32  # the ceiling being crossed
+
+    # a known preimage deep in the space: ordinal > uint32 max
+    target_ord = n - 500
+    assert target_ord > 2**32
+    preimage = codec.py_decode(target_ord, 7)
+    assert codec.py_encode(preimage) == target_ord  # int64 codec exact
+    digest = hashlib.sha1(preimage.encode()).hexdigest()
+
+    # targeted-range crack over a window around the ordinal (the
+    # coordinator's sub-range request shape, server.c:403-434, at a
+    # range the reference cannot address)
+    row = crack_verdict_df(
+        spark, digest, 7, lower_ord=n - 2000, upper_ord=n - 1
+    ).first()
+    assert row["found"] is True
+    assert row["password"] == preimage
+
+    # and a miss in a disjoint window exhausts to 'x' semantics
+    miss = crack_verdict_df(
+        spark, digest, 7, lower_ord=0, upper_ord=1999
+    ).first()
+    assert miss["found"] is False and miss["password"] is None
+
+
+def test_width7_full_space_early_hit_stays_prefix_launched(spark):
+    """Full-space width-7 crack with an early preimage: partition sizing
+    at 26^7 (~2000 tasks of ~4M ordinals) must combine with
+    executeTake's incremental launch so the hit costs ONE wave, not an
+    8-billion-candidate scan — the scale knob (CANDIDATES_PER_TASK)
+    and the early-stop property working together past the reference's
+    ceiling."""
+    from csce438_distributed_password_cracker_spark.sources.keyspace import (
+        keyspace,
+    )
+
+    sc = spark.sparkContext
+    total_parts = keyspace(spark, 7).rdd.getNumPartitions()
+    assert total_parts >= 1000, "width-7 space should span ~2k partitions"
+
+    target = hashlib.sha1(b"aaaaaab").hexdigest()  # ordinal 1: first wave
+    sc.setJobGroup("earlystop_w7", "width-7 early-stop launch assertion")
+    try:
+        res = crack_mod.crack(spark, target, 7)
+    finally:
+        sc.setJobGroup(None, None)
+    assert res.reply == "f aaaaaab"
+
+    st = sc.statusTracker()
+    launched = 0
+    for jid in st.getJobIdsForGroup("earlystop_w7"):
+        info = st.getJobInfo(jid)
+        if info is None:
+            continue
+        for sid in info.stageIds:
+            sinfo = st.getStageInfo(sid)
+            if sinfo is not None:
+                launched += sinfo.numTasks
+    assert 1 <= launched <= 5, (
+        f"expected a 1-2 wave prefix, launched {launched} of {total_parts}"
+    )

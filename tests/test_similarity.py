@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import math
+from pathlib import Path
 
 from pyspark.sql import functions as F
 
@@ -387,3 +388,100 @@ def test_ivf_index_update_probe_consistent(spark, sf_smoke, tmp_path):
     )
     top = similarity.ivf_probe(spark, path, query, k=3, n_probe=2).first()
     assert top.vec_id == target.vec_id and abs(top.cos_sim - 1.0) < 1e-6
+
+
+def test_ivf_sq8_index_recall_and_compression(spark, tmp_path):
+    """VERDICT r3 #4: scalar-quantized (int8) inverted lists + exact
+    full-precision re-rank, with the quantization error ISOLATED from
+    IVF's list-coverage error (the synthetic embeddings are near-
+    uniform, so partial-coverage recall is bounded by coverage for ANY
+    vector representation — that bound belongs to n_probe, not to SQ8).
+    Pins, at sf0.1:
+    (a) full-coverage probe (n_probe = all lists): recall vs brute
+        force ≥ 0.95 — any loss here is the int8 shortlist missing a
+        true neighbor, the failure mode the quantization layer owns;
+    (b) partial-coverage probe: the SQ8 result ≈ the full-precision
+        IVF probe with identical params (compression is
+        coverage-neutral);
+    (c) the compressed lists are actually much smaller on disk than
+        the float64 lists — the point of the layer."""
+    sf01 = "/root/testdata/sf0.1"
+    emb = load_table(spark, sf01, "embeddings")
+    sq_path = str(tmp_path / "ivf_sq")
+    fp_path = str(tmp_path / "ivf_fp")
+    similarity.build_ivf_sq_index(emb, sq_path, n_centroids=16)
+    similarity.build_ivf_index(emb, fp_path, n_centroids=16)
+
+    recalls = []
+    for qid in range(8):
+        query = emb.filter(F.col("vec_id") == qid).select(
+            F.col("embedding").alias("qvec")
+        )
+        rest = emb.filter(F.col("vec_id") != qid)
+        truth = {
+            r["vec_id"]
+            for r in similarity.brute_force_topk(rest, query, k=10).collect()
+        }
+        # (a) full coverage: only the quantized shortlist can lose recall
+        sq_full = {
+            r["vec_id"]
+            for r in similarity.ivf_sq_probe(
+                spark, sq_path, query, k=11, n_probe=16, rerank_n=60
+            ).collect()
+            if r["vec_id"] != qid
+        }
+        recalls.append(len(truth & sq_full) / 10)
+        # (b) partial coverage: SQ8 ≈ float64 probe, same params
+        sq = {
+            r["vec_id"]
+            for r in similarity.ivf_sq_probe(
+                spark, sq_path, query, k=11, n_probe=4, rerank_n=60
+            ).collect()
+            if r["vec_id"] != qid
+        }
+        fp = {
+            r["vec_id"]
+            for r in similarity.ivf_probe(
+                spark, fp_path, query, k=11, n_probe=4
+            ).collect()
+            if r["vec_id"] != qid
+        }
+        assert len(sq & fp) >= 9, f"qid={qid}: sq={sq} fp={fp}"
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.95, f"full-coverage recall {avg} from {recalls}"
+
+    def dir_bytes(p, sub):
+        return sum(
+            f.stat().st_size
+            for f in Path(p, sub).rglob("*.parquet")
+        )
+
+    sq_bytes = dir_bytes(sq_path, "lists")
+    fp_bytes = dir_bytes(fp_path, "vectors")
+    # int8[64] + scale vs float64[64] (+ carried metadata): demand a
+    # real reduction, not an encoding accident
+    assert sq_bytes < 0.5 * fp_bytes, (sq_bytes, fp_bytes)
+
+
+def test_ivf_sq8_probe_prunes_fullvec_buckets(spark, sf_smoke, tmp_path):
+    """The re-rank fetch must be partition-pruned to the candidate ids'
+    buckets (PartitionFilters on fv_bucket), not a fullvec scan."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    path = str(tmp_path / "ivf_sq")
+    similarity.build_ivf_sq_index(emb, path, n_centroids=8, fullvec_buckets=8)
+    full = (
+        spark.read.parquet(f"{path}/fullvec")
+        .filter(F.col("fv_bucket").isin([1, 3]))
+        .filter(F.col("vec_id").isin([1, 3, 11]))
+    )
+    plan = full._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "fv_bucket" in plan
+
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    got = similarity.ivf_sq_probe(
+        spark, path, query, k=5, n_probe=8, rerank_n=20
+    ).collect()
+    assert len(got) == 5
+    assert got[0]["vec_id"] == 0 and got[0]["cos_sim"] == 1.0
