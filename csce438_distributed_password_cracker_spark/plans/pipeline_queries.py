@@ -235,25 +235,87 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_sql_query(
+@register(
     "q_binary_roundtrip",
-    """
-    SELECT doc_id,
-           CAST(length(CAST(text AS BINARY)) AS BIGINT) AS n_bytes,
-           CAST(CAST(text AS BINARY) AS STRING) = text AS roundtrip_ok
-    FROM documents
-    """,
     oracle="""
-    SELECT doc_id,
+    SELECT 'binary' AS branch, doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            decode(encode(text)) = text AS roundtrip_ok
     FROM documents
+    UNION ALL
+    SELECT 'ingest_csv' AS branch, doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           true AS roundtrip_ok
+    FROM documents
     """,
-    doc="E4: opaque binary columns — string⇄binary round trip; the "
-    "multimodal decode path (operators/multimodal.py) rides the same "
-    "BinaryType plumbing.",
-    tables=("documents",),
+    doc="E4 + ingestion front door, one labeled union.  binary: opaque "
+    "binary columns — string⇄binary round trip; the multimodal decode "
+    "path (operators/multimodal.py) rides the same BinaryType plumbing.  "
+    "ingest_csv (round-4 fusion): sources/ingest.py run FOR REAL — the "
+    "documents slice is written out as CSV, read back through the "
+    "schema-DECLARED (never inferred) PERMISSIVE reader, split from its "
+    "quarantine column, and joined against the parquet truth; "
+    "roundtrip_ok asserts byte-exact text + lang survival through CSV "
+    "quoting and n_bytes re-measures the reread text, so any "
+    "quoting/escaping/schema bug in the front door hash-diverges.",
 )
+def q_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    from pathlib import Path
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..sources.ingest import ingest, split_valid
+
+    docs = load_table(spark, sf_dir, "documents")
+    binary = docs.select(
+        F.lit("binary").alias("branch"),
+        "doc_id",
+        F.length(F.col("text").cast("binary")).cast("long").alias("n_bytes"),
+        (F.col("text").cast("binary").cast("string") == F.col("text")).alias(
+            "roundtrip_ok"
+        ),
+    )
+
+    root = Path(__file__).resolve().parents[2] / "spark-warehouse"
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    csv_dir = str(root / f"ingest_gate_{tag}")
+    shutil.rmtree(csv_dir, ignore_errors=True)
+    docs.select("doc_id", "text", "lang").repartition(2).write.option(
+        "header", True
+    ).csv(csv_dir)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+        ]
+    )
+    reread = ingest(
+        spark, csv_dir, "csv", schema, options={"header": "true"}
+    )
+    valid, _quarantine = split_valid(reread)
+    orig = docs.select(
+        F.col("doc_id").alias("__oid"),
+        F.col("text").alias("__otext"),
+        F.col("lang").alias("__olang"),
+    )
+    ingested = valid.join(orig, F.col("doc_id") == F.col("__oid")).select(
+        F.lit("ingest_csv").alias("branch"),
+        "doc_id",
+        F.length(F.col("text").cast("binary")).cast("long").alias("n_bytes"),
+        (
+            F.col("text").eqNullSafe(F.col("__otext"))
+            & F.col("lang").eqNullSafe(F.col("__olang"))
+        ).alias("roundtrip_ok"),
+    )
+    return binary.unionAll(ingested)
 
 
 _BM25_GATE_QUERY = "dup merge vector"  # one rare + two common terms
@@ -680,34 +742,79 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_pairs_blocked(emb, threshold=0.4)
 
 
-_sql_query(
+@register(
     "q_array_ops",
-    """
-    SELECT doc_id,
-           CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
-           array_join(slice(array_sort(array_distinct(split(text, ' '))), 1, 3),
-                      ',') AS first3_sorted,
-           array_contains(split(text, ' '), 'the') AS has_the,
-           CAST(size(filter(split(text, ' '), x -> length(x) > 4)) AS BIGINT)
-             AS n_long_tokens
-    FROM documents
-    """,
     oracle="""
-    SELECT doc_id,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-           array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3],
-                           ',') AS first3_sorted,
-           list_contains(string_split(text, ' '), 'the') AS has_the,
-           CAST(len(list_filter(string_split(text, ' '), x -> length(x) > 4))
-             AS BIGINT) AS n_long_tokens
-    FROM documents
+    WITH arrays AS (
+      SELECT 'arrays' AS branch, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS idx,
+             array_to_string(
+               list_sort(list_distinct(string_split(text, ' ')))[1:3],
+               ',') AS s,
+             list_contains(string_split(text, ' '), 'the') AS flag,
+             CAST(len(list_filter(string_split(text, ' '),
+                  x -> length(x) > 4)) AS BIGINT) AS n
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS nt
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, t, nt,
+             unnest(generate_series(0, greatest(nt - 5, 0), 8)) AS st
+      FROM toks
+    ),
+    chunks AS (
+      SELECT 'chunks' AS branch, doc_id,
+             CAST(st / 8 AS BIGINT) AS idx,
+             array_to_string(t[st + 1 : st + 12], ' ') AS s,
+             least(nt - st, 12) = 12 AS flag,
+             CAST(least(nt - st, 12) AS BIGINT) AS n
+      FROM starts
+    )
+    SELECT * FROM arrays UNION ALL SELECT * FROM chunks
     """,
-    doc="Array/collection functions (SURVEY.md §2.8 'absent' row, "
-    "dispositioned for corpus breadth): sort/distinct/slice/join/"
-    "contains/filter-lambda over token arrays — Spark array_* vs DuckDB "
-    "list_* spellings, same semantics.",
-    tables=("documents",),
+    doc="Array/collection functions + document chunking, one labeled "
+    "union.  arrays: sort/distinct/slice/join/contains/filter-lambda "
+    "over token arrays — Spark array_* vs DuckDB list_* spellings, same "
+    "semantics (SURVEY §2.8 'absent' row, dispositioned for corpus "
+    "breadth).  chunks (round-4 fusion): operators/chunking.py's "
+    "overlapping token windows (chunk_tokens=12, overlap=4) run through "
+    "the real sequence+posexplode+slice operator — map-only, no "
+    "shuffle, no UDF — with the window starts, exact chunk TEXT, and "
+    "per-chunk token counts all recomputed closed-form by the oracle "
+    "(generate_series + list slicing).",
 )
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    arrays = docs.select(
+        F.lit("arrays").alias("branch"),
+        "doc_id",
+        F.size(toks).cast("long").alias("idx"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct(toks)), 1, 3), ","
+        ).alias("s"),
+        F.array_contains(toks, "the").alias("flag"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 4))
+        .cast("long")
+        .alias("n"),
+    )
+    chunks = chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=12, overlap=4
+    ).select(
+        F.lit("chunks").alias("branch"),
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("idx"),
+        F.col("chunk_text").alias("s"),
+        (F.col("n_tokens") == 12).alias("flag"),
+        F.col("n_tokens").cast("long").alias("n"),
+    )
+    return arrays.unionAll(chunks)
 
 
 _BUCKET = md5_bucket_sql("CAST(doc_id AS STRING)", 256)

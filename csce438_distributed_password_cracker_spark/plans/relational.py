@@ -285,9 +285,7 @@ _EVENT_COUNTS = """
     FROM events
 """
 
-_sql_query(
-    "q_agg_scalars",
-    f"""
+_AGG_SCALARS_SQL = f"""
     SELECT e.n_total, e.n_click, e.n_view, e.n_purchase, e.n_error,
            l.d_parts, l.d_supps, l.n_rows,
            abs(a.approx_d - l.d_parts) <= 0.05 * l.d_parts AS approx_within_5pct
@@ -301,11 +299,18 @@ _sql_query(
     CROSS JOIN (
       SELECT approx_count_distinct(l_partkey, 0.02) AS approx_d FROM lineitem
     ) a
-    """,
+    """
+
+
+@register(
+    "q_agg_scalars",
     oracle=f"""
     SELECT e.n_total, e.n_click, e.n_view, e.n_purchase, e.n_error,
            l.d_parts, l.d_supps, l.n_rows,
-           true AS approx_within_5pct
+           true AS approx_within_5pct,
+           p.prof_qty_nonnull, p.prof_qty_min, p.prof_qty_max,
+           p.prof_qty_mean, p.prof_price_min, p.prof_price_max,
+           d.d_added, d.d_removed, d.d_changed, d.d_unchanged
     FROM ({_EVENT_COUNTS}) e
     CROSS JOIN (
       SELECT count(DISTINCT l_partkey) AS d_parts,
@@ -313,16 +318,108 @@ _sql_query(
              count(*) AS n_rows
       FROM lineitem
     ) l
+    CROSS JOIN (
+      -- closed-form twin of the ONE-PASS profile the Spark side runs
+      -- through operators/profile.profile (long-format reshaped back
+      -- to scalars)
+      SELECT CAST(count(l_quantity) AS BIGINT) AS prof_qty_nonnull,
+             CAST(min(l_quantity) AS DOUBLE) AS prof_qty_min,
+             CAST(max(l_quantity) AS DOUBLE) AS prof_qty_max,
+             round(avg(CAST(l_quantity AS DOUBLE)), 6) AS prof_qty_mean,
+             CAST(min(l_extendedprice) AS DOUBLE) AS prof_price_min,
+             CAST(max(l_extendedprice) AS DOUBLE) AS prof_price_max
+      FROM lineitem
+    ) p
+    CROSS JOIN (
+      -- closed-form twin of operators/diff.snapshot_diff over the
+      -- derived before/after customer snapshots (% 10 classes below)
+      SELECT CAST(count(*) FILTER (WHERE c_custkey % 10 = 5) AS BIGINT)
+               AS d_added,
+             CAST(count(*) FILTER (WHERE c_custkey % 10 = 3) AS BIGINT)
+               AS d_removed,
+             CAST(count(*) FILTER (WHERE c_custkey % 10 = 4) AS BIGINT)
+               AS d_changed,
+             CAST(count(*) FILTER (WHERE c_custkey % 10 NOT IN (3, 4))
+               AS BIGINT) AS d_unchanged
+      FROM customer
+    ) d
     """,
     doc="Scalar aggregate battery in one row (merged so the driver gate "
     "covers each; the gate caps the registry at 50 entries): A3 filtered "
     "counting (idle-worker census, server.c:338-357); distinct aggregation "
     "(expand + two-phase agg); E5 approx_count_distinct (HLL++ sketch — "
     "mergeable, no expand, the 100 TB path) asserted within 5% of its "
-    "exact twin (the oracle states the invariant).  All three are "
-    "single-row aggregates, so the cross joins are broadcast no-ops.",
-    tables=("events", "lineitem"),
+    "exact twin (the oracle states the invariant).  Round-4 fusion adds "
+    "two more production operators as scalar branches: prof_* — "
+    "operators/profile.profile's ONE-PASS dataset profile over lineitem "
+    "(the exact subset of its metrics: nonnull count, min/max, rounded "
+    "mean — sketch metrics stay test-covered), reshaped from the "
+    "long-format output; d_* — operators/diff.snapshot_diff between the "
+    "customer table and a derived after-snapshot (keys %10=3 dropped, "
+    "%10=4 value-bumped, %10=5 re-keyed as inserts), classifying every "
+    "key added/removed/changed/unchanged via the map-side row-hash "
+    "reduction.  All single-row aggregates; the cross joins are "
+    "broadcast no-ops.",
 )
+def q_agg_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.diff import snapshot_diff
+    from ..operators.profile import profile
+
+    for t in ("events", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    base = spark.sql(_AGG_SCALARS_SQL)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    prof = profile(li, columns=["l_quantity", "l_extendedprice"])
+
+    def metric(col: str, m: str, alias: str, rnd: int | None = None):
+        v = F.max(
+            F.when(
+                (F.col("column") == col) & (F.col("metric") == m),
+                F.col("value_num"),
+            )
+        )
+        if rnd is not None:
+            v = F.round(v, rnd)
+        return v.alias(alias)
+
+    prof_row = prof.agg(
+        metric("l_quantity", "n_nonnull", "prof_qty_nonnull")
+        .cast("long")
+        .alias("prof_qty_nonnull"),
+        metric("l_quantity", "min", "prof_qty_min"),
+        metric("l_quantity", "max", "prof_qty_max"),
+        metric("l_quantity", "mean", "prof_qty_mean", rnd=6),
+        metric("l_extendedprice", "min", "prof_price_min"),
+        metric("l_extendedprice", "max", "prof_price_max"),
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    mod10 = F.pmod(F.col("c_custkey"), F.lit(10))
+    after = (
+        cust.filter(mod10 != 3)  # removed
+        .withColumn(
+            "c_acctbal",
+            F.when(mod10 == 4, F.col("c_acctbal") + 1).otherwise(
+                F.col("c_acctbal")
+            ),
+        )  # changed
+        .unionByName(
+            cust.filter(mod10 == 5).withColumn(
+                "c_custkey", F.col("c_custkey") + 1_000_000
+            )
+        )  # added
+    )
+    diff = snapshot_diff(cust, after, key_cols=["c_custkey"])
+    diff_row = diff.agg(
+        *[
+            F.sum(
+                F.when(F.col("diff_status") == s, 1).otherwise(0)
+            ).cast("long").alias(f"d_{s}")
+            for s in ("added", "removed", "changed", "unchanged")
+        ]
+    )
+    return base.crossJoin(prof_row).crossJoin(diff_row)
 
 _sql_query(
     "q_agg_groupby",

@@ -94,16 +94,44 @@ _sql_query(
            {_money(_dec("value"), "total_value")}
     FROM events
     GROUP BY date_trunc('hour', ts)
+    UNION ALL
+    SELECT 'rollup' AS kind,
+           concat(CAST(CAST(ts AS DATE) AS VARCHAR), '|', event_type)
+             AS grp_key,
+           CAST(NULL AS TIMESTAMP) AS window_start,
+           count(*) AS n,
+           -- raw-double sum (NOT the _dec cents-quantized spelling):
+           -- the rollup accumulates raw doubles, so the twin must too;
+           -- round(.,2) absorbs the incremental-vs-single-pass
+           -- last-bit difference
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 2
     """,
-    doc="T1 + tumbling windows, one labeled union.  by_type: unbounded "
-    "request stream consumed incrementally (server.c:477-505), computed "
-    "as two-phase partial aggregation — per-microbatch partials "
-    "re-aggregated — which must equal the one-shot batch answer (the "
-    "oracle); exactly Spark's streaming-agg state-merge contract, "
-    "checkable in batch.  tumbling: 1h F.window aggregation (aligns to "
-    "the epoch ⇒ equals date_trunc('hour')).",
+    doc="T1 + tumbling windows + incremental rollup, one labeled union.  "
+    "by_type: unbounded request stream consumed incrementally "
+    "(server.c:477-505), computed as two-phase partial aggregation — "
+    "per-microbatch partials re-aggregated — which must equal the "
+    "one-shot batch answer (the oracle); exactly Spark's streaming-agg "
+    "state-merge contract, checkable in batch.  tumbling: 1h F.window "
+    "aggregation (aligns to the epoch ⇒ equals date_trunc('hour')).  "
+    "rollup (round-4 fusion): streaming/rollup.py run FOR REAL — the "
+    "events split into two overlapping-day batches, each absorbed by "
+    "merge_batch into a fresh VERSIONED rollup table on disk "
+    "(algebraic partials, partition-pruned copy-on-write merge, atomic "
+    "manifest commits), then the stored table is read back through the "
+    "manifest; the oracle is the one-shot aggregate, so any partial-"
+    "merge, replay, or versioned-commit bug diverges.  The double sums "
+    "accumulate incrementally across batches, so the branch rounds to "
+    "2 decimals (same spelling both sides) — counts are exact.",
 )
 def q_stream_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    from pathlib import Path
+
+    from ..streaming.rollup import merge_batch, read_rollup
+
     ev = load_table(spark, sf_dir, "events")
     partial = ev.groupBy(
         "event_type", (F.col("event_id") % 4).alias("microbatch")
@@ -137,7 +165,30 @@ def q_stream_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return by_type.unionAll(tumbling)
+
+    # rollup branch: drive the incremental materialized rollup for real.
+    # Two batches split by event_id parity OVERLAP on every day, so the
+    # second merge exercises cross-batch _combine + the partition-pruned
+    # versioned merge, not just a disjoint append.
+    root = Path(__file__).resolve().parents[2] / "spark-warehouse"
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    table = str(root / f"rollup_gate_{tag}")
+    # fresh table each run: merge_batch's replay detection would
+    # correctly no-op a stale table's batch ids, which would mask
+    # regressions (and break if the driver regenerates testdata)
+    shutil.rmtree(table, ignore_errors=True)
+    merge_batch(spark, table, ev.filter(F.col("event_id") % 2 == 0), 0)
+    merge_batch(spark, table, ev.filter(F.col("event_id") % 2 == 1), 1)
+    rollup_branch = read_rollup(spark, table).select(
+        F.lit("rollup").alias("kind"),
+        F.concat(
+            F.col("day").cast("string"), F.lit("|"), F.col("event_type")
+        ).alias("grp_key"),
+        F.lit(None).cast("timestamp").alias("window_start"),
+        F.col("n_events").alias("n"),
+        F.round("sum_value", 2).alias("total_value"),
+    )
+    return by_type.unionAll(tumbling).unionAll(rollup_branch)
 
 
 # (connid, seqnum) message fixture for the stateful acceptor — covers
