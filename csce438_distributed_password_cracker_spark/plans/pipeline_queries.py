@@ -25,6 +25,20 @@ from ..operators.split import md5_bucket_sql, md5_sample_sql
 from .registry import register
 from .relational import _sql_query
 
+
+def _content_tag(df: DataFrame, col: str) -> int:
+    """Order-independent exact content fingerprint for build-once gate
+    indexes: sum of per-row xxhash64 over the column's string form,
+    folded to a non-negative path-safe int.  One cheap scan; a
+    regenerated table changes the tag, so the index rebuilds instead
+    of serving stale data."""
+    h = df.agg(
+        # decimal accumulator: a long sum of xxhash64 values overflows
+        # under ANSI mode
+        F.sum(F.xxhash64(F.col(col).cast("string")).cast("decimal(38,0)"))
+    ).first()[0]
+    return int(h or 0) % 1_000_000_007
+
 @register(
     "q_dedup_exact",
     oracle="""
@@ -406,10 +420,12 @@ def q_similarity_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     root = Path(__file__).resolve().parents[2] / "spark-warehouse"
     tag = os.path.basename(os.path.normpath(sf_dir))
-    # build once per corpus version (the whole point of build/probe —
-    # probes must not pay the build); tag carries the layout params so
-    # a schema change invalidates by path
-    idx = str(root / f"bm25_{tag}_b16tb")
+    # build once per corpus VERSION (the whole point of build/probe —
+    # probes must not pay the build); the tag carries the layout params
+    # AND a content fingerprint, so a driver-regenerated documents
+    # table (or an index schema change) invalidates by path instead of
+    # probing a stale index
+    idx = str(root / f"bm25_{tag}_b16tb_{_content_tag(docs, 'text')}")
     if not (Path(idx) / "stats").exists():
         search.bm25_build(docs, "doc_id", "text", idx, n_buckets=16)
     bm = search.bm25_search(
@@ -1064,11 +1080,15 @@ def q_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # these (source, params) — build once per corpus version, probe many
     # (the whole point of the build/probe split; rebuilding per query
     # would be the O(table)-per-probe shape this operator exists to avoid)
-    lsh_path = str(root / f"lsh_{tag}_d64p8s42")
+    # content fingerprint in the tag: a driver-regenerated embeddings
+    # table invalidates by path instead of probing stale bucketed data
+    # (same discipline as the bm25 gate index)
+    fp = _content_tag(emb, "embedding")
+    lsh_path = str(root / f"lsh_{tag}_d64p8s42_{fp}")
     # tag encodes the centroid-seeding scheme (md5 ordering) — an index
     # built under the old xxhash64 ordering has different clusters and
     # must not be reused
-    ivf_path = str(root / f"ivf_{tag}_c16md5s42")
+    ivf_path = str(root / f"ivf_{tag}_c16md5s42_{fp}")
     if not (Path(lsh_path) / "_SUCCESS").exists():
         similarity.build_lsh_index(base, lsh_path, dim=64, n_planes=8)
     if not (Path(ivf_path) / "vectors" / "_SUCCESS").exists():
