@@ -333,7 +333,42 @@ def q_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BM25_GATE_QUERY = "dup merge vector"  # one rare + two common terms
-_BM25_TERMS_SQL = "', '".join(sorted(set(_BM25_GATE_QUERY.split(" "))))
+_BM25_QUERY2 = "customer stream window"  # second list for the RRF branch
+
+
+def _terms_sql(query: str) -> str:
+    return "', '".join(sorted(set(query.split(" "))))
+
+
+def _bm25_list_cte(prefix: str, query: str) -> str:
+    """DuckDB CTE fragment computing the top-10 BM25 list for ``query``
+    as ``{prefix}_list(id, score)`` — the closed-form twin of one
+    bm25_search probe (shares bm_toks/bm_stats)."""
+    return f"""
+    {prefix}_post AS (
+      SELECT id, q.term,
+             CAST(len(list_filter(t, x -> x = q.term)) AS DOUBLE) AS tf,
+             CAST(len(t) AS DOUBLE) AS dl
+      FROM bm_toks, (SELECT unnest(['{_terms_sql(query)}']) AS term) q
+    ),
+    {prefix}_df AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS df_t
+      FROM {prefix}_post WHERE tf > 0 GROUP BY term
+    ),
+    {prefix}_list AS (
+      SELECT id, score FROM (
+        SELECT id,
+               round(sum(ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6)
+                 AS score
+        FROM {prefix}_post JOIN {prefix}_df USING (term), bm_stats
+        WHERE tf > 0
+        GROUP BY id
+      )
+      ORDER BY score DESC, id
+      LIMIT 10
+    )"""
 
 
 @register(
@@ -357,32 +392,28 @@ _BM25_TERMS_SQL = "', '".join(sorted(set(_BM25_GATE_QUERY.split(" "))))
       SELECT CAST(count(*) AS DOUBLE) AS n_docs,
              CAST(sum(len(t)) AS DOUBLE) / count(*) AS avgdl
       FROM bm_toks
+    ),{_bm25_list_cte("bm1", _BM25_GATE_QUERY)},{_bm25_list_cte("bm2", _BM25_QUERY2)},
+    bm AS (SELECT 'bm25' AS method, id, score FROM bm1_list),
+    r1 AS (
+      SELECT id, 1.0 / (60 + row_number()
+               OVER (ORDER BY score DESC, id)) AS rr
+      FROM bm1_list
     ),
-    bm_post AS (
-      SELECT id, q.term,
-             CAST(len(list_filter(t, x -> x = q.term)) AS DOUBLE) AS tf,
-             CAST(len(t) AS DOUBLE) AS dl
-      FROM bm_toks, (SELECT unnest(['{_BM25_TERMS_SQL}']) AS term) q
+    r2 AS (
+      SELECT id, 1.0 / (60 + row_number()
+               OVER (ORDER BY score DESC, id)) AS rr
+      FROM bm2_list
     ),
-    bm_df AS (
-      SELECT term, CAST(count(*) AS DOUBLE) AS df_t
-      FROM bm_post WHERE tf > 0 GROUP BY term
-    ),
-    bm AS (
-      SELECT 'bm25' AS method, id, score FROM (
-        SELECT id,
-               round(sum(ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5))
-                   * (tf * 2.2)
-                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6)
-                 AS score
-        FROM bm_post JOIN bm_df USING (term), bm_stats
-        WHERE tf > 0
-        GROUP BY id
-      )
+    rrf AS (
+      SELECT 'rrf' AS method, id,
+             round(COALESCE(r1.rr, 0) + COALESCE(r2.rr, 0), 8) AS score
+      FROM r1 FULL JOIN r2 USING (id)
       ORDER BY score DESC, id
       LIMIT 10
     )
-    SELECT * FROM knn UNION ALL SELECT * FROM bm
+    SELECT * FROM knn
+    UNION ALL SELECT * FROM bm
+    UNION ALL SELECT * FROM rrf
     """,
     doc="E2 retrieval baselines, one labeled union (round-4 fusion — the "
     "BM25 index gets its hard CORRECTNESS row by riding this entry): "
@@ -397,7 +428,13 @@ _BM25_TERMS_SQL = "', '".join(sorted(set(_BM25_GATE_QUERY.split(" "))))
     "into a literal map, score+top-k in one codegen'd pass.  The oracle "
     "recomputes the smooth-IDF saturation formula closed-form from the "
     "raw documents table, so any index/probe bug (wrong df, stale "
-    "stats, dropped bucket) diverges.",
+    "stats, dropped bucket) diverges.  rrf (round-4 fusion) — "
+    "operators/hybrid.py's reciprocal rank fusion run over two real "
+    "probe lists (multi-query fusion: the gate query and a second "
+    "fixed query against the same index); the oracle re-derives both "
+    "lists and the 1/(60+rank) algebra closed-form, pinning the rank "
+    "windows, the full-outer null-rank handling, and the fused "
+    "ordering.",
 )
 def q_similarity_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -428,10 +465,17 @@ def q_similarity_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = str(root / f"bm25_{tag}_b16tb_{_content_tag(docs, 'text')}")
     if not (Path(idx) / "stats").exists():
         search.bm25_build(docs, "doc_id", "text", idx, n_buckets=16)
-    bm = search.bm25_search(
-        spark, idx, _BM25_GATE_QUERY, top_n=10
-    ).select(F.lit("bm25").alias("method"), "id", "score")
-    return knn.unionAll(bm)
+    from ..operators.hybrid import rrf_fuse
+
+    list1 = search.bm25_search(spark, idx, _BM25_GATE_QUERY, top_n=10)
+    list2 = search.bm25_search(spark, idx, _BM25_QUERY2, top_n=10)
+    bm = list1.select(F.lit("bm25").alias("method"), "id", "score")
+    rrf = rrf_fuse(list1, list2, top_n=10).select(
+        F.lit("rrf").alias("method"),
+        "id",
+        F.col("rrf_score").alias("score"),
+    )
+    return knn.unionAll(bm).unionAll(rrf)
 
 
 @register(
