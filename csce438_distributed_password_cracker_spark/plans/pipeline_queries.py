@@ -159,6 +159,19 @@ def _langid_case_duckdb() -> str:
 
 _SCORES = [f"score_{lang}" for lang in sorted(textops.DEFAULT_PROFILES)]
 
+# redaction branch inputs: synthesize PII into every third doc so the
+# redaction chain sees both hit and miss rows.  Only the email + ipv4
+# patterns are gate-checked — the phone pattern uses lookbehind, which
+# DuckDB's RE2 engine lacks (it stays unit-test covered).
+_EMAIL_RX = textops.PII_PATTERNS[0][1]
+_IPV4_RX = textops.PII_PATTERNS[1][1]
+_SYNTH_SQL = (
+    # STRING (not VARCHAR): the one cast spelling both parsers accept
+    "CASE WHEN doc_id % 3 = 0 THEN text || ' u' || "
+    "CAST(doc_id AS STRING) || '@ex.com at 10.0.0.' || "
+    "CAST(doc_id % 256 AS STRING) ELSE text END"
+)
+
 
 @register(
     "q_text_profile",
@@ -167,7 +180,13 @@ _SCORES = [f"score_{lang}" for lang in sorted(textops.DEFAULT_PROFILES)]
            stopword_ratio, avg_token_len, q_punct_ratio, q_stopword_ratio,
            n_distinct_trigrams, dup_trigram_frac,
            {", ".join(_SCORES)},
-           {_langid_case_duckdb()} AS lang_pred
+           {_langid_case_duckdb()} AS lang_pred,
+           regexp_replace(regexp_replace(__synth, '{_EMAIL_RX}', '<EMAIL>', 'g'),
+                          '{_IPV4_RX}', '<IP>', 'g') AS text_redacted,
+           CAST(len(regexp_extract_all(__synth, '{_EMAIL_RX}'))
+              + len(regexp_extract_all(
+                    regexp_replace(__synth, '{_EMAIL_RX}', '<EMAIL>', 'g'),
+                    '{_IPV4_RX}')) AS BIGINT) AS n_redactions
     FROM (
       SELECT doc_id, lang,
              CAST(length(text) AS BIGINT) AS n_chars,
@@ -201,7 +220,8 @@ _SCORES = [f"score_{lang}" for lang in sorted(textops.DEFAULT_PROFILES)]
                   ['the', 'a', 'of', 'and', 'row', 'data'])) AS DOUBLE)
                / greatest(len(list_distinct(string_split(text, ' '))), 1)
                AS q_stopword_ratio,
-             {", ".join(_langid_score_cols_duckdb())}
+             {", ".join(_langid_score_cols_duckdb())},
+             {_SYNTH_SQL} AS __synth
       FROM documents
     )
     """,
@@ -218,12 +238,18 @@ _SCORES = [f"score_{lang}" for lang in sorted(textops.DEFAULT_PROFILES)]
     "excluded from the gated output: its dyadic-fraction factors land "
     "composite values exactly on round-half ties where Spark (half-up on "
     "the exact double) and DuckDB (half-even) disagree in the 6th "
-    "decimal — covered by unit tests instead.",
+    "decimal — covered by unit tests instead.  Round-4 fusion: PII "
+    "redaction (textops.redact_pii) rides the same single scan — PII is "
+    "synthesized into every third doc, the ordered email+ipv4 "
+    "regexp_replace chain runs for real, and the oracle recomputes the "
+    "redacted TEXT and match counts with RE2 (phone's lookbehind "
+    "pattern stays unit-test covered).",
 )
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     toks = "split(text, ' ')"
     profiled = textops.quality_score(textops.language_id(docs))
+    profiled = profiled.withColumn("__synth", F.expr(_SYNTH_SQL))
     return profiled.select(
         "doc_id",
         "lang",
@@ -246,6 +272,9 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         *textops.repetition_metrics("text"),
         *_SCORES,
         "lang_pred",
+        *textops.redact_pii(
+            "__synth", patterns=textops.PII_PATTERNS[:2]
+        ),
     )
 
 
