@@ -10,7 +10,9 @@ partition count scales with the keyspace instead of being capped at 11
 workers (server.c:240,349-352).
 
 Scale design: partition sizing targets ~CANDIDATES_PER_TASK ordinals per
-task so a width-10 space (≈1.4e14) still yields bounded-size tasks; the
+task through width 8 (≈2.1e11 → ~52k tasks); the 1M-task cap binds from
+width 9 (per-task size grows — see ``num_partitions_for`` for the
+honest envelope and the chunked-ordinal-loop recipe beyond it); the
 driver never materializes candidates.
 """
 
@@ -26,7 +28,15 @@ CANDIDATES_PER_TASK = 4_000_000
 
 
 def num_partitions_for(count: int, spark: SparkSession) -> int:
-    base = max(1, min(count // CANDIDATES_PER_TASK + 1, 100_000))
+    """Partitions sized to ~CANDIDATES_PER_TASK ordinals each, capped at
+    1M tasks (Spark schedules millions of tasks fine; the cap guards
+    the degenerate widths).  The cap binds above ~4e12 ordinals
+    (width ≥ 9), where per-task size grows past the target — width 9 is
+    ~5.4M ordinals/task at the cap, width 10 ~141M (minutes of SHA per
+    task).  Beyond that, drive the search as a chunked ordinal loop
+    (crack_verdict_df over successive [lo, hi] windows — the SURVEY
+    §4.4 recipe), which also bounds wasted work on a hit."""
+    base = max(1, min(count // CANDIDATES_PER_TASK + 1, 1_000_000))
     return max(base, min(spark.sparkContext.defaultParallelism, count))
 
 

@@ -151,3 +151,21 @@ def test_probe_handles_all_unindexed_terms(spark, tmp_path):
     out = search.bm25_search(spark, path, "gamma delta", top_n=5)
     assert out.collect() == []
     assert [f.name for f in out.schema.fields] == ["id", "score"]
+
+
+def test_probe_plan_has_no_join_and_prunes_buckets(spark, tmp_path):
+    """r4: term→bucket is stored at build and IDF folds driver-side, so
+    the probe plan must contain NO join of any kind and must prune the
+    postings scan to the query terms' bucket partitions."""
+    from csce438_distributed_password_cracker_spark.operators import search
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta tok{i % 4}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "bm25plan")
+    search.bm25_build(docs, "doc_id", "text", path, n_buckets=8)
+    probe = search.bm25_search(spark, path, "alpha tok1", top_n=5)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "PartitionFilters: [" in plan and "term_bucket" in plan
