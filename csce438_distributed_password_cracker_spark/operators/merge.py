@@ -255,7 +255,12 @@ def merge_upsert(
                 f"partition column(s) {absent} not in delta columns"
             )
         touched = [
-            tuple(r)
+            # '' normalizes to None: Spark writes BOTH to
+            # __HIVE_DEFAULT_PARTITION__ (and reads them back as NULL),
+            # so they are the same physical partition — treating ''
+            # as a distinct value would swap the default directory
+            # without having read its NULL-valued rows into the slice
+            tuple(None if v == "" else v for v in r)
             for r in delta.select(*part_cols).distinct().collect()
         ]
         # the tuple predicate prunes untouched directories at planning

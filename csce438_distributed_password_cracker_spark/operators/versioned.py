@@ -285,7 +285,11 @@ def _merge_once(
     if missing:
         raise ValueError(f"delta is missing target columns: {missing}")
     touched = [
-        tuple(r) for r in delta.select(*part_cols).distinct().collect()
+        # '' -> None: both land in __HIVE_DEFAULT_PARTITION__ (see
+        # merge_upsert) — distinct treatment would hard-link the old
+        # default dir AND write a new one, duplicating its rows
+        tuple(None if v == "" else v for v in r)
+        for r in delta.select(*part_cols).distinct().collect()
     ]
     pred = partition_tuple_pred(part_cols, touched)
 

@@ -398,3 +398,27 @@ def test_rendering_mismatch_aborts_before_any_rename(spark, tmp_path):
     # target untouched, temp dirs cleaned
     assert _snapshot(path) == before
     assert not list(Path(path).parent.glob("*.__merge_tmp__"))
+
+
+def test_empty_string_partition_value_merges_with_null_rows(spark, tmp_path):
+    """'' and NULL partition values share __HIVE_DEFAULT_PARTITION__
+    (Spark reads both back as NULL): a delta with '' must MERGE with the
+    stored NULL-partition rows, not swap their directory away unread."""
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "keepme", None), (2, "plain", "a")],
+        "k long, body string, part string",
+    )
+    df.repartition(1).write.partitionBy("part").parquet(path)
+
+    delta = spark.createDataFrame(
+        [(3, "new-empty", "")], "k long, body string, part string"
+    )
+    merge_upsert(spark, path, delta, key_cols=["k", "part"],
+                 partition_col="part")
+    got = {r.k: (r.body, r.part) for r in spark.read.parquet(path).collect()}
+    # stored NULL-partition row SURVIVES alongside the new row
+    assert got[1] == ("keepme", None)
+    assert got[3] == ("new-empty", None)  # '' reads back as NULL
+    assert got[2] == ("plain", "a")
+    assert len(got) == 3
