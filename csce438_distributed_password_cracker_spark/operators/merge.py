@@ -94,6 +94,21 @@ def _key_cond(left: DataFrame, right: DataFrame, key_cols: list[str]):
     return cond
 
 
+def normalize_empty_partition_values(
+    delta: DataFrame, part_cols: list[str]
+) -> DataFrame:
+    """'' -> NULL in the delta's string partition columns ('' and NULL
+    are the SAME physical hive partition; see merge_upsert)."""
+    from pyspark.sql.types import StringType
+
+    for c in part_cols:
+        if c in delta.columns and isinstance(
+            delta.schema[c].dataType, StringType
+        ):
+            delta = delta.withColumn(c, F.nullif(F.col(c), F.lit("")))
+    return delta
+
+
 def normalize_partition_cols(
     partition_cols: str | list[str] | None,
 ) -> list[str]:
@@ -223,6 +238,15 @@ def merge_upsert(
         raise ValueError("key_cols must be non-empty")
     part_cols = normalize_partition_cols(partition_col)
 
+    # normalize '' -> NULL in string partition columns BEFORE anything
+    # consumes the delta: Spark's writer sends both to
+    # __HIVE_DEFAULT_PARTITION__ and readers hand back NULL, so a ''
+    # key component would never null-safe-match its stored twin (the
+    # anti-join keeps the stored row AND inserts the delta row — a
+    # silent duplicate key) and a '' touched tuple would miss the
+    # stored slice entirely
+    delta = normalize_empty_partition_values(delta, part_cols)
+
     # the delta is small by contract and is consumed several times
     # (counts, partition values, claimed keys, the rewrite) — pay its
     # plan exactly once.  For streaming callers the delta is itself an
@@ -255,11 +279,9 @@ def merge_upsert(
                 f"partition column(s) {absent} not in delta columns"
             )
         touched = [
-            # '' normalizes to None: Spark writes BOTH to
-            # __HIVE_DEFAULT_PARTITION__ (and reads them back as NULL),
-            # so they are the same physical partition — treating ''
-            # as a distinct value would swap the default directory
-            # without having read its NULL-valued rows into the slice
+            # belt-and-braces '' -> None (the delta was already
+            # normalized above; non-string partition types can't
+            # carry '')
             tuple(None if v == "" else v for v in r)
             for r in delta.select(*part_cols).distinct().collect()
         ]
@@ -348,6 +370,27 @@ def merge_upsert(
                 f"merge wrote partitions outside the derived swap set: "
                 f"{stray} (dir-name rendering mismatch?) — target left "
                 f"untouched"
+            )
+        # the reverse direction: every touched dir must exist in the
+        # target (a rewrite or full delete) or in tmp (a rewrite or a
+        # brand-new partition).  A dir in NEITHER means the derived
+        # name does not match what Spark renders (a fully-deleted
+        # partition would otherwise silently SURVIVE — its real dir
+        # never renamed away) — or the delta tombstones a partition
+        # that never existed, which deserves a loud error too.
+        unaccounted = sorted(
+            d
+            for d in part_dirs
+            if d not in written and not (src / d).exists()
+        )
+        if unaccounted:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(
+                f"touched partitions resolve to directories present "
+                f"neither in the target nor in the rewrite: "
+                f"{unaccounted} (dir-name rendering mismatch, or "
+                f"tombstones for a partition that does not exist) — "
+                f"target left untouched"
             )
         # swap ONLY the touched partition directories; everything else
         # in the target is untouched on disk.  Fully-deleted partitions

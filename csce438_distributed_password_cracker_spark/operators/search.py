@@ -251,7 +251,15 @@ def bm25_search(
         .collect()
     )
     if not hits:
-        return spark.createDataFrame([], "id long, score double")
+        # empty result with the SAME schema as the hit path: the id
+        # type comes from the stored postings (bm25_build accepts any
+        # id column type), not a hardcoded long — a caller unioning
+        # hit and miss probes must not see a type flip
+        return (
+            spark.read.parquet(f"{index_path}/postings")
+            .select("id", F.lit(0.0).alias("score"))
+            .filter(F.lit(False))
+        )
     buckets = sorted({int(r.term_bucket) for r in hits})
     idf_py = {
         r.term: math.log(1 + (n_docs - r.df_t + 0.5) / (r.df_t + 0.5))

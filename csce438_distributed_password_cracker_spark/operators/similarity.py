@@ -968,7 +968,8 @@ def build_ivf_sq_index(
         cent_rows, "cluster int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     spark.createDataFrame(
-        [(int(fullvec_buckets),)], "fullvec_buckets int"
+        [(int(fullvec_buckets), vec_col)],
+        "fullvec_buckets int, vec_col string",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -989,9 +990,9 @@ def ivf_sq_probe(
     is bounded by ``rerank_n`` ids; list I/O is the compressed ~1/8."""
     cent = spark.read.parquet(f"{path}/centroids").orderBy("cluster").collect()
     cent_mat = np.asarray([r["centroid"] for r in cent], dtype=np.float64)
-    fv_buckets = int(
-        spark.read.parquet(f"{path}/meta").first()["fullvec_buckets"]
-    )
+    meta = spark.read.parquet(f"{path}/meta").first()
+    fv_buckets = int(meta["fullvec_buckets"])
+    vec_col = meta["vec_col"]  # the build's column name, not a guess
     qrow = query.select(F.col(query_vec_col)).first()
     qvec = np.asarray(qrow[0], dtype=np.float64)
     qn = np.linalg.norm(qvec)
@@ -1009,20 +1010,25 @@ def ivf_sq_probe(
         .limit(rerank_n)
     )
     ids = [r[0] for r in shortlist.select(id_col).collect()]  # ≤ rerank_n
+    fullvec = spark.read.parquet(f"{path}/fullvec")
     if not ids:
-        return spark.createDataFrame([], f"{id_col} long, cos_sim double")
+        # empty result with the SAME schema as the hit path (id type
+        # comes from the stored table, not a hardcoded long)
+        return (
+            fullvec.select(
+                id_col, F.lit(0.0).alias("cos_sim")
+            ).filter(F.lit(False))
+        )
     buckets = sorted({int(i) % fv_buckets for i in ids})
-    full = (
-        spark.read.parquet(f"{path}/fullvec")
-        .filter(F.col("fv_bucket").isin(buckets))
-        .filter(F.col(id_col).isin(ids))
+    full = fullvec.filter(F.col("fv_bucket").isin(buckets)).filter(
+        F.col(id_col).isin(ids)
     )
     return (
         full.crossJoin(F.broadcast(query))
         .select(
             id_col,
             F.round(
-                vectors.cosine("embedding", query_vec_col), 6
+                vectors.cosine(vec_col, query_vec_col), 6
             ).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))

@@ -66,6 +66,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .merge import (
     _key_cond,
     list_leaf_partitions,
+    normalize_empty_partition_values,
     normalize_partition_cols,
     partition_rel_dir,
     partition_tuple_pred,
@@ -348,6 +349,24 @@ def _merge_once(
             f"merge wrote partitions outside the derived touched set: "
             f"{stray} (dir-name rendering mismatch?) — nothing committed"
         )
+    # and every touched dir must exist in the parent version or the
+    # staging write: a dir in neither means the rendering diverged (a
+    # fully-deleted partition's REAL dir would then be hard-linked
+    # forward below — tombstoned rows committed into the new version)
+    # or the delta tombstones a partition that never existed
+    unaccounted = sorted(
+        d
+        for d in touched_dirs
+        if d not in written and not (cur / d).exists()
+    )
+    if unaccounted:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise RuntimeError(
+            f"touched partitions resolve to directories present "
+            f"neither in the parent version nor in the rewrite: "
+            f"{unaccounted} (dir-name rendering mismatch, or tombstones "
+            f"for a partition that does not exist) — nothing committed"
+        )
 
     # hard-link every UNtouched leaf partition's files into staging:
     # O(files) metadata, zero data copied, both versions readable
@@ -402,6 +421,10 @@ def merge_versioned(
     if delete_col is not None and delete_col not in delta.columns:
         raise ValueError(f"delete_col {delete_col!r} not in delta columns")
 
+    # '' -> NULL in string partition columns ('' and NULL are the same
+    # physical hive partition — see merge_upsert), BEFORE the
+    # checkpoint so every attempt sees the normalized delta
+    delta = normalize_empty_partition_values(delta, part_cols)
     delta = delta.localCheckpoint(eager=True)
     attempts = retries + 1
     for i in range(attempts):
@@ -429,13 +452,18 @@ def vacuum(root_dir: str, keep_last: int = 2) -> list[int]:
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     root = Path(root_dir)
-    m = _load_manifest(root)
-    hist = m["history"]
-    drop, keep = hist[:-keep_last], hist[-keep_last:]
-    # trim the manifest FIRST: a reader must never resolve a version
-    # whose directory is mid-delete
-    m["history"] = keep
-    _write_manifest(root, m)
+    # the trim is a read-modify-write of the manifest, so it takes the
+    # SAME commit lock as writers: an unlocked trim racing a concurrent
+    # commit would overwrite the new head with its stale copy — rolling
+    # the pointer back and orphaning the freshly committed version
+    with _commit_lock(root):
+        m = _load_manifest(root)
+        hist = m["history"]
+        drop, keep = hist[:-keep_last], hist[-keep_last:]
+        # trim the manifest FIRST: a reader must never resolve a
+        # version whose directory is mid-delete
+        m["history"] = keep
+        _write_manifest(root, m)
     for h in drop:
         shutil.rmtree(root / h["dir"], ignore_errors=True)
     for p in root.glob("_staging-*"):

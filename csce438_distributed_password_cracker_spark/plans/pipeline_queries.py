@@ -16,6 +16,8 @@ labeled unions, not new semantics.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -24,6 +26,17 @@ from ..operators import decontam, dedup, multimodal, similarity, textops
 from ..operators.split import md5_bucket_sql, md5_sample_sql
 from .registry import register
 from .relational import _sql_query
+
+
+def warehouse_root_tag(sf_dir: str) -> tuple["Path", str]:
+    """(repo-local spark-warehouse dir, sf tag) for gate queries that
+    persist on-disk artifacts (indexes, merge targets) — one derivation,
+    shared by every such query here and in plans/streaming_queries."""
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[2] / "spark-warehouse"
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return root, tag
 
 
 def _content_tag(df: DataFrame, col: str) -> int:
@@ -78,9 +91,6 @@ def _content_tag(df: DataFrame, col: str) -> int:
     "state.",
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    from pathlib import Path
-
     from ..operators.merge import merge_upsert
 
     docs = load_table(spark, sf_dir, "documents")
@@ -95,8 +105,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("price"),
         F.pmod(F.col("o_custkey"), F.lit(4)).cast("int").alias("part"),
     )
-    root = Path(__file__).resolve().parents[2] / "spark-warehouse"
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    root, tag = warehouse_root_tag(sf_dir)
     target_path = str(root / f"merge_gate_{tag}")
     # rebuild the pre-merge snapshot fresh each run: the merge MUTATES
     # it, so starting from a stale (already-merged) state would test
@@ -303,9 +312,7 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quoting/escaping/schema bug in the front door hash-diverges.",
 )
 def q_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
     import shutil
-    from pathlib import Path
 
     from pyspark.sql.types import (
         LongType,
@@ -326,8 +333,7 @@ def q_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
-    root = Path(__file__).resolve().parents[2] / "spark-warehouse"
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    root, tag = warehouse_root_tag(sf_dir)
     csv_dir = str(root / f"ingest_gate_{tag}")
     shutil.rmtree(csv_dir, ignore_errors=True)
     docs.select("doc_id", "text", "lang").repartition(2).write.option(
@@ -466,7 +472,6 @@ def _bm25_list_cte(prefix: str, query: str) -> str:
     "ordering.",
 )
 def q_similarity_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
     from pathlib import Path
 
     from ..operators import search
@@ -484,8 +489,7 @@ def q_similarity_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    root = Path(__file__).resolve().parents[2] / "spark-warehouse"
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    root, tag = warehouse_root_tag(sf_dir)
     # build once per corpus VERSION (the whole point of build/probe —
     # probes must not pay the build); the tag carries the layout params
     # AND a content fingerprint, so a driver-regenerated documents
@@ -1139,7 +1143,6 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the in-memory variant pays per query.",
 )
 def q_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
     from pathlib import Path
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1147,8 +1150,8 @@ def q_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qvec")
     )
     base = emb.filter(F.col("vec_id") != 0)
-    root = Path(__file__).resolve().parents[2] / "spark-warehouse" / "ann_index"
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    wh, tag = warehouse_root_tag(sf_dir)
+    root = wh / "ann_index"
     # params are baked into the path: an existing index IS the index for
     # these (source, params) — build once per corpus version, probe many
     # (the whole point of the build/probe split; rebuilding per query

@@ -100,11 +100,14 @@ _sql_query(
              AS grp_key,
            CAST(NULL AS TIMESTAMP) AS window_start,
            count(*) AS n,
-           -- raw-double sum (NOT the _dec cents-quantized spelling):
-           -- the rollup accumulates raw doubles, so the twin must too;
-           -- round(.,2) absorbs the incremental-vs-single-pass
-           -- last-bit difference
-           round(sum(value), 2) AS total_value
+           -- min, not the float sum: n_events and min_value merge
+           -- EXACTLY across batches (count-sum and min are
+           -- order-independent), so the hash can never flake; the
+           -- accumulated double sum differs from a single-pass sum in
+           -- its last bits, and rounding only shrinks — not closes —
+           -- the boundary-straddle window (rollup_verify covers the
+           -- sums under relative tolerance instead)
+           min(value) AS total_value
     FROM events
     GROUP BY 2
     """,
@@ -121,16 +124,17 @@ _sql_query(
     "(algebraic partials, partition-pruned copy-on-write merge, atomic "
     "manifest commits), then the stored table is read back through the "
     "manifest; the oracle is the one-shot aggregate, so any partial-"
-    "merge, replay, or versioned-commit bug diverges.  The double sums "
-    "accumulate incrementally across batches, so the branch rounds to "
-    "2 decimals (same spelling both sides) — counts are exact.",
+    "merge, replay, or versioned-commit bug diverges.  The branch "
+    "emits the EXACT-merge aggregates (count, min) — the accumulated "
+    "double sums are covered by rollup_verify's tolerance "
+    "reconciliation instead, since no rounding width makes two "
+    "addition orders hash-identical.",
 )
 def q_stream_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
     import shutil
-    from pathlib import Path
 
     from ..streaming.rollup import merge_batch, read_rollup
+    from .pipeline_queries import warehouse_root_tag
 
     ev = load_table(spark, sf_dir, "events")
     partial = ev.groupBy(
@@ -170,8 +174,7 @@ def q_stream_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Two batches split by event_id parity OVERLAP on every day, so the
     # second merge exercises cross-batch _combine + the partition-pruned
     # versioned merge, not just a disjoint append.
-    root = Path(__file__).resolve().parents[2] / "spark-warehouse"
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    root, tag = warehouse_root_tag(sf_dir)
     table = str(root / f"rollup_gate_{tag}")
     # fresh table each run: merge_batch's replay detection would
     # correctly no-op a stale table's batch ids, which would mask
@@ -186,7 +189,7 @@ def q_stream_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("grp_key"),
         F.lit(None).cast("timestamp").alias("window_start"),
         F.col("n_events").alias("n"),
-        F.round("sum_value", 2).alias("total_value"),
+        F.col("min_value").alias("total_value"),
     )
     return by_type.unionAll(tumbling).unionAll(rollup_branch)
 

@@ -144,11 +144,25 @@ def merge_batch(
         # die with UNABLE_TO_INFER_SCHEMA, permanently poisoning the
         # table)
         return True
-    if not (Path(rollup_path) / MANIFEST).exists():
-        commit_version(
-            part, rollup_path, partition_by="day", num_files=1
-        )
-        return True
+    root = Path(rollup_path)
+    if not (root / MANIFEST).exists():
+        if root.exists() and any(root.glob("day=*")):
+            # legacy plain-parquet rollup (pre-versioned sink): adopt
+            # its accumulated state as version 1 instead of silently
+            # shadowing it with a table containing only this batch —
+            # that would reset every aggregate AND the last_batch_id
+            # replay ledger
+            commit_version(
+                spark.read.parquet(rollup_path),
+                rollup_path,
+                partition_by="day",
+                num_files=1,
+            )
+        else:
+            commit_version(
+                part, rollup_path, partition_by="day", num_files=1
+            )
+            return True
 
     stored = read_version(spark, rollup_path)
     # replay detection stays partition-pruned: a crash-replayed batch

@@ -259,3 +259,28 @@ def test_rollup_replay_of_batch_zero_is_noop(spark, sf_smoke, tmp_path):
     assert rollup.merge_batch(spark, table, events, batch_id=0) is False
     after = _canon(rollup.read_rollup(spark, table).drop("last_batch_id"))
     assert after == before  # aggregates not doubled
+
+
+def test_legacy_plain_parquet_rollup_is_adopted(spark, sf_smoke, tmp_path):
+    """A pre-versioned rollup table (day=* parquet dirs, no manifest)
+    must be ADOPTED as version 1 on the first post-upgrade batch, not
+    silently shadowed by a fresh table holding only that batch."""
+    events = load_table(spark, sf_smoke, "events")
+    days = sorted(
+        r[0] for r in events.select(F.to_date("ts")).distinct().collect()
+    )
+    early = events.filter(F.to_date("ts") <= days[1])
+    late = events.filter(F.to_date("ts") > days[1])
+
+    table = str(tmp_path / "legacy")
+    # simulate the pre-round-4 sink layout: plain partitioned parquet
+    legacy = rollup.rollup_of(early).withColumn(
+        "last_batch_id", F.lit(0).cast("long")
+    )
+    legacy.repartition(1, "day").write.partitionBy("day").parquet(table)
+
+    assert rollup.merge_batch(spark, table, late, batch_id=1)
+    got = _canon(rollup.read_rollup(spark, table).drop("last_batch_id"))
+    assert got == _canon(rollup.rollup_of(events))  # old state survived
+    # and the replay ledger survived too: batch 0 re-offered is a no-op
+    assert rollup.merge_batch(spark, table, early, batch_id=0) is False
