@@ -145,6 +145,7 @@ def _commit_staged(
     staging: Path,
     partition_by: list[str],
     expected_parent: int | None,
+    schema_json: str | None = None,
 ) -> int:
     """The commit critical section: under the lock, verify the
     precondition, assign the next version number, rename the staging
@@ -176,9 +177,14 @@ def _commit_staged(
         # by construction — clear it so the retried commit proceeds
         shutil.rmtree(root / vdir, ignore_errors=True)
         staging.rename(root / vdir)
-        manifest["history"] = manifest["history"] + [
-            {"version": version, "dir": vdir}
-        ]
+        entry = {"version": version, "dir": vdir}
+        if schema_json is not None:
+            # each version records ITS OWN schema: readers apply it so
+            # hard-linked files from before an additive evolution read
+            # back with the new columns as NULL, and time travel
+            # returns each version's contemporary schema
+            entry["schema"] = schema_json
+        manifest["history"] = manifest["history"] + [entry]
         manifest.update(
             version=version,
             dir=vdir,
@@ -217,7 +223,27 @@ def commit_version(
     # full snapshots carry no parent precondition: their content does
     # not depend on the previous version, so "serialize after whoever
     # got there first" is the correct semantics
-    return _commit_staged(root, staging, part_cols, expected_parent=None)
+    return _commit_staged(
+        root, staging, part_cols, expected_parent=None,
+        schema_json=df.schema.json(),
+    )
+
+
+def _read_entry(spark: SparkSession, root: Path, entry: dict) -> DataFrame:
+    """Read one version directory, applying the version's RECORDED
+    schema when present: files hard-linked from before an additive
+    evolution lack the new columns, and an explicit schema makes the
+    parquet reader fill them with NULL (schema-on-read) instead of
+    whatever the first-listed file happens to carry."""
+    path = str(root / entry["dir"])
+    sj = entry.get("schema")
+    if sj is None:  # manifest written before schemas were recorded
+        return spark.read.parquet(path)
+    from pyspark.sql.types import StructType
+
+    return spark.read.schema(
+        StructType.fromJson(json.loads(sj))
+    ).parquet(path)
 
 
 def read_version(
@@ -227,19 +253,20 @@ def read_version(
     reads an immutable directory — later commits cannot tear it."""
     root = Path(root_dir)
     m = _load_manifest(root)
+    if m["dir"] is None:
+        raise ValueError("table has no committed version")
     if version is None:
-        entry = {"version": m["version"], "dir": m["dir"]}
-    else:
-        matches = [h for h in m["history"] if h["version"] == version]
-        if not matches:
-            raise ValueError(
-                f"version {version} not in history "
-                f"{[h['version'] for h in m['history']]} (vacuumed?)"
-            )
-        entry = matches[0]
+        version = m["version"]
+    matches = [h for h in m["history"] if h["version"] == version]
+    if not matches:
+        raise ValueError(
+            f"version {version} not in history "
+            f"{[h['version'] for h in m['history']]} (vacuumed?)"
+        )
+    entry = matches[0]
     if entry["dir"] is None:
         raise ValueError("table has no committed version")
-    return spark.read.parquet(str(root / entry["dir"]))
+    return _read_entry(spark, root, entry)
 
 
 def history(root_dir: str) -> list[dict]:
@@ -255,6 +282,7 @@ def _merge_once(
     part_cols: list[str],
     delete_col: str | None,
     num_files: int,
+    allow_new_columns: bool,
 ) -> int:
     """One optimistic merge attempt: snapshot the head, compute the
     merged touched slice against it, stage, commit with the
@@ -273,8 +301,9 @@ def _merge_once(
         )
     parent = m["version"]
     cur = root / m["dir"]
+    entry = [h for h in m["history"] if h["version"] == parent][0]
 
-    target = spark.read.parquet(str(cur))
+    target = _read_entry(spark, root, entry)
     data_cols = target.columns
     is_del = (
         F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
@@ -285,6 +314,18 @@ def _merge_once(
     missing = [c for c in data_cols if c not in upserts.columns]
     if missing:
         raise ValueError(f"delta is missing target columns: {missing}")
+    # additive schema evolution (Delta mergeSchema-style): delta columns
+    # beyond the target's schema extend it when opted in — kept rows and
+    # every hard-linked old file read back with NULL there (the commit
+    # records the widened schema; _read_entry applies it)
+    extra_cols = [
+        c
+        for c in delta.columns
+        if c not in data_cols and c != (delete_col or "")
+    ]
+    if not allow_new_columns:
+        extra_cols = []  # silently pruned, as before (opt-in feature)
+    out_cols = data_cols + extra_cols
     touched = [
         # '' -> None: both land in __HIVE_DEFAULT_PARTITION__ (see
         # merge_upsert) — distinct treatment would hard-link the old
@@ -321,9 +362,14 @@ def _merge_once(
     # rewrite ONLY the touched slice, hive-partitioned, into staging
     staging = _staging_dir(root)
     slice_df = target.filter(pred)
-    merged = slice_df.join(
+    kept = slice_df.join(
         F.broadcast(claimed), _key_cond(slice_df, claimed, key_cols), "left_anti"
-    ).unionByName(upserts.select(*data_cols))
+    )
+    for c in extra_cols:
+        kept = kept.withColumn(
+            c, F.lit(None).cast(delta.schema[c].dataType)
+        )
+    merged = kept.unionByName(upserts.select(*out_cols))
     from .merge import _write_salt
 
     (
@@ -380,7 +426,10 @@ def _merge_once(
             if fp.suffix == ".parquet" or fp.name.startswith("part-"):
                 os.link(fp, dest / fp.name)
 
-    return _commit_staged(root, staging, part_cols, expected_parent=parent)
+    return _commit_staged(
+        root, staging, part_cols, expected_parent=parent,
+        schema_json=merged.schema.json(),
+    )
 
 
 def merge_versioned(
@@ -392,6 +441,7 @@ def merge_versioned(
     delete_col: str | None = None,
     num_files: int = 4,
     retries: int = 0,
+    allow_new_columns: bool = False,
 ) -> int:
     """Copy-on-write MERGE as a NEW VERSION: rewrite only the
     partitions the delta touches, hard-link every other partition file
@@ -407,6 +457,14 @@ def merge_versioned(
     the merge transparently recomputes against the new head instead
     (each retry re-reads the head, so the serial history is correct:
     both writers' updates survive).
+
+    ``allow_new_columns=True`` enables ADDITIVE schema evolution:
+    delta columns beyond the target's schema are appended to the table
+    schema (existing rows read back NULL there, including the
+    hard-linked untouched partitions — each version's manifest entry
+    records its schema and readers apply it); without the flag extra
+    delta columns are pruned, as a guard against typo'd column names
+    silently widening the table.
 
     ``num_files`` sizes the rewrite (files per touched partition);
     the default suits test-scale tables — at cluster scale set it so
@@ -431,7 +489,7 @@ def merge_versioned(
         try:
             return _merge_once(
                 spark, root, delta, key_cols, part_cols, delete_col,
-                num_files,
+                num_files, allow_new_columns,
             )
         except ConcurrentWriteError:
             if i == attempts - 1:

@@ -329,3 +329,71 @@ def test_vacuum_sweeps_abandoned_staging(spark, table):
     )
     versioned.vacuum(table, keep_last=1)
     assert not list(Path(table).glob("_staging-*"))
+
+
+def test_merge_schema_evolution_additive(spark, table):
+    """allow_new_columns=True: a delta carrying a new column widens the
+    table schema; kept rows AND hard-linked untouched partitions read
+    back NULL there, the new rows carry their values, and time travel
+    returns each version's contemporary schema."""
+    delta = spark.createDataFrame(
+        [(0, "v2-0", "0", False, 0.9), (100, "v2-100", "1", False, 0.5)],
+        "k long, body string, part string, deleted boolean, quality double",
+    )
+    # without the flag the extra column is pruned (typo guard)
+    v2 = versioned.merge_versioned(
+        spark, table, delta, key_cols=["k"], partition_col="part",
+        delete_col="deleted",
+    )
+    assert "quality" not in versioned.read_version(spark, table, v2).columns
+
+    v3 = versioned.merge_versioned(
+        spark, table, delta, key_cols=["k"], partition_col="part",
+        delete_col="deleted", allow_new_columns=True,
+    )
+    latest = versioned.read_version(spark, table, v3)
+    # (partition columns come last on read regardless of declared order)
+    assert "quality" in latest.columns
+    rows = {r.k: r for r in latest.collect()}
+    assert rows[0].quality == 0.9 and rows[100].quality == 0.5
+    # untouched (hard-linked, old-schema files) and kept rows: NULL
+    assert rows[2].quality is None and rows[3].quality is None
+    assert len(rows) == 21
+
+    # time travel: pre-evolution versions keep their own schema
+    assert "quality" not in versioned.read_version(spark, table, 1).columns
+
+    # a further merge WITHOUT the new column still works (delta must
+    # carry the full current schema now)
+    with pytest.raises(ValueError, match="missing target columns"):
+        versioned.merge_versioned(
+            spark, table,
+            spark.createDataFrame(
+                [(5, "x", "1", False)],
+                "k long, body string, part string, deleted boolean",
+            ),
+            key_cols=["k"], partition_col="part", delete_col="deleted",
+        )
+
+
+def test_schema_evolution_survives_untouched_partition_links(spark, table):
+    """After an evolution touching ONE partition, reading the latest
+    version scans hard-linked old files from the other three partitions
+    under the widened schema — schema-on-read must hold per file."""
+    delta = spark.createDataFrame(
+        [(1, "evolved", "1", 3.5)],
+        "k long, body string, part string, score double",
+    )
+    v = versioned.merge_versioned(
+        spark, table, delta, key_cols=["k"], partition_col="part",
+        allow_new_columns=True,
+    )
+    latest = versioned.read_version(spark, table, v)
+    # every partition readable; only k=1 carries the score
+    per_part = {
+        r.part: r.n
+        for r in latest.groupBy("part").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_part == {"0": 5, "1": 5, "2": 5, "3": 5}
+    scored = latest.filter(F.col("score").isNotNull()).collect()
+    assert len(scored) == 1 and scored[0].k == 1
