@@ -172,6 +172,7 @@ _SCORES = [f"score_{lang}" for lang in sorted(textops.DEFAULT_PROFILES)]
 # redaction chain sees both hit and miss rows.  Only the email + ipv4
 # patterns are gate-checked — the phone pattern uses lookbehind, which
 # DuckDB's RE2 engine lacks (it stays unit-test covered).
+_BPE_RX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"  # textops.token_counts default
 _EMAIL_RX = textops.PII_PATTERNS[0][1]
 _IPV4_RX = textops.PII_PATTERNS[1][1]
 _SYNTH_SQL = (
@@ -185,7 +186,10 @@ _SYNTH_SQL = (
 @register(
     "q_text_profile",
     oracle=f"""
-    SELECT doc_id, lang, n_chars, n_tokens, n_distinct_tokens,
+    SELECT doc_id, lang, n_chars, n_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_RX}')) AS BIGINT)
+             AS n_bpe_tokens,
+           n_distinct_tokens,
            stopword_ratio, avg_token_len, q_punct_ratio, q_stopword_ratio,
            n_distinct_trigrams, dup_trigram_frac,
            {", ".join(_SCORES)},
@@ -197,7 +201,7 @@ _SYNTH_SQL = (
                     regexp_replace(__synth, '{_EMAIL_RX}', '<EMAIL>', 'g'),
                     '{_IPV4_RX}')) AS BIGINT) AS n_redactions
     FROM (
-      SELECT doc_id, lang,
+      SELECT doc_id, lang, text,
              CAST(length(text) AS BIGINT) AS n_chars,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
              CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
@@ -264,6 +268,12 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.expr("CAST(length(text) AS BIGINT)").alias("n_chars"),
         F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_tokens"),
+        # the BPE-ish count (letters / digit-runs / punctuation as
+        # separate tokens — textops.token_counts), fused onto the same
+        # scan; lookaround-free so RE2 recomputes it identically
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(_BPE_RX), F.lit(0))
+        ).cast("long").alias("n_bpe_tokens"),
         F.expr(f"CAST(size(array_distinct({toks})) AS BIGINT)").alias(
             "n_distinct_tokens"
         ),
