@@ -1034,3 +1034,54 @@ def ivf_sq_probe(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ivf_sq_index_update(
+    emb_new: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+) -> None:
+    """Grow a persisted SQ8 index with a batch of NEW vectors: assign
+    against the STORED centroids (broadcast-GEMM, quantizer-consistent
+    — same contract as :func:`ivf_index_update`), quantize with the
+    same codegen'd expressions, and APPEND into the matching list and
+    fullvec bucket partitions.  Append-only id contract; centroid drift
+    is repaid by a rebuild on the maintenance cadence; compact with
+    maintenance.compact_parquet as lists accrete files."""
+    spark = emb_new.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").first()
+    fv_buckets, vec_col = int(meta["fullvec_buckets"]), meta["vec_col"]
+    cent = (
+        spark.read.parquet(f"{path}/centroids").orderBy("cluster").collect()
+    )
+    cent_mat = np.asarray([r.centroid for r in cent], dtype=np.float64)
+    norms = np.linalg.norm(cent_mat, axis=1)
+    cent_mat = cent_mat / np.where(norms == 0.0, 1.0, norms)[:, None]
+    src = emb_new.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+    )
+    assigned = _assign_to(src, cent_mat)
+    (
+        _with_sq8(
+            emb_new.join(assigned, F.col(id_col) == F.col("id")).drop("id"),
+            vec_col,
+        )
+        .select(id_col, "cluster", "sq_scale", "sq_vec")
+        .repartition("cluster")
+        .write.mode("append")
+        .partitionBy("cluster")
+        .parquet(f"{path}/lists")
+    )
+    (
+        emb_new.select(
+            id_col,
+            vec_col,
+            F.pmod(F.col(id_col), F.lit(fv_buckets))
+            .cast("int")
+            .alias("fv_bucket"),
+        )
+        .repartition("fv_bucket")
+        .write.mode("append")
+        .partitionBy("fv_bucket")
+        .parquet(f"{path}/fullvec")
+    )

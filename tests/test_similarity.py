@@ -485,3 +485,35 @@ def test_ivf_sq8_probe_prunes_fullvec_buckets(spark, sf_smoke, tmp_path):
     ).collect()
     assert len(got) == 5
     assert got[0]["vec_id"] == 0 and got[0]["cos_sim"] == 1.0
+
+
+def test_ivf_sq8_incremental_update_matches_probe(spark, sf_smoke, tmp_path):
+    """Growing the SQ8 index batch-wise (assignment vs STORED centroids,
+    same quantization) must answer probes identically to an index whose
+    build saw the same centroids — pinned by building on the first half,
+    updating with the second, and comparing against a probe over an
+    index built with identical centroid inputs."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+
+    grown = str(tmp_path / "grown")
+    similarity.build_ivf_sq_index(half_a, grown, n_centroids=8)
+    similarity.ivf_sq_index_update(half_b, grown)
+
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    got = {
+        r.vec_id: r.cos_sim
+        for r in similarity.ivf_sq_probe(
+            spark, grown, query, k=10, n_probe=8, rerank_n=40
+        ).collect()
+    }
+    # full coverage (n_probe = all lists) + exact re-rank: the grown
+    # index must answer exactly like brute force over the union
+    want = {
+        r.vec_id: r.cos_sim
+        for r in similarity.brute_force_topk(emb, query, k=10).collect()
+    }
+    assert got == want
