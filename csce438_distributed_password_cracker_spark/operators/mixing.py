@@ -1,0 +1,134 @@
+"""Token-budget corpus mixing — compose a pretraining corpus from
+weighted domains under a total token budget.
+
+The standard last step of a curation pipeline (after dedup / decontam /
+quality filtering): given per-domain mixture weights (e.g. web 0.6,
+code 0.2, books 0.2) and a token budget, decide per row whether it is
+in the mix.  Public prior art: the per-source mixture tables of the
+Pile / LLaMA / Gopher training setups.
+
+Reference analog: none (north-star addition beyond the reference's
+surface, like operators/split.py).
+
+Scale shape (100 TB):
+
+- ONE small aggregation (``groupBy(domain).sum(tokens)``) produces per-
+  domain token totals — ≤ #domains rows to the driver.
+- Rate computation is a driver-side water-filling loop over those few
+  rows: a domain whose corpus cannot supply its share saturates at
+  rate 1.0 and its unused budget is redistributed across the remaining
+  domains in proportion to their weights (iterates ≤ #domains times).
+- The verdict pass is map-only: the same shared hash coordinate as
+  :func:`~..operators.split._sample_bucket` thresholded at the domain's
+  rate — no shuffle, reproducible across runs/engines/partitionings,
+  and new rows get a stable verdict without touching old ones.
+
+Hash-threshold sampling hits each domain's rate in expectation (error
+O(1/sqrt(rows)) of the domain's token share); for quota-EXACT caps
+compose with :func:`~..operators.split.group_quota` using the shared
+bucket coordinate (threshold-prefilter + rank, see split.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .split import _HASH_SPACE, _sample_bucket
+
+
+def mixing_rates(
+    domain_tokens: dict[str, int],
+    weights: dict[str, float],
+    token_budget: int,
+) -> dict[str, float]:
+    """Per-domain sampling rates for a target mixture under a budget.
+
+    Water-filling: start from ``rate_d = weight_d * budget / tokens_d``;
+    any domain with rate ≥ 1 is saturated (its whole corpus is taken,
+    single-epoch — this operator never upsamples) and the budget it
+    cannot absorb is re-spread over the unsaturated domains by weight.
+    Deterministic, pure Python over ≤ #domains entries.
+    """
+    missing = set(weights) - set(domain_tokens)
+    if missing:
+        raise ValueError(f"weights name absent domains: {sorted(missing)}")
+    wsum = sum(weights.values())
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
+    weights = {d: w / wsum for d, w in weights.items()}
+    if token_budget < 0:
+        raise ValueError("token_budget must be >= 0")
+
+    rates: dict[str, float] = {}
+    active = {d: w for d, w in weights.items() if domain_tokens[d] > 0}
+    for d in weights:
+        if domain_tokens[d] <= 0:
+            rates[d] = 0.0
+    budget = float(token_budget)
+    # Each pass either saturates >=1 domain or assigns final rates, so
+    # the loop runs at most len(active) times.
+    while active:
+        asum = sum(active.values())
+        saturated = []
+        for d, w in active.items():
+            want = w / asum * budget
+            if want >= domain_tokens[d]:
+                saturated.append(d)
+        if not saturated:
+            for d, w in active.items():
+                rates[d] = (w / asum * budget) / domain_tokens[d]
+            break
+        for d in saturated:
+            rates[d] = 1.0
+            budget -= domain_tokens[d]
+            del active[d]
+        budget = max(budget, 0.0)
+    return rates
+
+
+def mix_corpora(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    token_col: str,
+    weights: dict[str, float],
+    token_budget: int,
+    seed: int = 42,
+    flag_col: str = "in_mix",
+    rate_col: str | None = "mix_rate",
+) -> DataFrame:
+    """Append ``flag_col``: deterministic membership in a token-budgeted
+    mixture.  Domains absent from ``weights`` are excluded (flag False,
+    rate 0).  Returns the input columns plus the flag (and the applied
+    per-domain rate when ``rate_col`` is set, for auditability).
+
+    One small agg + one map-only pass; see the module docstring for the
+    scale argument and the expectation-vs-exact caveat.
+    """
+    totals = {
+        row[0]: row[1] or 0
+        for row in (
+            df.where(F.col(domain_col).isin(list(weights)))
+            .groupBy(domain_col)
+            .agg(F.sum(token_col))
+            .collect()
+        )
+    }
+    for d in weights:
+        totals.setdefault(d, 0)
+    rates = mixing_rates(totals, weights, token_budget)
+
+    bucket = _sample_bucket(id_col, seed)
+    rate_expr: Column = F.lit(0.0)
+    flag_expr: Column = F.lit(False)
+    for d in sorted(rates):
+        cond = F.col(domain_col) == d
+        rate_expr = F.when(cond, F.lit(rates[d])).otherwise(rate_expr)
+        flag_expr = F.when(
+            cond, bucket < int(rates[d] * _HASH_SPACE)
+        ).otherwise(flag_expr)
+    out = df.withColumn(flag_col, flag_expr)
+    if rate_col:
+        out = out.withColumn(rate_col, rate_expr)
+    return out

@@ -1,0 +1,145 @@
+"""Token-budget corpus mixing (operators/mixing.py): water-filling
+rates, budget adherence, determinism, exclusion, and the map-only plan.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from csce438_distributed_password_cracker_spark.operators import mixing
+
+
+# ---------------------------------------------------------------- rates
+
+def test_rates_simple_proportional():
+    rates = mixing.mixing_rates(
+        {"web": 1000, "code": 1000}, {"web": 0.75, "code": 0.25}, 800
+    )
+    assert rates == {"web": 0.6, "code": 0.2}
+
+
+def test_rates_saturation_redistributes():
+    # code can only supply 100 of its 400-token share; the unused 300
+    # flows to web (the only unsaturated domain).
+    rates = mixing.mixing_rates(
+        {"web": 10_000, "code": 100}, {"web": 0.5, "code": 0.5}, 800
+    )
+    assert rates["code"] == 1.0
+    assert rates["web"] == pytest.approx(700 / 10_000)
+
+
+def test_rates_everything_saturates_under_big_budget():
+    rates = mixing.mixing_rates(
+        {"a": 10, "b": 20}, {"a": 0.5, "b": 0.5}, 1_000_000
+    )
+    assert rates == {"a": 1.0, "b": 1.0}
+
+
+def test_rates_weights_renormalized_and_validated():
+    r1 = mixing.mixing_rates({"a": 100, "b": 100}, {"a": 2.0, "b": 2.0}, 100)
+    r2 = mixing.mixing_rates({"a": 100, "b": 100}, {"a": 0.5, "b": 0.5}, 100)
+    assert r1 == r2
+    with pytest.raises(ValueError):
+        mixing.mixing_rates({"a": 100}, {"a": 1.0, "ghost": 1.0}, 10)
+    with pytest.raises(ValueError):
+        mixing.mixing_rates({"a": 100}, {"a": 0.0}, 10)
+
+
+def test_rates_empty_domain_is_zero():
+    rates = mixing.mixing_rates(
+        {"a": 0, "b": 100}, {"a": 0.5, "b": 0.5}, 50
+    )
+    assert rates["a"] == 0.0
+    assert rates["b"] == pytest.approx(0.5)
+
+
+def test_rates_budget_exhausted_by_saturation():
+    # a (tokens=80) saturates against its 50-share? No: want=50<80, so no
+    # saturation; but with budget 200, a wants 100 > 80 -> saturates,
+    # leaving 120 for b (rate 120/1000).
+    rates = mixing.mixing_rates(
+        {"a": 80, "b": 1000}, {"a": 0.5, "b": 0.5}, 200
+    )
+    assert rates["a"] == 1.0
+    assert rates["b"] == pytest.approx(120 / 1000)
+
+
+# ------------------------------------------------------------ dataframe
+
+def _docs(spark, sf_smoke):
+    df = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    return df.withColumn("n_tokens", F.size(F.split(F.col("text"), " ")))
+
+
+def test_mix_budget_hit_in_expectation(spark, sf_smoke):
+    docs = _docs(spark, sf_smoke)
+    weights = {"en": 0.5, "fr": 0.25, "de": 0.25}
+    budget = 4_000
+    out = mixing.mix_corpora(
+        docs, "lang", "doc_id", "n_tokens", weights, budget
+    )
+    got = (
+        out.where("in_mix")
+        .groupBy("lang")
+        .agg(F.sum("n_tokens").alias("toks"))
+        .collect()
+    )
+    by_lang = {r["lang"]: r["toks"] for r in got}
+    # only weighted domains appear
+    assert set(by_lang) <= set(weights)
+    total = sum(by_lang.values())
+    # expectation-level adherence at toy scale: within 35% of budget
+    assert 0.65 * budget <= total <= 1.35 * budget
+    # per-domain share roughly follows the weights
+    assert by_lang["en"] > by_lang["fr"]
+
+
+def test_mix_excluded_domains_flag_false(spark, sf_smoke):
+    docs = _docs(spark, sf_smoke)
+    out = mixing.mix_corpora(
+        docs, "lang", "doc_id", "n_tokens", {"en": 1.0}, 10_000
+    )
+    assert (
+        out.where((F.col("lang") != "en") & F.col("in_mix")).count() == 0
+    )
+
+
+def test_mix_saturated_domain_fully_included(spark, sf_smoke):
+    docs = _docs(spark, sf_smoke)
+    # budget far above the corpus: every weighted domain saturates
+    out = mixing.mix_corpora(
+        docs, "lang", "doc_id", "n_tokens", {"en": 0.5, "zh": 0.5}, 10**9
+    )
+    n_en = docs.where("lang = 'en'").count()
+    assert out.where("in_mix and lang = 'en'").count() == n_en
+    assert (out.where("lang = 'en'").select(F.min("mix_rate")).first()[0]
+            == 1.0)
+
+
+def test_mix_deterministic_and_stable_under_repartition(spark, sf_smoke):
+    docs = _docs(spark, sf_smoke)
+    kw = dict(
+        domain_col="lang", id_col="doc_id", token_col="n_tokens",
+        weights={"en": 0.6, "es": 0.4}, token_budget=3_000,
+    )
+    a = {
+        r["doc_id"]
+        for r in mixing.mix_corpora(docs, **kw).where("in_mix").collect()
+    }
+    b = {
+        r["doc_id"]
+        for r in mixing.mix_corpora(docs.repartition(13), **kw)
+        .where("in_mix")
+        .collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_mix_verdict_pass_is_map_only(spark, sf_smoke):
+    docs = _docs(spark, sf_smoke)
+    out = mixing.mix_corpora(
+        docs, "lang", "doc_id", "n_tokens", {"en": 0.5, "fr": 0.5}, 2_000
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
