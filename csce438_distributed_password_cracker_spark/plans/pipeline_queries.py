@@ -922,6 +922,13 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BUCKET = md5_bucket_sql("CAST(doc_id AS STRING)", 256)
 _SAMP = md5_sample_sql("CAST(doc_id AS STRING)", "s", 256)
+_MIXB = md5_sample_sql("CAST(doc_id AS STRING)", "m", 256)
+# token-budget mixing branch: target weights per lang; budget = 30% of the
+# weighted corpus's tokens, so rates stay < 1 (no saturation) at every SF
+# and the water-filling closed form rate = w·B/tokens_lang is one SQL
+# expression both engines evaluate identically (same BIGINT sums, same
+# double division/floor).
+_MIX_W = "CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.3 WHEN 'de' THEN 0.2 END"
 
 _sql_query(
     "q_split_assign",
@@ -933,30 +940,50 @@ _sql_query(
                 ELSE 'test' END AS split,
            {_SAMP} < 26 AS in_sample10,
            CAST(strat_rank AS BIGINT) AS strat_rank,
-           strat_rank <= 40 AS in_quota
+           strat_rank <= 40 AS in_quota,
+           CAST(coalesce(floor(({_MIX_W}) * 0.3
+                 * CAST(wtot_toks AS DOUBLE) / CAST(lang_toks AS DOUBLE)
+                 * 256), 0) AS BIGINT) AS mix_thr,
+           coalesce({_MIXB} < floor(({_MIX_W}) * 0.3
+                 * CAST(wtot_toks AS DOUBLE) / CAST(lang_toks AS DOUBLE)
+                 * 256), FALSE) AS in_mix
     FROM (
-      SELECT doc_id,
+      SELECT doc_id, lang,
              row_number() OVER (
                PARTITION BY lang
                ORDER BY md5(concat('q:', CAST(doc_id AS STRING))), doc_id
-             ) AS strat_rank
-      FROM documents
+             ) AS strat_rank,
+             sum(n_toks) OVER (PARTITION BY lang) AS lang_toks,
+             sum(CASE WHEN lang IN ('en','fr','de') THEN n_toks END)
+               OVER () AS wtot_toks
+      FROM (
+        SELECT doc_id, lang,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1
+                    AS BIGINT) AS n_toks
+        FROM documents
+      )
     )
     """,
-    doc="Dataset carving, fused per-row (split + sampling, SURVEY §2.12 "
-    "sampling surface): (1) train/val/test assignment as a pure hash of "
-    "the key (~80/10/10) — reproducible across runs/engines/"
+    doc="Dataset carving, fused per-row (split + sampling + mixing, SURVEY "
+    "§2.12 sampling surface): (1) train/val/test assignment as a pure hash "
+    "of the key (~80/10/10) — reproducible across runs/engines/"
     "partitionings, unlike sample(); (2) in_sample10 — an INDEPENDENT "
     "deterministic ~10% sample from a tag-salted hash of the same key "
     "(different tag ⇒ fresh hash ⇒ uncorrelated with the split), the "
     "shuffle-free Bernoulli sample of a 100 TB pipeline; (3) strat_rank/"
     "in_quota — per-lang quota capping (≤ 40 docs per stratum) by "
     "hash-order row_number, the per-domain/per-source cap step of corpus "
-    "curation (deterministic, engine-portable).  The md5-hex arithmetic "
-    "makes all three per-row verdicts oracle-checked.  Production path: "
-    "operators/split.hash_split / hash_sample / stratified_sample / "
-    "group_quota (xxhash64, no string materialization; group_quota "
-    "documents the skewed-stratum pre-filter).",
+    "curation (deterministic, engine-portable); (4) mix_thr/in_mix — "
+    "token-budget corpus MIXING (operators/mixing.py): lang weights "
+    "en 0.5 / fr 0.3 / de 0.2 under a budget of 30% of the weighted "
+    "corpus's tokens, per-lang rate = w·B/tokens(lang) (the water-filling "
+    "closed form in the no-saturation regime this data sits in), verdict "
+    "by the tag-salted md5 bucket.  The md5-hex arithmetic makes all four "
+    "per-row verdicts oracle-checked.  Production path: operators/split."
+    "hash_split / hash_sample / stratified_sample / group_quota and "
+    "operators/mixing.mix_corpora (xxhash64, tiny-agg + map-only verdict, "
+    "driver-side water-filling incl. saturation redistribution — pinned "
+    "in tests/test_mixing.py).",
     tables=("documents",),
 )
 
