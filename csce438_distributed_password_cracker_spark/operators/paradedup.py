@@ -58,11 +58,14 @@ def paragraph_dedup(
     First occurrence = the minimum (doc_id, position) holding the
     paragraph, so verdicts are deterministic and engine-portable.
     """
+    # \Q...\E-quote the separator: F.split takes a REGEX while array_join
+    # reassembles with the literal — without quoting, a '. ' separator
+    # would split on any-char+space
     paras = df.select(
         F.col(id_col).alias("_did"),
-        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias(
-            "_pos", "_para"
-        ),
+        F.posexplode(
+            F.split(F.col(text_col), F.lit("\\Q" + sep + "\\E"), -1)
+        ).alias("_pos", "_para"),
     )
     elect = F.length("_para") >= min_chars
     key = (

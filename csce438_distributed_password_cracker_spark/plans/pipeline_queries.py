@@ -73,8 +73,48 @@ def _content_tag(df: DataFrame, col: str) -> int:
              CAST(o_custkey % 4 AS DOUBLE) AS val_b
       FROM orders
       WHERE o_orderkey % 5 <> 1
+    ),
+    -- paragraph-dedup twin: 8-token chunks as pseudo-paragraphs, first
+    -- occurrence = min (doc_id, pos) over the exact text (Spark elects
+    -- over xxhash64 fingerprints; verdicts agree absent a 64-bit
+    -- collision)
+    ptoks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS nt
+      FROM documents
+    ),
+    pexp AS (
+      SELECT doc_id,
+             unnest(generate_series(0, greatest(nt - 1, 0), 8)) AS s, t
+      FROM ptoks
+    ),
+    p AS (
+      SELECT doc_id, s AS pos,
+             array_to_string(t[s + 1 : s + 8], ' ') AS para
+      FROM pexp
+    ),
+    w AS (
+      SELECT doc_id, pos, para,
+             row_number() OVER (
+               PARTITION BY para ORDER BY doc_id, pos) AS rn
+      FROM p
+    ),
+    ptot AS (SELECT doc_id, count(*) AS n_par FROM p GROUP BY 1),
+    pagg AS (
+      SELECT doc_id, string_agg(para, '|' ORDER BY pos) AS txt,
+             count(*) AS n_kept
+      FROM w WHERE rn = 1 GROUP BY doc_id
+    ),
+    para AS (
+      SELECT 'para' AS branch,
+             concat(CAST(t.doc_id AS VARCHAR), ':',
+                    md5(coalesce(a.txt, ''))) AS k,
+             CAST(t.n_par AS DOUBLE) AS val_a,
+             CAST(coalesce(a.n_kept, 0) AS DOUBLE) AS val_b
+      FROM ptot t LEFT JOIN pagg a USING (doc_id)
     )
     SELECT * FROM exact UNION ALL SELECT * FROM mrg
+    UNION ALL SELECT * FROM para
     """,
     doc="E1 + table maintenance, one labeled union (round-4 fusion — the "
     "gate cap is full, so the MERGE operator gets its hard CORRECTNESS "
@@ -88,7 +128,13 @@ def _content_tag(df: DataFrame, col: str) -> int:
     "kernel, and the branch returns the POST-MERGE table contents read "
     "back from parquet — any lost partition, missed tombstone, or "
     "duplicated key diverges from the oracle's closed-form expected "
-    "state.",
+    "state.  para (late round-4 fusion) — operators/paradedup.py's "
+    "cross-document paragraph dedup (the MassiveText/Gopher exact "
+    "paragraph sweep) with 8-token chunks as the unit (the synthetic "
+    "docs lack sentence separators): the branch emits each doc's md5 "
+    "of the REASSEMBLED surviving text plus kept/total counts, and the "
+    "oracle re-runs the whole election in SQL — explode, "
+    "min-(doc_id,pos) first-occurrence, ordered string_agg reassembly.",
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.merge import merge_upsert
@@ -139,7 +185,34 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("price").alias("val_a"),
         F.col("part").cast("double").alias("val_b"),
     )
-    return exact.unionAll(merged)
+
+    from ..operators.paradedup import paragraph_dedup
+
+    # the synthetic docs have no sentence separators, so carve 8-token
+    # chunks as pseudo-paragraphs ('|'-joined; tokens are [a-z]+) and run
+    # the REAL cross-doc paragraph-dedup operator over them
+    toks = F.split(F.col("text"), " ")
+    nt = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(nt - 1, F.lit(0)), F.lit(8))
+    docs_p = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                starts,
+                lambda s: F.array_join(F.slice(toks, s + 1, 8), " "),
+            ),
+            "|",
+        ).alias("text"),
+    )
+    para = paragraph_dedup(docs_p, "doc_id", "text", sep="|").select(
+        F.lit("para").alias("branch"),
+        F.concat_ws(
+            ":", F.col("doc_id").cast("string"), F.md5("text_deduped")
+        ).alias("k"),
+        F.col("n_paragraphs").cast("double").alias("val_a"),
+        F.col("n_kept").cast("double").alias("val_b"),
+    )
+    return exact.unionAll(merged).unionAll(para)
 
 
 def _langid_score_cols_duckdb() -> list[str]:

@@ -87,19 +87,33 @@ def test_collision_safe_parity(spark, corpus):
 
 
 def test_deterministic_across_repartition(spark, sf_smoke):
-    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
-    # use sentences as "paragraphs" so the synthetic docs actually share units
+    raw = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    # the synthetic docs have no sentence separators; carve 8-token
+    # chunks as pseudo-paragraphs (as the q_dedup_exact para branch does)
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(8)
+    )
+    docs = raw.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                starts, lambda s: F.array_join(F.slice(toks, s + 1, 8), " ")
+            ),
+            "|",
+        ).alias("text"),
+    )
     a = sorted(
-        map(tuple, paradedup.paragraph_dedup(docs, sep=". ").collect())
+        map(tuple, paradedup.paragraph_dedup(docs, sep="|").collect())
     )
     b = sorted(
         map(
             tuple,
-            paradedup.paragraph_dedup(docs.repartition(17), sep=". ").collect(),
+            paradedup.paragraph_dedup(docs.repartition(17), sep="|").collect(),
         )
     )
     assert a == b
-    # the synthetic corpus repeats sentences across docs: the sweep must
+    # the synthetic corpus repeats chunks across docs: the sweep must
     # actually remove something
     total = sum(r[2] for r in a)
     kept = sum(r[3] for r in a)
