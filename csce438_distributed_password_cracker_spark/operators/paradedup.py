@@ -89,8 +89,14 @@ def paragraph_dedup(
         .select("_did", "_pos", "_para")
         .unionByName(paras.where(~elect).select("_did", "_pos", "_para"))
     )
-    totals = paras.groupBy("_did").agg(
-        F.count("*").alias("n_paragraphs")
+    # per-doc paragraph count straight off the split array — a map-only
+    # projection, not an explode+aggregate (one less exchange and one
+    # less corpus-wide Generate)
+    totals = df.select(
+        F.col(id_col).alias("_did"),
+        F.size(
+            F.split(F.col(text_col), F.lit("\\Q" + sep + "\\E"), -1)
+        ).cast("long").alias("n_paragraphs"),
     )
     survivors = kept.groupBy("_did").agg(
         F.array_join(
