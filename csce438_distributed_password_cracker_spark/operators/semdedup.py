@@ -65,14 +65,17 @@ def semantic_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_rows: int = 4096,
+    max_cluster_rows: int = 2_000_000,
 ) -> DataFrame:
     """Within-cluster near-duplicate pairs: (id_a < id_b, cos_sim) with
     cosine ≥ ``threshold``, compared only inside k-means clusters.
 
     One clustering pass (distributed Lloyd), one shuffle on the cluster
     id, one Arrow pass per cluster.  ``block_rows`` bounds the local
-    GEMM: each block of a cluster's matrix is multiplied against the
-    whole cluster, so peak memory ∝ block_rows × cluster_rows floats.
+    GEMM's similarity buffer (block_rows × cluster_rows floats), but a
+    cluster's own matrix must fit one executor (cluster_rows × dim);
+    ``max_cluster_rows`` turns that limit into a loud error naming the
+    remedy (raise ``n_centroids``) instead of an executor OOM.
     """
     import numpy as np
     import pandas as pd
@@ -94,9 +97,15 @@ def semantic_pairs(
 
     thr = float(threshold)
     blk = int(block_rows)
+    cap = int(max_cluster_rows)
 
     def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
+        if n > cap:
+            raise ValueError(
+                f"cluster of {n} rows exceeds max_cluster_rows={cap}; "
+                "raise n_centroids so clusters fit an executor"
+            )
         if n < 2:
             return pd.DataFrame(
                 {"id_a": [], "id_b": [], "cos_sim": []}
@@ -139,6 +148,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_rows: int = 4096,
+    max_cluster_rows: int = 2_000_000,
 ) -> DataFrame:
     """Per-id semantic-dedup verdicts: (id, component_id, keep) where
     ``keep`` marks each near-dup component's min id (singletons keep).
@@ -148,7 +158,7 @@ def semantic_dedup(
     """
     pairs = semantic_pairs(
         emb, threshold, n_centroids, refine_iters, seed,
-        id_col, vec_col, block_rows,
+        id_col, vec_col, block_rows, max_cluster_rows,
     )
     ids = emb.select(F.col(id_col).cast("long").alias("id"))
     comp = connected_components(ids, pairs.select("id_a", "id_b"))

@@ -121,6 +121,38 @@ def group_quota(
     return out.withColumn(flag_col, F.col(rank_col) <= k)
 
 
+def shuffle_rows(
+    df: DataFrame,
+    id_col: str,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle — the "randomize training-data order"
+    step before writing sharded output.  Ordering key is
+    ``xxhash64(key, seed)`` (tie-break on the key), so the permutation
+    is reproducible across runs/clusters and re-keyable by seed —
+    everything ``df.orderBy(rand())`` is not.
+
+    Implementation is a RANGE partition on the hash + within-partition
+    sort, exactly what ``orderBy`` plans (one exchange, no global
+    single-node sort); pass ``num_partitions`` to also fix the output
+    shard count, e.g. for ``write.parquet`` of epoch-sharded data.
+    Rows land in hash order both across and within shards, so
+    ``shard_id = partition index`` and readers streaming shards
+    sequentially see the same permutation end-to-end."""
+    keyed = df.withColumn(
+        "__shuf", F.xxhash64(F.col(id_col), F.lit(seed))
+    )
+    if num_partitions is not None:
+        keyed = keyed.repartitionByRange(
+            num_partitions, F.col("__shuf"), F.col(id_col)
+        )
+        out = keyed.sortWithinPartitions("__shuf", id_col)
+    else:
+        out = keyed.orderBy("__shuf", id_col)
+    return out.drop("__shuf")
+
+
 def md5_sample_sql(expr: str, tag: str, n_buckets: int = 256) -> str:
     """Engine-portable sampling bucket: md5 of a TAGGED key so multiple
     sampling decisions on the same key are independent (different tag ⇒

@@ -143,3 +143,40 @@ def test_mix_verdict_pass_is_map_only(spark, sf_smoke):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ------------------------------------------------- deterministic shuffle
+
+def test_shuffle_rows_is_deterministic_permutation(spark, sf_smoke):
+    from csce438_distributed_password_cracker_spark.operators.split import (
+        shuffle_rows,
+    )
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    a = [r["doc_id"] for r in shuffle_rows(docs, "doc_id").collect()]
+    b = [
+        r["doc_id"]
+        for r in shuffle_rows(docs.repartition(9), "doc_id").collect()
+    ]
+    assert a == b
+    assert sorted(a) == sorted(r["doc_id"] for r in docs.collect())
+    assert a != sorted(a)  # actually permuted
+    c = [r["doc_id"] for r in shuffle_rows(docs, "doc_id", seed=7).collect()]
+    assert c != a  # re-keyable by seed
+
+
+def test_shuffle_rows_sharded_matches_global_order(spark, sf_smoke):
+    from csce438_distributed_password_cracker_spark.operators.split import (
+        shuffle_rows,
+    )
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    flat = [r["doc_id"] for r in shuffle_rows(docs, "doc_id").collect()]
+    sharded = shuffle_rows(docs, "doc_id", num_partitions=4)
+    assert sharded.rdd.getNumPartitions() == 4
+    walked = [
+        r["doc_id"]
+        for part in sharded.rdd.glom().collect()
+        for r in part
+    ]
+    assert walked == flat

@@ -130,3 +130,12 @@ def test_pair_stage_single_shuffle(spark, emb):
     # mapInPandas output joined on id — allow its exchanges but ensure
     # the group stage itself hashes on cluster
     assert "hashpartitioning(cluster" in plan
+
+
+def test_cluster_cap_guard(spark, emb):
+    with pytest.raises(Exception) as ei:
+        semdedup.semantic_pairs(
+            emb, THRESHOLD, n_centroids=1, refine_iters=0,
+            max_cluster_rows=100,
+        ).collect()
+    assert "max_cluster_rows" in str(ei.value)
