@@ -18,15 +18,17 @@ Scale shape (100 TB):
   rows: a domain whose corpus cannot supply its share saturates at
   rate 1.0 and its unused budget is redistributed across the remaining
   domains in proportion to their weights (iterates ≤ #domains times).
-- The verdict pass is map-only: the same shared hash coordinate as
-  :func:`~..operators.split._sample_bucket` thresholded at the domain's
-  rate — no shuffle, reproducible across runs/engines/partitionings,
-  and new rows get a stable verdict without touching old ones.
+- The verdict pass is map-only: a "mix"-tag-salted key hash
+  thresholded at the domain's rate — no shuffle, reproducible across
+  runs/engines/partitionings, independent of split/sample decisions
+  made on the same key (fresh hash per decision kind), and new rows
+  get a stable verdict without touching old ones.
 
 Hash-threshold sampling hits each domain's rate in expectation (error
 O(1/sqrt(rows)) of the domain's token share); for quota-EXACT caps
-compose with :func:`~..operators.split.group_quota` using the shared
-bucket coordinate (threshold-prefilter + rank, see split.py).
+rank within each domain by a hash coordinate and keep a token-prefix
+(the :func:`~..operators.split.group_quota` shape — rank and threshold
+must share one coordinate for the skew prefilter recipe to apply).
 """
 
 from __future__ import annotations
@@ -34,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .split import _HASH_SPACE, _sample_bucket
+from .split import _HASH_SPACE
 
 
 def mixing_rates(
@@ -61,9 +63,14 @@ def mixing_rates(
         raise ValueError("token_budget must be >= 0")
 
     rates: dict[str, float] = {}
-    active = {d: w for d, w in weights.items() if domain_tokens[d] > 0}
+    # zero-weight and empty domains take rate 0 up front: a zero-weight
+    # domain left "active" would make the renormalizing sum collapse to
+    # 0 once every positive-weight domain saturates (division by zero)
+    active = {
+        d: w for d, w in weights.items() if domain_tokens[d] > 0 and w > 0
+    }
     for d in weights:
-        if domain_tokens[d] <= 0:
+        if d not in active:
             rates[d] = 0.0
     budget = float(token_budget)
     # Each pass either saturates >=1 domain or assigns final rates, so
@@ -119,7 +126,15 @@ def mix_corpora(
         totals.setdefault(d, 0)
     rates = mixing_rates(totals, weights, token_budget)
 
-    bucket = _sample_bucket(id_col, seed)
+    # tag-salt the sampling coordinate (fresh hash per decision kind):
+    # the bare key hash at the default seed is the SAME coordinate
+    # hash_split/hash_sample threshold on, so an unsalted mix at rate r
+    # would select exactly the first r of the split ordering — e.g. the
+    # test split into the training mix.  Mirrors the SQL twin's 'm' tag.
+    bucket = F.pmod(
+        F.xxhash64(F.lit("mix"), F.col(id_col), F.lit(seed)),
+        F.lit(_HASH_SPACE),
+    )
     rate_expr: Column = F.lit(0.0)
     flag_expr: Column = F.lit(False)
     for d in sorted(rates):

@@ -39,6 +39,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _quote_regex(sep: str) -> str:
+    """Literal-quote a separator for Java-regex ``F.split``: escape every
+    non-alphanumeric ASCII char.  (\\Q...\\E quoting breaks when the
+    separator itself contains the sequence ``\\E``.)"""
+    if not sep:
+        raise ValueError("sep must be non-empty")
+    return "".join(
+        c if (c.isalnum() or ord(c) > 127) else "\\" + c for c in sep
+    )
+
+
 def paragraph_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -58,16 +69,20 @@ def paragraph_dedup(
     First occurrence = the minimum (doc_id, position) holding the
     paragraph, so verdicts are deterministic and engine-portable.
     """
-    # \Q...\E-quote the separator: F.split takes a REGEX while array_join
+    # literal-quote the separator: F.split takes a REGEX while array_join
     # reassembles with the literal — without quoting, a '. ' separator
     # would split on any-char+space
+    sep_re = _quote_regex(sep)
     paras = df.select(
         F.col(id_col).alias("_did"),
         F.posexplode(
-            F.split(F.col(text_col), F.lit("\\Q" + sep + "\\E"), -1)
+            F.split(F.col(text_col), F.lit(sep_re), -1)
         ).alias("_pos", "_para"),
     )
-    elect = F.length("_para") >= min_chars
+    # empty paragraphs (consecutive/leading/trailing separators) are
+    # always exempt: electing them would collapse every later document's
+    # blank structure to the corpus-wide first blank
+    elect = F.length("_para") >= max(int(min_chars), 1)
     key = (
         F.col("_para") if collision_safe else F.xxhash64("_para")
     ).alias("_k")
@@ -95,7 +110,7 @@ def paragraph_dedup(
     totals = df.select(
         F.col(id_col).alias("_did"),
         F.size(
-            F.split(F.col(text_col), F.lit("\\Q" + sep + "\\E"), -1)
+            F.split(F.col(text_col), F.lit(sep_re), -1)
         ).cast("long").alias("n_paragraphs"),
     )
     survivors = kept.groupBy("_did").agg(

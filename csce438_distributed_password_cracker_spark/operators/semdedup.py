@@ -160,8 +160,13 @@ def semantic_dedup(
         emb, threshold, n_centroids, refine_iters, seed,
         id_col, vec_col, block_rows, max_cluster_rows,
     )
+    # materialize before handing to connected_components: its
+    # symmetrizing union would otherwise execute the clustering +
+    # per-cluster GEMM pipeline twice (no common-subplan sharing
+    # across union branches)
+    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
     ids = emb.select(F.col(id_col).cast("long").alias("id"))
-    comp = connected_components(ids, pairs.select("id_a", "id_b"))
+    comp = connected_components(ids, pairs)
     return comp.select(
         "id",
         "component_id",

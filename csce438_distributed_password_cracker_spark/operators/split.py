@@ -125,7 +125,8 @@ def shuffle_rows(
     df: DataFrame,
     id_col: str,
     seed: int = 42,
-    num_partitions: int | None = None,
+    num_shards: int | None = None,
+    shard_col: str = "shard_id",
 ) -> DataFrame:
     """Deterministic global shuffle — the "randomize training-data order"
     step before writing sharded output.  Ordering key is
@@ -133,23 +134,32 @@ def shuffle_rows(
     is reproducible across runs/clusters and re-keyable by seed —
     everything ``df.orderBy(rand())`` is not.
 
-    Implementation is a RANGE partition on the hash + within-partition
-    sort, exactly what ``orderBy`` plans (one exchange, no global
-    single-node sort); pass ``num_partitions`` to also fix the output
-    shard count, e.g. for ``write.parquet`` of epoch-sharded data.
-    Rows land in hash order both across and within shards, so
-    ``shard_id = partition index`` and readers streaming shards
-    sequentially see the same permutation end-to-end."""
+    With ``num_shards``, a ``shard_col`` is appended: an ORDER-PRESERVING
+    equal-width cut of the hash space (shard i holds the i-th contiguous
+    hash interval), so shard membership is a pure function of
+    (key, seed, num_shards) — reproducible across sessions, unlike an
+    RDD partition index, whose RangePartitioner samples boundaries with
+    a session-dependent seed.  Write with ``partitionBy(shard_col)``
+    (or repartition on it) and readers walking shards in id order see
+    the same permutation end-to-end on every run.
+
+    The plan is a range partition on the hash + within-partition sort
+    (one exchange, no single-node global sort)."""
     keyed = df.withColumn(
         "__shuf", F.xxhash64(F.col(id_col), F.lit(seed))
     )
-    if num_partitions is not None:
-        keyed = keyed.repartitionByRange(
-            num_partitions, F.col("__shuf"), F.col(id_col)
+    out = keyed.orderBy("__shuf", id_col)
+    if num_shards is not None:
+        # map int64 hash space onto [0, num_shards) monotonically;
+        # double rounding is monotone, so order across shards holds
+        shard = F.least(
+            F.lit(num_shards - 1),
+            F.floor(
+                (F.col("__shuf").cast("double") / F.lit(2.0**64) + 0.5)
+                * num_shards
+            ).cast("int"),
         )
-        out = keyed.sortWithinPartitions("__shuf", id_col)
-    else:
-        out = keyed.orderBy("__shuf", id_col)
+        out = out.withColumn(shard_col, shard)
     return out.drop("__shuf")
 
 

@@ -172,11 +172,52 @@ def test_shuffle_rows_sharded_matches_global_order(spark, sf_smoke):
 
     docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
     flat = [r["doc_id"] for r in shuffle_rows(docs, "doc_id").collect()]
-    sharded = shuffle_rows(docs, "doc_id", num_partitions=4)
-    assert sharded.rdd.getNumPartitions() == 4
+    sharded = shuffle_rows(docs, "doc_id", num_shards=4).collect()
+    # shard ids cover [0, 4), are a pure function of the key (stable
+    # under repartitioning), and walking shards in order reproduces the
+    # global permutation
+    assert {r["shard_id"] for r in sharded} == {0, 1, 2, 3}
+    again = {
+        r["doc_id"]: r["shard_id"]
+        for r in shuffle_rows(
+            docs.repartition(7), "doc_id", num_shards=4
+        ).collect()
+    }
+    assert all(again[r["doc_id"]] == r["shard_id"] for r in sharded)
     walked = [
         r["doc_id"]
-        for part in sharded.rdd.glom().collect()
-        for r in part
+        for r in sorted(sharded, key=lambda r: r["shard_id"])
     ]
+    # rows within the collect() stay in global hash order; sorting by
+    # shard must not reorder (shards are contiguous hash intervals)
     assert walked == flat
+
+
+def test_rates_zero_weight_domain_alongside_saturation():
+    """A zero-weight domain must not crash the water-filling loop once
+    the positive-weight domains saturate."""
+    rates = mixing.mixing_rates(
+        {"a": 10, "b": 100}, {"a": 1.0, "b": 0.0}, 50
+    )
+    assert rates == {"a": 1.0, "b": 0.0}
+
+
+def test_mix_coordinate_independent_of_split(spark, sf_smoke):
+    """At default seeds, the mix selection must NOT coincide with any
+    hash_split band (the train-on-test hazard the tag salt prevents)."""
+    from csce438_distributed_password_cracker_spark.operators.split import (
+        hash_split,
+    )
+
+    docs = _docs(spark, sf_smoke).where("lang = 'en'")
+    out = mixing.mix_corpora(
+        hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}),
+        "lang", "doc_id", "n_tokens", {"en": 1.0},
+        int(docs.agg(F.sum("n_tokens")).first()[0] * 0.1),
+    )
+    picked = out.where("in_mix")
+    # ~10% mix over a 10% test band: exact coincidence would make every
+    # picked row 'test'; independence leaves most picked rows elsewhere
+    n = picked.count()
+    n_test = picked.where("split = 'test'").count()
+    assert n > 0 and n_test < n / 2

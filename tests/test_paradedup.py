@@ -133,3 +133,30 @@ def test_election_shuffle_is_slim(spark, corpus):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "xxhash64" in plan
     assert "min_by" in plan or "minby" in plan.lower()
+
+
+def test_regex_metachar_separator(spark):
+    """The separator is literal even when it is regex-special."""
+    df = _df(
+        spark,
+        [(1, "a.b|+c.b|+z"), (2, "c.b|+other")],
+    )
+    out = _by_id(paradedup.paragraph_dedup(df, sep="|+"))
+    assert out[1]["text_deduped"] == "a.b|+c.b|+z"
+    # doc 1 holds paragraphs [a.b, c.b, z]; doc 2 [c.b, other] — c.b's
+    # first occurrence is (1, 1), so doc 2 keeps only 'other'
+    assert out[2]["text_deduped"] == "other"
+    with pytest.raises(ValueError):
+        paradedup.paragraph_dedup(df, sep="")
+
+
+def test_empty_paragraphs_are_exempt(spark):
+    """Blank structure (consecutive separators) never joins the
+    corpus-wide election."""
+    df = _df(
+        spark,
+        [(1, SEP.join(["a", "", "", "b"])), (2, SEP.join(["c", "", "d"]))],
+    )
+    out = _by_id(paradedup.paragraph_dedup(df, sep=SEP))
+    assert out[1]["text_deduped"] == SEP.join(["a", "", "", "b"])
+    assert out[2]["text_deduped"] == SEP.join(["c", "", "d"])
