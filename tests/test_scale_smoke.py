@@ -116,3 +116,76 @@ def test_profile_drift_full_corpus_quiet(spark):
         and not (r.column == "text" and r.metric == "top_k")
     ]
     assert noisy == []  # same corpus shape: only size-driven metrics move
+
+
+def test_paragraph_dedup_full_corpus(spark):
+    """Cross-doc paragraph sweep over the whole sf0.1 documents table
+    (8-token chunk units): completes, conserves documents, and removes
+    the repeated chunks the synthetic near-dup docs share."""
+    from csce438_distributed_password_cracker_spark.operators.paradedup import (
+        paragraph_dedup,
+    )
+
+    raw = load_table(spark, SF01, "documents")
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(8)
+    )
+    docs = raw.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                starts, lambda s: F.array_join(F.slice(toks, s + 1, 8), " ")
+            ),
+            "|",
+        ).alias("text"),
+    )
+    out = paragraph_dedup(docs, sep="|")
+    agg = out.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_paragraphs").alias("total"),
+        F.sum("n_kept").alias("kept"),
+    ).first()
+    assert agg["n_docs"] == raw.count()
+    assert 0 < agg["kept"] < agg["total"]
+
+
+def test_mix_corpora_full_corpus(spark):
+    """Token-budget mixing over sf0.1: budget hit in expectation, only
+    weighted langs selected."""
+    from csce438_distributed_password_cracker_spark.operators.mixing import (
+        mix_corpora,
+    )
+
+    docs = load_table(spark, SF01, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " "))
+    )
+    budget = 100_000
+    out = mix_corpora(
+        docs, "lang", "doc_id", "n_tokens",
+        {"en": 0.5, "fr": 0.3, "de": 0.2}, budget,
+    )
+    got = (
+        out.where("in_mix")
+        .groupBy("lang")
+        .agg(F.sum("n_tokens").alias("toks"))
+        .collect()
+    )
+    assert {r["lang"] for r in got} <= {"en", "fr", "de"}
+    total = sum(r["toks"] for r in got)
+    assert 0.85 * budget <= total <= 1.15 * budget
+
+
+def test_semantic_pairs_full_embeddings(spark):
+    """SemDeDup pair mining over the full sf0.1 embedding table (50k
+    vectors, 32 clusters): completes with exact-threshold pairs only."""
+    from csce438_distributed_password_cracker_spark.operators.semdedup import (
+        semantic_pairs,
+    )
+
+    emb = load_table(spark, SF01, "embeddings")
+    pairs = semantic_pairs(
+        emb, 0.5, n_centroids=32, refine_iters=1
+    ).collect()
+    assert len(pairs) > 0
+    assert all(r["cos_sim"] >= 0.5 and r["id_a"] < r["id_b"] for r in pairs)
