@@ -1,7 +1,8 @@
 """End-to-end corpus-pipeline integration: raw JSON drop → schema-enforced
-ingest + quarantine → exact dedup → benchmark decontamination → quality
-filter → split/sample → chunking → sequence packing → BM25 retrieval
-over the curated corpus.
+ingest + quarantine → exact dedup → benchmark decontamination →
+cross-doc paragraph dedup → PII scrub → quality filter → split/sample →
+token-budget mixing → deterministic shuffle → chunking → sequence
+packing → BM25 retrieval over the curated corpus.
 
 Each stage is oracle- or property-tested on its own elsewhere; this test
 pins that they COMPOSE — the full path a user of the engine actually
@@ -27,12 +28,17 @@ from csce438_distributed_password_cracker_spark.operators import (
     decontam,
     dedup,
     packing,
+    paradedup,
     search,
     textops,
+)
+from csce438_distributed_password_cracker_spark.operators.mixing import (
+    mix_corpora,
 )
 from csce438_distributed_password_cracker_spark.operators.split import (
     hash_sample,
     hash_split,
+    shuffle_rows,
 )
 from csce438_distributed_password_cracker_spark.sources import ingest
 
@@ -83,8 +89,34 @@ def _run_pipeline(spark, raw_dir):
         train, eval_df, "doc_id", "text", n=5, min_hits=2
     )
 
+    # cross-doc boilerplate removal: 8-token chunks as pseudo-paragraphs
+    # ('|'-joined — the synthetic docs lack separators), first-occurrence
+    # election corpus-wide, then restore spaces so tokenization is
+    # unchanged downstream
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(8)
+    )
+    chunked_text = decon.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                starts, lambda s: F.array_join(F.slice(toks, s + 1, 8), " ")
+            ),
+            "|",
+        ).alias("text"),
+    )
+    boiler_free = (
+        paradedup.paragraph_dedup(chunked_text, sep="|")
+        .join(decon.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id", "lang",
+            F.translate("text_deduped", "|", " ").alias("text"),
+        )
+    )
+
     # PII scrub, then quality filter: drop highly repetitive docs
-    scrubbed = decon.select(
+    scrubbed = boiler_free.select(
         "doc_id", "lang", *textops.redact_pii(out_col="text")
     )
     profiled = scrubbed.select(
@@ -98,23 +130,39 @@ def _run_pipeline(spark, raw_dir):
         {"train": 0.8, "val": 0.1, "test": 0.1},
     )
 
-    # chunk the train split into overlapping 128-token windows, then
-    # pack chunks into 512-token sequences (chunking guarantees no
-    # oversized doc ever reaches the packer's budget guard)
-    train_docs = carved.filter(F.col("split") == "train")
+    # compose the training mix under a token budget (per-lang weights,
+    # water-filling rates), then fix the training order with the
+    # deterministic global shuffle before chunking
+    train_docs = carved.filter(F.col("split") == "train").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " "))
+    )
+    mixed = mix_corpora(
+        train_docs, "lang", "doc_id", "n_tokens",
+        {"en": 0.4, "fr": 0.2, "de": 0.2, "es": 0.1, "zh": 0.1},
+        token_budget=30_000,
+    ).filter("in_mix")
+    ordered = shuffle_rows(mixed, "doc_id")
+
+    # chunk the mixed train selection into overlapping 128-token
+    # windows, then pack chunks into 512-token sequences (chunking
+    # guarantees no oversized doc ever reaches the packer's budget guard)
     chunked = chunking.chunk_documents(
-        train_docs, "doc_id", "text", chunk_tokens=128, overlap=16
+        ordered, "doc_id", "text", chunk_tokens=128, overlap=16
     )
     packed = packing.pack_sequences(
         chunked, "chunk_id", "n_tokens", budget=512, n_groups=8
     )
-    return clean, bad, deduped, train, decon, profiled, carved, chunked, packed
+    return (
+        clean, bad, deduped, train, decon, profiled, carved, mixed,
+        chunked, packed,
+    )
 
 
 def test_pipeline_composes_with_reconciled_counts(spark, sf_smoke, tmp_path):
     raw_dir = _raw_drop(spark, sf_smoke, tmp_path)
     (
-        clean, bad, deduped, train, decon, profiled, carved, chunked, packed,
+        clean, bad, deduped, train, decon, profiled, carved, mixed,
+        chunked, packed,
     ) = _run_pipeline(spark, raw_dir)
 
     # ingest: 500 originals + 10 injected dups parsed, 2 lines quarantined
@@ -135,17 +183,23 @@ def test_pipeline_composes_with_reconciled_counts(spark, sf_smoke, tmp_path):
     ).count()
     assert n_decon == n_train - flagged
 
-    # the quality filter and carving preserve rows (flags, not drops,
-    # except the repetition cut)
+    # paragraph dedup + quality filter + carving preserve rows (flags,
+    # not drops, except the repetition cut)
     assert profiled.count() <= n_decon
     assert carved.count() == profiled.count()
     assert set(carved.select("split").distinct().toPandas()["split"]) <= {
         "train", "val", "test",
     }
 
-    # chunk + pack: every chunk lands in exactly one pack, budget held
+    # the mix selects a non-empty, budget-bounded train subset
+    n_mix = mixed.count()
     n_train_split = carved.filter(F.col("split") == "train").count()
-    assert chunked.count() >= n_train_split  # long docs fan out
+    assert 0 < n_mix <= n_train_split
+    mix_tokens = mixed.agg(F.sum("n_tokens")).first()[0]
+    assert mix_tokens <= 1.35 * 30_000
+
+    # chunk + pack: every chunk lands in exactly one pack, budget held
+    assert chunked.count() >= n_mix  # long docs fan out
     assert packed.count() == chunked.count()
     over = packing.pack_stats(packed, 512).filter("tokens > 512").count()
     assert over == 0
