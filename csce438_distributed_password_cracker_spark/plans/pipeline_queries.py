@@ -901,21 +901,73 @@ def _sketch_battery(spark: SparkSession, sf_dir: str, portable: bool) -> DataFra
 @register(
     "q_dedup_embedding",
     oracle="""
-    SELECT * FROM (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                          CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
-      FROM embeddings a, embeddings b
-      WHERE a.vec_id < b.vec_id
-    ) WHERE cos_sim >= 0.4
+    WITH exact AS (
+      SELECT 'exact' AS branch, id_a, id_b, cos_sim FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+      ) WHERE cos_sim >= 0.4
+    ),
+    -- SemDeDup twin: the seeded-sample centroids and the argmax
+    -- assignment are re-derived exactly as in the q_ann_topk oracle
+    -- (portable md5 ordering; cosine DESC with lowest-cluster
+    -- tie-break), then near-pairs are mined WITHIN clusters only
+    cent AS (
+      SELECT * FROM (
+        SELECT row_number() OVER (
+                 ORDER BY md5(concat('42', ':', CAST(vec_id AS VARCHAR))),
+                          vec_id
+               ) - 1 AS cluster,
+               CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings
+      ) WHERE cluster < 4
+    ),
+    base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    assign AS (
+      SELECT vec_id, v, cluster FROM (
+        SELECT b.vec_id, b.v, c.cluster,
+               row_number() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.cluster
+               ) AS rn
+        FROM base b CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    sem AS (
+      SELECT 'semantic' AS branch, a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+      FROM assign a JOIN assign b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+    )
+    SELECT * FROM exact UNION ALL SELECT * FROM sem
     """,
-    doc="E2: embedding-cosine near-dup pairs (cosine ≥ 0.4) — EXACT, via "
-    "blocked GEMM candidate generation (mapInPandas + broadcast row-blocks) "
-    "re-verified by the JVM cosine expression; no cross join.",
+    doc="E2, one labeled union: exact — embedding-cosine near-dup pairs "
+    "(cosine ≥ 0.4), EXACT via blocked GEMM candidate generation "
+    "(mapInPandas + broadcast row-blocks) re-verified by the JVM cosine "
+    "expression; no cross join.  semantic (late round-4 fusion) — "
+    "operators/semdedup.py's SemDeDup pair mining run for real "
+    "(seeded-sample clustering via ivf_assign, one shuffle on the "
+    "cluster id, cluster-local blocked GEMM in applyInPandas), with the "
+    "oracle re-deriving centroids, argmax assignment, and the "
+    "within-cluster pair set end-to-end in SQL — the cross-cluster "
+    "misses (semantic ⊂ exact) are part of the checked contract.",
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.semdedup import semantic_pairs
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.cosine_pairs_blocked(emb, threshold=0.4)
+    exact = similarity.cosine_pairs_blocked(emb, threshold=0.4).select(
+        F.lit("exact").alias("branch"), "id_a", "id_b", "cos_sim"
+    )
+    sem = semantic_pairs(
+        emb, threshold=0.4, n_centroids=4, refine_iters=0
+    ).select(F.lit("semantic").alias("branch"), "id_a", "id_b", "cos_sim")
+    return exact.unionAll(sem)
 
 
 @register(
