@@ -50,6 +50,34 @@ def _quote_regex(sep: str) -> str:
     )
 
 
+def carve_pseudo_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    sep: str = "|",
+) -> DataFrame:
+    """Re-render each document as fixed ``n``-token chunks joined by
+    ``sep`` — pseudo-paragraph units for corpora without natural
+    separators (map-only column algebra).  The shared preprocessing for
+    :func:`paragraph_dedup` used by the gate query, the e2e pipeline
+    and the sf0.1 smoke; restore the original tokens afterwards with
+    ``F.translate(col, sep, ' ')``."""
+    toks = F.split(F.col(text_col), " ")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(n)
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_join(
+            F.transform(
+                starts, lambda s: F.array_join(F.slice(toks, s + 1, n), " ")
+            ),
+            sep,
+        ).alias(text_col),
+    )
+
+
 def paragraph_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

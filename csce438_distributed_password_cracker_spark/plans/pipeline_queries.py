@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions import vectors
 from ..operators import decontam, dedup, multimodal, similarity, textops
 from ..operators.split import md5_bucket_sql, md5_sample_sql
 from .registry import register
@@ -186,24 +187,12 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("part").cast("double").alias("val_b"),
     )
 
-    from ..operators.paradedup import paragraph_dedup
+    from ..operators.paradedup import carve_pseudo_paragraphs, paragraph_dedup
 
     # the synthetic docs have no sentence separators, so carve 8-token
     # chunks as pseudo-paragraphs ('|'-joined; tokens are [a-z]+) and run
     # the REAL cross-doc paragraph-dedup operator over them
-    toks = F.split(F.col("text"), " ")
-    nt = F.size(toks)
-    starts = F.sequence(F.lit(0), F.greatest(nt - 1, F.lit(0)), F.lit(8))
-    docs_p = docs.select(
-        "doc_id",
-        F.array_join(
-            F.transform(
-                starts,
-                lambda s: F.array_join(F.slice(toks, s + 1, 8), " "),
-            ),
-            "|",
-        ).alias("text"),
-    )
+    docs_p = carve_pseudo_paragraphs(docs, "doc_id", "text", n=8, sep="|")
     para = paragraph_dedup(docs_p, "doc_id", "text", sep="|").select(
         F.lit("para").alias("branch"),
         F.concat_ws(
@@ -938,11 +927,12 @@ def _sketch_battery(spark: SparkSession, sf_dir: str, portable: bool) -> DataFra
       ) WHERE rn = 1
     ),
     sem AS (
-      SELECT 'semantic' AS branch, a.vec_id AS id_a, b.vec_id AS id_b,
-             round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
-      FROM assign a JOIN assign b
-        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-      WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+      SELECT * FROM (
+        SELECT 'semantic' AS branch, a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        FROM assign a JOIN assign b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      ) WHERE cos_sim >= 0.4
     )
     SELECT * FROM exact UNION ALL SELECT * FROM sem
     """,
@@ -964,9 +954,33 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = similarity.cosine_pairs_blocked(emb, threshold=0.4).select(
         F.lit("exact").alias("branch"), "id_a", "id_b", "cos_sim"
     )
-    sem = semantic_pairs(
-        emb, threshold=0.4, n_centroids=4, refine_iters=0
-    ).select(F.lit("semantic").alias("branch"), "id_a", "id_b", "cos_sim")
+    # candidates from the real operator (margin-widened, seed pinned to
+    # the oracle's literal 42), then membership + value re-verified by
+    # the JVM cosine expression — bit-identical to the SQL twin, exactly
+    # as cosine_pairs_blocked does; numpy's GEMM accumulation order
+    # never reaches the hash compare
+    cand = semantic_pairs(
+        emb, threshold=0.4 - 1e-6, n_centroids=4, refine_iters=0, seed=42
+    ).select("id_a", "id_b")
+    ea = emb.select(
+        F.col("vec_id").cast("long").alias("id_a"),
+        F.col("embedding").alias("__va"),
+    )
+    eb = emb.select(
+        F.col("vec_id").cast("long").alias("id_b"),
+        F.col("embedding").alias("__vb"),
+    )
+    sem = (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            F.lit("semantic").alias("branch"),
+            "id_a",
+            "id_b",
+            F.round(vectors.cosine("__va", "__vb"), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.4)
+    )
     return exact.unionAll(sem)
 
 

@@ -90,19 +90,7 @@ def test_deterministic_across_repartition(spark, sf_smoke):
     raw = spark.read.parquet(f"{sf_smoke}/documents.parquet")
     # the synthetic docs have no sentence separators; carve 8-token
     # chunks as pseudo-paragraphs (as the q_dedup_exact para branch does)
-    toks = F.split(F.col("text"), " ")
-    starts = F.sequence(
-        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(8)
-    )
-    docs = raw.select(
-        "doc_id",
-        F.array_join(
-            F.transform(
-                starts, lambda s: F.array_join(F.slice(toks, s + 1, 8), " ")
-            ),
-            "|",
-        ).alias("text"),
-    )
+    docs = paradedup.carve_pseudo_paragraphs(raw, "doc_id", "text", n=8, sep="|")
     a = sorted(
         map(tuple, paradedup.paragraph_dedup(docs, sep="|").collect())
     )

@@ -93,18 +93,8 @@ def _run_pipeline(spark, raw_dir):
     # ('|'-joined — the synthetic docs lack separators), first-occurrence
     # election corpus-wide, then restore spaces so tokenization is
     # unchanged downstream
-    toks = F.split(F.col("text"), " ")
-    starts = F.sequence(
-        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(8)
-    )
-    chunked_text = decon.select(
-        "doc_id",
-        F.array_join(
-            F.transform(
-                starts, lambda s: F.array_join(F.slice(toks, s + 1, 8), " ")
-            ),
-            "|",
-        ).alias("text"),
+    chunked_text = paradedup.carve_pseudo_paragraphs(
+        decon, "doc_id", "text", n=8, sep="|"
     )
     boiler_free = (
         paradedup.paragraph_dedup(chunked_text, sep="|")

@@ -123,23 +123,12 @@ def test_paragraph_dedup_full_corpus(spark):
     (8-token chunk units): completes, conserves documents, and removes
     the repeated chunks the synthetic near-dup docs share."""
     from csce438_distributed_password_cracker_spark.operators.paradedup import (
+        carve_pseudo_paragraphs,
         paragraph_dedup,
     )
 
     raw = load_table(spark, SF01, "documents")
-    toks = F.split(F.col("text"), " ")
-    starts = F.sequence(
-        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(8)
-    )
-    docs = raw.select(
-        "doc_id",
-        F.array_join(
-            F.transform(
-                starts, lambda s: F.array_join(F.slice(toks, s + 1, 8), " ")
-            ),
-            "|",
-        ).alias("text"),
-    )
+    docs = carve_pseudo_paragraphs(raw, "doc_id", "text", n=8, sep="|")
     out = paragraph_dedup(docs, sep="|")
     agg = out.agg(
         F.count("*").alias("n_docs"),
