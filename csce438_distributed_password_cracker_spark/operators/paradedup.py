@@ -99,13 +99,15 @@ def paragraph_dedup(
     """
     # literal-quote the separator: F.split takes a REGEX while array_join
     # reassembles with the literal — without quoting, a '. ' separator
-    # would split on any-char+space
+    # would split on any-char+space.  NULL text is treated as empty so
+    # counts stay non-NULL (the one-empty-paragraph case, exempt below).
     sep_re = _quote_regex(sep)
+    text = F.coalesce(F.col(text_col), F.lit(""))
     paras = df.select(
         F.col(id_col).alias("_did"),
-        F.posexplode(
-            F.split(F.col(text_col), F.lit(sep_re), -1)
-        ).alias("_pos", "_para"),
+        F.posexplode(F.split(text, F.lit(sep_re), -1)).alias(
+            "_pos", "_para"
+        ),
     )
     # empty paragraphs (consecutive/leading/trailing separators) are
     # always exempt: electing them would collapse every later document's
@@ -137,9 +139,9 @@ def paragraph_dedup(
     # less corpus-wide Generate)
     totals = df.select(
         F.col(id_col).alias("_did"),
-        F.size(
-            F.split(F.col(text_col), F.lit(sep_re), -1)
-        ).cast("long").alias("n_paragraphs"),
+        F.size(F.split(text, F.lit(sep_re), -1))
+        .cast("long")
+        .alias("n_paragraphs"),
     )
     survivors = kept.groupBy("_did").agg(
         F.array_join(

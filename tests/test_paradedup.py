@@ -148,3 +148,12 @@ def test_empty_paragraphs_are_exempt(spark):
     out = _by_id(paradedup.paragraph_dedup(df, sep=SEP))
     assert out[1]["text_deduped"] == SEP.join(["a", "", "", "b"])
     assert out[2]["text_deduped"] == SEP.join(["c", "", "d"])
+
+
+def test_null_text_treated_as_empty(spark):
+    """NULL text must not poison the counts (n_paragraphs NULL next to
+    n_kept 0) — it behaves as the empty document."""
+    df = _df(spark, [(1, "a" + SEP + "b"), (2, None)])
+    out = _by_id(paradedup.paragraph_dedup(df, sep=SEP))
+    assert out[2]["text_deduped"] == ""
+    assert out[2]["n_paragraphs"] == 1 and out[2]["n_kept"] == 1
