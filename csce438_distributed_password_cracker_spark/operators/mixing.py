@@ -33,7 +33,7 @@ must share one coordinate for the skew prefilter recipe to apply).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .split import _HASH_SPACE
@@ -135,15 +135,30 @@ def mix_corpora(
         F.xxhash64(F.lit("mix"), F.col(id_col), F.lit(seed)),
         F.lit(_HASH_SPACE),
     )
-    rate_expr: Column = F.lit(0.0)
-    flag_expr: Column = F.lit(False)
-    for d in sorted(rates):
-        cond = F.col(domain_col) == d
-        rate_expr = F.when(cond, F.lit(rates[d])).otherwise(rate_expr)
-        flag_expr = F.when(
-            cond, bucket < int(rates[d] * _HASH_SPACE)
-        ).otherwise(flag_expr)
-    out = df.withColumn(flag_col, flag_expr)
+    # verdicts via a broadcast join against the tiny (domain, rate,
+    # threshold) table, not a per-domain when-chain: the chain is a
+    # linear codegen expression that degenerates at hundreds of
+    # domains, while the broadcast hash join stays flat (and is still
+    # map-side — no shuffle).  Unweighted/NULL domains miss the join
+    # and coalesce to (False, 0.0), same as before.
+    spark = df.sparkSession
+    rates_rows = [
+        (d, float(r), int(r * _HASH_SPACE)) for d, r in sorted(rates.items())
+    ]
+    rates_df = spark.createDataFrame(
+        rates_rows, f"`{domain_col}` string, __mix_rate double, __mix_thr long"
+    )
+    out = (
+        df.join(F.broadcast(rates_df), domain_col, "left")
+        .withColumn(
+            flag_col,
+            F.coalesce(bucket < F.col("__mix_thr"), F.lit(False)),
+        )
+    )
     if rate_col:
-        out = out.withColumn(rate_col, rate_expr)
-    return out
+        out = out.withColumn(
+            rate_col, F.coalesce("__mix_rate", F.lit(0.0))
+        )
+    return out.drop("__mix_rate", "__mix_thr").select(
+        *df.columns, flag_col, *([rate_col] if rate_col else [])
+    )

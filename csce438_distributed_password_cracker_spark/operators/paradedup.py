@@ -19,9 +19,15 @@ Scale shape (100 TB):
   deterministic, engine-portable).  Map-side partial aggregation
   flattens skew: the same footer a billion times is ONE group whose
   reduction is a min.
-- The paragraph BYTES cross the wire exactly once — in the verdict
+- The paragraph BYTES cross the wire at most once — in the verdict
   join against the (tiny relative to the corpus) winner table, hashed
-  on the same 64-bit key.
+  on the same 64-bit key.  The HEAVY HITTERS never cross at all: the
+  election already counts each fingerprint's occurrences, so the top
+  ``heavy_hitters`` most-duplicated fingerprints (the corpus-wide
+  footer — exactly the rows that would make the verdict join's hash
+  key hot) are broadcast with their winners and resolved MAP-SIDE;
+  only the long tail of low-count fingerprints enters the shuffled
+  verdict join, where no key is hot by construction.
 - Survivors reassemble per doc with one grouped sort (``sort_array``
   over (pos, paragraph) structs) — the last shuffle, on doc_id.
 
@@ -78,24 +84,24 @@ def carve_pseudo_paragraphs(
     )
 
 
-def paragraph_dedup(
+def election(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     sep: str = "\n\n",
     min_chars: int = 0,
     collision_safe: bool = False,
-    out_col: str = "text_deduped",
-) -> DataFrame:
-    """Corpus-wide first-occurrence paragraph dedup.
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The first-occurrence election, exposed as a seam so tests can
+    assert on the verdict join's inputs.  Returns
+    ``(paras, occurrences, winners)``:
 
-    Returns ``(id_col, out_col, n_paragraphs, n_kept)`` — every document
-    with its surviving paragraphs rejoined by ``sep`` in original order.
-    Paragraphs shorter than ``min_chars`` are exempt (kept everywhere):
-    short connectives ("Introduction") are not boilerplate worth a
-    corpus-wide election, and exempting them bounds the group count.
-    First occurrence = the minimum (doc_id, position) holding the
-    paragraph, so verdicts are deterministic and engine-portable.
+    - ``paras`` — every (``_did``, ``_pos``, ``_para``) row (exploded);
+    - ``occurrences`` — the contested subset with its fingerprint
+      ``_k`` (the text-carrying side of the verdict join);
+    - ``winners`` — one row per fingerprint: ``(_k, _wdid, _wpos, _n)``,
+      the elected first occurrence plus the occurrence COUNT (computed
+      map-side inside the same aggregation) that ranks heavy hitters.
     """
     # literal-quote the separator: F.split takes a REGEX while array_join
     # reassembles with the literal — without quoting, a '. ' separator
@@ -123,20 +129,101 @@ def paragraph_dedup(
         .agg(
             F.min_by(
                 F.struct("_did", "_pos"), F.struct("_did", "_pos")
-            ).alias("_w")
+            ).alias("_w"),
+            F.count("*").alias("_n"),
         )
-        .select("_k", F.col("_w._did").alias("_wdid"), F.col("_w._pos").alias("_wpos"))
+        .select(
+            "_k",
+            F.col("_w._did").alias("_wdid"),
+            F.col("_w._pos").alias("_wpos"),
+            "_n",
+        )
     )
-    kept = (
-        contested.select(key, "_did", "_pos", "_para")
-        .join(winners, "_k")
-        .where((F.col("_did") == F.col("_wdid")) & (F.col("_pos") == F.col("_wpos")))
-        .select("_did", "_pos", "_para")
-        .unionByName(paras.where(~elect).select("_did", "_pos", "_para"))
+    occurrences = contested.select(key, "_did", "_pos", "_para")
+    return paras, occurrences, winners
+
+
+def heavy_winners(winners: DataFrame, heavy_hitters: int) -> DataFrame:
+    """The broadcast candidate set for the verdict join's heavy-hitter
+    bypass: the ``heavy_hitters`` fingerprints with the MOST occurrences
+    (count > 1 — a unique paragraph's only occurrence is its own winner,
+    so broadcasting it buys nothing), ties broken by fingerprint so the
+    set is deterministic.  A global top-N over the election output is a
+    map-side partial top-N per partition + an N-row driver merge — no
+    extra shuffle."""
+    return (
+        winners.where(F.col("_n") > 1)
+        .orderBy(F.desc("_n"), F.asc("_k"))
+        .limit(int(heavy_hitters))
+        .select("_k", "_wdid", "_wpos", "_n")
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    min_chars: int = 0,
+    collision_safe: bool = False,
+    out_col: str = "text_deduped",
+    heavy_hitters: int = 1024,
+) -> DataFrame:
+    """Corpus-wide first-occurrence paragraph dedup.
+
+    Returns ``(id_col, out_col, n_paragraphs, n_kept)`` — every document
+    with its surviving paragraphs rejoined by ``sep`` in original order.
+    Paragraphs shorter than ``min_chars`` are exempt (kept everywhere):
+    short connectives ("Introduction") are not boilerplate worth a
+    corpus-wide election, and exempting them bounds the group count.
+    First occurrence = the minimum (doc_id, position) holding the
+    paragraph, so verdicts are deterministic and engine-portable.
+
+    ``heavy_hitters``: the top-N most-duplicated fingerprints are
+    resolved via a broadcast join (map-side) instead of the shuffled
+    verdict join — the corpus-wide footer's billion text copies never
+    enter an exchange (see the module docstring).  ``0`` disables the
+    bypass (identical verdicts, single shuffled join).
+    """
+    paras, occ, winners = election(
+        df, id_col, text_col, sep, min_chars, collision_safe
+    )
+    exempt = paras.where(
+        F.length("_para") < max(int(min_chars), 1)
+    ).select("_did", "_pos", "_para")
+    is_win = (F.col("_did") == F.col("_wdid")) & (
+        F.col("_pos") == F.col("_wpos")
+    )
+    if heavy_hitters > 0:
+        heavy = heavy_winners(winners, heavy_hitters)
+        # heavy occurrences resolve MAP-SIDE (broadcast hash join + a
+        # broadcast anti join) — their text never enters an exchange;
+        # the winners exchange feeding both `heavy` and the tail join
+        # below is identical, so Spark's ReuseExchange computes the
+        # election once
+        kept_contested = (
+            occ.join(F.broadcast(heavy.drop("_n")), "_k")
+            .where(is_win)
+            .select("_did", "_pos", "_para")
+            .unionByName(
+                occ.join(F.broadcast(heavy.select("_k")), "_k", "left_anti")
+                .join(winners.drop("_n"), "_k")
+                .where(is_win)
+                .select("_did", "_pos", "_para")
+            )
+        )
+    else:
+        kept_contested = (
+            occ.join(winners.drop("_n"), "_k")
+            .where(is_win)
+            .select("_did", "_pos", "_para")
+        )
+    kept = kept_contested.unionByName(exempt)
     # per-doc paragraph count straight off the split array — a map-only
     # projection, not an explode+aggregate (one less exchange and one
     # less corpus-wide Generate)
+    sep_re = _quote_regex(sep)
+    text = F.coalesce(F.col(text_col), F.lit(""))
     totals = df.select(
         F.col(id_col).alias("_did"),
         F.size(F.split(text, F.lit(sep_re), -1))

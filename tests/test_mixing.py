@@ -142,7 +142,11 @@ def test_mix_verdict_pass_is_map_only(spark, sf_smoke):
         docs, "lang", "doc_id", "n_tokens", {"en": 0.5, "fr": 0.5}, 2_000
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    # verdicts come from a BROADCAST hash join against the tiny
+    # (domain, rate) table — map-side; no shuffle exchange anywhere
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
 
 
 # ------------------------------------------------- deterministic shuffle

@@ -150,6 +150,78 @@ def test_empty_paragraphs_are_exempt(spark):
     assert out[2]["text_deduped"] == SEP.join(["c", "", "d"])
 
 
+def _mega_dup_corpus(spark):
+    """60 copies of one footer paragraph (the planted heavy hitter) plus
+    a thin tail of low-count duplicates and unique bodies."""
+    footer = "planted mega duplicate footer paragraph"
+    rows = [(i, SEP.join([f"body text {i}", footer])) for i in range(60)]
+    rows += [
+        (100 + i, SEP.join([f"tail text {i}", f"tail dup {i % 3}"]))
+        for i in range(6)
+    ]
+    return _df(spark, rows), footer
+
+
+def test_heavy_hitter_bypass_preserves_verdicts(spark, corpus):
+    base = sorted(
+        map(
+            tuple,
+            paradedup.paragraph_dedup(
+                corpus, sep=SEP, heavy_hitters=0
+            ).collect(),
+        )
+    )
+    for n in (1, 4, 1024):
+        assert base == sorted(
+            map(
+                tuple,
+                paradedup.paragraph_dedup(
+                    corpus, sep=SEP, heavy_hitters=n
+                ).collect(),
+            )
+        )
+
+
+def test_heavy_hitter_text_stays_out_of_the_exchange(spark):
+    df, footer = _mega_dup_corpus(spark)
+    out = paradedup.paragraph_dedup(df, sep=SEP, heavy_hitters=1)
+    # verdicts: doc 0 keeps the footer, every later host loses it
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert footer in rows[0]["text_deduped"]
+    assert all(footer not in rows[i]["text_deduped"] for i in range(1, 60))
+    # the bypass is a map-side broadcast join in the physical plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    # VOLUME: the broadcast set is exactly the planted mega-duplicate,
+    # and only the tail's occurrences reach the shuffled verdict join
+    _, occ, winners = paradedup.election(df, sep=SEP)
+    heavy = paradedup.heavy_winners(winners, 1).collect()
+    assert len(heavy) == 1 and heavy[0]["_n"] == 60
+    light = occ.join(
+        F.broadcast(
+            paradedup.heavy_winners(winners, 1).select("_k")
+        ),
+        "_k",
+        "left_anti",
+    )
+    # 66 docs × 2 paragraphs = 132 occurrences; the 60 footer copies
+    # are resolved map-side, so the exchange carries only 72 rows
+    assert occ.count() == 132
+    assert light.count() == 72
+
+
+def test_heavy_hitter_ranking_is_deterministic(spark):
+    df, _ = _mega_dup_corpus(spark)
+    _, _, winners = paradedup.election(df, sep=SEP)
+    a = sorted(map(tuple, paradedup.heavy_winners(winners, 3).collect()))
+    b = sorted(map(tuple, paradedup.heavy_winners(winners, 3).collect()))
+    assert a == b
+    # count>1 filter: unique paragraphs never enter the broadcast set
+    big = paradedup.heavy_winners(winners, 10_000).collect()
+    assert all(r["_n"] > 1 for r in big)
+
+
 def test_null_text_treated_as_empty(spark):
     """NULL text must not poison the counts (n_paragraphs NULL next to
     n_kept 0) — it behaves as the empty document."""

@@ -132,6 +132,80 @@ def test_pair_stage_single_shuffle(spark, emb):
     assert "hashpartitioning(cluster" in plan
 
 
+def test_keep_far_from_centroid_consistent(spark, emb):
+    """The paper-faithful policy keeps, in every component, exactly the
+    member with the lowest (cent_sim, id) — verified against an
+    independent recomputation of the centroid similarities."""
+    out = semdedup.semantic_dedup(
+        emb, THRESHOLD, n_centroids=8, keep="far_from_centroid"
+    ).collect()
+    src, cent = semdedup._clustered_src(
+        emb, 8, 2, 42, "vec_id", "embedding"
+    )
+    sims = {
+        r["id"]: r["cent_sim"]
+        for r in semdedup.centroid_similarity(src, cent).collect()
+    }
+    by_comp: dict[int, list] = {}
+    for r in out:
+        by_comp.setdefault(r["component_id"], []).append(r)
+    assert len(out) == len(sims)
+    for comp, members in by_comp.items():
+        kept = [m for m in members if m["keep"]]
+        assert len(kept) == 1
+        expect = min(members, key=lambda m: (sims[m["id"]], m["id"]))
+        assert kept[0]["id"] == expect["id"]
+
+
+def test_keep_policies_differ_on_planted_cluster(spark):
+    """A component whose min-id member sits CLOSEST to the centroid
+    separates the two policies: min_id keeps it, far_from_centroid
+    keeps the outlying member (diversity retention)."""
+    import numpy as np
+
+    dim = 64
+    axis = np.zeros(dim)
+    axis[0] = 1.0  # e0
+    rows = []
+    rows.append((1, [float(x) for x in axis]))  # exactly on-axis
+    v2 = axis + 0.2 * np.eye(dim)[1]
+    rows.append((2, [float(x) for x in v2 / np.linalg.norm(v2)]))
+    # filler mass pulls the centroid onto e0 without pairing: each
+    # filler perturbs along its OWN axis (cos≈0.89 to id 1, ≈0.80 to
+    # every other filler — all below the 0.95 pairing threshold)
+    for i in range(10, 30):
+        f = axis + 0.5 * np.eye(dim)[2 + (i - 10)]
+        rows.append((i, [float(x) for x in f / np.linalg.norm(f)]))
+    # a far-away, mutually-dissimilar blob for the second centroid
+    for i in range(100, 110):
+        g = np.eye(dim)[40] + 0.5 * np.eye(dim)[41 + (i - 100)]
+        rows.append((i, [float(x) for x in g / np.linalg.norm(g)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    kw = dict(n_centroids=2, refine_iters=2)
+    min_id = {
+        r["id"]: r["keep"]
+        for r in semdedup.semantic_dedup(df, 0.95, **kw).collect()
+    }
+    far = {
+        r["id"]: r["keep"]
+        for r in semdedup.semantic_dedup(
+            df, 0.95, keep="far_from_centroid", **kw
+        ).collect()
+    }
+    # ids 1 and 2 form the only multi-member component (cos≈0.98)
+    assert min_id[1] and not min_id[2]
+    assert far[2] and not far[1]
+    # singletons keep under both policies
+    for i in list(range(10, 30)) + list(range(100, 110)):
+        assert min_id[i] and far[i]
+
+
+def test_keep_policy_rejects_unknown(spark, emb):
+    with pytest.raises(ValueError):
+        semdedup.semantic_dedup(emb, THRESHOLD, keep="nope")
+
+
 def test_cluster_cap_guard(spark, emb):
     with pytest.raises(Exception) as ei:
         semdedup.semantic_pairs(
