@@ -26,8 +26,12 @@ Why this shape holds at 100 TB:
   and replaces the manifest via write-tmp → ``os.replace`` (atomic on
   POSIX).  A reader that loaded the manifest an instant earlier keeps
   reading its version's directory, which is immutable — no torn
-  reads, no retry loops.  (On an object store, swap the rename for a
-  conditional PUT of the manifest object — the layout is unchanged.)
+  reads, no retry loops.  The commit point is PLUGGABLE: the default
+  :class:`PosixCommitBackend` (lock file + atomic rename) suits one
+  host or any rename-atomic filesystem; :class:`CasCommitBackend`
+  implements the OBJECT-STORE protocol — unique data-directory names
+  plus a conditional PUT (compare-and-swap) of the manifest object —
+  so a 100 TB deployment on S3/GCS swaps one class, not the layout.
 - **Writers serialize via commit preconditions.**  Every write lands
   in its own uniquely-named staging directory, so concurrent writers
   never collide on disk; the commit point assigns the version number
@@ -140,58 +144,218 @@ def _staging_dir(root: Path) -> Path:
     return root / f"_staging-{os.getpid()}-{uuid.uuid4().hex[:8]}"
 
 
+def _next_manifest(
+    manifest: dict,
+    partition_by: list[str],
+    expected_parent: int | None,
+    schema_json: str | None,
+    vdir: str,
+) -> tuple[int, dict]:
+    """Pure commit bookkeeping shared by every backend: verify the
+    preconditions against a manifest SNAPSHOT, assign the next version,
+    return (version, new_manifest).  Raises :class:`ConcurrentWriteError`
+    / ``ValueError`` without touching disk — the caller cleans staging."""
+    if (
+        expected_parent is not None
+        and manifest["version"] != expected_parent
+    ):
+        raise ConcurrentWriteError(
+            f"table advanced to v{manifest['version']} while this "
+            f"merge was computed against v{expected_parent}"
+        )
+    stored_parts = normalize_partition_cols(manifest.get("partition_by"))
+    if manifest["version"] > 0 and stored_parts != partition_by:
+        raise ValueError(
+            f"table is partitioned by {stored_parts!r}; "
+            f"got partition_by={partition_by!r}"
+        )
+    version = manifest["version"] + 1
+    entry = {"version": version, "dir": vdir}
+    if schema_json is not None:
+        # each version records ITS OWN schema: readers apply it so
+        # hard-linked files from before an additive evolution read
+        # back with the new columns as NULL, and time travel
+        # returns each version's contemporary schema
+        entry["schema"] = schema_json
+    new = dict(manifest)
+    new["history"] = manifest["history"] + [entry]
+    new.update(
+        version=version,
+        dir=vdir,
+        partition_by=partition_by if partition_by else None,
+    )
+    return version, new
+
+
+class PosixCommitBackend:
+    """Commit point for a POSIX filesystem (the default): a
+    create-exclusive lock file serializes the critical section, the
+    staging directory is RENAMED to its version directory (atomic), and
+    the manifest is replaced via write-tmp → ``os.replace``.  Correct on
+    one host or any filesystem with atomic rename + O_EXCL semantics
+    (local disk, most cluster filesystems); NOT on object stores or NFS
+    — use a conditional-PUT backend there (:class:`CasCommitBackend` is
+    the protocol's shape)."""
+
+    name = "posix"
+
+    def commit(
+        self,
+        root: Path,
+        staging: Path,
+        partition_by: list[str],
+        expected_parent: int | None,
+        schema_json: str | None,
+    ) -> int:
+        with _commit_lock(root):
+            manifest = _head(root)
+            try:
+                version, new = _next_manifest(
+                    manifest, partition_by, expected_parent, schema_json,
+                    vdir=f"v{manifest['version'] + 1:08d}",
+                )
+            except (ConcurrentWriteError, ValueError):
+                shutil.rmtree(staging, ignore_errors=True)
+                raise
+            vdir = new["dir"]
+            # an orphan directory from a writer that crashed after the
+            # staging rename but before the manifest flip is unreferenced
+            # by construction — clear it so the retried commit proceeds
+            shutil.rmtree(root / vdir, ignore_errors=True)
+            staging.rename(root / vdir)
+            _write_manifest(root, new)
+        return version
+
+    def update_manifest(self, root: Path, fn) -> dict:
+        """Serialized read-modify-write of the manifest (vacuum's trim):
+        takes the SAME lock as commits, so a trim can never overwrite a
+        concurrent commit's pointer with its stale copy."""
+        with _commit_lock(root):
+            new = fn(_load_manifest(root))
+            _write_manifest(root, new)
+        return new
+
+
+class CasCommitBackend:
+    """Commit point for an OBJECT STORE, where the only atomic primitive
+    is a CONDITIONAL PUT of the manifest object (S3 ``If-Match`` /
+    ``If-None-Match``, GCS ``x-goog-if-generation-match``, Azure ETag) —
+    no lock files, no atomic directory rename.
+
+    Protocol per commit attempt (the Delta/Iceberg log-commit shape,
+    reduced to one pointer object):
+
+    1. GET the manifest (content = the ETag stand-in).
+    2. Upload the data under a UNIQUE version directory name
+       (``vNNNNNNNN-<nonce>``): two racing writers targeting the same
+       version number never collide on a data path, and unreferenced
+       uploads are invisible to readers (only manifest-referenced dirs
+       are ever read) — vacuum sweeps the losers.
+    3. Conditional-PUT the new manifest iff the stored manifest is
+       byte-identical to the snapshot read in (1).  Lost the race →
+       un-publish and either raise :class:`ConcurrentWriteError` (merge
+       commits, whose content depends on the parent) or re-read and
+       retry (full snapshots, whose content does not).
+
+    This implementation SIMULATES the store's server-side atomicity with
+    a process-local mutex around compare+replace — a faithful test
+    double for the protocol; a real deployment swaps ``_cas`` for the
+    store's conditional PUT and ``_publish`` for an upload, and nothing
+    above this class changes."""
+
+    name = "cas"
+
+    def __init__(self) -> None:
+        import threading
+
+        self._atomic = threading.Lock()
+
+    @staticmethod
+    def _snapshot(root: Path) -> tuple[dict, bytes | None]:
+        p = root / MANIFEST
+        if p.exists():
+            b = p.read_bytes()
+            return json.loads(b), b
+        return {"version": 0, "dir": None, "history": []}, None
+
+    def _cas(
+        self, root: Path, expected: bytes | None, new_manifest: dict
+    ) -> bool:
+        """Compare-and-swap on the manifest CONTENT (the ETag analog —
+        any concurrent change fails the swap, not just version bumps)."""
+        with self._atomic:  # stands in for the store's atomicity
+            p = root / MANIFEST
+            current = p.read_bytes() if p.exists() else None
+            if current != expected:
+                return False
+            _write_manifest(root, new_manifest)
+            return True
+
+    def commit(
+        self,
+        root: Path,
+        staging: Path,
+        partition_by: list[str],
+        expected_parent: int | None,
+        schema_json: str | None,
+    ) -> int:
+        while True:
+            manifest, etag = self._snapshot(root)
+            try:
+                version, new = _next_manifest(
+                    manifest, partition_by, expected_parent, schema_json,
+                    vdir=(
+                        f"v{manifest['version'] + 1:08d}-"
+                        f"{uuid.uuid4().hex[:8]}"
+                    ),
+                )
+            except (ConcurrentWriteError, ValueError):
+                shutil.rmtree(staging, ignore_errors=True)
+                raise
+            vdir = new["dir"]
+            staging.rename(root / vdir)  # the "upload" — unreferenced
+            if self._cas(root, etag, new):
+                return version
+            if expected_parent is not None:
+                # merge content depends on the parent snapshot: the
+                # caller (merge_versioned) recomputes, we just clean up
+                shutil.rmtree(root / vdir, ignore_errors=True)
+                raise ConcurrentWriteError(
+                    "manifest changed under this merge's conditional "
+                    f"put (computed against v{expected_parent})"
+                )
+            # full snapshot: content is parent-independent, reuse the
+            # uploaded data and re-contend against the new head
+            (root / vdir).rename(staging)
+
+    def update_manifest(self, root: Path, fn) -> dict:
+        """CAS-retry read-modify-write (vacuum's trim): recomputes the
+        update from the freshest manifest until the conditional put
+        lands, so it can never roll back a concurrent commit."""
+        while True:
+            manifest, etag = self._snapshot(root)
+            new = fn(manifest)
+            if self._cas(root, etag, new):
+                return new
+
+
+_POSIX_BACKEND = PosixCommitBackend()
+
+
 def _commit_staged(
     root: Path,
     staging: Path,
     partition_by: list[str],
     expected_parent: int | None,
     schema_json: str | None = None,
+    backend: "PosixCommitBackend | CasCommitBackend | None" = None,
 ) -> int:
-    """The commit critical section: under the lock, verify the
-    precondition, assign the next version number, rename the staging
-    directory to it, flip the manifest.  Returns the new version."""
-    with _commit_lock(root):
-        manifest = _head(root)
-        if (
-            expected_parent is not None
-            and manifest["version"] != expected_parent
-        ):
-            shutil.rmtree(staging, ignore_errors=True)
-            raise ConcurrentWriteError(
-                f"table advanced to v{manifest['version']} while this "
-                f"merge was computed against v{expected_parent}"
-            )
-        stored_parts = normalize_partition_cols(
-            manifest.get("partition_by")
-        )
-        if manifest["version"] > 0 and stored_parts != partition_by:
-            shutil.rmtree(staging, ignore_errors=True)
-            raise ValueError(
-                f"table is partitioned by {stored_parts!r}; "
-                f"got partition_by={partition_by!r}"
-            )
-        version = manifest["version"] + 1
-        vdir = f"v{version:08d}"
-        # an orphan directory from a writer that crashed after the
-        # staging rename but before the manifest flip is unreferenced
-        # by construction — clear it so the retried commit proceeds
-        shutil.rmtree(root / vdir, ignore_errors=True)
-        staging.rename(root / vdir)
-        entry = {"version": version, "dir": vdir}
-        if schema_json is not None:
-            # each version records ITS OWN schema: readers apply it so
-            # hard-linked files from before an additive evolution read
-            # back with the new columns as NULL, and time travel
-            # returns each version's contemporary schema
-            entry["schema"] = schema_json
-        manifest["history"] = manifest["history"] + [entry]
-        manifest.update(
-            version=version,
-            dir=vdir,
-            partition_by=partition_by if partition_by else None,
-        )
-        _write_manifest(root, manifest)
-    return version
+    """The commit point: delegate to the table's commit backend (POSIX
+    lock+rename by default; conditional-PUT for object stores).
+    Returns the new version."""
+    return (backend or _POSIX_BACKEND).commit(
+        root, staging, partition_by, expected_parent, schema_json
+    )
 
 
 def commit_version(
@@ -199,6 +363,7 @@ def commit_version(
     root_dir: str,
     partition_by: str | list[str] | None = None,
     num_files: int = 4,
+    backend=None,
 ) -> int:
     """Write ``df`` as the table's next version (full snapshot) and
     atomically move the pointer; returns the new version number.
@@ -225,7 +390,7 @@ def commit_version(
     # got there first" is the correct semantics
     return _commit_staged(
         root, staging, part_cols, expected_parent=None,
-        schema_json=df.schema.json(),
+        schema_json=df.schema.json(), backend=backend,
     )
 
 
@@ -283,6 +448,7 @@ def _merge_once(
     delete_col: str | None,
     num_files: int,
     allow_new_columns: bool,
+    backend=None,
 ) -> int:
     """One optimistic merge attempt: snapshot the head, compute the
     merged touched slice against it, stage, commit with the
@@ -428,7 +594,7 @@ def _merge_once(
 
     return _commit_staged(
         root, staging, part_cols, expected_parent=parent,
-        schema_json=merged.schema.json(),
+        schema_json=merged.schema.json(), backend=backend,
     )
 
 
@@ -442,6 +608,7 @@ def merge_versioned(
     num_files: int = 4,
     retries: int = 0,
     allow_new_columns: bool = False,
+    backend=None,
 ) -> int:
     """Copy-on-write MERGE as a NEW VERSION: rewrite only the
     partitions the delta touches, hard-link every other partition file
@@ -489,7 +656,7 @@ def merge_versioned(
         try:
             return _merge_once(
                 spark, root, delta, key_cols, part_cols, delete_col,
-                num_files, allow_new_columns,
+                num_files, allow_new_columns, backend,
             )
         except ConcurrentWriteError:
             if i == attempts - 1:
@@ -497,7 +664,7 @@ def merge_versioned(
     raise AssertionError("unreachable")
 
 
-def vacuum(root_dir: str, keep_last: int = 2) -> list[int]:
+def vacuum(root_dir: str, keep_last: int = 2, backend=None) -> list[int]:
     """Delete version directories beyond the newest ``keep_last``
     (hard links make retained versions self-sufficient — deleting an
     old directory never breaks a newer one), plus any abandoned
@@ -510,18 +677,26 @@ def vacuum(root_dir: str, keep_last: int = 2) -> list[int]:
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     root = Path(root_dir)
-    # the trim is a read-modify-write of the manifest, so it takes the
-    # SAME commit lock as writers: an unlocked trim racing a concurrent
-    # commit would overwrite the new head with its stale copy — rolling
-    # the pointer back and orphaning the freshly committed version
-    with _commit_lock(root):
-        m = _load_manifest(root)
+    # the trim is a read-modify-write of the manifest, so it goes
+    # through the backend's serialized update (POSIX: the same commit
+    # lock as writers; CAS: conditional-put retry): an unserialized trim
+    # racing a concurrent commit would overwrite the new head with its
+    # stale copy — rolling the pointer back and orphaning the freshly
+    # committed version
+    dropped: dict[str, list] = {}
+
+    def trim(m: dict) -> dict:
         hist = m["history"]
-        drop, keep = hist[:-keep_last], hist[-keep_last:]
+        # recompute from the FRESH manifest on every (CAS-retry) call
+        dropped["drop"] = hist[:-keep_last]
+        new = dict(m)
         # trim the manifest FIRST: a reader must never resolve a
         # version whose directory is mid-delete
-        m["history"] = keep
-        _write_manifest(root, m)
+        new["history"] = hist[-keep_last:]
+        return new
+
+    (backend or _POSIX_BACKEND).update_manifest(root, trim)
+    drop = dropped["drop"]
     for h in drop:
         shutil.rmtree(root / h["dir"], ignore_errors=True)
     for p in root.glob("_staging-*"):

@@ -61,6 +61,7 @@ from ..operators.versioned import (
     commit_version,
     merge_versioned,
     read_version,
+    vacuum,
 )
 
 ROLLUP_KEYS = ["day", "event_type"]
@@ -203,11 +204,23 @@ def start_rollup_stream(
     checkpoint_dir: str,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    vacuum_every: int = 0,
+    keep_last: int = 2,
 ) -> StreamingQuery:
     """readStream over a directory of events parquet files →
     ``merge_batch`` per micro-batch.  ``max_files_per_trigger`` forces
     multi-batch processing (tests); production leaves it unset and lets
-    the source batch naturally."""
+    the source batch naturally.
+
+    ``vacuum_every`` > 0 bounds the table's version history: every N
+    micro-batches the single writer vacuums old versions down to
+    ``keep_last`` (the same in-writer maintenance cadence as
+    dedup-ingest's ``compact_every``).  Without it a long-running
+    stream commits one version per batch forever — hard links keep the
+    BYTES cheap, but file/metadata counts and the manifest grow without
+    bound.  Running inside ``foreachBatch`` means no writer is ever
+    mid-flight when the vacuum sweeps staging dirs, and time travel
+    still reaches the ``keep_last`` newest versions."""
     schema = (
         "event_id long, ts timestamp, user_id long, "
         "event_type string, value double, props string"
@@ -217,9 +230,18 @@ def start_rollup_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(events_dir)
 
-    writer = stream.writeStream.foreachBatch(
-        lambda b, bid: merge_batch(spark, rollup_path, b, bid)
-    ).option("checkpointLocation", checkpoint_dir)
+    def _absorb(b: DataFrame, bid: int) -> None:
+        merge_batch(spark, rollup_path, b, bid)
+        if (
+            vacuum_every > 0
+            and (bid + 1) % vacuum_every == 0
+            and (Path(rollup_path) / MANIFEST).exists()
+        ):
+            vacuum(rollup_path, keep_last=keep_last)
+
+    writer = stream.writeStream.foreachBatch(_absorb).option(
+        "checkpointLocation", checkpoint_dir
+    )
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

@@ -284,3 +284,44 @@ def test_legacy_plain_parquet_rollup_is_adopted(spark, sf_smoke, tmp_path):
     assert got == _canon(rollup.rollup_of(events))  # old state survived
     # and the replay ledger survived too: batch 0 re-offered is a no-op
     assert rollup.merge_batch(spark, table, early, batch_id=0) is False
+
+def test_rollup_vacuum_cadence_bounds_versions(spark, sf_smoke, tmp_path):
+    """A long-running stream with vacuum_every keeps the version
+    directory count bounded (≤ keep_last after each cadence hit) across
+    3× the cadence in batches — and verdicts stay identical to the
+    from-scratch aggregate (vacuum only trims HISTORY, never the head)."""
+    events = load_table(spark, sf_smoke, "events")
+    src = str(tmp_path / "events_in")
+    # 6 files + maxFilesPerTrigger=1 -> 6 micro-batches = 3× the cadence
+    events.repartition(6).write.parquet(src)
+
+    table = str(tmp_path / "rollup")
+    q = rollup.start_rollup_stream(
+        spark,
+        src,
+        table,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        vacuum_every=2,
+        keep_last=2,
+    )
+    q.awaitTermination(120)
+
+    # bounded: the last vacuum ran at batch 6, so at most keep_last
+    # retained versions + at most vacuum_every-1 committed since
+    from csce438_distributed_password_cracker_spark.operators import versioned
+
+    hist = versioned.history(table)
+    assert len(hist) <= 2 + 1
+    on_disk = [p.name for p in Path(table).glob("v*")]
+    assert sorted(on_disk) == sorted(h["dir"] for h in hist)
+    assert not list(Path(table).glob("_staging-*"))
+
+    # verdicts unchanged vs the from-scratch batch answer
+    got = rollup.read_rollup(spark, table)
+    assert _canon(got.drop("last_batch_id")) == _canon(
+        rollup.rollup_of(events)
+    )
+    # the reconciliation audit agrees: every key unchanged
+    audit = rollup.rollup_verify(spark, events, table)
+    assert {r.diff_status for r in audit.collect()} == {"unchanged"}

@@ -397,3 +397,208 @@ def test_schema_evolution_survives_untouched_partition_links(spark, table):
     assert per_part == {"0": 5, "1": 5, "2": 5, "3": 5}
     scored = latest.filter(F.col("score").isNotNull()).collect()
     assert len(scored) == 1 and scored[0].k == 1
+
+
+# ---------------------------------------- conditional-PUT (CAS) backend
+
+
+@pytest.fixture()
+def cas():
+    return versioned.CasCommitBackend()
+
+
+@pytest.fixture()
+def cas_table(spark, tmp_path, cas):
+    root = str(tmp_path / "cas_tbl")
+    df = spark.range(20).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v1-"), F.col("id")).alias("body"),
+        (F.col("id") % 4).cast("string").alias("part"),
+    )
+    assert (
+        versioned.commit_version(df, root, partition_by="part", backend=cas)
+        == 1
+    )
+    return root
+
+
+def test_cas_commit_merge_and_time_travel(spark, cas_table, cas):
+    """The object-store protocol supports the same commit/merge/read
+    surface: nonce'd version directories, no lock file ever created."""
+    delta = spark.createDataFrame(
+        [(0, "v2-0", "0", False), (100, "v2-100", "0", False)],
+        "k long, body string, part string, deleted boolean",
+    )
+    v = versioned.merge_versioned(
+        spark, cas_table, delta, key_cols=["k"], partition_col="part",
+        delete_col="deleted", backend=cas,
+    )
+    assert v == 2
+    latest = {
+        r.k: r.body for r in versioned.read_version(spark, cas_table).collect()
+    }
+    assert latest[0] == "v2-0" and latest[100] == "v2-100"
+    old = {
+        r.k: r.body
+        for r in versioned.read_version(spark, cas_table, 1).collect()
+    }
+    assert old[0] == "v1-0" and 100 not in old
+    # data directories carry the per-attempt nonce (unique upload names)
+    dirs = [h["dir"] for h in versioned.history(cas_table)]
+    assert all("-" in d for d in dirs)
+    # no lock file: the CAS protocol has no lock to take
+    assert not (Path(cas_table) / versioned.COMMIT_LOCK).exists()
+
+
+def test_cas_concurrent_writer_loses_loudly(spark, cas_table, cas):
+    """Same lost-update interleave as the POSIX test, against the CAS
+    backend: writer A's merge (computed against v1) must fail its
+    conditional put after B lands v2."""
+    delta_a = spark.createDataFrame(
+        [(0, "A-wrote", "0", False)],
+        "k long, body string, part string, deleted boolean",
+    )
+    delta_b = spark.createDataFrame(
+        [(3, "B-wrote", "3", False)],
+        "k long, body string, part string, deleted boolean",
+    )
+    state = {"injected": False}
+    real_staging = versioned._staging_dir
+
+    def staging_with_interleaved_b(root):
+        if not state["injected"]:
+            state["injected"] = True
+            versioned.merge_versioned(
+                spark, cas_table, delta_b, key_cols=["k"],
+                partition_col="part", delete_col="deleted", backend=cas,
+            )
+        return real_staging(root)
+
+    versioned._staging_dir = staging_with_interleaved_b
+    try:
+        with pytest.raises(versioned.ConcurrentWriteError):
+            versioned.merge_versioned(
+                spark, cas_table, delta_a, key_cols=["k"],
+                partition_col="part", delete_col="deleted", backend=cas,
+            )
+    finally:
+        versioned._staging_dir = real_staging
+
+    latest = {
+        r.k: r.body for r in versioned.read_version(spark, cas_table).collect()
+    }
+    assert latest[3] == "B-wrote" and latest[0] == "v1-0"
+    assert [h["version"] for h in versioned.history(cas_table)] == [1, 2]
+    # the loser left neither staging litter nor an unreferenced upload
+    referenced = {h["dir"] for h in versioned.history(cas_table)}
+    on_disk = {p.name for p in Path(cas_table).glob("v*")}
+    assert on_disk == referenced
+    assert not list(Path(cas_table).glob("_staging-*"))
+
+
+def test_cas_lost_conditional_put_cleans_its_upload(spark, cas_table, cas):
+    """Force the conditional put itself to lose (the post-upload race):
+    a merge raises ConcurrentWriteError and sweeps its uploaded data; a
+    full snapshot re-contends with the same upload and lands."""
+    real_cas = cas._cas
+    fails = {"n": 1}
+
+    def flaky_cas(root, expected, new_manifest):
+        if fails["n"] > 0:
+            fails["n"] -= 1
+            return False  # someone else's put landed first
+        return real_cas(root, expected, new_manifest)
+
+    cas._cas = flaky_cas
+    try:
+        delta = spark.createDataFrame(
+            [(0, "late", "0", False)],
+            "k long, body string, part string, deleted boolean",
+        )
+        with pytest.raises(versioned.ConcurrentWriteError):
+            versioned.merge_versioned(
+                spark, cas_table, delta, key_cols=["k"],
+                partition_col="part", delete_col="deleted", backend=cas,
+            )
+        referenced = {h["dir"] for h in versioned.history(cas_table)}
+        on_disk = {p.name for p in Path(cas_table).glob("v*")}
+        assert on_disk == referenced  # loser's upload swept
+
+        # full snapshots re-contend internally (content is
+        # parent-independent) — one lost put, then it lands
+        fails["n"] = 1
+        df = spark.range(5).select(
+            F.col("id").alias("k"),
+            F.lit("snap").alias("body"),
+            (F.col("id") % 4).cast("string").alias("part"),
+        )
+        v = versioned.commit_version(
+            df, cas_table, partition_by="part", backend=cas
+        )
+        assert v == 2
+        assert versioned.read_version(spark, cas_table).count() == 5
+    finally:
+        cas._cas = real_cas
+
+
+def test_cas_parallel_writers_all_land(spark, cas_table, cas):
+    import threading
+
+    errors = []
+
+    def writer(i):
+        try:
+            delta = spark.createDataFrame(
+                [(1000 + i, f"w{i}", str(i % 4), False)],
+                "k long, body string, part string, deleted boolean",
+            )
+            versioned.merge_versioned(
+                spark, cas_table, delta, key_cols=["k"],
+                partition_col="part", delete_col="deleted", retries=8,
+                backend=cas,
+            )
+        except Exception as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    latest = {r.k for r in versioned.read_version(spark, cas_table).collect()}
+    assert {1000, 1001, 1002, 1003} <= latest
+    assert [h["version"] for h in versioned.history(cas_table)] == [
+        1, 2, 3, 4, 5,
+    ]
+
+
+def test_cas_vacuum_trims_under_cas_retry(spark, cas_table, cas):
+    for i in range(2):
+        delta = spark.createDataFrame(
+            [(i, f"rev-{i}", str(i % 4), False)],
+            "k long, body string, part string, deleted boolean",
+        )
+        versioned.merge_versioned(
+            spark, cas_table, delta, key_cols=["k"], partition_col="part",
+            delete_col="deleted", backend=cas,
+        )
+    # one lost put on the trim's conditional write: it must re-read and
+    # retry, never roll the pointer back
+    real_cas = cas._cas
+    fails = {"n": 1}
+
+    def flaky_cas(root, expected, new_manifest):
+        if fails["n"] > 0:
+            fails["n"] -= 1
+            return False
+        return real_cas(root, expected, new_manifest)
+
+    cas._cas = flaky_cas
+    try:
+        removed = versioned.vacuum(cas_table, keep_last=1, backend=cas)
+    finally:
+        cas._cas = real_cas
+    assert removed == [1, 2]
+    assert [h["version"] for h in versioned.history(cas_table)] == [3]
+    assert versioned.read_version(spark, cas_table).count() == 20
