@@ -18,7 +18,12 @@ Set SPARK_GRAFT_BENCH_RUNS=1 to reproduce the single-shot numbers.
 The JSON carries per-query MIN (the headline `queries` map — best-case,
 sheds host-noise windows) and MEDIAN (`queries_median` — the stable
 round-over-round comparison basis; BASELINE.md §C.3 documents ±3× noise
-windows on this box, so deltas should be judged on medians).
+windows on this box, so deltas should be judged on medians).  The
+`operators` / `operators_median` maps time the production-operator
+battery (plans/opbench.py: paragraph_dedup, semantic_dedup,
+shuffle_rows, pack_sequences, bm25_build) under the same protocol,
+reported SEPARATELY from the corpus total so round-over-round query
+comparisons stay apples-to-apples.
 
 `q_dedup_sketch` is timed in its PRODUCTION hash mode (xxhash64 — the
 operators' default and what a deployment pays) via
@@ -87,6 +92,14 @@ def main() -> None:
     # Three interleaved passes (≈7 min wall at sf0.1): this box's slow
     # windows can span a whole pass, and per-query minima over three
     # passes minutes apart shed one bad window entirely (BASELINE.md §C.3).
+    # Production-operator battery (round 5): the heavy operators whose
+    # full-scale shape lives outside the gate corpus (paragraph dedup,
+    # SemDeDup, global shuffle, packing, BM25 build) get their own timed
+    # entries under `operators` — same interleaved protocol, reported
+    # separately so the corpus total stays comparable round-over-round.
+    from csce438_distributed_password_cracker_spark.plans import opbench  # noqa: E402
+
+    op_samples: dict[str, list[float]] = {}
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     for _ in range(max(1, runs)):
         for name in sorted(corpus.REGISTRY):
@@ -94,10 +107,19 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.setdefault(name, []).append(time.perf_counter() - t0)
+        for name in sorted(opbench.OPERATOR_BENCH):
+            t0 = time.perf_counter()
+            opbench.OPERATOR_BENCH[name](spark, sf_dir)
+            op_samples.setdefault(name, []).append(time.perf_counter() - t0)
 
     timings = {name: round(min(s), 3) for name, s in samples.items()}
     medians = {
         name: round(statistics.median(s), 3) for name, s in samples.items()
+    }
+    op_timings = {name: round(min(s), 3) for name, s in op_samples.items()}
+    op_medians = {
+        name: round(statistics.median(s), 3)
+        for name, s in op_samples.items()
     }
     total = round(sum(timings.values()), 3)
     print(
@@ -109,6 +131,8 @@ def main() -> None:
                 "queries": timings,
                 "queries_median": medians,
                 "total_median": round(sum(medians.values()), 3),
+                "operators": op_timings,
+                "operators_median": op_medians,
                 "runs": max(1, runs),
                 "setup": setup,
                 "sketch_mode": sketch_mode,

@@ -1,0 +1,111 @@
+"""Production-operator benchmark battery (round 5).
+
+The correctness gate's 50 queries cover every operator's SEMANTICS, but
+several of the heaviest production operators run their full-scale shape
+only in tests/smoke — so a performance regression in one of them would
+be invisible round-over-round.  This module gives each a timed entry
+that bench.py runs with the same interleaved min/median protocol as the
+query corpus and emits under ``operators`` / ``operators_median`` in
+the bench JSON.
+
+Entries (each a ``(spark, sf_dir) -> None`` callable that EXECUTES the
+operator end-to-end — materialized through the noop sink or, for index
+builds, a real disk write with fresh-per-run teardown):
+
+- ``paragraph_dedup`` — the corpus-wide first-occurrence election +
+  heavy-hitter-bypassed verdict join + per-doc reassembly over the full
+  documents table (operators/paradedup.py).
+- ``semantic_dedup`` — SemDeDup end-to-end: distributed Lloyd (2
+  sweeps), cluster-local GEMM pairing, connected components, verdicts
+  (operators/semdedup.py).
+- ``shuffle_rows`` — the deterministic global shuffle: one range
+  exchange on xxhash64(key, seed) over documents
+  (operators/split.py:shuffle_rows).
+- ``pack_sequences`` — chunk the documents into 128-token windows and
+  next-fit pack them into 512-token sequences
+  (operators/chunking.py + operators/packing.py).
+- ``bm25_build`` — build the bucket-partitioned BM25 index over the
+  documents table on disk (operators/search.py), torn down per run so
+  every pass pays the full build.
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+from collections.abc import Callable
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+
+
+def _noop(df: DataFrame) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def bench_paragraph_dedup(spark: SparkSession, sf_dir: str) -> None:
+    from ..operators import paradedup
+
+    docs = paradedup.carve_pseudo_paragraphs(
+        _docs(spark, sf_dir), "doc_id", "text", n=8, sep="|"
+    )
+    _noop(paradedup.paragraph_dedup(docs, sep="|"))
+
+
+def bench_semantic_dedup(spark: SparkSession, sf_dir: str) -> None:
+    from ..operators import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _noop(
+        semdedup.semantic_dedup(
+            emb, threshold=0.4, n_centroids=16, refine_iters=2
+        )
+    )
+
+
+def bench_shuffle_rows(spark: SparkSession, sf_dir: str) -> None:
+    from ..operators.split import shuffle_rows
+
+    _noop(shuffle_rows(_docs(spark, sf_dir), "doc_id"))
+
+
+def bench_pack_sequences(spark: SparkSession, sf_dir: str) -> None:
+    from ..operators import chunking, packing
+
+    chunks = chunking.chunk_documents(
+        _docs(spark, sf_dir), "doc_id", "text", chunk_tokens=128, overlap=16
+    )
+    _noop(
+        packing.pack_sequences(
+            chunks, "chunk_id", "n_tokens", budget=512, n_groups=32
+        )
+    )
+
+
+def bench_bm25_build(spark: SparkSession, sf_dir: str) -> None:
+    from ..operators import search
+    from .pipeline_queries import warehouse_root_tag
+
+    wh, tag = warehouse_root_tag(sf_dir)
+    path = wh / f"opbench_bm25_{tag}_{uuid.uuid4().hex[:8]}"
+    try:
+        search.bm25_build(
+            _docs(spark, sf_dir), "doc_id", "text", str(path), n_buckets=16
+        )
+    finally:
+        shutil.rmtree(Path(path), ignore_errors=True)
+
+
+OPERATOR_BENCH: dict[str, Callable[[SparkSession, str], None]] = {
+    "paragraph_dedup": bench_paragraph_dedup,
+    "semantic_dedup": bench_semantic_dedup,
+    "shuffle_rows": bench_shuffle_rows,
+    "pack_sequences": bench_pack_sequences,
+    "bm25_build": bench_bm25_build,
+}

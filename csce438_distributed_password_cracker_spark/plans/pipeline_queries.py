@@ -1062,12 +1062,22 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BUCKET = md5_bucket_sql("CAST(doc_id AS STRING)", 256)
 _SAMP = md5_sample_sql("CAST(doc_id AS STRING)", "s", 256)
 _MIXB = md5_sample_sql("CAST(doc_id AS STRING)", "m", 256)
-# token-budget mixing branch: target weights per lang; budget = 30% of the
-# weighted corpus's tokens, so rates stay < 1 (no saturation) at every SF
-# and the water-filling closed form rate = w·B/tokens_lang is one SQL
-# expression both engines evaluate identically (same BIGINT sums, same
-# double division/floor).
-_MIX_W = "CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.3 WHEN 'de' THEN 0.2 END"
+# token-budget mixing branch, SATURATION regime (round-5 upgrade): weights
+# en 0.2 / fr 0.2 / de 0.6 under a budget of 50% of the weighted corpus's
+# tokens.  de's first-pass want (0.6 · 0.5 · wtot = 0.30 · wtot) exceeds
+# its corpus (~0.13-0.21 · wtot at every driver SF), so de SATURATES at
+# rate 1.0 and its unabsorbed budget redistributes over en/fr by weight:
+# rate = (0.2/0.4) · (0.5·wtot − de_toks) / lang_toks — the two-pass
+# water-filling closed form (operators/mixing.mixing_rates), still one
+# SQL expression both engines evaluate identically (same BIGINT window
+# sums, same double arithmetic; en/fr rates stay < 1 at every SF —
+# margin pinned in tests/test_mixing.py against the actual tables).
+_MIX_RATE = (
+    "CASE WHEN lang = 'de' THEN CAST(1.0 AS DOUBLE) "
+    "WHEN lang IN ('en', 'fr') THEN "
+    "0.5 * (0.5 * CAST(wtot_toks AS DOUBLE) - CAST(de_toks AS DOUBLE)) "
+    "/ CAST(lang_toks AS DOUBLE) END"
+)
 
 _sql_query(
     "q_split_assign",
@@ -1080,12 +1090,9 @@ _sql_query(
            {_SAMP} < 26 AS in_sample10,
            CAST(strat_rank AS BIGINT) AS strat_rank,
            strat_rank <= 40 AS in_quota,
-           CAST(coalesce(floor(({_MIX_W}) * 0.3
-                 * CAST(wtot_toks AS DOUBLE) / CAST(lang_toks AS DOUBLE)
-                 * 256), 0) AS BIGINT) AS mix_thr,
-           coalesce({_MIXB} < floor(({_MIX_W}) * 0.3
-                 * CAST(wtot_toks AS DOUBLE) / CAST(lang_toks AS DOUBLE)
-                 * 256), FALSE) AS in_mix
+           CAST(coalesce(floor(({_MIX_RATE}) * 256), 0) AS BIGINT)
+             AS mix_thr,
+           coalesce({_MIXB} < floor(({_MIX_RATE}) * 256), FALSE) AS in_mix
     FROM (
       SELECT doc_id, lang,
              row_number() OVER (
@@ -1094,7 +1101,8 @@ _sql_query(
              ) AS strat_rank,
              sum(n_toks) OVER (PARTITION BY lang) AS lang_toks,
              sum(CASE WHEN lang IN ('en','fr','de') THEN n_toks END)
-               OVER () AS wtot_toks
+               OVER () AS wtot_toks,
+             sum(CASE WHEN lang = 'de' THEN n_toks END) OVER () AS de_toks
       FROM (
         SELECT doc_id, lang,
                CAST(length(text) - length(replace(text, ' ', '')) + 1
@@ -1113,11 +1121,15 @@ _sql_query(
     "in_quota — per-lang quota capping (≤ 40 docs per stratum) by "
     "hash-order row_number, the per-domain/per-source cap step of corpus "
     "curation (deterministic, engine-portable); (4) mix_thr/in_mix — "
-    "token-budget corpus MIXING (operators/mixing.py): lang weights "
-    "en 0.5 / fr 0.3 / de 0.2 under a budget of 30% of the weighted "
-    "corpus's tokens, per-lang rate = w·B/tokens(lang) (the water-filling "
-    "closed form in the no-saturation regime this data sits in), verdict "
-    "by the tag-salted md5 bucket.  The md5-hex arithmetic makes all four "
+    "token-budget corpus MIXING (operators/mixing.py) in the SATURATION "
+    "regime: lang weights en 0.2 / fr 0.2 / de 0.6 under a budget of 50% "
+    "of the weighted corpus's tokens.  de's share exceeds its corpus, so "
+    "it saturates at rate 1.0 (single-epoch — the operator never "
+    "upsamples) and its unabsorbed budget redistributes over en/fr by "
+    "weight — the genuinely tricky two-pass water-filling path "
+    "(mixing.mixing_rates saturation + redistribution), stated closed-"
+    "form so both engines evaluate it identically; verdict by the "
+    "tag-salted md5 bucket.  The md5-hex arithmetic makes all four "
     "per-row verdicts oracle-checked.  Production path: operators/split."
     "hash_split / hash_sample / stratified_sample / group_quota and "
     "operators/mixing.mix_corpora (xxhash64, tiny-agg + map-only verdict, "
@@ -1191,6 +1203,8 @@ def _ann_oracle_sql(
     k: int = 10,
     n_centroids: int = 16,
     n_probe: int = 2,
+    include_sq8: bool = False,
+    rerank_n: int = 50,
 ) -> str:
     """Full DuckDB twin of the LSH + IVF probe pipelines.
 
@@ -1204,6 +1218,16 @@ def _ann_oracle_sql(
     hash-checkable because every 'random' choice is a deterministic plan
     constant.  Tie-breaks (argmax → lowest cluster; top-k → lowest id)
     are spelled explicitly on both sides.
+
+    ``include_sq8`` adds the IVF-SQ8 quantized probe's twin (the
+    q_ann_probe sq8 branch): re-derive the per-vector symmetric int8
+    quantization EXACTLY as ``similarity._with_sq8`` spells it —
+    scale = greatest(max|x| / 127, 1e-30), q_i = round(x_i / scale),
+    both engines rounding ties away from zero — shortlist ``rerank_n``
+    ids by the QUANTIZED cosine over the probed clusters, then exact
+    cosine top-k over the shortlist.  Quantization, shortlist and
+    re-rank are all closed-form, so the compressed path is
+    hash-checked end-to-end, not just recall-tested.
     """
     from ..operators.similarity import _hyperplanes
 
@@ -1218,6 +1242,33 @@ def _ann_oracle_sql(
             f"THEN {1 << i}::BIGINT ELSE 0 END)"
             for i, p in enumerate(planes)
         )
+
+    sq8_ctes = (
+        f""",
+    sq AS (
+      SELECT a.vec_id, a.v,
+             list_transform(a.v, x -> round(x / greatest(
+               list_aggregate(list_transform(a.v, y -> abs(y)), 'max')
+                 / 127.0, 1e-30))) AS qv8
+      FROM assign a JOIN probe USING (cluster)
+    ),
+    sq_short AS (
+      SELECT vec_id, v
+      FROM sq CROSS JOIN q
+      ORDER BY list_cosine_similarity(qv8, qv) DESC, vec_id
+      LIMIT {rerank_n}
+    ),
+    sq8 AS (
+      SELECT 'sq8' AS method, vec_id,
+             round(list_cosine_similarity(v, qv), 6) AS cos_sim
+      FROM sq_short CROSS JOIN q
+      ORDER BY cos_sim DESC, vec_id
+      LIMIT {k}
+    )"""
+        if include_sq8
+        else ""
+    )
+    sq8_union = " UNION ALL SELECT * FROM sq8" if include_sq8 else ""
 
     return f"""
     WITH q AS (
@@ -1271,12 +1322,13 @@ def _ann_oracle_sql(
       FROM assign a JOIN probe USING (cluster) CROSS JOIN q
       ORDER BY cos_sim DESC, a.vec_id
       LIMIT {k}
-    )
-    SELECT * FROM lsh UNION ALL SELECT * FROM ivf
+    ){sq8_ctes}
+    SELECT * FROM lsh UNION ALL SELECT * FROM ivf{sq8_union}
     """
 
 
 _ANN_ORACLE = _ann_oracle_sql()
+_ANN_ORACLE_SQ8 = _ann_oracle_sql(include_sq8=True)
 
 
 @register(
@@ -1306,9 +1358,10 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_ann_probe",
-    oracle=_ANN_ORACLE,  # probe ≡ the in-memory variant (same params, same
-    # deterministic index structures), so it shares q_ann_topk's full
-    # DuckDB twin; PartitionFilters pruning asserted in tests/test_similarity.py
+    oracle=_ANN_ORACLE_SQ8,  # probe ≡ the in-memory variant (same params,
+    # same deterministic index structures), so it shares q_ann_topk's full
+    # DuckDB twin, EXTENDED with the IVF-SQ8 quantized branch's closed-form
+    # twin; PartitionFilters pruning asserted in tests/test_similarity.py
     doc="E2 build-then-probe: the production shape of q_ann_topk.  BUILD "
     "writes the LSH-bucketed table parquet-partitioned by bucket and the "
     "IVF inverted lists partitioned by cluster (once per corpus version "
@@ -1316,7 +1369,14 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "driver-side (a handful of dot products) and reads ONLY the matching "
     "partitions — planning-time partition pruning (PartitionFilters in "
     "the scan), so probe I/O is O(bucket) instead of the O(table) rescan "
-    "the in-memory variant pays per query.",
+    "the in-memory variant pays per query.  sq8 branch (round-5 fusion): "
+    "the IVF-SQ8 QUANTIZED index (operators/similarity.py "
+    "build_ivf_sq_index/ivf_sq_probe) — int8 inverted lists (~8× less "
+    "probe I/O), int8-cosine shortlist of 50, exact re-rank against the "
+    "bucket-pruned full-precision store — hash-checked end-to-end: the "
+    "oracle re-derives the symmetric int8 quantization (round-half-up "
+    "matches in both engines), the quantized shortlist, and the exact "
+    "top-k in SQL.",
 )
 def q_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pathlib import Path
@@ -1341,14 +1401,20 @@ def q_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # built under the old xxhash64 ordering has different clusters and
     # must not be reused
     ivf_path = str(root / f"ivf_{tag}_c16md5s42_{fp}")
+    sq8_path = str(root / f"sq8_{tag}_c16md5s42_{fp}")
     if not (Path(lsh_path) / "_SUCCESS").exists():
         similarity.build_lsh_index(base, lsh_path, dim=64, n_planes=8)
     if not (Path(ivf_path) / "vectors" / "_SUCCESS").exists():
         similarity.build_ivf_index(base, ivf_path, n_centroids=16)
+    if not (Path(sq8_path) / "meta" / "_SUCCESS").exists():
+        similarity.build_ivf_sq_index(base, sq8_path, n_centroids=16)
     lsh = similarity.lsh_probe(
         spark, lsh_path, query, dim=64, k=10, n_planes=8
     ).select(F.lit("lsh").alias("method"), "vec_id", "cos_sim")
     ivf = similarity.ivf_probe(
         spark, ivf_path, query, k=10, n_probe=2
     ).select(F.lit("ivf").alias("method"), "vec_id", "cos_sim")
-    return lsh.unionAll(ivf)
+    sq8 = similarity.ivf_sq_probe(
+        spark, sq8_path, query, k=10, n_probe=2, rerank_n=50
+    ).select(F.lit("sq8").alias("method"), "vec_id", "cos_sim")
+    return lsh.unionAll(ivf).unionAll(sq8)

@@ -12,6 +12,42 @@ from csce438_distributed_password_cracker_spark.operators import mixing
 
 # ---------------------------------------------------------------- rates
 
+def test_gate_constants_sit_in_the_saturation_regime(spark):
+    """The q_split_assign mix branch (weights en .2/fr .2/de .6, budget
+    = 50% of weighted tokens) pins the SATURATION + redistribution path
+    of the water-filling: de must saturate at 1.0 and en/fr must land
+    strictly below 1 at every driver SF, and mixing_rates must agree
+    with the gate SQL's closed form rate = 0.5·(0.5·wtot − de)/lang."""
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        docs = spark.read.parquet(f"/root/testdata/{sf}/documents.parquet")
+        toks = {
+            r["lang"]: r["t"]
+            for r in docs.groupBy("lang")
+            .agg(
+                F.sum(
+                    F.length("text")
+                    - F.length(F.replace("text", F.lit(" "), F.lit("")))
+                    + 1
+                ).alias("t")
+            )
+            .collect()
+        }
+        weighted = {d: toks[d] for d in ("en", "fr", "de")}
+        wtot = sum(weighted.values())
+        budget = int(0.5 * wtot)
+        rates = mixing.mixing_rates(
+            weighted, {"en": 0.2, "fr": 0.2, "de": 0.6}, budget
+        )
+        assert rates["de"] == 1.0, f"{sf}: de must saturate"
+        for lang in ("en", "fr"):
+            closed = 0.5 * (budget - weighted["de"]) / weighted[lang]
+            assert rates[lang] == pytest.approx(closed, rel=1e-12), sf
+            assert 0.0 < rates[lang] < 0.95, (
+                f"{sf}: {lang} rate {rates[lang]:.3f} too close to a "
+                "second-round saturation — re-pick the gate constants"
+            )
+
+
 def test_rates_simple_proportional():
     rates = mixing.mixing_rates(
         {"web": 1000, "code": 1000}, {"web": 0.75, "code": 0.25}, 800

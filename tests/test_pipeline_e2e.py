@@ -1,8 +1,10 @@
 """End-to-end corpus-pipeline integration: raw JSON drop → schema-enforced
 ingest + quarantine → exact dedup → benchmark decontamination →
-cross-doc paragraph dedup → PII scrub → quality filter → split/sample →
-token-budget mixing → deterministic shuffle → chunking → sequence
-packing → BM25 retrieval over the curated corpus.
+cross-doc paragraph dedup → MinHash-LSH near-dup sweep → SemDeDup
+semantic dedup (over the embedding table) → PII scrub → quality filter
+→ split/sample → token-budget mixing → deterministic shuffle →
+chunking → sequence packing → BM25 retrieval over the curated corpus —
+the full MassiveText/Pile-shaped curation path in curriculum order.
 
 Each stage is oracle- or property-tested on its own elsewhere; this test
 pins that they COMPOSE — the full path a user of the engine actually
@@ -30,6 +32,7 @@ from csce438_distributed_password_cracker_spark.operators import (
     packing,
     paradedup,
     search,
+    semdedup,
     textops,
 )
 from csce438_distributed_password_cracker_spark.operators.mixing import (
@@ -74,7 +77,7 @@ def _raw_drop(spark, sf_smoke, tmp_path) -> str:
     return raw_dir
 
 
-def _run_pipeline(spark, raw_dir):
+def _run_pipeline(spark, raw_dir, sf_smoke):
     clean, bad = ingest.split_valid(
         ingest.ingest(spark, raw_dir, "json", SCHEMA)
     )
@@ -105,8 +108,42 @@ def _run_pipeline(spark, raw_dir):
         )
     )
 
+    # doc-level near-dup sweep (MinHash-LSH banding → connected
+    # components, min-id representative per cluster) AFTER the paragraph
+    # sweep: boilerplate is already gone, so banding measures the
+    # documents' own overlap
+    pairs = dedup.minhash_lsh_pairs(
+        boiler_free, "doc_id", "text", threshold=0.5
+    ).select("id_a", "id_b")
+    comps = dedup.connected_components(
+        boiler_free.select(F.col("doc_id").cast("long").alias("id")), pairs
+    )
+    near_free = boiler_free.join(
+        comps.filter(F.col("id") == F.col("component_id")).select(
+            F.col("id").alias("doc_id")
+        ),
+        "doc_id",
+    )
+
+    # semantic dedup over the embedding table (SemDeDup): drop the
+    # non-representative members of each embedding-space near-dup
+    # component; docs without an embedding pass through untouched
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    sem = semdedup.semantic_dedup(
+        emb.join(
+            near_free.select(F.col("doc_id").alias("vec_id")), "vec_id"
+        ),
+        threshold=0.97,
+        n_centroids=8,
+    )
+    sem_free = near_free.join(
+        sem.filter(~F.col("keep")).select(F.col("id").alias("doc_id")),
+        "doc_id",
+        "left_anti",
+    )
+
     # PII scrub, then quality filter: drop highly repetitive docs
-    scrubbed = boiler_free.select(
+    scrubbed = sem_free.select(
         "doc_id", "lang", *textops.redact_pii(out_col="text")
     )
     profiled = scrubbed.select(
@@ -143,17 +180,17 @@ def _run_pipeline(spark, raw_dir):
         chunked, "chunk_id", "n_tokens", budget=512, n_groups=8
     )
     return (
-        clean, bad, deduped, train, decon, profiled, carved, mixed,
-        chunked, packed,
+        clean, bad, deduped, train, decon, near_free, sem_free, profiled,
+        carved, mixed, chunked, packed,
     )
 
 
 def test_pipeline_composes_with_reconciled_counts(spark, sf_smoke, tmp_path):
     raw_dir = _raw_drop(spark, sf_smoke, tmp_path)
     (
-        clean, bad, deduped, train, decon, profiled, carved, mixed,
-        chunked, packed,
-    ) = _run_pipeline(spark, raw_dir)
+        clean, bad, deduped, train, decon, near_free, sem_free, profiled,
+        carved, mixed, chunked, packed,
+    ) = _run_pipeline(spark, raw_dir, sf_smoke)
 
     # ingest: 500 originals + 10 injected dups parsed, 2 lines quarantined
     assert clean.count() == 510
@@ -173,9 +210,30 @@ def test_pipeline_composes_with_reconciled_counts(spark, sf_smoke, tmp_path):
     ).count()
     assert n_decon == n_train - flagged
 
-    # paragraph dedup + quality filter + carving preserve rows (flags,
+    # near-dup sweep keeps one representative per cluster: re-running
+    # candidate generation over the survivors finds NO remaining pair
+    # (deterministic banding, so this is exact, not probabilistic)
+    n_near = near_free.count()
+    assert 0 < n_near <= n_decon
+    from csce438_distributed_password_cracker_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    assert (
+        minhash_lsh_pairs(near_free, "doc_id", "text", threshold=0.5)
+        .limit(1)
+        .count()
+        == 0
+    )
+
+    # semantic dedup only ever removes docs, never adds; docs without
+    # embeddings (the injected >1M ids) pass through
+    n_sem = sem_free.count()
+    assert 0 < n_sem <= n_near
+
+    # dedup sweeps + quality filter + carving preserve rows (flags,
     # not drops, except the repetition cut)
-    assert profiled.count() <= n_decon
+    assert profiled.count() <= n_sem
     assert carved.count() == profiled.count()
     assert set(carved.select("split").distinct().toPandas()["split"]) <= {
         "train", "val", "test",
@@ -208,8 +266,8 @@ def test_pipeline_composes_with_reconciled_counts(spark, sf_smoke, tmp_path):
 
 def test_pipeline_deterministic_across_reruns(spark, sf_smoke, tmp_path):
     raw_dir = _raw_drop(spark, sf_smoke, tmp_path)
-    *_, packed_a = _run_pipeline(spark, raw_dir)
-    *_, packed_b = _run_pipeline(spark, raw_dir)
+    *_, packed_a = _run_pipeline(spark, raw_dir, sf_smoke)
+    *_, packed_b = _run_pipeline(spark, raw_dir, sf_smoke)
     assert sorted(map(tuple, packed_a.collect())) == sorted(
         map(tuple, packed_b.collect())
     )
