@@ -27,6 +27,9 @@ builds, a real disk write with fresh-per-run teardown):
 - ``bm25_build`` — build the bucket-partitioned BM25 index over the
   documents table on disk (operators/search.py), torn down per run so
   every pass pays the full build.
+- ``substring_dedup`` — the exact-substring sweep: window fingerprints,
+  corpus-wide election, interval merge, map-side excision
+  (operators/substring.py).
 """
 
 from __future__ import annotations
@@ -102,10 +105,21 @@ def bench_bm25_build(spark: SparkSession, sf_dir: str) -> None:
         shutil.rmtree(Path(path), ignore_errors=True)
 
 
+def bench_substring_dedup(spark: SparkSession, sf_dir: str) -> None:
+    from ..operators import substring
+
+    _noop(
+        substring.excise_duplicate_spans(
+            _docs(spark, sf_dir), "doc_id", "text", k=8
+        )
+    )
+
+
 OPERATOR_BENCH: dict[str, Callable[[SparkSession, str], None]] = {
     "paragraph_dedup": bench_paragraph_dedup,
     "semantic_dedup": bench_semantic_dedup,
     "shuffle_rows": bench_shuffle_rows,
     "pack_sequences": bench_pack_sequences,
     "bm25_build": bench_bm25_build,
+    "substring_dedup": bench_substring_dedup,
 }

@@ -53,9 +53,13 @@ def _content_tag(df: DataFrame, col: str) -> int:
     ).first()[0]
     return int(h or 0) % 1_000_000_007
 
+from ..functions.porthash import md5_int_duckdb as _md5_duck
+
+_SUBSTR_H = _md5_duck("array_to_string(t[i:i+7], ' ')", 42, 15)
+
 @register(
     "q_dedup_exact",
-    oracle="""
+    oracle=f"""
     WITH exact AS (
       SELECT 'exact' AS branch, md5(text) AS k,
              CAST(min(doc_id) AS DOUBLE) AS val_a,
@@ -113,9 +117,76 @@ def _content_tag(df: DataFrame, col: str) -> int:
              CAST(t.n_par AS DOUBLE) AS val_a,
              CAST(coalesce(a.n_kept, 0) AS DOUBLE) AS val_b
       FROM ptot t LEFT JOIN pagg a USING (doc_id)
+    ),
+    -- exact-substring twin (round 5): arbitrary-position 8-token
+    -- windows, portable md5-60 fingerprints, first occurrence =
+    -- min (doc_id, pos), overlapping duplicate spans merged
+    -- (gaps-and-islands) and excised from every later occurrence
+    stoks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS nt
+      FROM documents
+    ),
+    swin AS (
+      SELECT doc_id, unnest(generate_series(1, nt - 7)) AS i, t
+      FROM stoks WHERE nt >= 8
+    ),
+    socc AS (
+      SELECT doc_id, i - 1 AS ps, {_SUBSTR_H} AS h
+      FROM swin
+    ),
+    sdup AS (
+      SELECT doc_id, ps AS s, ps + 8 AS e
+      FROM (
+        SELECT doc_id, ps,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, ps)
+                 AS rn,
+               count(*) OVER (PARTITION BY h) AS n
+        FROM socc
+      ) WHERE n >= 2 AND rn > 1
+    ),
+    sprev AS (
+      SELECT doc_id, s, e,
+             max(e) OVER (
+               PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+      FROM sdup
+    ),
+    sisl AS (
+      SELECT doc_id, s, e,
+             sum(CASE WHEN s > coalesce(pe, -1) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s, e) AS isl
+      FROM sprev
+    ),
+    smerged AS (
+      SELECT doc_id, min(s) AS s, max(e) AS e
+      FROM sisl GROUP BY doc_id, isl
+    ),
+    spos AS (
+      SELECT doc_id, unnest(generate_series(0, nt - 1)) AS p, t
+      FROM stoks
+    ),
+    skept AS (
+      SELECT sp.doc_id,
+             string_agg(sp.t[sp.p + 1], ' ' ORDER BY sp.p) AS txt,
+             count(*) AS n_kept
+      FROM spos sp
+      WHERE NOT EXISTS (
+        SELECT 1 FROM smerged m
+        WHERE m.doc_id = sp.doc_id AND sp.p >= m.s AND sp.p < m.e)
+      GROUP BY sp.doc_id
+    ),
+    substr_b AS (
+      SELECT 'substr' AS branch,
+             concat(CAST(st.doc_id AS VARCHAR), ':',
+                    md5(coalesce(kk.txt, ''))) AS k,
+             CAST(st.nt AS DOUBLE) AS val_a,
+             CAST(st.nt - coalesce(kk.n_kept, 0) AS DOUBLE) AS val_b
+      FROM stoks st LEFT JOIN skept kk USING (doc_id)
     )
     SELECT * FROM exact UNION ALL SELECT * FROM mrg
     UNION ALL SELECT * FROM para
+    UNION ALL SELECT * FROM substr_b
     """,
     doc="E1 + table maintenance, one labeled union (round-4 fusion — the "
     "gate cap is full, so the MERGE operator gets its hard CORRECTNESS "
@@ -135,7 +206,15 @@ def _content_tag(df: DataFrame, col: str) -> int:
     "docs lack sentence separators): the branch emits each doc's md5 "
     "of the REASSEMBLED surviving text plus kept/total counts, and the "
     "oracle re-runs the whole election in SQL — explode, "
-    "min-(doc_id,pos) first-occurrence, ordered string_agg reassembly.",
+    "min-(doc_id,pos) first-occurrence, ordered string_agg reassembly.  "
+    "substr (round-5 fusion) — operators/substring.py's EXACT SUBSTRING "
+    "dedup (Lee et al. 2022 span-level sweep, windowed-hash "
+    "formulation): arbitrary-position 8-token windows elect a "
+    "corpus-wide first occurrence, later occurrences' spans merge "
+    "(gaps-and-islands) and are excised map-side from the doc's own "
+    "tokens — text never crosses the wire; the oracle recomputes "
+    "windows, election, interval merge, and excision end-to-end with "
+    "the portable md5-60 window hash.",
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.merge import merge_upsert
@@ -201,7 +280,24 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_paragraphs").cast("double").alias("val_a"),
         F.col("n_kept").cast("double").alias("val_b"),
     )
-    return exact.unionAll(merged).unionAll(para)
+
+    from ..operators.substring import excise_duplicate_spans
+
+    # exact-substring sweep (round 5): ARBITRARY-POSITION k=8 token
+    # windows — catches the shifted duplication the aligned paragraph
+    # carve misses; portable window hashes so the oracle re-runs the
+    # whole election + interval merge + excision in SQL
+    sub = excise_duplicate_spans(
+        docs, "doc_id", "text", k=8, portable=True
+    ).select(
+        F.lit("substr").alias("branch"),
+        F.concat_ws(
+            ":", F.col("doc_id").cast("string"), F.md5("text_deduped")
+        ).alias("k"),
+        F.col("n_tokens").cast("double").alias("val_a"),
+        F.col("n_removed").cast("double").alias("val_b"),
+    )
+    return exact.unionAll(merged).unionAll(para).unionAll(sub)
 
 
 def _langid_score_cols_duckdb() -> list[str]:

@@ -178,3 +178,22 @@ def test_semantic_pairs_full_embeddings(spark):
     ).collect()
     assert len(pairs) > 0
     assert all(r["cos_sim"] >= 0.5 and r["id_a"] < r["id_b"] for r in pairs)
+
+
+def test_substring_dedup_full_corpus(spark):
+    """Exact-substring sweep over the full sf0.1 documents table:
+    completes, removes real shifted duplication, never removes from a
+    window's first occurrence more than it has."""
+    from csce438_distributed_password_cracker_spark.operators.substring import (
+        excise_duplicate_spans,
+    )
+
+    docs = load_table(spark, SF01, "documents")
+    out = excise_duplicate_spans(docs, "doc_id", "text", k=8)
+    agg = out.agg(
+        F.sum("n_tokens").alias("t"),
+        F.sum("n_removed").alias("r"),
+        F.count("*").alias("n"),
+    ).first()
+    assert agg["n"] == docs.count()
+    assert 0 < agg["r"] < agg["t"]
