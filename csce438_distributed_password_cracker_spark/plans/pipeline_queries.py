@@ -341,9 +341,17 @@ _SYNTH_SQL = (
 )
 
 
+# LM/classifier twin constants (round-5 fusion): the portable md5-60
+# feature/weight hashes and the dyadic weight grid, restated closed-form
+_CLF_D = 4096  # gate feature space (tiny; production default is 2^18)
+_CLF_FEAT_H = _md5_duck("'clf:' || g", 42, 15)
+_CLF_W_H = _md5_duck("'w:' || CAST(feature AS VARCHAR)", 42, 15)
+
+
 @register(
     "q_text_profile",
     oracle=f"""
+    WITH base AS (
     SELECT doc_id, lang, n_chars, n_tokens,
            CAST(len(regexp_extract_all(text, '{_BPE_RX}')) AS BIGINT)
              AS n_bpe_tokens,
@@ -395,6 +403,62 @@ _SYNTH_SQL = (
              {_SYNTH_SQL} AS __synth
       FROM documents
     )
+    ),
+    -- bigram-LM quality twin (round 5, operators/lmscore.py): the
+    -- model is the documents table's own bigram counts; the gate
+    -- consumes only the order-independent integer aggregates
+    tk AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS nt
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM (
+        SELECT doc_id, unnest(generate_series(1, nt - 1)) AS i, t
+        FROM tk WHERE nt >= 2
+      )
+    ),
+    lmm AS (
+      SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY w1, w2
+    ),
+    lms AS (
+      SELECT b.doc_id,
+             CAST(count(*) AS BIGINT) AS lm_n_bigrams,
+             CAST(sum(CASE WHEN m.cnt IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS lm_n_oov,
+             CAST(sum(coalesce(m.cnt, 0)) AS BIGINT) AS lm_sum_cnt
+      FROM bg b LEFT JOIN lmm m USING (w1, w2)
+      GROUP BY b.doc_id
+    ),
+    -- hashed linear-classifier twin (round 5, operators/classifier.py):
+    -- unigram + bigram bag, portable md5-60 feature hash mod {_CLF_D},
+    -- pseudo-weights on the 2^-10 dyadic grid (exact float64 sums)
+    gr AS (
+      SELECT doc_id, unnest(t) AS g FROM tk
+      UNION ALL
+      SELECT doc_id, w1 || ' ' || w2 AS g FROM bg
+    ),
+    ft AS (
+      SELECT doc_id, ({_CLF_FEAT_H}) % {_CLF_D} AS feature FROM gr
+    ),
+    clf AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS clf_n_feats,
+             sum((CAST(({_CLF_W_H}) % 2048 AS DOUBLE) - 1024)
+                 / 1024.0) AS clf_logit
+      FROM ft GROUP BY doc_id
+    )
+    SELECT b.*,
+           coalesce(l.lm_n_bigrams, 0) AS lm_n_bigrams,
+           coalesce(l.lm_n_oov, 0) AS lm_n_oov,
+           coalesce(l.lm_sum_cnt, 0) AS lm_sum_cnt,
+           coalesce(c.clf_n_feats, 0) AS clf_n_feats,
+           coalesce(c.clf_logit, 0.0) AS clf_logit,
+           coalesce(c.clf_logit, 0.0) > 0 AS clf_label
+    FROM base b
+    LEFT JOIN lms l USING (doc_id)
+    LEFT JOIN clf c USING (doc_id)
     """,
     doc="E3 text-analysis profile, one scan, zero shuffles: whitespace "
     "token counting (split/array ops fully JVM-side), quality features "
@@ -414,14 +478,24 @@ _SYNTH_SQL = (
     "synthesized into every third doc, the ordered email+ipv4 "
     "regexp_replace chain runs for real, and the oracle recomputes the "
     "redacted TEXT and match counts with RE2 (phone's lookbehind "
-    "pattern stays unit-test covered).",
+    "pattern stays unit-test covered).  Round-5 fusion: the two "
+    "model-based quality filters join the profile on the doc key — "
+    "bigram-LM scoring (operators/lmscore.py, CCNet-shaped: the lm_* "
+    "columns are the order-independent INTEGER aggregates; the float "
+    "perplexity stays unit-tested) and the hashed linear classifier "
+    "(operators/classifier.py, fastText-shaped: portable md5-60 "
+    "features mod 4096, pseudo-weights on the 2^-10 dyadic grid so "
+    "clf_logit is EXACT under any addition order and hashes "
+    "bit-identically in both engines; the sigmoid stays unit-tested). "
+    "The profile scan itself remains one pass; the fused rollups add "
+    "the model join (broadcast-able) and one doc-key aggregation each.",
 )
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     toks = "split(text, ' ')"
     profiled = textops.quality_score(textops.language_id(docs))
     profiled = profiled.withColumn("__synth", F.expr(_SYNTH_SQL))
-    return profiled.select(
+    prof = profiled.select(
         "doc_id",
         "lang",
         F.expr("CAST(length(text) AS BIGINT)").alias("n_chars"),
@@ -453,6 +527,22 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "__synth", patterns=textops.PII_PATTERNS[:2]
         ),
     )
+
+    from ..operators import classifier, lmscore
+
+    # round-5 fusion: self-trained bigram LM (integer aggregates only —
+    # the float perplexity is order-dependent and stays unit-tested) +
+    # hashed linear classifier (dyadic weights -> exact logit)
+    lm = lmscore.score_documents(
+        docs, lmscore.train_bigram_lm(docs), vocab_size=64
+    ).select("doc_id", "lm_n_bigrams", "lm_n_oov", "lm_sum_cnt")
+    clf = classifier.score_linear(
+        docs,
+        classifier.pseudo_weights(spark, _CLF_D, portable=True),
+        n_features=_CLF_D,
+        portable=True,
+    ).select("doc_id", "clf_n_feats", "clf_logit", "clf_label")
+    return prof.join(lm, "doc_id").join(clf, "doc_id")
 
 
 @register(
@@ -1174,6 +1264,20 @@ _MIX_RATE = (
     "0.5 * (0.5 * CAST(wtot_toks AS DOUBLE) - CAST(de_toks AS DOUBLE)) "
     "/ CAST(lang_toks AS DOUBLE) END"
 )
+# UPSAMPLING scenario (round-5 addition, mixing max_epochs=2): weights
+# de 0.6 / en 0.4 under budget = 1.1 × (de+en tokens).  de's want
+# (0.66 · deen) is ≥ 2 × its corpus at every driver SF (de is 23-29%
+# of deen; margin pinned in tests/test_mixing.py), so de CAPS at 2.0
+# epochs — every de row appears exactly twice — and the unabsorbed
+# budget flows to en: rate = (1.1·deen − 2·de)/en ≈ 0.74-0.83 < 1,
+# exercising the fractional-epoch hash on a fresh 'u'-salted bucket.
+_UP_RATE = (
+    "CASE WHEN lang = 'de' THEN CAST(2.0 AS DOUBLE) "
+    "WHEN lang = 'en' THEN "
+    "(1.1 * CAST(deen_toks AS DOUBLE) - 2.0 * CAST(de_toks AS DOUBLE)) "
+    "/ CAST(en_toks AS DOUBLE) END"
+)
+_MIXU = md5_sample_sql("CAST(doc_id AS STRING)", "u", 256)
 
 _sql_query(
     "q_split_assign",
@@ -1188,7 +1292,13 @@ _sql_query(
            strat_rank <= 40 AS in_quota,
            CAST(coalesce(floor(({_MIX_RATE}) * 256), 0) AS BIGINT)
              AS mix_thr,
-           coalesce({_MIXB} < floor(({_MIX_RATE}) * 256), FALSE) AS in_mix
+           coalesce({_MIXB} < floor(({_MIX_RATE}) * 256), FALSE) AS in_mix,
+           CAST(coalesce(
+             floor({_UP_RATE})
+             + CASE WHEN {_MIXU} <
+                      floor((({_UP_RATE}) - floor({_UP_RATE})) * 256)
+                    THEN 1 ELSE 0 END,
+             0) AS BIGINT) AS mix_epochs
     FROM (
       SELECT doc_id, lang,
              row_number() OVER (
@@ -1198,7 +1308,10 @@ _sql_query(
              sum(n_toks) OVER (PARTITION BY lang) AS lang_toks,
              sum(CASE WHEN lang IN ('en','fr','de') THEN n_toks END)
                OVER () AS wtot_toks,
-             sum(CASE WHEN lang = 'de' THEN n_toks END) OVER () AS de_toks
+             sum(CASE WHEN lang = 'de' THEN n_toks END) OVER () AS de_toks,
+             sum(CASE WHEN lang = 'en' THEN n_toks END) OVER () AS en_toks,
+             sum(CASE WHEN lang IN ('de','en') THEN n_toks END)
+               OVER () AS deen_toks
       FROM (
         SELECT doc_id, lang,
                CAST(length(text) - length(replace(text, ' ', '')) + 1
@@ -1225,12 +1338,19 @@ _sql_query(
     "weight — the genuinely tricky two-pass water-filling path "
     "(mixing.mixing_rates saturation + redistribution), stated closed-"
     "form so both engines evaluate it identically; verdict by the "
-    "tag-salted md5 bucket.  The md5-hex arithmetic makes all four "
-    "per-row verdicts oracle-checked.  Production path: operators/split."
-    "hash_split / hash_sample / stratified_sample / group_quota and "
-    "operators/mixing.mix_corpora (xxhash64, tiny-agg + map-only verdict, "
-    "driver-side water-filling incl. saturation redistribution — pinned "
-    "in tests/test_mixing.py).",
+    "tag-salted md5 bucket.  (5) mix_epochs — the UPSAMPLING regime "
+    "(mixing max_epochs=2, round 5): weights de 0.6 / en 0.4, budget "
+    "1.1 × (de+en tokens); de CAPS at exactly 2 epochs per row and the "
+    "unabsorbed budget water-fills en at a fractional rate, decided on "
+    "a fresh 'u'-salted bucket — the LLaMA/Gopher repeat-scarce-domains "
+    "mixture shape, per-row repeat counts exact in both engines "
+    "(explode_epochs materializes them map-only).  The md5-hex "
+    "arithmetic makes all five per-row verdicts oracle-checked.  "
+    "Production path: operators/split.hash_split / hash_sample / "
+    "stratified_sample / group_quota and operators/mixing.mix_corpora "
+    "(xxhash64, tiny-agg + map-only verdict, driver-side water-filling "
+    "incl. saturation redistribution and the max_epochs upsampling cap "
+    "— pinned in tests/test_mixing.py).",
     tables=("documents",),
 )
 

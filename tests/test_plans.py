@@ -107,15 +107,25 @@ def test_no_cartesian_product_anywhere(spark, sf_oracle, name):
     assert "CartesianProduct" not in plan_str(spark, df)
 
 
-def test_text_profile_single_scan_no_shuffle(spark, sf_oracle):
-    """q_text_profile fuses four per-doc analyses into one projection:
-    the plan must be a single scan with ZERO exchanges — a shuffle here
-    would mean the fusion silently joined instead of composing columns."""
+def test_text_profile_scan_fusion_and_model_rollups(spark, sf_oracle):
+    """q_text_profile's per-doc PROFILE analyses still compose as
+    columns on scans (no per-analysis join); the round-5 model-based
+    filters add rollups with a pinned shape: the classifier's weight
+    join must be BROADCAST (the corpus never shuffles to meet the
+    model), and no exchange may partition on document text — the fused
+    sub-DAGs shuffle keys and numerics only."""
+    import re
+
     p = plan_str(spark, corpus.REGISTRY["q_text_profile"].fn(spark, sf_oracle))
-    assert "Exchange" not in p
-    # formatted mode repeats node names in the detail section — count the
-    # tree only
-    assert p.split("\n\n")[0].count("Scan parquet") == 1
+    tree = p.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    assert "CartesianProduct" not in p
+    for args in re.findall(r"hashpartitioning\(([^)]*)\)", p):
+        assert "text#" not in args
+    # the profile/LM/classifier sub-DAGs each read the table directly
+    # (documents + the self-trained model + feature explode): four scans,
+    # not one-per-column
+    assert tree.count("Scan parquet") == 4
 
 
 def test_stream_audit_one_exchange_two_windows(spark, sf_oracle):
