@@ -15,9 +15,11 @@ Scale shape (100 TB):
 - ONE small aggregation (``groupBy(domain).sum(tokens)``) produces per-
   domain token totals — ≤ #domains rows to the driver.
 - Rate computation is a driver-side water-filling loop over those few
-  rows: a domain whose corpus cannot supply its share saturates at
-  rate 1.0 and its unused budget is redistributed across the remaining
-  domains in proportion to their weights (iterates ≤ #domains times).
+  rows: a domain whose corpus cannot supply its share saturates at the
+  epoch cap (rate 1.0 by default; ``max_epochs > 1`` opts into
+  LLaMA/Gopher-style upsampling of scarce domains) and its unused
+  budget is redistributed across the remaining domains in proportion
+  to their weights (iterates ≤ #domains times).
 - The verdict pass is map-only: a "mix"-tag-salted key hash
   thresholded at the domain's rate — no shuffle, reproducible across
   runs/engines/partitionings, independent of split/sample decisions
@@ -43,14 +45,22 @@ def mixing_rates(
     domain_tokens: dict[str, int],
     weights: dict[str, float],
     token_budget: int,
+    max_epochs: float = 1.0,
 ) -> dict[str, float]:
     """Per-domain sampling rates for a target mixture under a budget.
 
     Water-filling: start from ``rate_d = weight_d * budget / tokens_d``;
-    any domain with rate ≥ 1 is saturated (its whole corpus is taken,
-    single-epoch — this operator never upsamples) and the budget it
+    any domain with rate ≥ ``max_epochs`` is saturated (it contributes
+    its whole corpus ``max_epochs`` times over) and the budget it
     cannot absorb is re-spread over the unsaturated domains by weight.
     Deterministic, pure Python over ≤ #domains entries.
+
+    ``max_epochs`` is the UPSAMPLING cap: 1.0 (default) never repeats a
+    row; the LLaMA/Gopher mixture tables repeat scarce high-weight
+    domains (Wikipedia ~2.4 epochs in LLaMA-1), which is ``max_epochs >
+    1`` here — a rate of 2.4 means every row twice plus a deterministic
+    40% sample a third time (see :func:`mix_corpora` /
+    :func:`explode_epochs`).
     """
     missing = set(weights) - set(domain_tokens)
     if missing:
@@ -61,6 +71,8 @@ def mixing_rates(
     weights = {d: w / wsum for d, w in weights.items()}
     if token_budget < 0:
         raise ValueError("token_budget must be >= 0")
+    if max_epochs <= 0:
+        raise ValueError("max_epochs must be > 0")
 
     rates: dict[str, float] = {}
     # zero-weight and empty domains take rate 0 up front: a zero-weight
@@ -80,15 +92,15 @@ def mixing_rates(
         saturated = []
         for d, w in active.items():
             want = w / asum * budget
-            if want >= domain_tokens[d]:
+            if want >= domain_tokens[d] * max_epochs:
                 saturated.append(d)
         if not saturated:
             for d, w in active.items():
                 rates[d] = (w / asum * budget) / domain_tokens[d]
             break
         for d in saturated:
-            rates[d] = 1.0
-            budget -= domain_tokens[d]
+            rates[d] = float(max_epochs)
+            budget -= domain_tokens[d] * max_epochs
             del active[d]
         budget = max(budget, 0.0)
     return rates
@@ -104,15 +116,29 @@ def mix_corpora(
     seed: int = 42,
     flag_col: str = "in_mix",
     rate_col: str | None = "mix_rate",
+    max_epochs: float = 1.0,
+    epochs_col: str | None = None,
 ) -> DataFrame:
     """Append ``flag_col``: deterministic membership in a token-budgeted
     mixture.  Domains absent from ``weights`` are excluded (flag False,
     rate 0).  Returns the input columns plus the flag (and the applied
     per-domain rate when ``rate_col`` is set, for auditability).
 
+    With ``max_epochs > 1`` the water-filling may assign a domain a
+    rate above 1 (upsampling — the LLaMA/Gopher mixture shape); pass
+    ``epochs_col`` to get the per-row repeat count ``floor(rate) +
+    (bucket < frac(rate))`` — an exact integer both engines derive from
+    the same hash, consumed by :func:`explode_epochs` to materialize
+    the repeats.  ``flag_col`` is then ``epochs_col > 0``.
+
     One small agg + one map-only pass; see the module docstring for the
     scale argument and the expectation-vs-exact caveat.
     """
+    if max_epochs > 1.0 and epochs_col is None:
+        raise ValueError(
+            "max_epochs > 1 upsamples rows; pass epochs_col to receive "
+            "the per-row repeat count (explode_epochs materializes it)"
+        )
     totals = {
         row[0]: row[1] or 0
         for row in (
@@ -124,7 +150,7 @@ def mix_corpora(
     }
     for d in weights:
         totals.setdefault(d, 0)
-    rates = mixing_rates(totals, weights, token_budget)
+    rates = mixing_rates(totals, weights, token_budget, max_epochs)
 
     # tag-salt the sampling coordinate (fresh hash per decision kind):
     # the bare key hash at the default seed is the SAME coordinate
@@ -140,25 +166,58 @@ def mix_corpora(
     # linear codegen expression that degenerates at hundreds of
     # domains, while the broadcast hash join stays flat (and is still
     # map-side — no shuffle).  Unweighted/NULL domains miss the join
-    # and coalesce to (False, 0.0), same as before.
+    # and coalesce to (False, 0.0), same as before.  The threshold
+    # stored per domain is for the FRACTIONAL part of the rate; the
+    # whole-epoch floor rides alongside as an int.
     spark = df.sparkSession
     rates_rows = [
-        (d, float(r), int(r * _HASH_SPACE)) for d, r in sorted(rates.items())
+        (
+            d,
+            float(r),
+            int(r),  # whole epochs
+            int((r - int(r)) * _HASH_SPACE),  # fractional threshold
+        )
+        for d, r in sorted(rates.items())
     ]
     rates_df = spark.createDataFrame(
-        rates_rows, f"`{domain_col}` string, __mix_rate double, __mix_thr long"
+        rates_rows,
+        f"`{domain_col}` string, __mix_rate double,"
+        " __mix_floor long, __mix_thr long",
     )
-    out = (
-        df.join(F.broadcast(rates_df), domain_col, "left")
-        .withColumn(
-            flag_col,
-            F.coalesce(bucket < F.col("__mix_thr"), F.lit(False)),
-        )
+    epochs = F.coalesce(
+        F.col("__mix_floor")
+        + F.when(bucket < F.col("__mix_thr"), 1).otherwise(0),
+        F.lit(0),
+    ).cast("long")
+    out = df.join(F.broadcast(rates_df), domain_col, "left").withColumn(
+        flag_col, epochs > 0
     )
+    if epochs_col:
+        out = out.withColumn(epochs_col, epochs)
     if rate_col:
-        out = out.withColumn(
-            rate_col, F.coalesce("__mix_rate", F.lit(0.0))
-        )
-    return out.drop("__mix_rate", "__mix_thr").select(
-        *df.columns, flag_col, *([rate_col] if rate_col else [])
+        out = out.withColumn(rate_col, F.coalesce("__mix_rate", F.lit(0.0)))
+    return out.drop("__mix_rate", "__mix_floor", "__mix_thr").select(
+        *df.columns,
+        flag_col,
+        *([epochs_col] if epochs_col else []),
+        *([rate_col] if rate_col else []),
+    )
+
+
+def explode_epochs(
+    df: DataFrame, epochs_col: str, epoch_col: str = "epoch"
+) -> DataFrame:
+    """Materialize the repeats an upsampling mix assigned: one output
+    row per ``(input row, epoch)`` with ``epoch_col`` in ``[1,
+    epochs]``; rows with 0 epochs disappear.  Map-only (``explode`` of
+    a ``sequence`` — no shuffle), so upsampled duplicates are born on
+    the partition that holds the source row; the deterministic global
+    shuffle (:func:`~.split.shuffle_rows` keyed on ``(id, epoch)``) is
+    the intended next stage, which also separates a row's epochs from
+    one another in the final shard order."""
+    return df.where(F.col(epochs_col) > 0).select(
+        "*",
+        F.explode(
+            F.sequence(F.lit(1), F.col(epochs_col).cast("int"))
+        ).alias(epoch_col),
     )

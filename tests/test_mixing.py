@@ -101,6 +101,83 @@ def test_rates_budget_exhausted_by_saturation():
     assert rates["b"] == pytest.approx(120 / 1000)
 
 
+def test_gate_constants_sit_in_the_upsampling_regime(spark):
+    """The q_split_assign mix_epochs column (weights de .6/en .4,
+    budget = 1.1 × (de+en tokens), max_epochs=2) pins the UPSAMPLING
+    path: de's uncapped want must clear the 2-epoch cap with margin at
+    every driver SF (so it caps at exactly 2.0) and en must land
+    strictly inside (0, 1) matching the gate SQL's closed form
+    rate = (1.1·deen − 2·de)/en."""
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        docs = spark.read.parquet(f"/root/testdata/{sf}/documents.parquet")
+        toks = {
+            r["lang"]: r["t"]
+            for r in docs.groupBy("lang")
+            .agg(
+                F.sum(
+                    F.length("text")
+                    - F.length(F.replace("text", F.lit(" "), F.lit("")))
+                    + 1
+                ).alias("t")
+            )
+            .collect()
+        }
+        weighted = {d: toks[d] for d in ("de", "en")}
+        deen = sum(weighted.values())
+        budget = 1.1 * deen
+        # margin: de's uncapped want must exceed the cap by >= 10%
+        want_de = 0.6 * budget
+        assert want_de >= 2.2 * weighted["de"], (
+            f"{sf}: de want {want_de / weighted['de']:.2f} epochs — too "
+            "close to the 2.0 cap, re-pick the gate constants"
+        )
+        rates = mixing.mixing_rates(
+            weighted, {"de": 0.6, "en": 0.4}, budget, max_epochs=2
+        )
+        assert rates["de"] == 2.0, f"{sf}: de must cap at 2 epochs"
+        closed = (1.1 * deen - 2.0 * weighted["de"]) / weighted["en"]
+        assert rates["en"] == pytest.approx(closed, rel=1e-12), sf
+        assert 0.0 < rates["en"] < 0.95, (
+            f"{sf}: en rate {rates['en']:.3f} too close to saturation — "
+            "re-pick the gate constants"
+        )
+
+
+def test_rates_upsampling_cap_and_redistribution():
+    # scarce wants 500 of the 1000 budget but holds only 100 tokens:
+    # with max_epochs=3 it caps at 3.0 (300 tokens), and the remaining
+    # 700 flows to web (rate 700/10000)
+    rates = mixing.mixing_rates(
+        {"web": 10_000, "scarce": 100},
+        {"web": 0.5, "scarce": 0.5},
+        1_000,
+        max_epochs=3,
+    )
+    assert rates["scarce"] == 3.0
+    assert rates["web"] == pytest.approx(700 / 10_000)
+    # max_epochs=1 reduces to the classic saturation behavior
+    one = mixing.mixing_rates(
+        {"web": 10_000, "scarce": 100}, {"web": 0.5, "scarce": 0.5}, 1_000
+    )
+    assert one["scarce"] == 1.0
+    assert one["web"] == pytest.approx(900 / 10_000)
+    with pytest.raises(ValueError):
+        mixing.mixing_rates({"a": 10}, {"a": 1.0}, 10, max_epochs=0)
+
+
+def test_rates_fractional_epochs_between_one_and_cap():
+    # budget lets scarce run 2.5 epochs, under its cap of 4 — the rate
+    # is the plain proportional value, no redistribution
+    rates = mixing.mixing_rates(
+        {"web": 10_000, "scarce": 100},
+        {"web": 0.75, "scarce": 0.25},
+        1_000,
+        max_epochs=4,
+    )
+    assert rates["scarce"] == pytest.approx(2.5)
+    assert rates["web"] == pytest.approx(750 / 10_000)
+
+
 # ------------------------------------------------------------ dataframe
 
 def _docs(spark, sf_smoke):
@@ -170,6 +247,54 @@ def test_mix_deterministic_and_stable_under_repartition(spark, sf_smoke):
         .collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_mix_upsampling_epochs_and_explode(spark, sf_smoke):
+    """max_epochs>1: capped domains repeat exactly floor(rate) (+1 on
+    the fractional hash), explode_epochs materializes the repeats
+    map-only, and realized token counts land near rate × corpus."""
+    docs = _docs(spark, sf_smoke)
+    toks = {
+        r["lang"]: r["t"]
+        for r in docs.groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    budget = int(1.1 * (toks["de"] + toks["en"]))
+    out = mixing.mix_corpora(
+        docs, "lang", "doc_id", "n_tokens",
+        {"de": 0.6, "en": 0.4}, budget,
+        max_epochs=2, epochs_col="mix_epochs",
+    )
+    # de caps at exactly 2 epochs for EVERY row (frac = 0)
+    de_epochs = {
+        r["mix_epochs"] for r in out.where("lang = 'de'").collect()
+    }
+    assert de_epochs == {2}
+    # en takes 0-or-1 via the fractional hash; realized tokens near rate
+    en_rate = (1.1 * (toks["de"] + toks["en"]) - 2 * toks["de"]) / toks["en"]
+    got = (
+        out.where("lang = 'en' and in_mix")
+        .agg(F.sum("n_tokens"))
+        .first()[0]
+    )
+    assert 0.6 * en_rate * toks["en"] <= got <= 1.4 * en_rate * toks["en"]
+    # unweighted langs: 0 epochs, flag False
+    assert out.where("lang = 'fr' and mix_epochs != 0").count() == 0
+    # explode: one row per (doc, epoch), map-only
+    exploded = mixing.explode_epochs(out, "mix_epochs")
+    n_de = docs.where("lang = 'de'").count()
+    assert exploded.where("lang = 'de'").count() == 2 * n_de
+    assert (
+        exploded.where("lang = 'de'").select("epoch").distinct().count()
+        == 2
+    )
+    plan = exploded._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    # epochs col is mandatory once the cap allows repeats
+    with pytest.raises(ValueError):
+        mixing.mix_corpora(
+            docs, "lang", "doc_id", "n_tokens", {"de": 1.0}, budget,
+            max_epochs=2,
+        )
 
 
 def test_mix_verdict_pass_is_map_only(spark, sf_smoke):
@@ -305,3 +430,32 @@ def test_rates_invariants(data):
     # monotone in budget: a bigger budget never lowers any domain's rate
     bigger = mixing.mixing_rates(tokens, weights, budget + 1_000)
     assert all(bigger[d] >= rates[d] - 1e-12 for d in domains)
+
+
+@given(st.data())
+@settings(max_examples=200)
+def test_rates_invariants_with_upsampling(data):
+    """Same water-filling invariants under an epoch cap: rates in
+    [0, max_epochs]; expected selected tokens == min(budget, supply ×
+    max_epochs); the cap is monotone (a higher cap never lowers the
+    total takeable mass)."""
+    n = data.draw(st.integers(1, 5))
+    domains = [f"d{i}" for i in range(n)]
+    tokens = {
+        d: data.draw(st.integers(0, 10_000), label=f"tok_{d}")
+        for d in domains
+    }
+    weights = {
+        d: data.draw(st.floats(1e-3, 10), label=f"w_{d}") for d in domains
+    }
+    budget = data.draw(st.integers(0, 100_000), label="budget")
+    cap = data.draw(
+        st.sampled_from([1.0, 1.5, 2.0, 3.0, 4.0]), label="cap"
+    )
+    rates = mixing.mixing_rates(tokens, weights, budget, max_epochs=cap)
+    assert all(0.0 <= r <= cap + 1e-12 for r in rates.values())
+    expected = sum(rates[d] * tokens[d] for d in domains)
+    supply = sum(tokens[d] for d in domains if weights[d] > 0)
+    assert expected == pytest.approx(
+        min(budget, supply * cap), rel=1e-9, abs=1e-6
+    )
