@@ -30,6 +30,13 @@ builds, a real disk write with fresh-per-run teardown):
 - ``substring_dedup`` — the exact-substring sweep: window fingerprints,
   corpus-wide election, interval merge, map-side excision
   (operators/substring.py).
+- ``lm_score`` — bigram-LM quality filtering end-to-end: train the
+  model on the corpus, score every doc against it
+  (operators/lmscore.py), production xxhash-free path (the operator
+  has no portable/production split — tokens join as strings).
+- ``clf_score`` — hashed linear classification over every doc at the
+  production feature width (2^18), xxhash64 mode
+  (operators/classifier.py).
 """
 
 from __future__ import annotations
@@ -115,6 +122,22 @@ def bench_substring_dedup(spark: SparkSession, sf_dir: str) -> None:
     )
 
 
+def bench_lm_score(spark: SparkSession, sf_dir: str) -> None:
+    from ..operators import lmscore
+
+    docs = _docs(spark, sf_dir)
+    model = lmscore.train_bigram_lm(docs)
+    _noop(lmscore.score_documents(docs, model, vocab_size=4096))
+
+
+def bench_clf_score(spark: SparkSession, sf_dir: str) -> None:
+    from ..operators import classifier
+
+    docs = _docs(spark, sf_dir)
+    w = classifier.pseudo_weights(spark, classifier.DEFAULT_N_FEATURES)
+    _noop(classifier.score_linear(docs, w))
+
+
 OPERATOR_BENCH: dict[str, Callable[[SparkSession, str], None]] = {
     "paragraph_dedup": bench_paragraph_dedup,
     "semantic_dedup": bench_semantic_dedup,
@@ -122,4 +145,6 @@ OPERATOR_BENCH: dict[str, Callable[[SparkSession, str], None]] = {
     "pack_sequences": bench_pack_sequences,
     "bm25_build": bench_bm25_build,
     "substring_dedup": bench_substring_dedup,
+    "lm_score": bench_lm_score,
+    "clf_score": bench_clf_score,
 }

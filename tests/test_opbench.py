@@ -15,6 +15,8 @@ def test_operator_bench_entries_run(spark, sf_smoke):
         "pack_sequences",
         "bm25_build",
         "substring_dedup",
+        "lm_score",
+        "clf_score",
     }
     for name, fn in sorted(opbench.OPERATOR_BENCH.items()):
         fn(spark, sf_smoke)  # must execute end-to-end without raising
