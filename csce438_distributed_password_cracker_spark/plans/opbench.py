@@ -37,6 +37,9 @@ builds, a real disk write with fresh-per-run teardown):
 - ``clf_score`` — hashed linear classification over every doc at the
   production feature width (2^18), xxhash64 mode
   (operators/classifier.py).
+- ``dsir_select`` — DSIR end-to-end at the production feature width:
+  both corpus count models, the log-ratio weight table, scoring, and
+  an exact top-500 Gumbel resample (operators/dsir.py).
 """
 
 from __future__ import annotations
@@ -138,6 +141,17 @@ def bench_clf_score(spark: SparkSession, sf_dir: str) -> None:
     _noop(classifier.score_linear(docs, w))
 
 
+def bench_dsir_select(spark: SparkSession, sf_dir: str) -> None:
+    from ..operators import dsir
+
+    docs = _docs(spark, sf_dir)
+    w = dsir.importance_weights(
+        dsir.feature_counts(docs),
+        dsir.feature_counts(docs.where("lang = 'en'")),
+    )
+    _noop(dsir.dsir_select(docs, w, k=500))
+
+
 OPERATOR_BENCH: dict[str, Callable[[SparkSession, str], None]] = {
     "paragraph_dedup": bench_paragraph_dedup,
     "semantic_dedup": bench_semantic_dedup,
@@ -147,4 +161,5 @@ OPERATOR_BENCH: dict[str, Callable[[SparkSession, str], None]] = {
     "substring_dedup": bench_substring_dedup,
     "lm_score": bench_lm_score,
     "clf_score": bench_clf_score,
+    "dsir_select": bench_dsir_select,
 }

@@ -17,6 +17,7 @@ def test_operator_bench_entries_run(spark, sf_smoke):
         "substring_dedup",
         "lm_score",
         "clf_score",
+        "dsir_select",
     }
     for name, fn in sorted(opbench.OPERATOR_BENCH.items()):
         fn(spark, sf_smoke)  # must execute end-to-end without raising

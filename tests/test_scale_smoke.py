@@ -197,3 +197,52 @@ def test_substring_dedup_full_corpus(spark):
     ).first()
     assert agg["n"] == docs.count()
     assert 0 < agg["r"] < agg["t"]
+
+
+def test_dsir_select_full_corpus(spark):
+    """DSIR over the full sf0.1 corpus at the production feature width
+    (2^18): both count models, the log-ratio weight table, scoring and
+    an exact top-1000 Gumbel resample complete; the selection is
+    measurably enriched toward the English target."""
+    from csce438_distributed_password_cracker_spark.operators import dsir
+
+    docs = load_table(spark, SF01, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    w = dsir.importance_weights(
+        dsir.feature_counts(docs),
+        dsir.feature_counts(docs.where("lang = 'en'")),
+    )
+    sel = dsir.dsir_select(docs, w, k=1000)
+    rows = sel.collect()
+    assert len(rows) == 1000
+    n_en = sum(1 for r in rows if r["lang"] == "en")
+    frac_corpus = docs.where("lang = 'en'").count() / docs.count()
+    assert n_en / 1000 > frac_corpus
+
+
+def test_lm_and_clf_full_corpus(spark):
+    """The two model-based quality filters over the full sf0.1 corpus:
+    the self-trained bigram LM and the 2^18-feature classifier both
+    complete with one row per doc and non-degenerate scores."""
+    from csce438_distributed_password_cracker_spark.operators import (
+        classifier,
+        lmscore,
+    )
+
+    docs = load_table(spark, SF01, "documents").select("doc_id", "text")
+    n = docs.count()
+    lm = lmscore.score_documents(
+        docs, lmscore.train_bigram_lm(docs), vocab_size=4096
+    )
+    agg = lm.agg(
+        F.count("*").alias("n"), F.avg("lm_ppl").alias("p")
+    ).first()
+    assert agg["n"] == n and agg["p"] > 1.0
+    w = classifier.pseudo_weights(spark, classifier.DEFAULT_N_FEATURES)
+    clf = classifier.score_linear(docs, w)
+    cagg = clf.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("clf_label"), 1).otherwise(0)).alias("pos"),
+    ).first()
+    assert cagg["n"] == n and 0 < cagg["pos"] < n
