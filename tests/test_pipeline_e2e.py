@@ -2,10 +2,11 @@
 ingest + quarantine → exact dedup → benchmark decontamination →
 cross-doc paragraph dedup → exact-substring span sweep → MinHash-LSH
 near-dup sweep → SemDeDup semantic dedup (over the embedding table) →
-PII scrub → quality filter
-→ split/sample → token-budget mixing → deterministic shuffle →
-chunking → sequence packing → BM25 retrieval over the curated corpus —
-the full MassiveText/Pile-shaped curation path in curriculum order.
+PII scrub → quality filters (repetition + CCNet LM gate) → DSIR
+importance selection → split/sample → token-budget mixing WITH
+upsampling (epochs materialized) → deterministic shuffle → chunking →
+sequence packing → BM25 retrieval over the curated corpus — the full
+MassiveText/Pile-shaped curation path in curriculum order.
 
 Each stage is oracle- or property-tested on its own elsewhere; this test
 pins that they COMPOSE — the full path a user of the engine actually
@@ -30,6 +31,7 @@ from csce438_distributed_password_cracker_spark.operators import (
     chunking,
     decontam,
     dedup,
+    dsir,
     lmscore,
     packing,
     paradedup,
@@ -39,6 +41,7 @@ from csce438_distributed_password_cracker_spark.operators import (
     textops,
 )
 from csce438_distributed_password_cracker_spark.operators.mixing import (
+    explode_epochs,
     mix_corpora,
 )
 from csce438_distributed_password_cracker_spark.operators.split import (
@@ -182,6 +185,19 @@ def _run_pipeline(spark, raw_dir, sf_smoke):
         "doc_id",
     )
 
+    # DSIR importance selection against the held-out reference: keep
+    # the top-80% of the Gumbel-perturbed importance ranking (threshold
+    # mode — the approxQuantile cutoff is computed eagerly once, the
+    # verdict itself is a map-only filter)
+    w = dsir.importance_weights(
+        dsir.feature_counts(profiled, n_features=4096),
+        dsir.feature_counts(eval_df, n_features=4096),
+        n_features=4096,
+    )
+    profiled = dsir.dsir_select(
+        profiled, w, threshold_frac=0.8, n_features=4096
+    ).select("doc_id", "lang", "text")
+
     # carve: independent 10% sample flag + train/val/test split
     carved = hash_split(
         hash_sample(profiled, "doc_id", 0.1),
@@ -189,18 +205,30 @@ def _run_pipeline(spark, raw_dir, sf_smoke):
         {"train": 0.8, "val": 0.1, "test": 0.1},
     )
 
-    # compose the training mix under a token budget (per-lang weights,
-    # water-filling rates), then fix the training order with the
-    # deterministic global shuffle before chunking
+    # compose the training mix under a token budget: zh is the scarce
+    # high-weight domain (weight 0.5, budget 3.5× its supply → rate
+    # 1.75 — UPSAMPLED between 1 and the max_epochs=2 cap, exercising
+    # both the whole-epoch floor and the fractional-epoch hash), then
+    # materialize the repeats and fix the training order with the
+    # deterministic global shuffle before chunking.  Exploded epochs
+    # get fresh unique ids so chunk/pack keys stay collision-free.
     train_docs = carved.filter(F.col("split") == "train").withColumn(
         "n_tokens", F.size(F.split(F.col("text"), " "))
     )
+    ztoks = (
+        train_docs.where("lang = 'zh'").agg(F.sum("n_tokens")).first()[0]
+        or 0
+    )
     mixed = mix_corpora(
         train_docs, "lang", "doc_id", "n_tokens",
-        {"en": 0.4, "fr": 0.2, "de": 0.2, "es": 0.1, "zh": 0.1},
-        token_budget=30_000,
+        {"zh": 0.5, "en": 0.5},
+        token_budget=int(3.5 * ztoks),
+        max_epochs=2, epochs_col="mix_epochs",
     ).filter("in_mix")
-    ordered = shuffle_rows(mixed, "doc_id")
+    repeated = explode_epochs(mixed, "mix_epochs").withColumn(
+        "doc_id", F.col("doc_id") * 10 + F.col("epoch")
+    )
+    ordered = shuffle_rows(repeated, "doc_id")
 
     # chunk the mixed train selection into overlapping 128-token
     # windows, then pack chunks into 512-token sequences (chunking
@@ -213,7 +241,7 @@ def _run_pipeline(spark, raw_dir, sf_smoke):
     )
     return (
         clean, bad, deduped, train, decon, near_free, sem_free, profiled,
-        carved, mixed, chunked, packed,
+        carved, mixed, repeated, chunked, packed,
     )
 
 
@@ -221,7 +249,7 @@ def test_pipeline_composes_with_reconciled_counts(spark, sf_smoke, tmp_path):
     raw_dir = _raw_drop(spark, sf_smoke, tmp_path)
     (
         clean, bad, deduped, train, decon, near_free, sem_free, profiled,
-        carved, mixed, chunked, packed,
+        carved, mixed, repeated, chunked, packed,
     ) = _run_pipeline(spark, raw_dir, sf_smoke)
 
     # ingest: 500 originals + 10 injected dups parsed, 2 lines quarantined
@@ -271,15 +299,37 @@ def test_pipeline_composes_with_reconciled_counts(spark, sf_smoke, tmp_path):
         "train", "val", "test",
     }
 
-    # the mix selects a non-empty, budget-bounded train subset
+    # the mix selects a non-empty, budget-bounded train subset; zh is
+    # upsampled — realized (epoch-weighted) tokens land near its 1.75×
+    # rate, both 1- and 2-epoch zh rows exist, and the exploded row
+    # count reconciles exactly with the per-row epoch counts
     n_mix = mixed.count()
     n_train_split = carved.filter(F.col("split") == "train").count()
     assert 0 < n_mix <= n_train_split
-    mix_tokens = mixed.agg(F.sum("n_tokens")).first()[0]
-    assert mix_tokens <= 1.35 * 30_000
+    ztoks = (
+        carved.filter("split = 'train' and lang = 'zh'")
+        .agg(F.sum(F.size(F.split("text", " "))))
+        .first()[0]
+    )
+    budget = int(3.5 * ztoks)
+    realized = mixed.agg(
+        F.sum(F.col("n_tokens") * F.col("mix_epochs"))
+    ).first()[0]
+    assert 0.6 * budget <= realized <= 1.4 * budget
+    zh_epochs = {
+        r["mix_epochs"]
+        for r in mixed.where("lang = 'zh'").collect()
+    }
+    assert zh_epochs == {1, 2}  # fractional upsampling: both arms hit
+    zh_realized = mixed.where("lang = 'zh'").agg(
+        F.sum(F.col("n_tokens") * F.col("mix_epochs"))
+    ).first()[0]
+    assert 1.4 * ztoks <= zh_realized <= 2.0 * ztoks  # ~1.75× supply
+    assert repeated.count() == mixed.agg(F.sum("mix_epochs")).first()[0]
+    assert repeated.select("doc_id").distinct().count() == repeated.count()
 
     # chunk + pack: every chunk lands in exactly one pack, budget held
-    assert chunked.count() >= n_mix  # long docs fan out
+    assert chunked.count() >= repeated.count()  # long docs fan out
     assert packed.count() == chunked.count()
     over = packing.pack_stats(packed, 512).filter("tokens > 512").count()
     assert over == 0
