@@ -40,6 +40,9 @@ builds, a real disk write with fresh-per-run teardown):
 - ``dsir_select`` — DSIR end-to-end at the production feature width:
   both corpus count models, the log-ratio weight table, scoring, and
   an exact top-500 Gumbel resample (operators/dsir.py).
+- ``bpe_encode`` — BPE tokenization end-to-end: word counts (one
+  shuffle), driver-side merge learning, and the map-only corpus encode
+  (operators/bpe.py).
 """
 
 from __future__ import annotations
@@ -141,6 +144,14 @@ def bench_clf_score(spark: SparkSession, sf_dir: str) -> None:
     _noop(classifier.score_linear(docs, w))
 
 
+def bench_bpe_encode(spark: SparkSession, sf_dir: str) -> None:
+    from ..operators import bpe
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe.train_bpe(bpe.word_counts(docs), n_merges=200)
+    _noop(bpe.encode(docs, merges))
+
+
 def bench_dsir_select(spark: SparkSession, sf_dir: str) -> None:
     from ..operators import dsir
 
@@ -162,4 +173,5 @@ OPERATOR_BENCH: dict[str, Callable[[SparkSession, str], None]] = {
     "lm_score": bench_lm_score,
     "clf_score": bench_clf_score,
     "dsir_select": bench_dsir_select,
+    "bpe_encode": bench_bpe_encode,
 }

@@ -18,6 +18,7 @@ def test_operator_bench_entries_run(spark, sf_smoke):
         "lm_score",
         "clf_score",
         "dsir_select",
+        "bpe_encode",
     }
     for name, fn in sorted(opbench.OPERATOR_BENCH.items()):
         fn(spark, sf_smoke)  # must execute end-to-end without raising

@@ -246,3 +246,29 @@ def test_lm_and_clf_full_corpus(spark):
         F.sum(F.when(F.col("clf_label"), 1).otherwise(0)).alias("pos"),
     ).first()
     assert cagg["n"] == n and 0 < cagg["pos"] < n
+
+
+def test_bpe_tokenize_full_corpus(spark):
+    """BPE over the full sf0.1 corpus: word-count training table, merge
+    learning, map-only encode — every doc tokenized, token totals
+    between word- and char-level, decode round-trips a sample."""
+    from csce438_distributed_password_cracker_spark.operators import bpe
+
+    docs = load_table(spark, SF01, "documents").select("doc_id", "text")
+    merges = bpe.train_bpe(bpe.word_counts(docs), n_merges=200)
+    enc = bpe.encode(docs, merges)
+    agg = enc.agg(
+        F.count("*").alias("n"), F.sum("n_bpe_tokens").alias("t")
+    ).first()
+    base = docs.agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("text")).alias("chars"),
+        F.sum(F.size(F.split("text", " "))).alias("words"),
+    ).first()
+    assert agg["n"] == base["n"]
+    assert base["words"] <= agg["t"] < base["chars"]
+    sample = enc.join(docs, "doc_id").limit(20).collect()
+    for r in sample:
+        assert bpe.decode_tokens(r["tokens"]) == " ".join(
+            w for w in r["text"].split(" ") if w
+        )
