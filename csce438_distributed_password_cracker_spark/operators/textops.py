@@ -124,6 +124,103 @@ def repetition_metrics(text_col: str = "text") -> list[Column]:
     ]
 
 
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_rules(
+    text_expr: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> list[Column]:
+    """The Gopher/MassiveText document-quality rule battery (Rae et al.
+    2021, Appendix A.1.1) as single-scan column expressions — no
+    shuffle, no UDF, applies to 100 TB as a projection:
+
+    - ``g_n_words`` — whitespace words (empties dropped);
+    - ``g_mean_word_len`` — mean characters per word;
+    - ``g_symbol_ratio`` — ('#' + '...') occurrences per word;
+    - ``g_bullet_frac`` / ``g_ellipsis_frac`` — fraction of lines
+      starting with a bullet / ending with an ellipsis;
+    - ``g_alpha_frac`` — fraction of words containing a letter;
+    - ``g_stop_hits`` — distinct required stopwords present;
+    - ``gopher_keep`` — the conjunction; defaults are the paper's:
+      50 ≤ words ≤ 100000, 3 ≤ mean len ≤ 10, symbol ratio < 0.1,
+      bullet frac ≤ 0.9, ellipsis frac ≤ 0.3, alpha frac ≥ 0.8,
+      ≥ 2 stopwords.  Every threshold is a keyword arg — production
+      deployments tune these per corpus (the paper's table is tuned
+      for MassiveText's crawl).
+
+    ``text_expr`` is a SQL expression (a column name or a computed
+    string), so callers can run the battery over a derived text.
+    Ratios round to 6 places (the repo's cross-engine double
+    discipline); every regex is RE2-safe for the DuckDB twin.
+    """
+    t = f"({text_expr})"
+    words = f"filter(split({t}, ' '), w -> w != '')"
+    nw = f"size({words})"
+    lines = f"filter(split({t}, '\\n'), l -> l != '')"
+    nl = f"size({lines})"
+    stop_arr = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    n_words = f"CAST({nw} AS BIGINT)"
+    mean_len = (
+        f"round(CAST(aggregate({words}, 0L, (a, w) -> a + length(w)) "
+        f"AS DOUBLE) / greatest({nw}, 1), 6)"
+    )
+    symbol_ratio = (
+        f"round(CAST((length({t}) - length(replace({t}, '#', ''))) "
+        f"+ (length({t}) - length(replace({t}, '...', ''))) / 3 "
+        f"AS DOUBLE) / greatest({nw}, 1), 6)"
+    )
+    bullet = (
+        f"round(CAST(size(filter({lines}, l -> "
+        f"startswith(ltrim(l), '- ') OR startswith(ltrim(l), '* ') OR "
+        f"startswith(ltrim(l), '•'))) AS DOUBLE) "
+        f"/ greatest({nl}, 1), 6)"
+    )
+    ellipsis = (
+        f"round(CAST(size(filter({lines}, l -> "
+        f"endswith(rtrim(l), '...') OR endswith(rtrim(l), '…'))) "
+        f"AS DOUBLE) / greatest({nl}, 1), 6)"
+    )
+    alpha = (
+        f"round(CAST(size(filter({words}, w -> w rlike '[a-zA-Z]')) "
+        f"AS DOUBLE) / greatest({nw}, 1), 6)"
+    )
+    stops = (
+        f"CAST(size(array_intersect({words}, array({stop_arr}))) "
+        f"AS BIGINT)"
+    )
+    keep = (
+        f"({n_words} BETWEEN {int(min_words)} AND {int(max_words)}) AND "
+        f"({mean_len} BETWEEN {float(min_mean_len)} "
+        f"AND {float(max_mean_len)}) AND "
+        f"({symbol_ratio} < {float(max_symbol_ratio)}) AND "
+        f"({bullet} <= {float(max_bullet_frac)}) AND "
+        f"({ellipsis} <= {float(max_ellipsis_frac)}) AND "
+        f"({alpha} >= {float(min_alpha_frac)}) AND "
+        f"({stops} >= {int(min_stop_hits)})"
+    )
+    return [
+        F.expr(n_words).alias("g_n_words"),
+        F.expr(mean_len).alias("g_mean_word_len"),
+        F.expr(symbol_ratio).alias("g_symbol_ratio"),
+        F.expr(bullet).alias("g_bullet_frac"),
+        F.expr(ellipsis).alias("g_ellipsis_frac"),
+        F.expr(alpha).alias("g_alpha_frac"),
+        F.expr(stops).alias("g_stop_hits"),
+        F.expr(keep).alias("gopher_keep"),
+    ]
+
+
 def dedup_segments(
     text_col: str = "text",
     sep: str = "\\. ",

@@ -448,6 +448,46 @@ _CLF_W_H = _md5_duck("'w:' || CAST(feature AS VARCHAR)", 42, 15)
              sum((CAST(({_CLF_W_H}) % 2048 AS DOUBLE) - 1024)
                  / 1024.0) AS clf_logit
       FROM ft GROUP BY doc_id
+    ),
+    -- Gopher rule-battery twin (round 5, textops.gopher_rules): every
+    -- 4th doc gets synthetic line structure so the bullet/ellipsis
+    -- line rules run on real multi-line input
+    gop0 AS (
+      SELECT doc_id, gt,
+             list_filter(string_split(gt, ' '), w -> w != '') AS gw,
+             list_filter(string_split(gt, chr(10)), l -> l != '') AS gl
+      FROM (
+        SELECT doc_id,
+               CASE WHEN doc_id % 4 = 0 THEN
+                 '- ' || text || chr(10) || 'item...' || chr(10) || '- b'
+               ELSE text END AS gt
+        FROM documents
+      )
+    ),
+    gop AS (
+      SELECT doc_id,
+             CAST(len(gw) AS BIGINT) AS g_n_words,
+             round(CAST(coalesce(list_sum(list_transform(gw,
+                     w -> length(w))), 0) AS DOUBLE)
+                   / greatest(len(gw), 1), 6) AS g_mean_word_len,
+             round(CAST((length(gt) - length(replace(gt, '#', '')))
+                   + (length(gt) - length(replace(gt, '...', ''))) / 3
+                   AS DOUBLE) / greatest(len(gw), 1), 6) AS g_symbol_ratio,
+             round(CAST(len(list_filter(gl, l ->
+                     starts_with(ltrim(l), '- ')
+                     OR starts_with(ltrim(l), '* ')
+                     OR starts_with(ltrim(l), '•'))) AS DOUBLE)
+                   / greatest(len(gl), 1), 6) AS g_bullet_frac,
+             round(CAST(len(list_filter(gl, l ->
+                     ends_with(rtrim(l), '...')
+                     OR ends_with(rtrim(l), '…'))) AS DOUBLE)
+                   / greatest(len(gl), 1), 6) AS g_ellipsis_frac,
+             round(CAST(len(list_filter(gw,
+                     w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+                   / greatest(len(gw), 1), 6) AS g_alpha_frac,
+             CAST(len(list_intersect(gw, ['the','be','to','of','and',
+                  'that','have','with'])) AS BIGINT) AS g_stop_hits
+      FROM gop0
     )
     SELECT b.*,
            coalesce(l.lm_n_bigrams, 0) AS lm_n_bigrams,
@@ -455,10 +495,21 @@ _CLF_W_H = _md5_duck("'w:' || CAST(feature AS VARCHAR)", 42, 15)
            coalesce(l.lm_sum_cnt, 0) AS lm_sum_cnt,
            coalesce(c.clf_n_feats, 0) AS clf_n_feats,
            coalesce(c.clf_logit, 0.0) AS clf_logit,
-           coalesce(c.clf_logit, 0.0) > 0 AS clf_label
+           coalesce(c.clf_logit, 0.0) > 0 AS clf_label,
+           g.g_n_words, g.g_mean_word_len, g.g_symbol_ratio,
+           g.g_bullet_frac, g.g_ellipsis_frac, g.g_alpha_frac,
+           g.g_stop_hits,
+           (g.g_n_words BETWEEN 50 AND 100000)
+             AND (g.g_mean_word_len BETWEEN 3.0 AND 10.0)
+             AND (g.g_symbol_ratio < 0.1)
+             AND (g.g_bullet_frac <= 0.9)
+             AND (g.g_ellipsis_frac <= 0.3)
+             AND (g.g_alpha_frac >= 0.8)
+             AND (g.g_stop_hits >= 1) AS gopher_keep
     FROM base b
     LEFT JOIN lms l USING (doc_id)
     LEFT JOIN clf c USING (doc_id)
+    JOIN gop g USING (doc_id)
     """,
     doc="E3 text-analysis profile, one scan, zero shuffles: whitespace "
     "token counting (split/array ops fully JVM-side), quality features "
@@ -525,6 +576,17 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_pred",
         *textops.redact_pii(
             "__synth", patterns=textops.PII_PATTERNS[:2]
+        ),
+        # round-5 fusion: the Gopher rule battery (Rae 2021 A.1.1) on
+        # the same scan — every 4th doc gets synthetic line structure
+        # so the bullet/ellipsis line rules exercise multi-line input;
+        # min_stop_hits tuned to 1 for the synthetic vocabulary (the
+        # thresholds are keyword args — see textops.gopher_rules)
+        *textops.gopher_rules(
+            "CASE WHEN doc_id % 4 = 0 THEN "
+            "concat('- ', text, '\\n', 'item...', '\\n', '- b') "
+            "ELSE text END",
+            min_stop_hits=1,
         ),
     )
 

@@ -286,3 +286,74 @@ def test_redact_pii_counts_real_replacements_only(spark):
     [r2] = df2.select(*redact_pii(patterns=custom)).collect()
     assert r2.text_redacted == "ssn [SSN] and [SSN] end"
     assert r2.n_redactions == 2  # '[SSN]' metacharacters don't miscount
+
+
+def test_gopher_rules_each_threshold(spark):
+    """Rae 2021 A.1.1 battery: a compliant doc passes; seven variants
+    each violate exactly one rule."""
+    from csce438_distributed_password_cracker_spark.operators.textops import (
+        gopher_rules,
+    )
+
+    good = " ".join(
+        ["the", "be", "to", "of", "and"] + ["quality"] * 55
+    )  # 60 words, mean len ~6.6, 5 stopword hits, all alphabetic
+    docs = [
+        (0, good),
+        (1, " ".join(["word"] * 10)),  # too few words
+        (2, " ".join(["a"] * 60)),  # mean word length < 3
+        (3, good + " " + "#" * 1 + " #" * 9),  # symbols per word >= 0.1
+        (4, "\n".join(["- " + good] * 10)),  # all lines bullets
+        (5, "\n".join([good + "..."] * 10)),  # all lines ellipsis
+        (6, " ".join(["the", "and"] + ["123"] * 58)),  # alpha frac low
+        (7, " ".join(["zzz"] * 60)),  # no stopwords
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", *gopher_rules("text")).collect()
+    }
+    assert out[0]["gopher_keep"] is True
+    for i in range(1, 8):
+        assert out[i]["gopher_keep"] is False, i
+    # spot-check the feature values
+    assert out[0]["g_n_words"] == 60
+    assert out[0]["g_stop_hits"] == 5
+    assert out[0]["g_alpha_frac"] == 1.0
+    assert out[1]["g_n_words"] == 10
+    assert out[2]["g_mean_word_len"] == 1.0
+    assert out[3]["g_symbol_ratio"] >= 0.1
+    assert out[4]["g_bullet_frac"] == 1.0
+    assert out[5]["g_ellipsis_frac"] == 1.0
+    assert out[6]["g_alpha_frac"] < 0.8
+    assert out[7]["g_stop_hits"] == 0
+
+
+def test_gopher_rules_edges_and_map_only(spark, sf_smoke):
+    from csce438_distributed_password_cracker_spark.operators.textops import (
+        gopher_rules,
+    )
+    from pyspark.sql import functions as F
+
+    # empty / whitespace-only docs: zero words, rules all computable
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one two")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in df.select("doc_id", *gopher_rules("text")).collect()}
+    for i in (1, 2):
+        assert rows[i]["g_n_words"] == 0
+        assert rows[i]["gopher_keep"] is False
+    assert rows[3]["g_n_words"] == 2
+    # full corpus: single scan, no exchange; the synthetic vocabulary
+    # rarely carries >= 2 of the paper's stopwords, so tune that rule
+    # down (the thresholds are keyword args for exactly this reason)
+    # and assert the conjunction discriminates rather than degenerates
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    out = docs.select("doc_id", *gopher_rules("text", min_stop_hits=1))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("gopher_keep"), 1).otherwise(0)).alias("k"),
+    ).first()
+    assert agg["n"] == docs.count() and 0 < agg["k"] < agg["n"]
