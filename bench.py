@@ -20,10 +20,10 @@ sheds host-noise windows) and MEDIAN (`queries_median` — the stable
 round-over-round comparison basis; BASELINE.md §C.3 documents ±3× noise
 windows on this box, so deltas should be judged on medians).  The
 `operators` / `operators_median` maps time the production-operator
-battery (plans/opbench.py: paragraph_dedup, semantic_dedup,
-shuffle_rows, pack_sequences, bm25_build) under the same protocol,
-reported SEPARATELY from the corpus total so round-over-round query
-comparisons stay apples-to-apples.
+battery (every entry of plans/opbench.py:OPERATOR_BENCH — the registry
+is the source of truth; see its module docstring for the current
+roster) under the same protocol, reported SEPARATELY from the corpus
+total so round-over-round query comparisons stay apples-to-apples.
 
 `q_dedup_sketch` is timed in its PRODUCTION hash mode (xxhash64 — the
 operators' default and what a deployment pays) via

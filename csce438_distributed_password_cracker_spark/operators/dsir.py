@@ -159,9 +159,17 @@ def dsir_select(
     replacement from the softmax of the weights, per Xie 2023).
 
     Exactly one of ``k`` (exact count — TakeOrdered, driver holds k
-    rows) or ``threshold_frac`` (approximate top fraction via ONE
-    approxQuantile pass + a map-only filter — the 100 TB path) must be
-    given.  Deterministic for fixed ``seed``; re-keyable."""
+    rows) or ``threshold_frac`` (approximate top fraction — the 100 TB
+    path) must be given.  Deterministic for fixed ``seed``; re-keyable.
+
+    Threshold mode materializes the NARROW ``(id, score, key)`` frame
+    once (``localCheckpoint`` — ~a few dozen bytes/row on executor
+    disks) before the ``approxQuantile`` pass: the quantile is an
+    action, so un-persisted lineage would re-run the whole
+    featurize+join+rollup scoring DAG a second time when the filtered
+    result is consumed — doubling the most expensive pass.  The final
+    verdict is then a map-only filter plus one enrich join back to
+    ``df`` on the id."""
     if (k is None) == (threshold_frac is None):
         raise ValueError("pass exactly one of k / threshold_frac")
     if temperature <= 0:
@@ -179,10 +187,13 @@ def dsir_select(
     key = F.col("dsir_logw") / F.lit(float(temperature)) - F.log(
         -F.log(u)
     )
-    keyed = df.join(scores, id_col).withColumn("dsir_key", key)
     if k is not None:
+        keyed = df.join(scores, id_col).withColumn("dsir_key", key)
         return keyed.orderBy(F.col("dsir_key").desc(), id_col).limit(int(k))
-    cutoff = keyed.stat.approxQuantile(
+    narrow = scores.withColumn("dsir_key", key).localCheckpoint(eager=True)
+    cutoff = narrow.stat.approxQuantile(
         "dsir_key", [1.0 - float(threshold_frac)], 0.001
     )[0]
-    return keyed.where(F.col("dsir_key") >= F.lit(cutoff))
+    return df.join(
+        narrow.where(F.col("dsir_key") >= F.lit(cutoff)), id_col
+    )

@@ -133,14 +133,28 @@ def score_documents(
     v = int(vocab_size)
     # keep_empty: short/NULL docs ride through as ONE sentinel row, so
     # the per-doc rollup covers every input doc in the SAME pass — no
-    # rescue join back to the corpus (a second full scan at 100 TB)
-    scored = _bigrams(df, id_col, text_col, keep_empty=True).join(
-        model, ["w1", "w2"], "left"
+    # rescue join back to the corpus (a second full scan at 100 TB).
+    #
+    # The context total joins INDEPENDENTLY of the pair: an unseen
+    # continuation of a well-attested context must take that context's
+    # denominator — ctx('the') stays 10000 for ('the', <unseen>), so
+    # P(unseen|the) = k / (10000 + kV) is SMALLER than any attested
+    # continuation's probability, and the per-context distribution
+    # still sums to 1.  (Denormalizing ctx only onto seen pairs would
+    # score gibberish continuations of frequent contexts ~k/kV — far
+    # ABOVE attested rare bigrams — inverting the CCNet filter.)
+    # Both joins are model-sized; persist the model when scoring in the
+    # same lineage as training to avoid recomputing its subtree twice.
+    ctx = model.groupBy("w1").agg(F.max("ctx_cnt").alias("_ctx"))
+    scored = (
+        _bigrams(df, id_col, text_col, keep_empty=True)
+        .join(model.select("w1", "w2", "cnt"), ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
     )
     real = F.col("w1").isNotNull()
     logp = F.log(
         (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(float(k)))
-        / (F.coalesce(F.col("ctx_cnt"), F.lit(0)) + F.lit(float(k) * v))
+        / (F.coalesce(F.col("_ctx"), F.lit(0)) + F.lit(float(k) * v))
     )
     return scored.groupBy(id_col).agg(
         F.sum(F.when(real, 1).otherwise(0))

@@ -179,10 +179,26 @@ def mix_corpora(
         )
         for d, r in sorted(rates.items())
     ]
+    # the rates-table key takes the INPUT's domain dtype (int sources,
+    # string langs, ... all join cleanly; a hardcoded string key would
+    # reject non-string domain columns at plan time)
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
     rates_df = spark.createDataFrame(
         rates_rows,
-        f"`{domain_col}` string, __mix_rate double,"
-        " __mix_floor long, __mix_thr long",
+        StructType(
+            [
+                StructField(domain_col, df.schema[domain_col].dataType),
+                StructField("__mix_rate", DoubleType()),
+                StructField("__mix_floor", LongType()),
+                StructField("__mix_thr", LongType()),
+            ]
+        ),
     )
     epochs = F.coalesce(
         F.col("__mix_floor")

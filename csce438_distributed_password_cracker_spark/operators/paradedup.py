@@ -91,12 +91,17 @@ def election(
     sep: str = "\n\n",
     min_chars: int = 0,
     collision_safe: bool = False,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """The first-occurrence election, exposed as a seam so tests can
     assert on the verdict join's inputs.  Returns
-    ``(paras, occurrences, winners)``:
+    ``(paras, exempt, occurrences, winners)``:
 
     - ``paras`` — every (``_did``, ``_pos``, ``_para``) row (exploded);
+    - ``exempt`` — the never-elected subset (below ``min_chars`` or
+      empty), kept everywhere.  Returned HERE, alongside the contested
+      complement, so the exemption predicate lives in exactly one
+      place — a caller re-stating it out-of-band could silently drop
+      or duplicate paragraphs if the predicates drifted;
     - ``occurrences`` — the contested subset with its fingerprint
       ``_k`` (the text-carrying side of the verdict join);
     - ``winners`` — one row per fingerprint: ``(_k, _wdid, _wpos, _n)``,
@@ -123,6 +128,7 @@ def election(
         F.col("_para") if collision_safe else F.xxhash64("_para")
     ).alias("_k")
     contested = paras.where(elect)
+    exempt = paras.where(~elect).select("_did", "_pos", "_para")
     winners = (
         contested.select(key, "_did", "_pos")
         .groupBy("_k")
@@ -140,7 +146,7 @@ def election(
         )
     )
     occurrences = contested.select(key, "_did", "_pos", "_para")
-    return paras, occurrences, winners
+    return paras, exempt, occurrences, winners
 
 
 def heavy_winners(winners: DataFrame, heavy_hitters: int) -> DataFrame:
@@ -185,12 +191,9 @@ def paragraph_dedup(
     enter an exchange (see the module docstring).  ``0`` disables the
     bypass (identical verdicts, single shuffled join).
     """
-    paras, occ, winners = election(
+    _, exempt, occ, winners = election(
         df, id_col, text_col, sep, min_chars, collision_safe
     )
-    exempt = paras.where(
-        F.length("_para") < max(int(min_chars), 1)
-    ).select("_did", "_pos", "_para")
     is_win = (F.col("_did") == F.col("_wdid")) & (
         F.col("_pos") == F.col("_wpos")
     )

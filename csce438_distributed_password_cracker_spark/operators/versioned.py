@@ -59,6 +59,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -326,7 +327,16 @@ class CasCommitBackend:
                 )
             # full snapshot: content is parent-independent, reuse the
             # uploaded data and re-contend against the new head
-            (root / vdir).rename(staging)
+            try:
+                (root / vdir).rename(staging)
+            except FileNotFoundError:
+                # a concurrent vacuum swept this upload as an orphan
+                # (its version fell at/below the advanced head) — the
+                # data is gone, fail loudly rather than loop
+                raise ConcurrentWriteError(
+                    f"upload {vdir} was swept by a concurrent vacuum "
+                    "while losing the manifest race; re-run the write"
+                ) from None
 
     def update_manifest(self, root: Path, fn) -> dict:
         """CAS-retry read-modify-write (vacuum's trim): recomputes the
@@ -668,12 +678,18 @@ def vacuum(root_dir: str, keep_last: int = 2, backend=None) -> list[int]:
     """Delete version directories beyond the newest ``keep_last``
     (hard links make retained versions self-sufficient — deleting an
     old directory never breaks a newer one), plus any abandoned
-    ``_staging-*`` directories from crashed writers.  Returns the
-    removed version numbers; the manifest's history is trimmed to
-    match.  Run on the maintenance cadence, when no writer is
-    mid-flight (an in-flight writer's staging dir would be swept —
-    its commit then fails loudly on the missing rename source, nothing
-    corrupts)."""
+    ``_staging-*`` directories from crashed writers, plus any ORPHANED
+    uploads — version directories no manifest references (a CAS writer
+    that died between its upload and its conditional put leaks one;
+    see :class:`CasCommitBackend`).  Orphans are swept only when their
+    version number ≤ the current head: an in-flight upload always
+    targets head+1, so it is never touched, while a stale one (head
+    moved past it) has already lost its race — its conditional put can
+    only fail.  Returns the removed version numbers; the manifest's
+    history is trimmed to match.  Run on the maintenance cadence, when
+    no writer is mid-flight (an in-flight writer's staging dir would
+    be swept — its commit then fails loudly on the missing rename
+    source, nothing corrupts)."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     root = Path(root_dir)
@@ -695,10 +711,19 @@ def vacuum(root_dir: str, keep_last: int = 2, backend=None) -> list[int]:
         new["history"] = hist[-keep_last:]
         return new
 
-    (backend or _POSIX_BACKEND).update_manifest(root, trim)
+    new_manifest = (backend or _POSIX_BACKEND).update_manifest(root, trim)
     drop = dropped["drop"]
     for h in drop:
         shutil.rmtree(root / h["dir"], ignore_errors=True)
     for p in root.glob("_staging-*"):
         shutil.rmtree(p, ignore_errors=True)
+    # orphan sweep: unreferenced v*[-nonce] dirs at or below the head
+    referenced = {h["dir"] for h in new_manifest.get("history", [])}
+    if new_manifest.get("dir"):
+        referenced.add(new_manifest["dir"])
+    head = int(new_manifest.get("version", 0))
+    for p in root.glob("v*"):
+        m = re.match(r"^v(\d{8})(?:-[0-9a-f]{8})?$", p.name)
+        if m and p.name not in referenced and int(m.group(1)) <= head:
+            shutil.rmtree(p, ignore_errors=True)
     return [h["version"] for h in drop]

@@ -123,8 +123,11 @@ _SUBSTR_H = _md5_duck("array_to_string(t[i:i+7], ' ')", 42, 15)
     -- min (doc_id, pos), overlapping duplicate spans merged
     -- (gaps-and-islands) and excised from every later occurrence
     stoks AS (
-      SELECT doc_id, string_split(text, ' ') AS t,
-             len(string_split(text, ' ')) AS nt
+      -- coalesce mirrors the operator: NULL text tokenizes as [''],
+      -- so val_a/val_b stay (1, 0) instead of NULL if a NULL-text row
+      -- ever lands in the table
+      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t,
+             len(string_split(coalesce(text, ''), ' ')) AS nt
       FROM documents
     ),
     swin AS (

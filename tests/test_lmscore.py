@@ -112,3 +112,24 @@ def test_deterministic_across_repartition(spark, sf_smoke):
         ).collect()
     )
     assert a == b
+
+
+def test_unseen_continuation_uses_attested_context_denominator(spark):
+    """Regression (round-5 review): an UNSEEN continuation of a
+    frequent context must take that context's full denominator —
+    P(unseen|w1) = k/(ctx+kV) — and must score strictly BELOW any
+    attested continuation.  (A pair-denormalized ctx would give the
+    unseen pair k/(0+kV), ranking gibberish above real rare bigrams.)"""
+    train = _df(spark, [(1, "a b a b a b a c")])
+    model = lmscore.train_bigram_lm(train)  # ctx('a') = 4
+    out = _by_id(
+        lmscore.score_documents(
+            _df(spark, [(10, "a z"), (11, "a c")]), model,
+            k=0.5, vocab_size=2,
+        )
+    )
+    # unseen (a,z): (0+0.5)/(4+1) = 0.1
+    assert out[10]["lm_logprob"] == pytest.approx(math.log(0.5 / 5.0))
+    # seen rare (a,c): (1+0.5)/(4+1) = 0.3 — strictly more probable
+    assert out[11]["lm_logprob"] == pytest.approx(math.log(1.5 / 5.0))
+    assert out[11]["lm_logprob"] > out[10]["lm_logprob"]

@@ -459,3 +459,19 @@ def test_rates_invariants_with_upsampling(data):
     assert expected == pytest.approx(
         min(budget, supply * cap), rel=1e-9, abs=1e-6
     )
+
+
+def test_mix_non_string_domain_column(spark):
+    """The rates table takes the input's domain dtype — integer domain
+    ids (a real source-id column) must work end-to-end."""
+    df = spark.createDataFrame(
+        [(i, i % 3, 10) for i in range(60)],
+        "doc_id long, source_id int, n_tokens long",
+    )
+    out = mixing.mix_corpora(
+        df, "source_id", "doc_id", "n_tokens", {0: 0.5, 1: 0.5}, 200
+    )
+    rows = out.collect()
+    assert len(rows) == 60
+    assert any(r["in_mix"] for r in rows)
+    assert all(not r["in_mix"] for r in rows if r["source_id"] == 2)

@@ -1,6 +1,7 @@
 """The production-operator bench battery (plans/opbench.py) must stay
-runnable: bench.py executes these five callables per pass, so a broken
-entry would silently cost the round its operator perf signal."""
+runnable: bench.py executes every OPERATOR_BENCH callable per pass, so
+a broken entry would silently cost the round its operator perf
+signal."""
 
 from __future__ import annotations
 

@@ -195,7 +195,7 @@ def test_heavy_hitter_text_stays_out_of_the_exchange(spark):
 
     # VOLUME: the broadcast set is exactly the planted mega-duplicate,
     # and only the tail's occurrences reach the shuffled verdict join
-    _, occ, winners = paradedup.election(df, sep=SEP)
+    _, _, occ, winners = paradedup.election(df, sep=SEP)
     heavy = paradedup.heavy_winners(winners, 1).collect()
     assert len(heavy) == 1 and heavy[0]["_n"] == 60
     light = occ.join(
@@ -213,7 +213,7 @@ def test_heavy_hitter_text_stays_out_of_the_exchange(spark):
 
 def test_heavy_hitter_ranking_is_deterministic(spark):
     df, _ = _mega_dup_corpus(spark)
-    _, _, winners = paradedup.election(df, sep=SEP)
+    _, _, _, winners = paradedup.election(df, sep=SEP)
     a = sorted(map(tuple, paradedup.heavy_winners(winners, 3).collect()))
     b = sorted(map(tuple, paradedup.heavy_winners(winners, 3).collect()))
     assert a == b

@@ -602,3 +602,43 @@ def test_cas_vacuum_trims_under_cas_retry(spark, cas_table, cas):
     assert removed == [1, 2]
     assert [h["version"] for h in versioned.history(cas_table)] == [3]
     assert versioned.read_version(spark, cas_table).count() == 20
+
+
+def test_vacuum_sweeps_orphaned_uploads_not_inflight(spark, table):
+    """Regression (round-5 review): a CAS writer that dies between its
+    nonce'd upload and the conditional put leaks an unreferenced
+    version directory — vacuum must sweep it.  An upload AHEAD of the
+    head (version head+1 — an in-flight writer) must survive."""
+    df = spark.createDataFrame(
+        [(1, "x", "1", False)],
+        "k long, body string, part string, deleted boolean",
+    )
+    versioned.merge_versioned(
+        spark, table, df, key_cols=["k"], partition_col="part",
+        delete_col="deleted",
+    )
+    versioned.merge_versioned(
+        spark, table, df, key_cols=["k"], partition_col="part",
+        delete_col="deleted",
+    )
+    root = Path(table)
+    head = versioned.history(table)[-1]["version"]
+    orphan = root / f"v{head:08d}-deadbeef"  # lost-race upload <= head
+    orphan.mkdir()
+    (orphan / "junk.parquet").write_bytes(b"x")
+    inflight = root / f"v{head + 1:08d}-cafef00d"  # targets head+1
+    inflight.mkdir()
+    versioned.vacuum(table, keep_last=2)
+    assert not orphan.exists(), "orphaned upload must be swept"
+    assert inflight.exists(), "in-flight upload must survive"
+    # the retained history's dirs are untouched
+    for h in versioned.history(table):
+        assert (root / h["dir"]).exists()
+    # after head advances past it, the abandoned in-flight dir is swept
+    versioned.merge_versioned(
+        spark, table, df, key_cols=["k"], partition_col="part",
+        delete_col="deleted",
+    )
+    assert versioned.history(table)[-1]["version"] == head + 1
+    versioned.vacuum(table, keep_last=2)
+    assert not inflight.exists()
