@@ -612,7 +612,7 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_binary_roundtrip",
-    oracle="""
+    oracle=f"""
     SELECT 'binary' AS branch, doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            decode(encode(text)) = text AS roundtrip_ok
@@ -622,6 +622,15 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            true AS roundtrip_ok
     FROM documents
+    UNION ALL
+    SELECT 'export' AS branch,
+           CAST(shard AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_bytes,
+           true AS roundtrip_ok
+    FROM (
+      SELECT ({md5_bucket_sql("CAST(doc_id AS STRING)", 8)}) AS shard
+      FROM documents
+    ) GROUP BY shard
     """,
     doc="E4 + ingestion front door, one labeled union.  binary: opaque "
     "binary columns — string⇄binary round trip; the multimodal decode "
@@ -632,7 +641,16 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quarantine column, and joined against the parquet truth; "
     "roundtrip_ok asserts byte-exact text + lang survival through CSV "
     "quoting and n_bytes re-measures the reread text, so any "
-    "quoting/escaping/schema bug in the front door hash-diverges.",
+    "quoting/escaping/schema bug in the front door hash-diverges.  "
+    "export (round-5 fusion): operators/export.py run FOR REAL — the "
+    "documents slice is sharded on the engine-portable md5 bucket "
+    "(8 shards), written hive-style with pre-write count+bit_xor "
+    "checksums, integrity-verified against the written bytes, manifest "
+    "published LAST, then read back through read_shards(validate=True); "
+    "the branch emits per-shard row counts (n_bytes column) compared "
+    "against BOTH the manifest and the oracle's closed-form bucket "
+    "counts, so a lost task, truncated file or mis-sharded row "
+    "hash-diverges.",
 )
 def q_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
@@ -687,7 +705,41 @@ def q_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("lang").eqNullSafe(F.col("__olang"))
         ).alias("roundtrip_ok"),
     )
-    return binary.unionAll(ingested)
+
+    # export branch (round-5 fusion): sharded export run FOR REAL —
+    # write + integrity verify + manifest publish + validated read-back
+    from ..operators import export as export_ops
+
+    exp_dir = str(root / f"export_gate_{tag}")
+    shutil.rmtree(exp_dir, ignore_errors=True)
+    sharded = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        F.expr(md5_bucket_sql("CAST(doc_id AS STRING)", 8))
+        .cast("int")
+        .alias("shard"),
+    )
+    manifest = export_ops.export_shards(
+        sharded, exp_dir, num_shards=8, shard_col="shard"
+    )
+    mrows = spark.createDataFrame(
+        [(int(s["shard"]), int(s["rows"])) for s in manifest["shards"]],
+        "shard int, mrows long",
+    )
+    exported = (
+        export_ops.read_shards(spark, exp_dir)
+        .groupBy("shard")
+        .agg(F.count("*").alias("__n"))
+        .join(F.broadcast(mrows), "shard")
+        .select(
+            F.lit("export").alias("branch"),
+            F.col("shard").cast("long").alias("doc_id"),
+            F.col("__n").cast("long").alias("n_bytes"),
+            (F.col("__n") == F.col("mrows")).alias("roundtrip_ok"),
+        )
+    )
+    return binary.unionAll(ingested).unionAll(exported)
 
 
 _BM25_GATE_QUERY = "dup merge vector"  # one rare + two common terms
