@@ -43,6 +43,10 @@ builds, a real disk write with fresh-per-run teardown):
 - ``bpe_encode`` — BPE tokenization end-to-end: word counts (one
   shuffle), driver-side merge learning, and the map-only corpus encode
   (operators/bpe.py).
+- ``export_shards`` — the validated sharded export end-to-end: shard
+  assignment, pre-write stats, the parquet write, integrity
+  verification and manifest publish (operators/export.py), torn down
+  per run so every pass pays the full cycle.
 """
 
 from __future__ import annotations
@@ -152,6 +156,20 @@ def bench_bpe_encode(spark: SparkSession, sf_dir: str) -> None:
     _noop(bpe.encode(docs, merges))
 
 
+def bench_export_shards(spark: SparkSession, sf_dir: str) -> None:
+    from ..operators import export as export_ops
+    from .pipeline_queries import warehouse_root_tag
+
+    wh, tag = warehouse_root_tag(sf_dir)
+    path = wh / f"opbench_export_{tag}_{uuid.uuid4().hex[:8]}"
+    try:
+        export_ops.export_shards(
+            _docs(spark, sf_dir), str(path), num_shards=16
+        )
+    finally:
+        shutil.rmtree(Path(path), ignore_errors=True)
+
+
 def bench_dsir_select(spark: SparkSession, sf_dir: str) -> None:
     from ..operators import dsir
 
@@ -174,4 +192,5 @@ OPERATOR_BENCH: dict[str, Callable[[SparkSession, str], None]] = {
     "clf_score": bench_clf_score,
     "dsir_select": bench_dsir_select,
     "bpe_encode": bench_bpe_encode,
+    "export_shards": bench_export_shards,
 }

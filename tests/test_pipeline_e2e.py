@@ -345,6 +345,21 @@ def test_pipeline_composes_with_reconciled_counts(spark, sf_smoke, tmp_path):
         (h.score for h in hits), reverse=True
     )
 
+    # terminal stage: export the packed training sequences as validated
+    # shards — manifest totals reconcile with the packer's output and a
+    # validated read-back returns every row
+    from csce438_distributed_password_cracker_spark.operators import (
+        export as export_ops,
+    )
+
+    exp = str(tmp_path / "shards")
+    manifest = export_ops.export_shards(
+        packed, exp, id_col="chunk_id", num_shards=4
+    )
+    assert manifest["total_rows"] == packed.count()
+    back = export_ops.read_shards(spark, exp)
+    assert back.count() == packed.count()
+
 
 def test_pipeline_deterministic_across_reruns(spark, sf_smoke, tmp_path):
     raw_dir = _raw_drop(spark, sf_smoke, tmp_path)
