@@ -10,7 +10,7 @@ broadcast the dims (region/nation) and shuffle the facts, aggregate
 pushdown through multi-way joins, selective date-range scans with full
 predicate pushdown.
 
-Q1/Q6/Q3/Q5/Q10 are registered as ONE labeled union (`q_tpch`) so the driver
+Q1/Q6/Q3/Q4/Q5/Q10/Q12/Q14/Q19 are registered as ONE labeled union (`q_tpch`) so the driver
 correctness gate — which records at most 50 registry entries — covers
 all three: each branch keeps its own joins, pushed-down predicates, and
 deterministic top-k; the outer union only harmonizes the output schema
@@ -134,6 +134,84 @@ _sql_query(
       ORDER BY revenue DESC, c.c_custkey
       LIMIT 20
     )
+    UNION ALL
+    SELECT 'q4' AS tpch_q,
+           CAST(NULL AS BIGINT) AS k_id,
+           o_orderpriority AS k_name,
+           CAST(NULL AS STRING) AS k_name2,
+           CAST(NULL AS TIMESTAMP) AS order_ts,
+           CAST(NULL AS DOUBLE) AS revenue,
+           order_count AS n_rows,
+           CAST(NULL AS DOUBLE) AS sum_qty
+    FROM (
+      SELECT o.o_orderpriority, COUNT(*) AS order_count
+      FROM orders o
+      WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+        AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+      GROUP BY o.o_orderpriority
+    )
+    UNION ALL
+    SELECT 'q12' AS tpch_q,
+           CAST(NULL AS BIGINT) AS k_id,
+           l_linestatus AS k_name,
+           CAST(NULL AS STRING) AS k_name2,
+           CAST(NULL AS TIMESTAMP) AS order_ts,
+           CAST(NULL AS DOUBLE) AS revenue,
+           high_line_count AS n_rows,
+           CAST(low_line_count AS DOUBLE) AS sum_qty
+    FROM (
+      SELECT l.l_linestatus,
+             SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 1 ELSE 0 END) AS high_line_count,
+             SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                 THEN 1 ELSE 0 END) AS low_line_count
+      FROM orders o
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l.l_linestatus
+    )
+    UNION ALL
+    SELECT 'q14' AS tpch_q,
+           CAST(NULL AS BIGINT) AS k_id,
+           CAST(NULL AS STRING) AS k_name,
+           CAST(NULL AS STRING) AS k_name2,
+           CAST(NULL AS TIMESTAMP) AS order_ts,
+           CAST(round(100.0 * promo_rev / total_rev, 6) AS DOUBLE)
+             AS revenue,
+           CAST(NULL AS BIGINT) AS n_rows,
+           CAST(NULL AS DOUBLE) AS sum_qty
+    FROM (
+      SELECT {_money(f"CASE WHEN p.p_type = 'PROMO' THEN {_REVENUE} ELSE CAST(0 AS DECIMAL(18,2)) END", "promo_rev")},
+             {_money(_REVENUE, "total_rev")}
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1997-06-01 00:00:00'
+    )
+    UNION ALL
+    SELECT 'q19' AS tpch_q,
+           CAST(NULL AS BIGINT) AS k_id,
+           CAST(NULL AS STRING) AS k_name,
+           CAST(NULL AS STRING) AS k_name2,
+           CAST(NULL AS TIMESTAMP) AS order_ts,
+           revenue,
+           n_rows,
+           CAST(NULL AS DOUBLE) AS sum_qty
+    FROM (
+      SELECT {_money(_REVENUE, "revenue")}, COUNT(*) AS n_rows
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+             AND l.l_quantity BETWEEN 1 AND 11)
+         OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+             AND l.l_quantity BETWEEN 10 AND 20)
+         OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+             AND l.l_quantity BETWEEN 20 AND 30)
+    )
     """,
     doc="TPC-H battery, one labeled union: Q1 pricing summary — the "
     "full-fact-scan partial-agg benchmark (6-group output, map-side "
@@ -144,6 +222,20 @@ _sql_query(
     "deterministic top-10 (orderkey tie-break); Q5 local supplier volume "
     "— 6-way star join, Catalyst broadcasts region/nation/supplier and "
     "shuffles the two facts once; Q10 returned items — selective "
-    "returnflag + date pushdown, 4-way join, deterministic top-20.",
-    tables=("customer", "orders", "lineitem", "supplier", "nation", "region"),
+    "returnflag + date pushdown, 4-way join, deterministic top-20.  "
+    "Round-5 additions (adapted to the driver schema — no shipmode/"
+    "commitdate/container columns): Q4 order-priority checking — "
+    "correlated EXISTS that Catalyst rewrites to a LEFT SEMI join "
+    "(returned-lineitem stands in for late-delivery), grouped count; "
+    "Q12 line-status priority split — fact-fact join with conditional "
+    "CASE sums (linestatus stands in for shipmode); Q14 promo revenue "
+    "— join + two money sums whose RATIO is taken on the ROUNDED "
+    "doubles (decimal-division scale rules differ across engines; "
+    "round-then-divide is IEEE-identical in both); Q19 disjunctive "
+    "brand/size/quantity predicates — the OR-of-ANDs shape that tests "
+    "predicate pushdown through a join without a common prefix.",
+    tables=(
+        "customer", "orders", "lineitem", "supplier", "nation", "region",
+        "part",
+    ),
 )
