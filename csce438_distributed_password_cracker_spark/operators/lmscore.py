@@ -48,7 +48,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["train_bigram_lm", "score_documents"]
+__all__ = ["train_bigram_lm", "score_documents", "quality_buckets"]
 
 # sequence(1, 0) DESCENDS in Spark, so the pair builder is gated on
 # size >= 2 rather than relying on an empty sequence
@@ -169,3 +169,41 @@ def score_documents(
         F.avg(F.when(real, logp)).alias("lm_logprob"),
         F.exp(-F.avg(F.when(real, logp))).alias("lm_ppl"),
     )
+
+
+def quality_buckets(
+    scored: DataFrame,
+    ppl_col: str = "lm_ppl",
+    fracs: tuple[float, ...] = (1 / 3, 2 / 3),
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    bucket_col: str = "lm_bucket",
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek 2020 §4.4): bucket
+    documents by perplexity QUANTILE — "head" is the most
+    reference-like third, and downstream mixtures sample the buckets
+    at different rates (CCNet trains mostly on head+middle).
+
+    ONE ``approxQuantile`` pass computes the cut points (driver gets
+    ``len(fracs)`` doubles); the verdict is a map-only CASE — no
+    shuffle, applies to 100 TB as a projection.  Rows with NULL
+    perplexity (no bigrams) land in the LAST bucket: an unscoreable
+    doc is never promoted into the head.  Cut points are data-derived,
+    so persist them (they're in the returned plan as literals) when
+    the same split must apply to a later increment."""
+    if len(labels) != len(fracs) + 1:
+        raise ValueError("need exactly len(fracs) + 1 labels")
+    if list(fracs) != sorted(fracs) or not all(0 < f < 1 for f in fracs):
+        raise ValueError("fracs must be strictly increasing in (0, 1)")
+    cuts = scored.stat.approxQuantile(
+        ppl_col, list(fracs), float(relative_error)
+    )
+    if len(cuts) < len(fracs):
+        # no non-null perplexities at all: nothing is scoreable, so
+        # everything is tail (approxQuantile returns [] on all-NULL)
+        return scored.withColumn(bucket_col, F.lit(labels[-1]))
+    expr = F.when(F.col(ppl_col) <= F.lit(cuts[0]), F.lit(labels[0]))
+    for cut, label in zip(cuts[1:], labels[1:-1]):
+        expr = expr.when(F.col(ppl_col) <= F.lit(cut), F.lit(label))
+    expr = expr.otherwise(F.lit(labels[-1]))
+    return scored.withColumn(bucket_col, expr)

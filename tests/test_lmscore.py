@@ -133,3 +133,38 @@ def test_unseen_continuation_uses_attested_context_denominator(spark):
     # seen rare (a,c): (1+0.5)/(4+1) = 0.3 — strictly more probable
     assert out[11]["lm_logprob"] == pytest.approx(math.log(1.5 / 5.0))
     assert out[11]["lm_logprob"] > out[10]["lm_logprob"]
+
+
+def test_quality_buckets_ccnet_split(spark, sf_smoke):
+    """head/middle/tail partition the corpus ~evenly, head strictly
+    beats tail on mean perplexity, NULL-ppl docs land in the tail,
+    and the verdict adds no shuffle."""
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    model = lmscore.train_bigram_lm(docs)
+    scored = lmscore.score_documents(
+        docs, model, vocab_size=4096
+    ).localCheckpoint()
+    out = lmscore.quality_buckets(scored)
+    counts = {r["lm_bucket"]: r["n"] for r in
+              out.groupBy("lm_bucket").agg(F.count("*").alias("n")).collect()}
+    n = sum(counts.values())
+    assert set(counts) == {"head", "middle", "tail"}
+    for b in counts:
+        assert 0.2 * n <= counts[b] <= 0.5 * n, counts
+    means = {r["lm_bucket"]: r["m"] for r in
+             out.groupBy("lm_bucket").agg(F.avg("lm_ppl").alias("m")).collect()}
+    assert means["head"] < means["middle"] < means["tail"]
+    # NULL perplexity -> tail
+    nulls = lmscore.quality_buckets(
+        scored.withColumn("lm_ppl", F.lit(None).cast("double"))
+    )
+    assert nulls.where("lm_bucket != 'tail'").count() == 0
+    # the verdict is a projection on the checkpointed scores
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError):
+        lmscore.quality_buckets(scored, labels=("a", "b"))
+    with pytest.raises(ValueError):
+        lmscore.quality_buckets(scored, fracs=(0.9, 0.1))
