@@ -124,6 +124,91 @@ def repetition_metrics(text_col: str = "text") -> list[Column]:
     ]
 
 
+def repetition_battery(
+    text_expr: str = "text",
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_top2gram_char_frac: float = 0.20,
+    max_top3gram_char_frac: float = 0.18,
+) -> list[Column]:
+    """The Gopher/MassiveText REPETITION filter battery (Rae et al.
+    2021, Appendix A.1.2) as single-scan column expressions — the
+    intra-document repetition signals beyond the duplicate-trigram
+    fraction :func:`repetition_metrics` already ships:
+
+    - ``r_dup_line_frac`` — fraction of lines that are repeats
+      (1 − distinct/total);
+    - ``r_dup_line_char_frac`` — fraction of line characters inside
+      lines occurring ≥ 2 times (ALL occurrences count — a doc that is
+      one line pasted 50× scores ≈ 1.0);
+    - ``r_top2gram_char_frac`` / ``r_top3gram_char_frac`` — fraction
+      of word characters covered by the most frequent word 2-/3-gram
+      (occurrences × gram length, separators excluded);
+    - ``repetition_keep`` — the conjunction under the paper's
+      thresholds (0.30 / 0.20 / 0.20 / 0.18), each a tunable kwarg.
+
+    All JVM-side lambdas over per-doc arrays (docs have bounded
+    lines/words, so the O(n²) within-array counting is per-doc cheap
+    and the corpus pass stays map-only — no shuffle, no UDF).  Ratios
+    round to 6 places; every construct has a DuckDB twin
+    (``list_filter``/``list_transform`` nested-lambda capture)."""
+    t = f"({text_expr})"
+    words = f"filter(split({t}, ' '), w -> w != '')"
+    lines = f"filter(split({t}, '\\n'), l -> l != '')"
+    nl = f"size({lines})"
+    wchars = f"aggregate({words}, 0L, (a, w) -> a + length(w))"
+    lchars = f"aggregate({lines}, 0L, (a, l) -> a + length(l))"
+    two = (
+        f"zip_with(slice({words}, 1, size({words}) - 1),"
+        f" slice({words}, 2, size({words}) - 1),"
+        f" (x, y) -> concat(x, ' ', y))"
+    )
+    three = (
+        f"zip_with(zip_with(slice({words}, 1, size({words}) - 2),"
+        f" slice({words}, 2, size({words}) - 2),"
+        f" (x, y) -> concat(x, ' ', y)),"
+        f" slice({words}, 3, size({words}) - 2),"
+        f" (x, y) -> concat(x, ' ', y))"
+    )
+    dup_line = (
+        f"CASE WHEN {nl} > 0 THEN round(1.0 -"
+        f" CAST(size(array_distinct({lines})) AS DOUBLE) / {nl}, 6)"
+        f" ELSE 0.0 END"
+    )
+    dup_line_chars = (
+        f"CASE WHEN {nl} > 0 THEN round("
+        f" CAST(aggregate({lines}, 0L, (a, l) -> a +"
+        f"   CASE WHEN size(filter({lines}, y -> y = l)) >= 2"
+        f"        THEN CAST(length(l) AS BIGINT) ELSE 0L END) AS DOUBLE)"
+        f" / greatest({lchars}, 1), 6) ELSE 0.0 END"
+    )
+
+    def top_frac(grams: str, minus: int, min_words: int) -> str:
+        return (
+            f"CASE WHEN size({words}) >= {min_words} THEN round("
+            f" CAST(array_max(transform(array_distinct({grams}),"
+            f"  g -> size(filter({grams}, x -> x = g))"
+            f"       * (length(g) - {minus}))) AS DOUBLE)"
+            f" / greatest({wchars}, 1), 6) ELSE 0.0 END"
+        )
+
+    top2 = top_frac(two, 1, 2)
+    top3 = top_frac(three, 2, 3)
+    keep = (
+        f"({dup_line} <= {float(max_dup_line_frac)}) AND "
+        f"({dup_line_chars} <= {float(max_dup_line_char_frac)}) AND "
+        f"({top2} <= {float(max_top2gram_char_frac)}) AND "
+        f"({top3} <= {float(max_top3gram_char_frac)})"
+    )
+    return [
+        F.expr(dup_line).alias("r_dup_line_frac"),
+        F.expr(dup_line_chars).alias("r_dup_line_char_frac"),
+        F.expr(top2).alias("r_top2gram_char_frac"),
+        F.expr(top3).alias("r_top3gram_char_frac"),
+        F.expr(keep).alias("repetition_keep"),
+    ]
+
+
 GOPHER_STOPWORDS: tuple[str, ...] = (
     "the", "be", "to", "of", "and", "that", "have", "with",
 )

@@ -344,6 +344,14 @@ _SYNTH_SQL = (
 )
 
 
+# the structured-text derivation shared by the Gopher + repetition
+# batteries (Spark dialect; the twin states it with chr(10))
+_GOPHER_TEXT = (
+    "CASE WHEN doc_id % 4 = 0 THEN "
+    "concat('- ', text, '\\n', 'item...', '\\n', '- b') "
+    "ELSE text END"
+)
+
 # LM/classifier twin constants (round-5 fusion): the portable md5-60
 # feature/weight hashes and the dyadic weight grid, restated closed-form
 _CLF_D = 4096  # gate feature space (tiny; production default is 2^18)
@@ -491,6 +499,46 @@ _CLF_W_H = _md5_duck("'w:' || CAST(feature AS VARCHAR)", 42, 15)
              CAST(len(list_intersect(gw, ['the','be','to','of','and',
                   'that','have','with'])) AS BIGINT) AS g_stop_hits
       FROM gop0
+    ),
+    -- repetition-battery twin (round 5, textops.repetition_battery):
+    -- Rae 2021 A.1.2 duplicate-line + top-n-gram-char signals over the
+    -- same structured text
+    rep0 AS (
+      SELECT doc_id, gw, gl,
+             list_transform(generate_series(1, len(gw) - 1),
+               i -> gw[i] || ' ' || gw[i + 1]) AS tg2,
+             list_transform(generate_series(1, len(gw) - 2),
+               i -> gw[i] || ' ' || gw[i + 1] || ' ' || gw[i + 2]) AS tg3,
+             coalesce(list_sum(list_transform(gw, w -> length(w))), 0)
+               AS wchars,
+             coalesce(list_sum(list_transform(gl, l -> length(l))), 0)
+               AS lchars
+      FROM gop0
+    ),
+    rep AS (
+      SELECT doc_id,
+             CASE WHEN len(gl) > 0 THEN round(1.0 -
+               CAST(len(list_distinct(gl)) AS DOUBLE) / len(gl), 6)
+             ELSE 0.0 END AS r_dup_line_frac,
+             CASE WHEN len(gl) > 0 THEN round(
+               CAST(coalesce(list_sum(list_transform(gl, l ->
+                 CASE WHEN len(list_filter(gl, y -> y = l)) >= 2
+                      THEN length(l) ELSE 0 END)), 0) AS DOUBLE)
+               / greatest(lchars, 1), 6)
+             ELSE 0.0 END AS r_dup_line_char_frac,
+             CASE WHEN len(gw) >= 2 THEN round(
+               CAST(list_max(list_transform(list_distinct(tg2),
+                 g -> len(list_filter(tg2, x -> x = g))
+                      * (length(g) - 1))) AS DOUBLE)
+               / greatest(wchars, 1), 6)
+             ELSE 0.0 END AS r_top2gram_char_frac,
+             CASE WHEN len(gw) >= 3 THEN round(
+               CAST(list_max(list_transform(list_distinct(tg3),
+                 g -> len(list_filter(tg3, x -> x = g))
+                      * (length(g) - 2))) AS DOUBLE)
+               / greatest(wchars, 1), 6)
+             ELSE 0.0 END AS r_top3gram_char_frac
+      FROM rep0
     )
     SELECT b.*,
            coalesce(l.lm_n_bigrams, 0) AS lm_n_bigrams,
@@ -508,11 +556,18 @@ _CLF_W_H = _md5_duck("'w:' || CAST(feature AS VARCHAR)", 42, 15)
              AND (g.g_bullet_frac <= 0.9)
              AND (g.g_ellipsis_frac <= 0.3)
              AND (g.g_alpha_frac >= 0.8)
-             AND (g.g_stop_hits >= 1) AS gopher_keep
+             AND (g.g_stop_hits >= 1) AS gopher_keep,
+           r.r_dup_line_frac, r.r_dup_line_char_frac,
+           r.r_top2gram_char_frac, r.r_top3gram_char_frac,
+           (r.r_dup_line_frac <= 0.3)
+             AND (r.r_dup_line_char_frac <= 0.2)
+             AND (r.r_top2gram_char_frac <= 0.2)
+             AND (r.r_top3gram_char_frac <= 0.18) AS repetition_keep
     FROM base b
     LEFT JOIN lms l USING (doc_id)
     LEFT JOIN clf c USING (doc_id)
     JOIN gop g USING (doc_id)
+    JOIN rep r USING (doc_id)
     """,
     doc="E3 text-analysis profile, one scan, zero shuffles: whitespace "
     "token counting (split/array ops fully JVM-side), quality features "
@@ -580,17 +635,13 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         *textops.redact_pii(
             "__synth", patterns=textops.PII_PATTERNS[:2]
         ),
-        # round-5 fusion: the Gopher rule battery (Rae 2021 A.1.1) on
-        # the same scan — every 4th doc gets synthetic line structure
-        # so the bullet/ellipsis line rules exercise multi-line input;
-        # min_stop_hits tuned to 1 for the synthetic vocabulary (the
-        # thresholds are keyword args — see textops.gopher_rules)
-        *textops.gopher_rules(
-            "CASE WHEN doc_id % 4 = 0 THEN "
-            "concat('- ', text, '\\n', 'item...', '\\n', '- b') "
-            "ELSE text END",
-            min_stop_hits=1,
-        ),
+        # round-5 fusion: the Gopher rule battery (Rae 2021 A.1.1) and
+        # the repetition battery (A.1.2) on the same scan — every 4th
+        # doc gets synthetic line structure so the line rules exercise
+        # multi-line input; min_stop_hits tuned to 1 for the synthetic
+        # vocabulary (the thresholds are keyword args)
+        *textops.gopher_rules(_GOPHER_TEXT, min_stop_hits=1),
+        *textops.repetition_battery(_GOPHER_TEXT),
     )
 
     from ..operators import classifier, lmscore

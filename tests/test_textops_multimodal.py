@@ -357,3 +357,62 @@ def test_gopher_rules_edges_and_map_only(spark, sf_smoke):
         F.sum(F.when(F.col("gopher_keep"), 1).otherwise(0)).alias("k"),
     ).first()
     assert agg["n"] == docs.count() and 0 < agg["k"] < agg["n"]
+
+
+def test_repetition_battery_closed_form(spark):
+    """Rae 2021 A.1.2: each signal on crafted docs, paper thresholds."""
+    from csce438_distributed_password_cracker_spark.operators.textops import (
+        repetition_battery,
+    )
+
+    varied = " ".join(f"w{i}" for i in range(60))
+    docs = [
+        (0, varied),                                 # clean
+        (1, "\n".join(["same line here"] * 10)),     # all-dup lines
+        (2, "\n".join([varied, varied, "unique x"])),  # 2/3 dup lines
+        (3, " ".join(["ab cd"] * 40)),               # one 2-gram rules
+        (4, None),                                   # NULL text
+        (5, "one two"),                              # tiny, no trigram
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", *repetition_battery("text")).collect()
+    }
+    assert out[0]["repetition_keep"] is True
+    assert out[0]["r_dup_line_frac"] == 0.0
+    # doc 1: 10 identical lines -> dup frac 0.9, char frac 1.0
+    assert out[1]["r_dup_line_frac"] == 0.9
+    assert out[1]["r_dup_line_char_frac"] == 1.0
+    assert out[1]["repetition_keep"] is False
+    # doc 2: 3 lines, 2 identical -> dup frac 1/3 rounded
+    assert out[2]["r_dup_line_frac"] == round(1 - 2 / 3, 6)
+    assert out[2]["r_dup_line_char_frac"] > 0.9  # the two big dup lines
+    # doc 3: 'cd ab' repeats 39x dominating the 2-gram mass
+    assert out[3]["r_top2gram_char_frac"] > 0.4
+    assert out[3]["repetition_keep"] is False
+    # NULL text: all zeros, keep (nothing repetitive about nothing)
+    assert out[4]["r_dup_line_frac"] == 0.0
+    assert out[4]["repetition_keep"] is True
+    # < 3 words: trigram leg is 0, not an error
+    assert out[5]["r_top3gram_char_frac"] == 0.0
+
+
+def test_repetition_battery_map_only_corpus(spark, sf_smoke):
+    from csce438_distributed_password_cracker_spark.operators.textops import (
+        repetition_battery,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    out = docs.select("doc_id", *repetition_battery("text"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("repetition_keep"), 1).otherwise(0)).alias("k"),
+        F.max("r_top2gram_char_frac").alias("m2"),
+    ).first()
+    assert agg["n"] == docs.count()
+    assert agg["k"] > 0
+    assert 0.0 < agg["m2"] <= 1.0
