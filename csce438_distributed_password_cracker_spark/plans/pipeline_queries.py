@@ -980,8 +980,25 @@ def q_similarity_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM trg JOIN evg USING (g)
         GROUP BY 1, 2
       ) WHERE n_shared >= 2
+    ),
+    -- fuzzy-key twin (round 5, operators/fuzzy.py): brute-force
+    -- Levenshtein over the DISTINCT part names where Spark joins on
+    -- FastSS deletion variants — agreement checks the neighborhood
+    -- algebra against the distance semantics it implements
+    fkeys AS (
+      SELECT p_name AS _k, CAST(min(p_partkey) AS BIGINT) AS _id
+      FROM part GROUP BY 1
+    ),
+    fz AS (
+      SELECT 'fuzzy' AS method, id_a, id_b, CAST(dist AS DOUBLE) AS score
+      FROM (
+        SELECT a._id AS id_a, b._id AS id_b,
+               levenshtein(a._k, b._k) AS dist
+        FROM fkeys a, fkeys b WHERE a._id < b._id
+      ) WHERE dist = 1
     )
     SELECT * FROM jac UNION ALL SELECT * FROM dec
+    UNION ALL SELECT * FROM fz
     """,
     doc="E1/near-dup + corpus hygiene, one labeled union: jaccard — EXACT "
     "3-gram-shingle Jaccard ≥ 0.8 pairs via prefix-filtered set-similarity "
@@ -994,7 +1011,12 @@ def q_similarity_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(doc_id % 7 <> 0) and the eval partition (doc_id % 7 = 0), pairs "
     "with ≥ 2 shared grams; eval gram set broadcast, so the corpus side "
     "is flagged in one map-side pass (the GPT-3/PaLM-style dirty-doc "
-    "sweep, Spark-first).",
+    "sweep, Spark-first).  fuzzy (round-5 fusion) — edit-distance key "
+    "matching (operators/fuzzy.py, FastSS/SymSpell deletion "
+    "neighborhoods): distinct part-name pairs within Levenshtein 1 via "
+    "ONE variant self-join + the JVM levenshtein verifier; the oracle "
+    "brute-forces all name pairs, so agreement proves the neighborhood "
+    "join finds EXACTLY the true pairs.",
 )
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -1019,7 +1041,19 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("eval_id").alias("id_b"),
         F.col("n_shared").cast("double").alias("score"),
     )
-    return jac.unionAll(dec)
+
+    from ..operators import fuzzy
+
+    parts = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("pid"), "p_name"
+    )
+    fz = fuzzy.fuzzy_key_pairs(parts, "pid", "p_name", max_edits=1).select(
+        F.lit("fuzzy").alias("method"),
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("dist").cast("double").alias("score"),
+    )
+    return jac.unionAll(dec).unionAll(fz)
 
 
 def _sketch_oracle_sql(
