@@ -1,0 +1,115 @@
+"""Time-series resampling with gap-fill — regularize an event stream
+onto a fixed-interval grid per key, carrying the last observation
+forward through empty bins (LOCF).
+
+The standard feature-engineering step before windowed models (pandas
+``resample().ffill()``, TimescaleDB ``time_bucket_gapfill`` +
+``locf``): telemetry arrives irregularly, the model wants one row per
+(key, interval).
+
+Scale shape (100 TB):
+
+- Binning + per-bin aggregation is ONE shuffle on (key, bin) with
+  map-side partials; the per-bin "last" value is a ``max_by`` over a
+  (ts, id) tuple — a SELECTION, not arithmetic, so results are
+  deterministic under any partitioning and safe to hash.
+- The grid is generated from each key's OWN span (min..max bin —
+  a tiny per-key aggregate + a map-only ``sequence`` explode), never a
+  global cross join of keys × bins: a key active for one hour costs
+  one hour of rows.  ``max_bins_per_key`` turns a pathological span
+  (one stray 1970 timestamp → half a century of grid) into a loud
+  error instead of an explode.
+- The LOCF pass is one window per key (``last(..., ignorenulls)``) —
+  a single exchange on the key, sorted by bin.
+
+Reference analog: none (north-star time-series family; the event
+stream is SURVEY §2.9's table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["resample_locf"]
+
+
+def resample_locf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    interval_seconds: int,
+    value_col: str | None = None,
+    id_col: str | None = None,
+    max_bins_per_key: int = 1_000_000,
+) -> DataFrame:
+    """Resample ``df`` onto ``interval_seconds`` bins per ``key_col``:
+    one output row per (key, bin) from the key's first to last active
+    bin, with
+
+    - ``bin_start`` — the bin's start timestamp,
+    - ``n_events`` — events in the bin (0 for gap bins),
+    - ``filled`` — true iff the bin had no events,
+    - ``<value_col>_locf`` (when ``value_col`` given) — the bin's last
+      observation by (ts, id) order, carried forward through gaps
+      (NULL until the key's first observation).
+
+    ``id_col`` breaks ties between events sharing a timestamp (pass it
+    whenever the stream can contain same-instant events — without it
+    the per-bin "last" falls back to ts order alone, which is only
+    deterministic for strictly increasing timestamps)."""
+    if interval_seconds < 1:
+        raise ValueError("interval_seconds must be >= 1")
+    n = int(interval_seconds)
+    bin_col = F.floor(F.unix_timestamp(F.col(ts_col)) / n).alias("_bin")
+    order = (
+        F.struct(F.col(ts_col), F.col(id_col))
+        if id_col
+        else F.struct(F.col(ts_col))
+    )
+    aggs = [F.count("*").alias("_n")]
+    if value_col is not None:
+        aggs.append(F.max_by(F.col(value_col), order).alias("_last"))
+    per_bin = df.groupBy(F.col(key_col), bin_col).agg(*aggs)
+    spans = per_bin.groupBy(key_col).agg(
+        F.min("_bin").alias("_b0"), F.max("_bin").alias("_b1")
+    )
+    over = spans.where(
+        F.col("_b1") - F.col("_b0") >= int(max_bins_per_key)
+    ).limit(1)
+    bad = over.collect()
+    if bad:
+        r = bad[0]
+        raise ValueError(
+            f"key {r[key_col]!r} spans {int(r['_b1'] - r['_b0']) + 1} "
+            f"bins (> max_bins_per_key={max_bins_per_key}) — a stray "
+            "timestamp would explode the grid; clean or clamp first"
+        )
+    grid = spans.select(
+        key_col,
+        F.explode(F.sequence(F.col("_b0"), F.col("_b1"))).alias("_bin"),
+    )
+    joined = grid.join(per_bin, [key_col, "_bin"], "left")
+    out = joined.select(
+        key_col,
+        F.timestamp_seconds(F.col("_bin") * n).alias("bin_start"),
+        F.col("_bin").alias("bin"),
+        F.coalesce("_n", F.lit(0)).cast("long").alias("n_events"),
+        F.col("_n").isNull().alias("filled"),
+        *(
+            [F.col("_last")]
+            if value_col is not None
+            else []
+        ),
+    )
+    if value_col is not None:
+        w = (
+            Window.partitionBy(key_col)
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = out.withColumn(
+            f"{value_col}_locf",
+            F.last("_last", ignorenulls=True).over(w),
+        ).drop("_last")
+    return out

@@ -110,6 +110,31 @@ _sql_query(
            min(value) AS total_value
     FROM events
     GROUP BY 2
+    UNION ALL
+    SELECT kind, grp_key, window_start, n, total_value FROM (
+      WITH rs0 AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 21600) AS BIGINT) AS bin,
+               count(*) AS n,
+               arg_max(value,
+                 printf('%020d|%012d', epoch_us(ts), event_id)) AS lastv
+        FROM events GROUP BY 1, 2
+      ),
+      rsg AS (
+        SELECT event_type, unnest(generate_series(b0, b1)) AS bin
+        FROM (SELECT event_type, min(bin) AS b0, max(bin) AS b1
+              FROM rs0 GROUP BY 1)
+      )
+      SELECT 'resample' AS kind,
+             concat(g.event_type, '|', CAST(g.bin AS VARCHAR), '|',
+                    CASE WHEN r.n IS NULL THEN 'gap' ELSE 'obs' END)
+               AS grp_key,
+             CAST(NULL AS TIMESTAMP) AS window_start,
+             coalesce(r.n, 0) AS n,
+             last_value(r.lastv IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.bin) AS total_value
+      FROM rsg g LEFT JOIN rs0 r USING (event_type, bin)
+    )
     """,
     doc="T1 + tumbling windows + incremental rollup, one labeled union.  "
     "by_type: unbounded request stream consumed incrementally "
@@ -128,7 +153,14 @@ _sql_query(
     "emits the EXACT-merge aggregates (count, min) — the accumulated "
     "double sums are covered by rollup_verify's tolerance "
     "reconciliation instead, since no rounding width makes two "
-    "addition orders hash-identical.",
+    "addition orders hash-identical.  resample (round-5 fusion): "
+    "operators/resample.py run for real — 6h bins per event_type, "
+    "per-key grid generation (each key's own span, never keys×bins), "
+    "gap bins flagged, last observation carried forward; the LOCF'd "
+    "value is a SELECTION (max_by over (ts, event_id) + "
+    "ignorenulls-last), not arithmetic, so the raw double hashes "
+    "identically — the oracle re-derives grid + arg_max + "
+    "IGNORE-NULLS window in SQL.",
 )
 def q_stream_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
@@ -191,7 +223,32 @@ def q_stream_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").alias("n"),
         F.col("min_value").alias("total_value"),
     )
-    return by_type.unionAll(tumbling).unionAll(rollup_branch)
+
+    # resample branch (round-5 fusion): operators/resample.py run for
+    # real — 6h bins per event_type, per-key grid, LOCF'd last value.
+    # total_value is a SELECTED raw double (max_by + carry-forward, no
+    # arithmetic), so it hashes exactly in both engines; the bin rides
+    # grp_key as a string to keep timestamps out of the compare.
+    from ..operators.resample import resample_locf
+
+    rs = resample_locf(
+        ev, "event_type", "ts", 6 * 3600, "value", "event_id"
+    ).select(
+        F.lit("resample").alias("kind"),
+        F.concat(
+            "event_type",
+            F.lit("|"),
+            F.col("bin").cast("string"),
+            F.lit("|"),
+            F.when(F.col("filled"), "gap").otherwise("obs"),
+        ).alias("grp_key"),
+        F.lit(None).cast("timestamp").alias("window_start"),
+        F.col("n_events").alias("n"),
+        F.col("value_locf").alias("total_value"),
+    )
+    return (
+        by_type.unionAll(tumbling).unionAll(rollup_branch).unionAll(rs)
+    )
 
 
 # (connid, seqnum) message fixture for the stateful acceptor — covers

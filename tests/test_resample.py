@@ -1,0 +1,121 @@
+"""Time-series resample + LOCF (operators/resample.py): grid closed
+form, gap filling, tie-breaks, per-key spans, span guard, and the
+events-table end-to-end reconciliation."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from csce438_distributed_password_cracker_spark.operators import resample
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "key string, ts timestamp, val double, eid long"
+    )
+
+
+def _t(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_grid_gaps_and_locf_closed_form(spark):
+    rows = [
+        ("a", _t("2024-01-01 00:00:30"), 1.0, 1),
+        ("a", _t("2024-01-01 00:00:45"), 2.0, 2),
+        # 00:01 empty, 00:02 empty
+        ("a", _t("2024-01-01 00:03:10"), 9.0, 3),
+        ("b", _t("2024-01-01 00:05:00"), 7.0, 4),
+    ]
+    out = {
+        (r["key"], r["bin_start"].minute): r
+        for r in resample.resample_locf(
+            _ev(spark, rows), "key", "ts", 60, "val", "eid"
+        ).collect()
+    }
+    # key a spans minutes 0..3 — exactly 4 bins; key b exactly 1
+    assert sorted(k for k in out) == [
+        ("a", 0), ("a", 1), ("a", 2), ("a", 3), ("b", 5),
+    ]
+    a0, a1, a2, a3 = (out[("a", m)] for m in range(4))
+    assert (a0["n_events"], a0["filled"], a0["val_locf"]) == (2, False, 2.0)
+    assert (a1["n_events"], a1["filled"], a1["val_locf"]) == (0, True, 2.0)
+    assert (a2["n_events"], a2["filled"], a2["val_locf"]) == (0, True, 2.0)
+    assert (a3["n_events"], a3["filled"], a3["val_locf"]) == (1, False, 9.0)
+    assert out[("b", 5)]["val_locf"] == 7.0
+
+
+def test_same_instant_tiebreak_by_id(spark):
+    ts = _t("2024-01-01 00:00:00")
+    rows = [("a", ts, 1.0, 1), ("a", ts, 5.0, 2), ("a", ts, 3.0, 0)]
+    out = resample.resample_locf(
+        _ev(spark, rows), "key", "ts", 60, "val", "eid"
+    ).collect()
+    assert len(out) == 1 and out[0]["val_locf"] == 5.0  # max eid wins
+
+
+def test_value_null_until_first_observation(spark):
+    # a bin with events whose value is NULL keeps the previous LOCF
+    rows = [
+        ("a", _t("2024-01-01 00:00:00"), None, 1),
+        ("a", _t("2024-01-01 00:01:00"), 4.0, 2),
+    ]
+    out = sorted(
+        resample.resample_locf(
+            _ev(spark, rows), "key", "ts", 60, "val", "eid"
+        ).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert out[0]["val_locf"] is None  # nothing observed yet
+    assert out[1]["val_locf"] == 4.0
+
+
+def test_span_guard_trips_on_stray_timestamp(spark):
+    rows = [
+        ("a", _t("1970-01-01 00:00:00"), 1.0, 1),
+        ("a", _t("2024-01-01 00:00:00"), 2.0, 2),
+    ]
+    with pytest.raises(ValueError, match="max_bins_per_key"):
+        resample.resample_locf(
+            _ev(spark, rows), "key", "ts", 60, "val", "eid",
+            max_bins_per_key=1000,
+        )
+    with pytest.raises(ValueError):
+        resample.resample_locf(_ev(spark, rows), "key", "ts", 0)
+
+
+def test_events_table_reconciles(spark, sf_smoke):
+    from csce438_distributed_password_cracker_spark.catalog import load_table
+
+    ev = load_table(spark, sf_smoke, "events")
+    out = resample.resample_locf(
+        ev, "event_type", "ts", 6 * 3600, "value", "event_id"
+    )
+    # every event lands in exactly one bin
+    assert (
+        out.agg(F.sum("n_events")).first()[0] == ev.count()
+    )
+    # gap bins exist and their LOCF is non-null after first observation
+    assert out.where("filled").count() >= 0
+    per_key = out.groupBy("event_type").agg(
+        F.count("*").alias("bins"),
+        F.min("bin").alias("b0"),
+        F.max("bin").alias("b1"),
+    )
+    for r in per_key.collect():
+        assert r["bins"] == r["b1"] - r["b0"] + 1  # contiguous grid
+    # deterministic across repartition
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(
+        map(
+            tuple,
+            resample.resample_locf(
+                ev.repartition(17), "event_type", "ts",
+                6 * 3600, "value", "event_id",
+            ).collect(),
+        )
+    )
+    assert a == b
