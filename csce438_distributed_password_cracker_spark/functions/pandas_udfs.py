@@ -25,3 +25,26 @@ def make_encode_udf():
         return strs.map(codec.py_encode)
 
     return encode_udf
+
+
+def make_weighted_median_udaf():
+    """Grouped-aggregate pandas UDAF (§2.11 UDAF surface): the exact
+    LOWER weighted median — smallest value whose cumulative weight
+    reaches half the total.  Spark has no native weighted percentile;
+    this is the Arrow-batched aggregation path for genuinely custom
+    aggregates (one pandas call per group, vectorized inside).  NULL
+    values/weights are ignored; an all-NULL group yields NULL."""
+
+    @pandas_udf("double")
+    def weighted_median(v: pd.Series, w: pd.Series) -> float:
+        keep = v.notna() & w.notna() & (w > 0)
+        v, w = v[keep], w[keep]
+        if v.empty:
+            return None
+        order = v.sort_values().index
+        v, w = v.loc[order], w.loc[order]
+        cum = w.cumsum()
+        half = float(w.sum()) / 2.0
+        return float(v[cum >= half].iloc[0])
+
+    return weighted_median
