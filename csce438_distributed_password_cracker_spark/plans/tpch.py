@@ -10,7 +10,7 @@ broadcast the dims (region/nation) and shuffle the facts, aggregate
 pushdown through multi-way joins, selective date-range scans with full
 predicate pushdown.
 
-Q1/Q6/Q3/Q4/Q5/Q10/Q12/Q14/Q19 are registered as ONE labeled union (`q_tpch`) so the driver
+Q1/Q3/Q4/Q5/Q6/Q7/Q10/Q12/Q14/Q19/Q22 are registered as ONE labeled union (`q_tpch`) so the driver
 correctness gate — which records at most 50 registry entries — covers
 all three: each branch keeps its own joins, pushed-down predicates, and
 deterministic top-k; the outer union only harmonizes the output schema
@@ -212,6 +212,52 @@ _sql_query(
          OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
              AND l.l_quantity BETWEEN 20 AND 30)
     )
+    UNION ALL
+    SELECT 'q7' AS tpch_q,
+           CAST(NULL AS BIGINT) AS k_id,
+           supp_nation AS k_name,
+           cust_nation AS k_name2,
+           CAST(NULL AS TIMESTAMP) AS order_ts,
+           revenue,
+           n_rows,
+           CAST(NULL AS DOUBLE) AS sum_qty
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             {_money(_REVENUE, "revenue")}, COUNT(*) AS n_rows
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      WHERE (s.s_nationkey = 18 AND c.c_nationkey = 19)
+         OR (s.s_nationkey = 19 AND c.c_nationkey = 18)
+      GROUP BY 1, 2
+    )
+    UNION ALL
+    SELECT 'q22' AS tpch_q,
+           CAST(NULL AS BIGINT) AS k_id,
+           n_name AS k_name,
+           CAST(NULL AS STRING) AS k_name2,
+           CAST(NULL AS TIMESTAMP) AS order_ts,
+           revenue,
+           n_rows,
+           CAST(NULL AS DOUBLE) AS sum_qty
+    FROM (
+      SELECT n.n_name,
+             CAST(round(sum({_dec("c.c_acctbal")}), 2) AS DOUBLE)
+               AS revenue,
+             COUNT(*) AS n_rows
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE c.c_acctbal > (
+          SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderpriority = '1-URGENT')
+      GROUP BY 1
+    )
     """,
     doc="TPC-H battery, one labeled union: Q1 pricing summary — the "
     "full-fact-scan partial-agg benchmark (6-group output, map-side "
@@ -233,7 +279,12 @@ _sql_query(
     "doubles (decimal-division scale rules differ across engines; "
     "round-then-divide is IEEE-identical in both); Q19 disjunctive "
     "brand/size/quantity predicates — the OR-of-ANDs shape that tests "
-    "predicate pushdown through a join without a common prefix.",
+    "predicate pushdown through a join without a common prefix; "
+    "Q7 volume shipping — the bidirectional nation-pair 6-way join "
+    "(both dims broadcast, facts shuffled once); Q22 global-relationship "
+    "check — an uncorrelated SCALAR subquery (one-row broadcast) "
+    "gating a correlated NOT EXISTS (left-anti join), the "
+    "positive-balance-never-urgent customer cohort.",
     tables=(
         "customer", "orders", "lineitem", "supplier", "nation", "region",
         "part",
