@@ -124,13 +124,7 @@ def repetition_metrics(text_col: str = "text") -> list[Column]:
     ]
 
 
-def repetition_battery(
-    text_expr: str = "text",
-    max_dup_line_frac: float = 0.30,
-    max_dup_line_char_frac: float = 0.20,
-    max_top2gram_char_frac: float = 0.20,
-    max_top3gram_char_frac: float = 0.18,
-) -> list[Column]:
+def repetition_battery(text_expr: str = "text") -> list[Column]:
     """The Gopher/MassiveText REPETITION filter battery (Rae et al.
     2021, Appendix A.1.2) as single-scan column expressions — the
     intra-document repetition signals beyond the duplicate-trigram
@@ -143,15 +137,24 @@ def repetition_battery(
       one line pasted 50× scores ≈ 1.0);
     - ``r_top2gram_char_frac`` / ``r_top3gram_char_frac`` — fraction
       of word characters covered by the most frequent word 2-/3-gram
-      (occurrences × gram length, separators excluded);
-    - ``repetition_keep`` — the conjunction under the paper's
-      thresholds (0.30 / 0.20 / 0.20 / 0.18), each a tunable kwarg.
+      (occurrences × gram length, separators excluded).
 
-    All JVM-side lambdas over per-doc arrays (docs have bounded
-    lines/words, so the O(n²) within-array counting is per-doc cheap
-    and the corpus pass stays map-only — no shuffle, no UDF).  Ratios
-    round to 6 places; every construct has a DuckDB twin
-    (``list_filter``/``list_transform`` nested-lambda capture)."""
+    The keep conjunction is a SEPARATE second-projection column
+    (:func:`repetition_keep` over the four frac columns): inlining it
+    into the same select would re-derive every sort+run pass a second
+    time — Catalyst's CollapseProject deliberately refuses to merge
+    projections when that would duplicate expensive expressions, so
+    the two-stage form computes each signal exactly once.
+
+    All JVM-side lambdas over per-doc arrays — map-only, no shuffle, no
+    UDF.  The duplicate counting is SORT + one run-length pass per
+    array (``array_sort`` is native; the ``aggregate`` lambda touches
+    each element once), NOT a per-distinct-element filter: higher-order
+    lambdas run interpreted, so an O(distinct × n) nested filter costs
+    ~40× more wall-clock at corpus scale for identical values (measured
+    at sf0.1: 63 s → 1.6 s for this battery).  Ratios round to 6
+    places; the DuckDB twin brute-forces the same values (oracle SF is
+    toy — the twin checks semantics, not the algorithm)."""
     t = f"({text_expr})"
     words = f"filter(split({t}, ' '), w -> w != '')"
     lines = f"filter(split({t}, '\\n'), l -> l != '')"
@@ -175,38 +178,68 @@ def repetition_battery(
         f" CAST(size(array_distinct({lines})) AS DOUBLE) / {nl}, 6)"
         f" ELSE 0.0 END"
     )
+    # run-length pass over the SORTED lines: total chars inside lines
+    # whose run count >= 2 (all occurrences count)
     dup_line_chars = (
-        f"CASE WHEN {nl} > 0 THEN round("
-        f" CAST(aggregate({lines}, 0L, (a, l) -> a +"
-        f"   CASE WHEN size(filter({lines}, y -> y = l)) >= 2"
-        f"        THEN CAST(length(l) AS BIGINT) ELSE 0L END) AS DOUBLE)"
-        f" / greatest({lchars}, 1), 6) ELSE 0.0 END"
+        f"CASE WHEN {nl} > 0 THEN round(CAST("
+        f"aggregate(array_sort({lines}),"
+        f" named_struct('p', CAST(NULL AS STRING), 'r', 0L, 'd', 0L),"
+        f" (a, x) -> CASE WHEN x = a.p THEN"
+        f"   named_struct('p', x, 'r', a.r + 1L, 'd', a.d)"
+        f"  ELSE named_struct('p', x, 'r', 1L, 'd', a.d +"
+        f"   CASE WHEN a.r >= 2L THEN a.r * length(a.p) ELSE 0L END) END,"
+        f" a -> a.d +"
+        f"   CASE WHEN a.r >= 2L THEN a.r * length(a.p) ELSE 0L END)"
+        f" AS DOUBLE) / greatest({lchars}, 1), 6) ELSE 0.0 END"
     )
 
     def top_frac(grams: str, minus: int, min_words: int) -> str:
+        # run-length max over the SORTED grams: max of
+        # count(g) * (length(g) - minus) in one pass
+        best = (
+            f"aggregate(array_sort({grams}),"
+            f" named_struct('p', CAST(NULL AS STRING), 'r', 0L, 'b', 0L),"
+            f" (a, x) -> CASE WHEN x = a.p THEN"
+            f"   named_struct('p', x, 'r', a.r + 1L, 'b', a.b)"
+            f"  ELSE named_struct('p', x, 'r', 1L, 'b', greatest(a.b,"
+            f"   CASE WHEN a.p IS NULL THEN 0L"
+            f"        ELSE a.r * (length(a.p) - {minus}) END)) END,"
+            f" a -> greatest(a.b,"
+            f"   CASE WHEN a.p IS NULL THEN 0L"
+            f"        ELSE a.r * (length(a.p) - {minus}) END))"
+        )
         return (
             f"CASE WHEN size({words}) >= {min_words} THEN round("
-            f" CAST(array_max(transform(array_distinct({grams}),"
-            f"  g -> size(filter({grams}, x -> x = g))"
-            f"       * (length(g) - {minus}))) AS DOUBLE)"
+            f" CAST({best} AS DOUBLE)"
             f" / greatest({wchars}, 1), 6) ELSE 0.0 END"
         )
 
     top2 = top_frac(two, 1, 2)
     top3 = top_frac(three, 2, 3)
-    keep = (
-        f"({dup_line} <= {float(max_dup_line_frac)}) AND "
-        f"({dup_line_chars} <= {float(max_dup_line_char_frac)}) AND "
-        f"({top2} <= {float(max_top2gram_char_frac)}) AND "
-        f"({top3} <= {float(max_top3gram_char_frac)})"
-    )
     return [
         F.expr(dup_line).alias("r_dup_line_frac"),
         F.expr(dup_line_chars).alias("r_dup_line_char_frac"),
         F.expr(top2).alias("r_top2gram_char_frac"),
         F.expr(top3).alias("r_top3gram_char_frac"),
-        F.expr(keep).alias("repetition_keep"),
     ]
+
+
+def repetition_keep(
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_top2gram_char_frac: float = 0.20,
+    max_top3gram_char_frac: float = 0.18,
+) -> Column:
+    """The Rae 2021 A.1.2 keep conjunction over the four
+    :func:`repetition_battery` columns (apply via ``withColumn`` in a
+    SECOND projection — see the battery docstring for why).  Paper
+    thresholds by default, each a tunable kwarg."""
+    return (
+        (F.col("r_dup_line_frac") <= float(max_dup_line_frac))
+        & (F.col("r_dup_line_char_frac") <= float(max_dup_line_char_frac))
+        & (F.col("r_top2gram_char_frac") <= float(max_top2gram_char_frac))
+        & (F.col("r_top3gram_char_frac") <= float(max_top3gram_char_frac))
+    ).alias("repetition_keep")
 
 
 GOPHER_STOPWORDS: tuple[str, ...] = (

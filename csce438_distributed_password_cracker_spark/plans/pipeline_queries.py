@@ -642,7 +642,7 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         # vocabulary (the thresholds are keyword args)
         *textops.gopher_rules(_GOPHER_TEXT, min_stop_hits=1),
         *textops.repetition_battery(_GOPHER_TEXT),
-    )
+    ).withColumn("repetition_keep", textops.repetition_keep())
 
     from ..operators import classifier, lmscore
 

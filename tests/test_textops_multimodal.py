@@ -363,6 +363,7 @@ def test_repetition_battery_closed_form(spark):
     """Rae 2021 A.1.2: each signal on crafted docs, paper thresholds."""
     from csce438_distributed_password_cracker_spark.operators.textops import (
         repetition_battery,
+        repetition_keep,
     )
 
     varied = " ".join(f"w{i}" for i in range(60))
@@ -377,7 +378,9 @@ def test_repetition_battery_closed_form(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     out = {
         r["doc_id"]: r
-        for r in df.select("doc_id", *repetition_battery("text")).collect()
+        for r in df.select("doc_id", *repetition_battery("text"))
+        .withColumn("repetition_keep", repetition_keep())
+        .collect()
     }
     assert out[0]["repetition_keep"] is True
     assert out[0]["r_dup_line_frac"] == 0.0
@@ -401,11 +404,14 @@ def test_repetition_battery_closed_form(spark):
 def test_repetition_battery_map_only_corpus(spark, sf_smoke):
     from csce438_distributed_password_cracker_spark.operators.textops import (
         repetition_battery,
+        repetition_keep,
     )
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
-    out = docs.select("doc_id", *repetition_battery("text"))
+    out = docs.select("doc_id", *repetition_battery("text")).withColumn(
+        "repetition_keep", repetition_keep()
+    )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     agg = out.agg(
