@@ -247,18 +247,7 @@ GOPHER_STOPWORDS: tuple[str, ...] = (
 )
 
 
-def gopher_rules(
-    text_expr: str = "text",
-    min_words: int = 50,
-    max_words: int = 100_000,
-    min_mean_len: float = 3.0,
-    max_mean_len: float = 10.0,
-    max_symbol_ratio: float = 0.1,
-    max_bullet_frac: float = 0.9,
-    max_ellipsis_frac: float = 0.3,
-    min_alpha_frac: float = 0.8,
-    min_stop_hits: int = 2,
-) -> list[Column]:
+def gopher_rules(text_expr: str = "text") -> list[Column]:
     """The Gopher/MassiveText document-quality rule battery (Rae et al.
     2021, Appendix A.1.1) as single-scan column expressions — no
     shuffle, no UDF, applies to 100 TB as a projection:
@@ -270,12 +259,10 @@ def gopher_rules(
       starting with a bullet / ending with an ellipsis;
     - ``g_alpha_frac`` — fraction of words containing a letter;
     - ``g_stop_hits`` — distinct required stopwords present;
-    - ``gopher_keep`` — the conjunction; defaults are the paper's:
-      50 ≤ words ≤ 100000, 3 ≤ mean len ≤ 10, symbol ratio < 0.1,
-      bullet frac ≤ 0.9, ellipsis frac ≤ 0.3, alpha frac ≥ 0.8,
-      ≥ 2 stopwords.  Every threshold is a keyword arg — production
-      deployments tune these per corpus (the paper's table is tuned
-      for MassiveText's crawl).
+    The keep conjunction is a SEPARATE second-projection column
+    (:func:`gopher_keep` over the seven feature columns) so each rule
+    evaluates once — same CollapseProject reasoning as
+    :func:`repetition_battery`.
 
     ``text_expr`` is a SQL expression (a column name or a computed
     string), so callers can run the battery over a derived text.
@@ -317,16 +304,6 @@ def gopher_rules(
         f"CAST(size(array_intersect({words}, array({stop_arr}))) "
         f"AS BIGINT)"
     )
-    keep = (
-        f"({n_words} BETWEEN {int(min_words)} AND {int(max_words)}) AND "
-        f"({mean_len} BETWEEN {float(min_mean_len)} "
-        f"AND {float(max_mean_len)}) AND "
-        f"({symbol_ratio} < {float(max_symbol_ratio)}) AND "
-        f"({bullet} <= {float(max_bullet_frac)}) AND "
-        f"({ellipsis} <= {float(max_ellipsis_frac)}) AND "
-        f"({alpha} >= {float(min_alpha_frac)}) AND "
-        f"({stops} >= {int(min_stop_hits)})"
-    )
     return [
         F.expr(n_words).alias("g_n_words"),
         F.expr(mean_len).alias("g_mean_word_len"),
@@ -335,8 +312,36 @@ def gopher_rules(
         F.expr(ellipsis).alias("g_ellipsis_frac"),
         F.expr(alpha).alias("g_alpha_frac"),
         F.expr(stops).alias("g_stop_hits"),
-        F.expr(keep).alias("gopher_keep"),
     ]
+
+
+def gopher_keep(
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> Column:
+    """The Rae 2021 A.1.1 keep conjunction over the seven
+    :func:`gopher_rules` columns (apply via ``withColumn`` in a SECOND
+    projection).  Defaults are the paper's thresholds — every one a
+    keyword arg, since production deployments tune them per corpus
+    (the paper's table is tuned for MassiveText's crawl)."""
+    return (
+        F.col("g_n_words").between(int(min_words), int(max_words))
+        & F.col("g_mean_word_len").between(
+            float(min_mean_len), float(max_mean_len)
+        )
+        & (F.col("g_symbol_ratio") < float(max_symbol_ratio))
+        & (F.col("g_bullet_frac") <= float(max_bullet_frac))
+        & (F.col("g_ellipsis_frac") <= float(max_ellipsis_frac))
+        & (F.col("g_alpha_frac") >= float(min_alpha_frac))
+        & (F.col("g_stop_hits") >= int(min_stop_hits))
+    ).alias("gopher_keep")
 
 
 def dedup_segments(

@@ -640,8 +640,10 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         # doc gets synthetic line structure so the line rules exercise
         # multi-line input; min_stop_hits tuned to 1 for the synthetic
         # vocabulary (the thresholds are keyword args)
-        *textops.gopher_rules(_GOPHER_TEXT, min_stop_hits=1),
+        *textops.gopher_rules(_GOPHER_TEXT),
         *textops.repetition_battery(_GOPHER_TEXT),
+    ).withColumn(
+        "gopher_keep", textops.gopher_keep(min_stop_hits=1)
     ).withColumn("repetition_keep", textops.repetition_keep())
 
     from ..operators import classifier, lmscore

@@ -292,6 +292,7 @@ def test_gopher_rules_each_threshold(spark):
     """Rae 2021 A.1.1 battery: a compliant doc passes; seven variants
     each violate exactly one rule."""
     from csce438_distributed_password_cracker_spark.operators.textops import (
+        gopher_keep,
         gopher_rules,
     )
 
@@ -311,7 +312,9 @@ def test_gopher_rules_each_threshold(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     out = {
         r["doc_id"]: r
-        for r in df.select("doc_id", *gopher_rules("text")).collect()
+        for r in df.select("doc_id", *gopher_rules("text"))
+        .withColumn("gopher_keep", gopher_keep())
+        .collect()
     }
     assert out[0]["gopher_keep"] is True
     for i in range(1, 8):
@@ -331,6 +334,7 @@ def test_gopher_rules_each_threshold(spark):
 
 def test_gopher_rules_edges_and_map_only(spark, sf_smoke):
     from csce438_distributed_password_cracker_spark.operators.textops import (
+        gopher_keep,
         gopher_rules,
     )
     from pyspark.sql import functions as F
@@ -339,7 +343,12 @@ def test_gopher_rules_edges_and_map_only(spark, sf_smoke):
     df = spark.createDataFrame(
         [(1, ""), (2, "   "), (3, "one two")], "doc_id long, text string"
     )
-    rows = {r["doc_id"]: r for r in df.select("doc_id", *gopher_rules("text")).collect()}
+    rows = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", *gopher_rules("text"))
+        .withColumn("gopher_keep", gopher_keep())
+        .collect()
+    }
     for i in (1, 2):
         assert rows[i]["g_n_words"] == 0
         assert rows[i]["gopher_keep"] is False
@@ -349,7 +358,9 @@ def test_gopher_rules_edges_and_map_only(spark, sf_smoke):
     # down (the thresholds are keyword args for exactly this reason)
     # and assert the conjunction discriminates rather than degenerates
     docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
-    out = docs.select("doc_id", *gopher_rules("text", min_stop_hits=1))
+    out = docs.select("doc_id", *gopher_rules("text")).withColumn(
+        "gopher_keep", gopher_keep(min_stop_hits=1)
+    )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     agg = out.agg(
