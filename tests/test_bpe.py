@@ -116,3 +116,48 @@ def test_corpus_compression_improves_with_merges(spark, sf_smoke):
         )
     assert toks[200] < toks[20] < base["chars"]
     assert toks[200] >= base["words"]
+
+
+# ----------------------------------------------------- property tests
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_WORD = st.text(alphabet="abc", min_size=1, max_size=6)
+
+
+@given(
+    corpus=st.lists(_WORD, min_size=1, max_size=20),
+    doc=st.lists(_WORD, min_size=0, max_size=12),
+    n_merges=st.integers(0, 30),
+)
+@settings(max_examples=150, deadline=None)
+def test_encode_decode_roundtrip_property(corpus, doc, n_merges):
+    """For ANY corpus-trained merge list and ANY document over the
+    alphabet, decode(encode(doc)) == the normalized document, and the
+    token count never exceeds character-level length."""
+    from collections import Counter
+
+    merges = bpe.train_bpe(dict(Counter(corpus)), n_merges=n_merges)
+    ranks = {p: i for i, p in enumerate(merges)}
+    toks: list[str] = []
+    for w in doc:
+        toks.extend(bpe._encode_word(w, ranks))
+    assert bpe.decode_tokens(toks) == " ".join(doc)
+    assert len(toks) <= sum(len(w) + 1 for w in doc)
+
+
+@given(st.lists(_WORD, min_size=1, max_size=15))
+@settings(max_examples=100, deadline=None)
+def test_more_merges_never_increase_tokens_property(words):
+    from collections import Counter
+
+    counts = dict(Counter(words))
+    prev = None
+    for n in (0, 5, 20):
+        merges = bpe.train_bpe(counts, n_merges=n)
+        ranks = {p: i for i, p in enumerate(merges)}
+        total = sum(len(bpe._encode_word(w, ranks)) for w in words)
+        if prev is not None:
+            assert total <= prev
+        prev = total

@@ -124,3 +124,45 @@ def test_fuzzy_on_part_names(spark, sf_smoke):
     assert len(pairs) > 0
     assert all(0 < r["dist"] <= 1 for r in pairs)
     assert all(r["key_a"] != r["key_b"] for r in pairs)
+
+
+# ----------------------------------------------------- property tests
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _lev(s, t):
+    d = list(range(len(t) + 1))
+    for i, cs in enumerate(s, 1):
+        prev, d[0] = d[0], i
+        for j, ct in enumerate(t, 1):
+            prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (cs != ct))
+    return d[len(t)]
+
+
+def _variants(s, k):
+    out = {s}
+    frontier = {s}
+    for _ in range(k):
+        nxt = set()
+        for v in frontier:
+            for i in range(len(v)):
+                nxt.add(v[:i] + v[i + 1:])
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+@given(
+    a=st.text(alphabet="abz", min_size=0, max_size=7),
+    b=st.text(alphabet="abz", min_size=0, max_size=7),
+    k=st.integers(1, 2),
+)
+@settings(max_examples=300, deadline=None)
+def test_deletion_neighborhood_guarantee_property(a, b, k):
+    """The FastSS theorem the join relies on: lev(a, b) <= k implies
+    the k-deletion neighborhoods intersect (no false negatives); the
+    converse filter is the levenshtein verify."""
+    if _lev(a, b) <= k:
+        assert _variants(a, k) & _variants(b, k)
