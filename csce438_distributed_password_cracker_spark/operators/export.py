@@ -17,7 +17,11 @@ Scale shape (100 TB):
   engine-portable md5 bucket) and skip the shuffle.
 - Expected stats are one tiny aggregation per shard (count + ``bit_xor``
   of a full-row xxhash64 — order-independent and overflow-free, so the
-  checksum is insensitive to task scheduling and file order).
+  checksum is insensitive to task scheduling and file order).  The
+  sharded frame is PERSISTED across the stats pass and the write: both
+  see one evaluation of the lineage (uncached, each would re-run the
+  full scan + exchange, and a nondeterministic input would make stats
+  and written bytes legitimately disagree).
 - The verification read-back is a second full scan of the WRITTEN bytes
   (not the input lineage) — that is the point: it catches lost tasks,
   truncated files and column drift before the manifest publishes.
@@ -102,20 +106,39 @@ def export_shards(
     root = Path(path)
     if (root / MANIFEST).exists():
         raise ValueError(f"{path} already holds a published export")
-    if shard_col is None:
+    derived = shard_col is None
+    if derived:
         shard_col = "shard_id"
+        if shard_col in df.columns:
+            # shuffle_rows would silently REPLACE the caller's column
+            # (and repair_shards could then select wrong rows) — make
+            # the collision a loud choice instead
+            raise ValueError(
+                "df already has a `shard_id` column; pass "
+                "shard_col='shard_id' to shard on it, or rename it"
+            )
         out = shuffle_rows(df, id_col, seed, num_shards, shard_col)
     else:
         out = df
     data_cols = [c for c in out.columns if c != shard_col]
-    expected = _shard_stats(out, shard_col, data_cols)
-    bad = [s for s in expected if not 0 <= s < num_shards]
-    if bad:
-        raise ValueError(f"shard values outside [0, {num_shards}): {bad}")
+    # persist: the stats aggregation and the parquet write must see ONE
+    # evaluation of the lineage — uncached, each would re-run the full
+    # scan (+ the shuffle_rows exchange), and a nondeterministic input
+    # would make pre-write stats and written bytes legitimately differ
+    out = out.persist()
+    try:
+        expected = _shard_stats(out, shard_col, data_cols)
+        bad = [s for s in expected if not 0 <= s < num_shards]
+        if bad:
+            raise ValueError(
+                f"shard values outside [0, {num_shards}): {bad}"
+            )
 
-    out.write.partitionBy(shard_col).mode("errorifexists").parquet(
-        str(root / "data")
-    )
+        out.write.partitionBy(shard_col).mode("errorifexists").parquet(
+            str(root / "data")
+        )
+    finally:
+        out.unpersist()
 
     spark = df.sparkSession
     written = spark.read.parquet(str(root / "data"))
@@ -132,6 +155,7 @@ def export_shards(
         "seed": int(seed),
         "id_col": id_col,
         "shard_col": shard_col,
+        "derived": derived,
         "columns": data_cols,
         "total_rows": sum(r for r, _ in expected.values()),
         "shards": [
@@ -187,37 +211,57 @@ def repair_shards(
     )
     if not broken:
         return []
-    if shard_col == "shard_id" and "shard_id" not in df.columns:
+    # the manifest records whether the shard column was DERIVED at
+    # export time: a derived export always re-derives here (dropping
+    # any same-named caller column — export_shards rejects that input
+    # anyway); a caller-sharded export requires the caller's column.
+    # Old manifests without the flag fall back to the column's absence.
+    derived = manifest.get("derived", shard_col not in df.columns)
+    if derived:
         src = shuffle_rows(
-            df,
+            df.drop(shard_col),
             manifest["id_col"],
             manifest["seed"],
             manifest["num_shards"],
             shard_col,
         )
     else:
+        if shard_col not in df.columns:
+            raise ValueError(
+                f"export was sharded on the caller's `{shard_col}` "
+                "column, which this frame does not carry"
+            )
         src = df
     replacement = src.where(F.col(shard_col).isin(broken)).select(
         *cols, shard_col
     )
-    if verify:
-        fresh = _shard_stats(replacement, shard_col, cols)
-        bad = {s: fresh.get(s) for s in broken if fresh.get(s) != want[s]}
-        if bad:
-            raise ExportIntegrityError(
-                "source frame does not reproduce the manifest for "
-                f"shards {sorted(bad)} — wrong or changed input, "
-                "refusing to repair"
-            )
-    for s in broken:
-        import shutil
+    # one evaluation feeds both the fresh-stats check and the rewrite
+    replacement = replacement.persist()
+    try:
+        if verify:
+            fresh = _shard_stats(replacement, shard_col, cols)
+            bad = {
+                s: fresh.get(s) for s in broken if fresh.get(s) != want[s]
+            }
+            if bad:
+                raise ExportIntegrityError(
+                    "source frame does not reproduce the manifest for "
+                    f"shards {sorted(bad)} — wrong or changed input, "
+                    "refusing to repair"
+                )
+        for s in broken:
+            import shutil
 
-        shutil.rmtree(root / "data" / f"{shard_col}={s}", ignore_errors=True)
-    (
-        replacement.write.partitionBy(shard_col)
-        .mode("append")
-        .parquet(str(root / "data"))
-    )
+            shutil.rmtree(
+                root / "data" / f"{shard_col}={s}", ignore_errors=True
+            )
+        (
+            replacement.write.partitionBy(shard_col)
+            .mode("append")
+            .parquet(str(root / "data"))
+        )
+    finally:
+        replacement.unpersist()
     return broken
 
 

@@ -61,22 +61,34 @@ def deletion_variants_sql(col: str, max_edits: int) -> str:
     return f"array_distinct(concat(array({col}), {one}, {two}))"
 
 
+def _key_table(df: DataFrame, id_col: str, key_col: str) -> DataFrame:
+    """The key-granularity reduction ``(_k, _id, _n)`` every fuzzy
+    entry point starts from — computed ONCE and shared (it is the one
+    corpus-sized shuffle in the whole operator family)."""
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).alias("_k"))
+        .agg(F.min(id_col).alias("_id"), F.count("*").alias("_n"))
+    )
+
+
 def fuzzy_key_pairs(
     df: DataFrame,
     id_col: str,
     key_col: str,
     max_edits: int = 1,
     max_bucket_size: int | None = None,
+    _keys: DataFrame | None = None,
 ) -> DataFrame:
     """All DISTINCT-key pairs within Levenshtein ``max_edits``:
     ``(id_a, id_b, key_a, key_b, dist, n_a, n_b)`` where ``id_*`` are
     each key's min-id representative and ``n_*`` its row count.
     ``id_a < id_b``; equal keys are NOT pairs (exact dedup's job).
-    NULL keys are ignored."""
+    NULL keys are ignored.  ``_keys``: a precomputed
+    :func:`_key_table` frame, so composite callers pay the corpus
+    shuffle once."""
     keys = (
-        df.where(F.col(key_col).isNotNull())
-        .groupBy(F.col(key_col).alias("_k"))
-        .agg(F.min(id_col).alias("_id"), F.count("*").alias("_n"))
+        _keys if _keys is not None else _key_table(df, id_col, key_col)
     )
     variants = keys.select(
         "_k",
@@ -140,13 +152,9 @@ def fuzzy_match(
     entity-resolution / spell-normalization verdict pass."""
     from .dedup import connected_components
 
+    keys = _key_table(df, id_col, key_col)
     pairs = fuzzy_key_pairs(
-        df, id_col, key_col, max_edits, max_bucket_size
-    )
-    keys = (
-        df.where(F.col(key_col).isNotNull())
-        .groupBy(F.col(key_col).alias("_k"))
-        .agg(F.min(id_col).alias("_id"))
+        df, id_col, key_col, max_edits, max_bucket_size, _keys=keys
     )
     comps = connected_components(
         keys.select(F.col("_id").alias("id")),

@@ -51,8 +51,12 @@ def resample_locf(
     - ``n_events`` — events in the bin (0 for gap bins),
     - ``filled`` — true iff the bin had no events,
     - ``<value_col>_locf`` (when ``value_col`` given) — the bin's last
-      observation by (ts, id) order, carried forward through gaps
-      (NULL until the key's first observation).
+      NON-NULL observation by (ts, id) order, carried forward through
+      gaps (NULL until the key's first non-NULL observation).  A bin
+      whose every event has a NULL value keeps the previous bin's
+      carry — a NULL measurement is "no observation", not "observe
+      NULL" (matching the streaming kernel and the SQL twin's
+      NULL-skipping ``arg_max``).
 
     ``id_col`` breaks ties between events sharing a timestamp (pass it
     whenever the stream can contain same-instant events — without it
@@ -69,25 +73,38 @@ def resample_locf(
     )
     aggs = [F.count("*").alias("_n")]
     if value_col is not None:
-        aggs.append(F.max_by(F.col(value_col), order).alias("_last"))
+        # NULL ordering key on NULL-valued rows: max_by skips them, so
+        # the per-bin pick is the last NON-null observation (a NULL
+        # measurement must not erase the carry-forward)
+        aggs.append(
+            F.max_by(
+                F.col(value_col),
+                F.when(F.col(value_col).isNotNull(), order),
+            ).alias("_last")
+        )
     per_bin = df.groupBy(F.col(key_col), bin_col).agg(*aggs)
     spans = per_bin.groupBy(key_col).agg(
         F.min("_bin").alias("_b0"), F.max("_bin").alias("_b1")
     )
-    over = spans.where(
-        F.col("_b1") - F.col("_b0") >= int(max_bins_per_key)
-    ).limit(1)
-    bad = over.collect()
-    if bad:
-        r = bad[0]
-        raise ValueError(
-            f"key {r[key_col]!r} spans {int(r['_b1'] - r['_b0']) + 1} "
-            f"bins (> max_bins_per_key={max_bins_per_key}) — a stray "
-            "timestamp would explode the grid; clean or clamp first"
-        )
+    # the span guard rides the grid expression LAZILY (raise_error in
+    # the over-limit branch): an eager collect here would run the full
+    # (key, bin) aggregation once for the check and again for the
+    # returned plan — doubling the corpus pass this operator is
+    # documented to make once
+    cap = int(max_bins_per_key)
     grid = spans.select(
         key_col,
-        F.explode(F.sequence(F.col("_b0"), F.col("_b1"))).alias("_bin"),
+        F.explode(
+            F.expr(
+                f"sequence(_b0, CASE WHEN _b1 - _b0 < {cap} THEN _b1 "
+                f"ELSE CAST(raise_error(concat("
+                f"'key ', CAST(`{key_col}` AS STRING), ' spans ', "
+                f"CAST(_b1 - _b0 + 1 AS STRING), "
+                f"' bins (> max_bins_per_key={cap}) — a stray "
+                f"timestamp would explode the grid; clean or clamp "
+                f"first')) AS BIGINT) END)"
+            )
+        ).alias("_bin"),
     )
     joined = grid.join(per_bin, [key_col, "_bin"], "left")
     out = joined.select(

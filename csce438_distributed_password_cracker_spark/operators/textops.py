@@ -136,8 +136,11 @@ def repetition_battery(text_expr: str = "text") -> list[Column]:
       lines occurring ≥ 2 times (ALL occurrences count — a doc that is
       one line pasted 50× scores ≈ 1.0);
     - ``r_top2gram_char_frac`` / ``r_top3gram_char_frac`` — fraction
-      of word characters covered by the most frequent word 2-/3-gram
-      (occurrences × gram length, separators excluded).
+      of word characters covered by occurrences of the MOST FREQUENT
+      word 2-/3-gram (count decides, ties break toward larger
+      coverage; coverage = occurrences × gram chars, separators
+      excluded, capped at 1.0 since overlapping occurrences re-count
+      shared characters).
 
     The keep conjunction is a SEPARATE second-projection column
     (:func:`repetition_keep` over the four frac columns): inlining it
@@ -194,24 +197,27 @@ def repetition_battery(text_expr: str = "text") -> list[Column]:
     )
 
     def top_frac(grams: str, minus: int, min_words: int) -> str:
-        # run-length max over the SORTED grams: max of
-        # count(g) * (length(g) - minus) in one pass
+        # run-length pass over the SORTED grams; the winner is the
+        # MOST FREQUENT gram (count first, coverage tie-break), packed
+        # as count*1e9 + coverage into one BIGINT so `greatest` orders
+        # lexicographically (coverage < 1e9 at any realistic doc size)
+        fin = (
+            f"CASE WHEN a.p IS NULL THEN 0L"
+            f" ELSE a.r * 1000000000L + a.r * (length(a.p) - {minus}) END"
+        )
         best = (
             f"aggregate(array_sort({grams}),"
             f" named_struct('p', CAST(NULL AS STRING), 'r', 0L, 'b', 0L),"
             f" (a, x) -> CASE WHEN x = a.p THEN"
             f"   named_struct('p', x, 'r', a.r + 1L, 'b', a.b)"
-            f"  ELSE named_struct('p', x, 'r', 1L, 'b', greatest(a.b,"
-            f"   CASE WHEN a.p IS NULL THEN 0L"
-            f"        ELSE a.r * (length(a.p) - {minus}) END)) END,"
-            f" a -> greatest(a.b,"
-            f"   CASE WHEN a.p IS NULL THEN 0L"
-            f"        ELSE a.r * (length(a.p) - {minus}) END))"
+            f"  ELSE named_struct('p', x, 'r', 1L,"
+            f"   'b', greatest(a.b, {fin})) END,"
+            f" a -> greatest(a.b, {fin}) % 1000000000L)"
         )
         return (
-            f"CASE WHEN size({words}) >= {min_words} THEN round("
-            f" CAST({best} AS DOUBLE)"
-            f" / greatest({wchars}, 1), 6) ELSE 0.0 END"
+            f"CASE WHEN size({words}) >= {min_words} THEN round(least("
+            f" 1.0, CAST({best} AS DOUBLE)"
+            f" / greatest({wchars}, 1)), 6) ELSE 0.0 END"
         )
 
     top2 = top_frac(two, 1, 2)

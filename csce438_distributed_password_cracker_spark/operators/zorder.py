@@ -57,6 +57,11 @@ def zorder_value(
     grid = (1 << bits) - 1
     parts = []
     for j, c in enumerate(cols):
+        if bounds[f"min_{c}"] is None:
+            raise ValueError(
+                f"cannot z-order on `{c}`: no non-NULL values (empty "
+                "input or all-NULL column) — bounds are data-derived"
+            )
         lo = float(bounds[f"min_{c}"])
         hi = float(bounds[f"max_{c}"])
         span = (hi - lo) or 1.0

@@ -526,17 +526,24 @@ _CLF_W_H = _md5_duck("'w:' || CAST(feature AS VARCHAR)", 42, 15)
                       THEN length(l) ELSE 0 END)), 0) AS DOUBLE)
                / greatest(lchars, 1), 6)
              ELSE 0.0 END AS r_dup_line_char_frac,
-             CASE WHEN len(gw) >= 2 THEN round(
+             -- most-frequent gram: count*1e9 + coverage packs the
+             -- (count, coverage) order into one BIGINT; coverage is
+             -- recovered with %, fraction capped at 1.0
+             CASE WHEN len(gw) >= 2 THEN round(least(1.0,
                CAST(list_max(list_transform(list_distinct(tg2),
-                 g -> len(list_filter(tg2, x -> x = g))
-                      * (length(g) - 1))) AS DOUBLE)
-               / greatest(wchars, 1), 6)
+                 g -> CAST(len(list_filter(tg2, x -> x = g)) AS BIGINT)
+                      * 1000000000
+                      + CAST(len(list_filter(tg2, x -> x = g)) AS BIGINT)
+                      * (length(g) - 1))) % 1000000000 AS DOUBLE)
+               / greatest(wchars, 1)), 6)
              ELSE 0.0 END AS r_top2gram_char_frac,
-             CASE WHEN len(gw) >= 3 THEN round(
+             CASE WHEN len(gw) >= 3 THEN round(least(1.0,
                CAST(list_max(list_transform(list_distinct(tg3),
-                 g -> len(list_filter(tg3, x -> x = g))
-                      * (length(g) - 2))) AS DOUBLE)
-               / greatest(wchars, 1), 6)
+                 g -> CAST(len(list_filter(tg3, x -> x = g)) AS BIGINT)
+                      * 1000000000
+                      + CAST(len(list_filter(tg3, x -> x = g)) AS BIGINT)
+                      * (length(g) - 2))) % 1000000000 AS DOUBLE)
+               / greatest(wchars, 1)), 6)
              ELSE 0.0 END AS r_top3gram_char_frac
       FROM rep0
     )

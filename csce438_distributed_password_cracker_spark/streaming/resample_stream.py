@@ -54,10 +54,19 @@ RESAMPLE_STATE_SCHEMA = T.StructType(
 _COLS = ["key", "bin", "n_events", "filled", "late", "value_locf"]
 
 
-def make_resample_fn(interval_seconds: int):
+def make_resample_fn(
+    interval_seconds: int, max_gap_bins: int = 1_000_000
+):
     """Kernel factory (interval baked into the closure so the function
     ships as a plain picklable).  Input rows need ``ts`` (timestamp),
-    ``value`` (double, nullable) and ``event_id`` (tie-break)."""
+    ``value`` (double, nullable) and ``event_id`` (tie-break).
+
+    ``max_gap_bins`` mirrors the batch operator's span guard: a stray
+    timestamp (1970 OR far-future) would otherwise either emit tens of
+    millions of gap rows in one batch (executor OOM) or advance
+    ``last_bin`` so far that every real event becomes a late
+    correction forever — the guard turns both into a loud error BEFORE
+    state is poisoned."""
     if interval_seconds < 1:
         raise ValueError("interval_seconds must be >= 1")
     n_ns = int(interval_seconds) * 1_000_000_000
@@ -93,6 +102,14 @@ def make_resample_fn(interval_seconds: int):
             start = (
                 last_bin + 1 if last_bin is not None else min(groups)
             )
+            if max(groups) - start >= int(max_gap_bins):
+                raise ValueError(
+                    f"key {k!r}: emitting bins {start}..{max(groups)} "
+                    f"spans {max(groups) - start + 1} bins "
+                    f"(> max_gap_bins={max_gap_bins}) — a stray "
+                    "timestamp would explode the grid or poison the "
+                    "carry state; clean or clamp the stream first"
+                )
             for b in range(start, max(groups) + 1):
                 grp = groups.get(b)
                 if grp is None:
@@ -127,6 +144,7 @@ def resample_stream(
     events: DataFrame,
     interval_seconds: int,
     key_col: str = "event_type",
+    max_gap_bins: int = 1_000_000,
 ) -> DataFrame:
     """events(key, ts, value, event_id) → resampled grid rows, O(keys)
     state.  Works on streaming DataFrames (append mode); on a batch
@@ -142,7 +160,7 @@ def resample_stream(
         F.col("event_id").cast("long").alias("event_id"),
     )
     return prepared.groupBy("key").applyInPandasWithState(
-        make_resample_fn(interval_seconds),
+        make_resample_fn(interval_seconds, max_gap_bins),
         outputStructType=RESAMPLE_SCHEMA,
         stateStructType=RESAMPLE_STATE_SCHEMA,
         outputMode="append",

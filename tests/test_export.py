@@ -156,3 +156,20 @@ def test_repair_requires_manifest(spark, sf_smoke, tmp_path):
         export.repair_shards(
             _docs(spark, sf_smoke), str(tmp_path / "nothing")
         )
+
+
+def test_export_rejects_shard_id_name_collision(spark, sf_smoke, tmp_path):
+    """A pre-existing shard_id column must be a loud choice, never
+    silently replaced (repair would then select wrong rows)."""
+    docs = _docs(spark, sf_smoke).withColumn(
+        "shard_id", (F.col("doc_id") % 2).cast("int")
+    )
+    with pytest.raises(ValueError, match="shard_id"):
+        export.export_shards(docs, str(tmp_path / "x"))
+    # the explicit form works and repair honors the caller column
+    path = str(tmp_path / "y")
+    export.export_shards(docs, path, num_shards=2, shard_col="shard_id")
+    victim = next((Path(path) / "data").glob("shard_id=*/part-*"))
+    victim.unlink()
+    assert len(export.repair_shards(docs, path)) == 1
+    assert export.read_shards(spark, path).count() == docs.count()

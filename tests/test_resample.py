@@ -78,11 +78,14 @@ def test_span_guard_trips_on_stray_timestamp(spark):
         ("a", _t("1970-01-01 00:00:00"), 1.0, 1),
         ("a", _t("2024-01-01 00:00:00"), 2.0, 2),
     ]
-    with pytest.raises(ValueError, match="max_bins_per_key"):
-        resample.resample_locf(
-            _ev(spark, rows), "key", "ts", 60, "val", "eid",
-            max_bins_per_key=1000,
-        )
+    # the guard is LAZY (rides the grid expression) — it fires at
+    # action time without a second pass over the corpus
+    out = resample.resample_locf(
+        _ev(spark, rows), "key", "ts", 60, "val", "eid",
+        max_bins_per_key=1000,
+    )
+    with pytest.raises(Exception, match="max_bins_per_key"):
+        out.count()
     with pytest.raises(ValueError):
         resample.resample_locf(_ev(spark, rows), "key", "ts", 0)
 
@@ -119,3 +122,22 @@ def test_events_table_reconciles(spark, sf_smoke):
         )
     )
     assert a == b
+
+
+def test_null_measurement_does_not_erase_carry(spark):
+    """Regression (round-5 review): a bin whose LAST event carries a
+    NULL value must keep the bin's last NON-null observation — NULL
+    is 'no measurement', not 'observe NULL' (streaming kernel and the
+    SQL twin's arg_max agree)."""
+    rows = [
+        ("a", _t("2024-01-01 00:00:10"), 5.0, 1),
+        ("a", _t("2024-01-01 00:00:50"), None, 2),  # later, NULL
+        ("a", _t("2024-01-01 00:02:00"), None, 3),  # all-NULL bin
+    ]
+    out = sorted(
+        resample.resample_locf(
+            _ev(spark, rows), "key", "ts", 60, "val", "eid"
+        ).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert [r["val_locf"] for r in out] == [5.0, 5.0, 5.0]

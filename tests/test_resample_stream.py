@@ -169,3 +169,33 @@ def test_live_stream_state_carries_across_microbatches(spark, tmp_path):
 def test_kernel_validation():
     with pytest.raises(ValueError):
         rs.make_resample_fn(0)
+
+
+def test_kernel_span_guard(spark):
+    """Regression (round-5 review): a stray timestamp in a batch must
+    raise before emitting millions of gap rows or poisoning state."""
+    import datetime as dt
+
+    import pandas as pd
+
+    kernel = rs.make_resample_fn(60, max_gap_bins=1000)
+
+    class _S:
+        exists = False
+        hasTimedOut = False
+
+        def update(self, v):
+            self._v = v
+
+    pdf = pd.DataFrame(
+        {
+            "ts": [
+                pd.Timestamp("1970-01-01 00:00:00"),
+                pd.Timestamp("2024-01-01 00:00:00"),
+            ],
+            "value": [1.0, 2.0],
+            "event_id": [1, 2],
+        }
+    )
+    with pytest.raises(ValueError, match="max_gap_bins"):
+        list(kernel(("a",), iter([pdf]), _S()))

@@ -433,3 +433,32 @@ def test_repetition_battery_map_only_corpus(spark, sf_smoke):
     assert agg["n"] == docs.count()
     assert agg["k"] > 0
     assert 0.0 < agg["m2"] <= 1.0
+
+
+def test_top_gram_is_most_frequent_not_longest(spark):
+    """Regression (round-5 review): the paper's metric is the MOST
+    FREQUENT n-gram's coverage — a rarer but longer gram must not win
+    on chars x count alone."""
+    from csce438_distributed_password_cracker_spark.operators.textops import (
+        repetition_battery,
+    )
+
+    # 'aa bb' occurs 3x (cov 3*4=12 word-chars); 'longword1 longword2'
+    # occurs 2x (cov 2*18=36): the most frequent gram wins -> 12/wchars
+    text = "aa bb aa bb aa bb x longword1 longword2 y longword1 longword2"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = df.select(*repetition_battery("text")).first()
+    words = [w for w in text.split(" ") if w]
+    wchars = sum(len(w) for w in words)
+    # build expectation independently: most frequent 2-gram
+    from collections import Counter
+
+    grams = Counter(
+        f"{a} {b}" for a, b in zip(words, words[1:])
+    )
+    top_cnt = max(grams.values())
+    cov = max(
+        c * (len(g) - 1) for g, c in grams.items() if c == top_cnt
+    )
+    assert r["r_top2gram_char_frac"] == round(min(1.0, cov / wchars), 6)
+    assert cov == 12  # 'aa bb' x3, not the longword pair's 36
