@@ -47,6 +47,9 @@ builds, a real disk write with fresh-per-run teardown):
   assignment, pre-write stats, the parquet write, integrity
   verification and manifest publish (operators/export.py), torn down
   per run so every pass pays the full cycle.
+- ``langid_classify`` — Cavnar-Trenkle language ID end-to-end: train
+  the per-language rank profiles, classify the full corpus map-side
+  (operators/langid.py).
 """
 
 from __future__ import annotations
@@ -156,6 +159,14 @@ def bench_bpe_encode(spark: SparkSession, sf_dir: str) -> None:
     _noop(bpe.encode(docs, merges))
 
 
+def bench_langid_classify(spark: SparkSession, sf_dir: str) -> None:
+    from ..operators import langid
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    prof = langid.train_char_ngram_profiles(docs)
+    _noop(langid.classify_char_ngram(docs, prof))
+
+
 def bench_export_shards(spark: SparkSession, sf_dir: str) -> None:
     from ..operators import export as export_ops
     from .pipeline_queries import warehouse_root_tag
@@ -193,4 +204,5 @@ OPERATOR_BENCH: dict[str, Callable[[SparkSession, str], None]] = {
     "dsir_select": bench_dsir_select,
     "bpe_encode": bench_bpe_encode,
     "export_shards": bench_export_shards,
+    "langid_classify": bench_langid_classify,
 }

@@ -21,6 +21,7 @@ def test_operator_bench_entries_run(spark, sf_smoke):
         "dsir_select",
         "bpe_encode",
         "export_shards",
+        "langid_classify",
     }
     for name, fn in sorted(opbench.OPERATOR_BENCH.items()):
         fn(spark, sf_smoke)  # must execute end-to-end without raising
