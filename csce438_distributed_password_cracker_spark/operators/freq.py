@@ -1,0 +1,160 @@
+"""Heavy hitters — find every item whose frequency exceeds a share
+threshold, EXACTLY, without a full-vocabulary groupBy.
+
+Reference analog: none (north-star extension, BASELINE.json) — the
+"most frequent tokens / domains / URLs" sweep every corpus-curation
+pipeline runs before choosing stopword lists, boilerplate filters, or
+per-domain caps.
+
+Why not just ``GROUP BY item``?  At 100 TB the item column (tokens,
+URLs, hosts) has billions of distinct values, so the exact groupBy
+shuffles the full corpus keyed by item — almost all of it for items
+that occur once and can never pass the threshold.  The classic fix is
+a two-pass sieve (Misra–Gries 1982; mergeability per Agarwal et al.
+2012, "Mergeable Summaries", PODS):
+
+1. **Candidate pass (map-only):** each partition maintains a
+   Misra–Gries summary with ``k`` counters in one Arrow-batched
+   ``mapInPandas`` sweep.  MG guarantees per-partition undercount
+   ≤ n_p/(k+1), so any item with partition-local frequency
+   > n_p/(k+1) survives locally; summing over partitions, any item
+   with GLOBAL frequency > n/(k+1) must exceed n_p/(k+1) in at least
+   one partition and therefore appears in some summary (the pigeonhole
+   step — pinned by a hypothesis property in tests/test_freq.py).
+   Output is ≤ k rows per partition — no shuffle of the corpus.
+2. **Exact pass:** re-scan with the (tiny) candidate set as a
+   pushed-down ``isin`` filter / broadcast semi-join, groupBy the
+   survivors only, and keep items with ``count * den > total`` —
+   integer-exact, engine-portable arithmetic.
+
+Total cost: two corpus scans, one shuffle whose input is only the
+candidate-matching rows.  The threshold must satisfy
+``1/den ≥ 1/(k+1)`` (i.e. ``k + 1 ≥ den``) for the no-false-negative
+guarantee; :func:`heavy_hitters` enforces it.
+
+The per-batch merge uses the mergeable-summaries form of MG: merge
+counter multisets by summing, then subtract the (k+1)-th largest count
+from every counter and drop the non-positives — equivalent to running
+the one-item-at-a-time decrement loop, but vectorized over
+``value_counts`` of each Arrow batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+
+def mg_merge(summary: dict, batch_counts: dict, k: int) -> dict:
+    """Merge exact ``batch_counts`` into a Misra–Gries ``summary`` with
+    at most ``k`` counters (Agarwal et al. 2012 §3: sum counters, then
+    subtract the (k+1)-th largest and drop ≤ 0).  Pure function of the
+    two dicts — shared by the Arrow sweep and the property tests."""
+    for item, c in batch_counts.items():
+        summary[item] = summary.get(item, 0) + int(c)
+    if len(summary) > k:
+        # (k+1)-th largest count; subtracting it zeroes at least one
+        # counter, so ≤ k survive
+        cut = sorted(summary.values(), reverse=True)[k]
+        summary = {i: c - cut for i, c in summary.items() if c - cut > 0}
+    return summary
+
+
+def mg_partials(df: DataFrame, item_col: str, k: int) -> DataFrame:
+    """Per-partition Misra–Gries summaries: ≤ ``k`` (item, est) rows per
+    partition plus ONE sentinel row (item NULL, est = partition row
+    count) so the caller gets the exact total in the same single scan.
+    NULL items are excluded from counting (mirror any oracle with
+    ``WHERE item IS NOT NULL``)."""
+    if k < 1:
+        raise ValueError(f"k must be ≥ 1, got {k}")
+    src = df.select(F.col(item_col).cast("string").alias("item"))
+    out_schema = StructType(
+        [
+            StructField("item", src.schema["item"].dataType, True),
+            StructField("est", LongType(), False),
+        ]
+    )
+
+    def _sweep(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        summary: dict = {}
+        seen = 0
+        for pdf in batches:
+            vals = pdf["item"].dropna()
+            seen += len(vals)
+            summary = mg_merge(summary, vals.value_counts().to_dict(), k)
+        yield pd.DataFrame(
+            {
+                "item": list(summary.keys()) + [None],
+                "est": [int(v) for v in summary.values()] + [seen],
+            }
+        )
+
+    return src.mapInPandas(_sweep, out_schema)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    den: int,
+    k: int | None = None,
+    count_col: str = "cnt",
+) -> DataFrame:
+    """All items whose frequency strictly exceeds ``total / den``, with
+    their EXACT counts — ``(item, cnt)`` with the original column name.
+
+    ``k`` (MG counter budget, default ``2 * den``) must satisfy
+    ``k + 1 ≥ den`` or candidates could be silently missed.  The
+    candidate collect is bounded by construction: ≤ (k+1) rows per
+    partition of the FIRST pass, and only items above the threshold
+    sieve are kept driver-side before the exact pass.
+    """
+    if den < 2:
+        raise ValueError(f"den must be ≥ 2, got {den}")
+    k = 2 * den if k is None else k
+    if k + 1 < den:
+        raise ValueError(
+            f"k={k} breaks the guarantee: need k+1 ≥ den={den} so every "
+            "item above threshold survives the Misra-Gries sieve"
+        )
+    rows = mg_partials(df, item_col, k).collect()
+    total = sum(r["est"] for r in rows if r["item"] is None)
+    # driver-side pre-sieve: an item absent from a partition's summary
+    # has local undercount ≤ n_p/(k+1), so summing the surviving
+    # estimates understates the true count by ≤ total/(k+1); anything
+    # whose upper bound misses the threshold can be dropped before the
+    # exact pass shrinks the isin list further
+    upper: dict = {}
+    for r in rows:
+        if r["item"] is not None:
+            upper[r["item"]] = upper.get(r["item"], 0) + r["est"]
+    # keep i iff  u_i + total/(k+1) > total/den, cross-multiplied so the
+    # comparison stays integer-exact (a floored slack could drop a
+    # boundary item)
+    cand = [
+        i
+        for i, u in upper.items()
+        if (u * (k + 1) + total) * den > total * (k + 1)
+    ]
+    item = F.col(item_col).cast("string")
+    if not cand:
+        filtered = df.where(F.lit(False))
+    elif len(cand) <= 10_000:
+        # small list → pushed-down In filter, no join at all
+        filtered = df.where(item.isin(cand))
+    else:
+        cand_df = df.sparkSession.createDataFrame(
+            [(c,) for c in cand], ["__hh_item"]
+        )
+        filtered = df.join(
+            F.broadcast(cand_df), item == F.col("__hh_item"), "left_semi"
+        )
+    return (
+        filtered.groupBy(item.alias(item_col))
+        .agg(F.count("*").alias(count_col))
+        .where(F.col(count_col) * den > F.lit(total))
+    )

@@ -171,6 +171,62 @@ def md5_sample_sql(expr: str, tag: str, n_buckets: int = 256) -> str:
     return md5_bucket_sql(f"concat('{tag}:', {expr})", n_buckets)
 
 
+def md5_uniform_sql(expr: str, tag: str, hex_chars: int = 6) -> str:
+    """Engine-portable uniform in (0, 1): the first ``hex_chars`` hex
+    chars of a tag-salted md5, read as an integer via the same
+    position-lookup arithmetic as :func:`md5_bucket_sql`, then centered
+    into the open interval — ``(v + 0.5) / 16^hex_chars`` — so ln(u) is
+    always finite.  Spells identically in Spark SQL and DuckDB."""
+    inner = f"concat('{tag}:', {expr})"
+    acc = "0"
+    for i in range(1, hex_chars + 1):
+        c = f"(position(substring(md5({inner}), {i}, 1) IN '{HEX}') - 1)"
+        acc = f"(({acc}) * 16 + {c})"
+    return f"(({acc} + 0.5) / {16 ** hex_chars}.0)"
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 42,
+    key_col: str = "samp_key",
+    u_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: the k rows
+    with the largest ``u^(1/w)`` where u is a per-row uniform — the
+    Efraimidis–Spirakis (2006) one-pass reservoir scheme, which draws
+    exactly the weighted-without-replacement distribution.  Ranking by
+    ``ln(u)/w`` descending is the same order (ln is monotone, ln u < 0)
+    without the overflow-prone pow.
+
+    The uniform is hash-derived (``xxhash64(key, seed)`` centered into
+    (0,1)), never ``rand()``: the sample is reproducible across runs,
+    engines and partitionings, and re-keyable by seed.  Pass ``u_col``
+    to supply an externally computed uniform (the oracle-checked query
+    injects the md5-portable :func:`md5_uniform_sql` coordinate so
+    DuckDB can replay the identical draw).
+
+    Rows with weight ≤ 0 or NULL are excluded (they have probability 0;
+    ln(u)/w would flip sign).  The plan is a TakeOrdered — per-partition
+    top-k then a driver merge of k·n_partitions rows, no global sort —
+    so it holds at 100 TB for the k a sampling step wants (≤ millions).
+    """
+    if k < 1:
+        raise ValueError(f"k must be ≥ 1, got {k}")
+    w = F.col(weight_col).cast("double")
+    if u_col is None:
+        u = (
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1 << 24))
+            + F.lit(0.5)
+        ) / F.lit(float(1 << 24))
+    else:
+        u = F.col(u_col)
+    out = df.where(w > 0).withColumn(key_col, F.ln(u) / w)
+    return out.orderBy(F.desc(key_col), F.col(id_col)).limit(k)
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,

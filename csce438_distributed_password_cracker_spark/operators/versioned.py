@@ -449,6 +449,46 @@ def history(root_dir: str) -> list[dict]:
     return list(_load_manifest(Path(root_dir))["history"])
 
 
+def table_changes(
+    spark: SparkSession,
+    root_dir: str,
+    key_cols: list[str],
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change data feed between two committed versions — one row per key
+    whose payload differs, with ``diff_status`` ∈ {added, removed,
+    changed} plus ``from_version``/``to_version`` audit columns (the
+    Delta-Lake-CDF-shaped answer to "what did the pipeline change since
+    version N?", derived ENTIRELY from the immutable version
+    directories, so it works retroactively on tables that never logged
+    per-commit deltas).
+
+    Scale shape: both snapshots reduce map-side to (key, xxhash64) via
+    operators/diff.snapshot_diff — one i64 per row crosses the shuffle,
+    'unchanged' keys (the overwhelming majority between adjacent
+    versions) are dropped before the caller sees them, and hard-linked
+    files shared by the two versions still scan twice (acceptable: CDF
+    consumers run this per-commit where both sides are partition-pruned
+    reads; a file-level short-circuit would need file manifests per
+    commit, which the design trades away for rename-only commits).
+    """
+    from pyspark.sql import functions as F
+
+    from .diff import snapshot_diff
+
+    if to_version is None:
+        to_version = _load_manifest(Path(root_dir))["version"]
+    before = read_version(spark, root_dir, from_version)
+    after = read_version(spark, root_dir, to_version)
+    d = snapshot_diff(before, after, key_cols)
+    return d.where(F.col("diff_status") != "unchanged").select(
+        "*",
+        F.lit(from_version).alias("from_version"),
+        F.lit(to_version).alias("to_version"),
+    )
+
+
 def _merge_once(
     spark: SparkSession,
     root: Path,

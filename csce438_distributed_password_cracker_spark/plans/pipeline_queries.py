@@ -24,7 +24,11 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions import vectors
 from ..operators import decontam, dedup, multimodal, similarity, textops
-from ..operators.split import md5_bucket_sql, md5_sample_sql
+from ..operators.split import (
+    md5_bucket_sql,
+    md5_sample_sql,
+    md5_uniform_sql,
+)
 from .registry import register
 from .relational import _sql_query
 
@@ -1845,3 +1849,94 @@ def q_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sq8_path, query, k=10, n_probe=2, rerank_n=50
     ).select(F.lit("sq8").alias("method"), "vec_id", "cos_sim")
     return lsh.unionAll(ivf).unionAll(sq8)
+
+
+# ── heavy hitters / weighted sampling (round-5 continuation) ─────────────
+
+_NTOKS_SQL = (
+    "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
+)
+
+
+@register(
+    "q_heavy_hitters",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    w AS (SELECT word FROM words WHERE word <> ''),
+    tot AS (SELECT count(*) AS n FROM w)
+    SELECT word, CAST(count(*) AS BIGINT) AS cnt
+    FROM w, tot
+    GROUP BY word, n
+    HAVING count(*) * 30 > n
+    """,
+    doc="Heavy hitters over the corpus token stream (operators/freq.py): "
+    "every word with frequency > 1/30 of all tokens, with EXACT counts. "
+    "The Spark side runs the real two-pass Misra-Gries sieve — "
+    "per-partition mergeable MG summaries (k=64 counters) in one "
+    "Arrow-batched mapInPandas scan, a driver-side integer-exact upper-"
+    "bound pre-sieve, then an exact recount of only the candidate items "
+    "(pushed-down isin filter) — while DuckDB states the semantics as "
+    "the plain GROUP BY ... HAVING count*den > total.  The MG guarantee "
+    "(k+1=65 ≥ den=30 ⇒ no item above threshold can be missed) is what "
+    "makes the sieve EXACT, not approximate; the threshold comparison "
+    "is integer arithmetic, identical in both engines.  At 100 TB this "
+    "is the shape that replaces a full-vocabulary groupBy: the corpus "
+    "never shuffles keyed by token — only candidate-matching rows do.",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.freq import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).where(F.col("word") != "")
+    return heavy_hitters(words, "word", den=30, k=64, count_col="cnt")
+
+
+@register(
+    "q_weighted_sample",
+    oracle=f"""
+    WITH src AS (
+      SELECT doc_id,
+             {_NTOKS_SQL} AS w,
+             {md5_uniform_sql("CAST(doc_id AS STRING)", "ws")} AS u
+      FROM documents
+    )
+    SELECT doc_id, w, round(ln(u) / w, 6) AS samp_key
+    FROM src
+    WHERE w > 0
+    ORDER BY ln(u) / w DESC, doc_id
+    LIMIT 100
+    """,
+    doc="Weighted sampling WITHOUT replacement (operators/split."
+    "weighted_sample_topk): the 100 documents drawn proportional to "
+    "token count by the Efraimidis-Spirakis (2006) exponential-key "
+    "scheme — rank by ln(u)/w descending (the monotone-equivalent of "
+    "u^(1/w)) and take k.  The per-row uniform is the engine-portable "
+    "tag-salted md5 coordinate (md5_uniform_sql, 24 bits centered into "
+    "the open interval), injected into the production operator via "
+    "u_col so DuckDB replays the identical draw and re-derives key and "
+    "selection closed-form.  Plan shape: map-only key computation + "
+    "TakeOrdered (per-partition top-k, driver merge) — no global sort, "
+    "holds at 100 TB.  Adjacent-key gaps are ~1/n² relative while "
+    "cross-engine libm-ln divergence is ≤1 ulp, so the selection is "
+    "engine-stable by an ~10^8 margin; the emitted key is rounded to "
+    "6 dp on both sides.",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.split import weighted_sample_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select(
+        "doc_id",
+        F.expr(_NTOKS_SQL).alias("w"),
+        F.expr(md5_uniform_sql("CAST(doc_id AS STRING)", "ws")).alias("__u"),
+    )
+    out = weighted_sample_topk(
+        src, "doc_id", "w", k=100, key_col="samp_key", u_col="__u"
+    )
+    return out.select(
+        "doc_id", "w", F.round("samp_key", 6).alias("samp_key")
+    )

@@ -203,3 +203,77 @@ def test_ivf_partial_probe_returns_k_plausible_rows(spark, sf_smoke):
         rest, query, k=5, n_centroids=8, n_probe=2
     ).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_weighted_sample_topk_model_and_determinism(spark):
+    """Efraimidis-Spirakis weighted sampling: selection equals the pure
+    math model when the uniform is injected, is deterministic across
+    repartitioning, re-keys by seed, and excludes nonpositive/NULL
+    weights."""
+    import math
+    import random
+
+    from csce438_distributed_password_cracker_spark.operators.split import (
+        weighted_sample_topk,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (i, float(rng.randint(1, 500)), rng.random())
+        for i in range(2_000)
+    ]
+    df = spark.createDataFrame(rows, ["id", "w", "u"]).repartition(7)
+    out = weighted_sample_topk(df, "id", "w", k=50, u_col="u")
+    got = [r["id"] for r in out.collect()]
+    model = sorted(rows, key=lambda t: (-(math.log(t[2]) / t[1]), t[0]))[:50]
+    assert sorted(got) == sorted(t[0] for t in model)
+
+    # hash-derived path: deterministic under repartitioning, seed re-keys
+    df2 = spark.createDataFrame(
+        [(i, float(1 + i % 9)) for i in range(5_000)], ["id", "w"]
+    )
+    a = sorted(
+        r["id"] for r in weighted_sample_topk(df2, "id", "w", 100).collect()
+    )
+    b = sorted(
+        r["id"]
+        for r in weighted_sample_topk(
+            df2.repartition(13), "id", "w", 100
+        ).collect()
+    )
+    assert a == b
+    c = sorted(
+        r["id"]
+        for r in weighted_sample_topk(df2, "id", "w", 100, seed=9).collect()
+    )
+    assert a != c
+
+    # nonpositive / NULL weights are excluded; k > survivors returns all
+    df3 = spark.createDataFrame(
+        [(1, 2.0), (2, 0.0), (3, -1.0), (4, None), (5, 5.0)], ["id", "w"]
+    )
+    kept = sorted(
+        r["id"] for r in weighted_sample_topk(df3, "id", "w", 10).collect()
+    )
+    assert kept == [1, 5]
+
+
+def test_weighted_sample_is_weight_proportional(spark):
+    """Inclusion tracks weight: under many seeds, an item with 10x the
+    weight of the rest is selected ~10x as often in the k=1 draw (the ES
+    first-draw marginal is exactly w_i / sum(w))."""
+    from csce438_distributed_password_cracker_spark.operators.split import (
+        weighted_sample_topk,
+    )
+
+    # 20 items: item 0 has weight 10, others weight 1 -> P(top-1 = 0) = 1/3
+    df = spark.createDataFrame(
+        [(i, 10.0 if i == 0 else 1.0) for i in range(20)], ["id", "w"]
+    )
+    wins = 0
+    n_seeds = 120
+    for s in range(n_seeds):
+        top = weighted_sample_topk(df, "id", "w", k=1, seed=s).collect()
+        wins += top[0]["id"] == 0
+    # binomial(120, 1/3): mean 40, sd ~5.2 -> 4 sd band
+    assert 19 <= wins <= 61, wins

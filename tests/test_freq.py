@@ -1,0 +1,132 @@
+"""Heavy hitters (operators/freq.py): the Misra-Gries mergeable-summary
+guarantees as hypothesis properties over a pure-Python model, and the
+distributed two-pass sieve pinned EXACTLY equal to the brute-force
+GROUP BY ... HAVING on skewed data.
+"""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from csce438_distributed_password_cracker_spark.operators.freq import (
+    heavy_hitters,
+    mg_merge,
+    mg_partials,
+)
+
+# ── pure-Python MG properties ─────────────────────────────────────────────
+
+
+@given(st.data())
+@settings(max_examples=200)
+def test_mg_merge_error_bound_and_no_false_negatives(data):
+    """Feeding a stream through mg_merge in arbitrary batch cuts keeps
+    (a) ≤ k counters, (b) undercount ≤ n/(k+1) for EVERY item, hence
+    (c) every item with true count > n/(k+1) still present — the
+    pigeonhole step the distributed sieve's exactness rests on."""
+    k = data.draw(st.integers(min_value=1, max_value=12))
+    stream = data.draw(
+        st.lists(st.integers(min_value=0, max_value=20), max_size=300)
+    )
+    # arbitrary batch boundaries: the summary must not care how the
+    # Arrow reader happened to chunk the partition
+    summary: dict = {}
+    i = 0
+    while i < len(stream):
+        step = data.draw(st.integers(min_value=1, max_value=50))
+        batch = Counter(stream[i : i + step])
+        summary = mg_merge(summary, batch, k)
+        i += step
+    true = Counter(stream)
+    n = len(stream)
+    assert len(summary) <= k
+    for item, c in true.items():
+        est = summary.get(item, 0)
+        assert est <= c  # MG never overcounts
+        assert c - est <= n / (k + 1)
+        if c > n / (k + 1):
+            assert item in summary
+
+
+# ── distributed sieve vs brute force ──────────────────────────────────────
+
+
+def _skewed_df(spark, n=40_000, seed=7):
+    """Zipf-ish item stream: a few heavy items + a long unique tail —
+    the distribution heavy_hitters exists for."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        r = rng.random()
+        if r < 0.25:
+            rows.append("alpha")
+        elif r < 0.40:
+            rows.append("beta")
+        elif r < 0.47:
+            rows.append("gamma")
+        elif r < 0.50:
+            rows.append("delta")
+        else:
+            rows.append(f"tail_{i}")  # unique — can never pass
+    return spark.createDataFrame(
+        [(x,) for x in rows], ["item"]
+    ).repartition(8)
+
+
+def test_heavy_hitters_exact_vs_brute_force(spark):
+    df = _skewed_df(spark)
+    for den in (5, 10, 25):
+        got = {
+            (r["item"], r["cnt"])
+            for r in heavy_hitters(df, "item", den=den).collect()
+        }
+        total = df.count()
+        brute = {
+            (r["item"], r["cnt"])
+            for r in df.groupBy("item")
+            .agg(F.count("*").alias("cnt"))
+            .where(F.col("cnt") * den > total)
+            .collect()
+        }
+        assert got == brute, f"den={den}"
+    # den=5 keeps only alpha; den=25 pulls in gamma/delta too
+    assert {r["item"] for r in heavy_hitters(df, "item", den=5).collect()} == {
+        "alpha"
+    }
+
+
+def test_heavy_hitters_partition_invariance_and_empty(spark):
+    df = _skewed_df(spark, n=5_000)
+    a = sorted(map(tuple, heavy_hitters(df, "item", den=10).collect()))
+    b = sorted(
+        map(tuple, heavy_hitters(df.repartition(3), "item", den=10).collect())
+    )
+    assert a == b
+    # the top item holds ~25% share, so a 1/3 threshold keeps nothing —
+    # result is empty but keeps the declared schema
+    out = heavy_hitters(df, "item", den=3)
+    assert out.columns == ["item", "cnt"]
+    assert out.count() == 0
+
+
+def test_heavy_hitters_guards(spark):
+    df = _skewed_df(spark, n=100)
+    with pytest.raises(ValueError, match="k\\+1"):
+        heavy_hitters(df, "item", den=30, k=10)
+    with pytest.raises(ValueError, match="den"):
+        heavy_hitters(df, "item", den=1)
+
+
+def test_mg_partials_sentinel_totals_and_bound(spark):
+    df = _skewed_df(spark, n=3_000)
+    rows = mg_partials(df, "item", k=16).collect()
+    total = sum(r["est"] for r in rows if r["item"] is None)
+    assert total == 3_000
+    # ≤ k survivors per partition (8 partitions from _skewed_df)
+    assert sum(1 for r in rows if r["item"] is not None) <= 16 * 8

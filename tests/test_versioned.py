@@ -642,3 +642,28 @@ def test_vacuum_sweeps_orphaned_uploads_not_inflight(spark, table):
     assert versioned.history(table)[-1]["version"] == head + 1
     versioned.vacuum(table, keep_last=2)
     assert not inflight.exists()
+
+
+def test_table_changes_between_versions(spark, table):
+    """Change data feed: added/changed/removed keys between two commits,
+    derived retroactively from the immutable version directories."""
+    delta = spark.createDataFrame(
+        [(0, "v2-0", "0", False), (100, "v2-100", "0", False),
+         (3, None, "3", True)],
+        "k long, body string, part string, deleted boolean",
+    )
+    versioned.merge_versioned(
+        spark, table, delta, key_cols=["k"], partition_col="part",
+        delete_col="deleted",
+    )
+    cdf = versioned.table_changes(spark, table, ["k"], 1)
+    got = {r.k: r.diff_status for r in cdf.collect()}
+    assert got == {0: "changed", 100: "added", 3: "removed"}
+    assert cdf.columns == ["k", "diff_status", "from_version", "to_version"]
+    rows = cdf.select("from_version", "to_version").first()
+    assert (rows[0], rows[1]) == (1, 2)
+    # explicit to_version and identity diff
+    assert versioned.table_changes(spark, table, ["k"], 1, 1).count() == 0
+    # unknown version still raises through read_version
+    with pytest.raises(ValueError, match="not in history"):
+        versioned.table_changes(spark, table, ["k"], 7)
