@@ -227,6 +227,54 @@ def weighted_sample_topk(
     return out.orderBy(F.desc(key_col), F.col(id_col)).limit(k)
 
 
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 42,
+    key_col: str = "samp_key",
+    rank_col: str = "samp_rank",
+    u_col: str | None = None,
+) -> DataFrame:
+    """Per-stratum weighted sampling without replacement — the weighted
+    analog of :func:`group_quota`: within each group, rank rows by the
+    Efraimidis–Spirakis key ``ln(u)/w`` descending (tie-break on the
+    key column) and keep ``rank ≤ k``.  Each group draws its own
+    weighted-without-replacement sample of size ≤ k — the per-domain /
+    per-source curation cap where bigger documents should win
+    proportionally, not uniformly.
+
+    Same uniform contract as :func:`weighted_sample_topk` (hash-derived,
+    reproducible, ``u_col`` injectable); rows with weight ≤ 0 or NULL
+    are excluded.  Cost is ONE shuffle on the group key + a per-group
+    sort; for a pathological stratum, pre-filter on the SAME key
+    coordinate (``key > c`` for a threshold that overshoots k) and rank
+    only survivors — filtering by the ordering coordinate itself can
+    only remove ranks > k once the threshold keeps ≥ k rows per group.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be ≥ 1, got {k}")
+    w = F.col(weight_col).cast("double")
+    if u_col is None:
+        u = (
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1 << 24))
+            + F.lit(0.5)
+        ) / F.lit(float(1 << 24))
+    else:
+        u = F.col(u_col)
+    keyed = df.where(w > 0).withColumn(key_col, F.ln(u) / w)
+    win = Window.partitionBy(*group_cols).orderBy(
+        F.desc(key_col), F.col(id_col)
+    )
+    return keyed.withColumn(rank_col, F.row_number().over(win)).where(
+        F.col(rank_col) <= k
+    )
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,

@@ -1899,44 +1899,95 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_weighted_sample",
     oracle=f"""
     WITH src AS (
-      SELECT doc_id,
+      SELECT doc_id, lang,
              {_NTOKS_SQL} AS w,
-             {md5_uniform_sql("CAST(doc_id AS STRING)", "ws")} AS u
+             {md5_uniform_sql("CAST(doc_id AS STRING)", "ws")} AS u,
+             {md5_uniform_sql("CAST(doc_id AS STRING)", "wg")} AS ug
       FROM documents
+    ),
+    globaltop AS (
+      SELECT 'global' AS branch, doc_id, CAST(NULL AS VARCHAR) AS grp,
+             w, round(ln(u) / w, 6) AS samp_key,
+             CAST(NULL AS BIGINT) AS samp_rank
+      FROM src
+      WHERE w > 0
+      ORDER BY ln(u) / w DESC, doc_id
+      LIMIT 100
+    ),
+    ranked AS (
+      SELECT doc_id, lang, w, ug,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY ln(ug) / w DESC, doc_id
+             ) AS rk
+      FROM src WHERE w > 0
+    ),
+    pergroup AS (
+      SELECT 'per_group' AS branch, doc_id, lang AS grp,
+             w, round(ln(ug) / w, 6) AS samp_key,
+             CAST(rk AS BIGINT) AS samp_rank
+      FROM ranked WHERE rk <= 20
     )
-    SELECT doc_id, w, round(ln(u) / w, 6) AS samp_key
-    FROM src
-    WHERE w > 0
-    ORDER BY ln(u) / w DESC, doc_id
-    LIMIT 100
+    SELECT * FROM globaltop UNION ALL SELECT * FROM pergroup
     """,
-    doc="Weighted sampling WITHOUT replacement (operators/split."
-    "weighted_sample_topk): the 100 documents drawn proportional to "
-    "token count by the Efraimidis-Spirakis (2006) exponential-key "
-    "scheme — rank by ln(u)/w descending (the monotone-equivalent of "
-    "u^(1/w)) and take k.  The per-row uniform is the engine-portable "
-    "tag-salted md5 coordinate (md5_uniform_sql, 24 bits centered into "
-    "the open interval), injected into the production operator via "
-    "u_col so DuckDB replays the identical draw and re-derives key and "
-    "selection closed-form.  Plan shape: map-only key computation + "
-    "TakeOrdered (per-partition top-k, driver merge) — no global sort, "
-    "holds at 100 TB.  Adjacent-key gaps are ~1/n² relative while "
-    "cross-engine libm-ln divergence is ≤1 ulp, so the selection is "
-    "engine-stable by an ~10^8 margin; the emitted key is rounded to "
-    "6 dp on both sides.",
+    doc="Weighted sampling WITHOUT replacement (operators/split), both "
+    "scopes as a labeled union.  global: the 100 documents drawn "
+    "proportional to token count by the Efraimidis-Spirakis (2006) "
+    "exponential-key scheme — rank by ln(u)/w descending (the monotone-"
+    "equivalent of u^(1/w)) and take k via weighted_sample_topk "
+    "(TakeOrdered plan: per-partition top-k + driver merge, no global "
+    "sort).  per_group: weighted_sample_per_group draws ≤ 20 docs per "
+    "lang on an independent 'wg'-salted coordinate — ONE shuffle on the "
+    "group key + per-group sort, the per-domain curation cap where "
+    "bigger documents win proportionally.  The per-row uniform is the "
+    "engine-portable tag-salted md5 coordinate (md5_uniform_sql, 24 "
+    "bits centered into the open interval), injected into the "
+    "production operators via u_col so DuckDB replays the identical "
+    "draws and re-derives keys, ranks and selections closed-form.  "
+    "Adjacent-key gaps are ~1/n² relative while cross-engine libm-ln "
+    "divergence is ≤1 ulp, so selections are engine-stable by an ~10^8 "
+    "margin; emitted keys round to 6 dp on both sides.",
 )
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.split import weighted_sample_topk
+    from ..operators.split import (
+        weighted_sample_per_group,
+        weighted_sample_topk,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     src = docs.select(
         "doc_id",
+        "lang",
         F.expr(_NTOKS_SQL).alias("w"),
         F.expr(md5_uniform_sql("CAST(doc_id AS STRING)", "ws")).alias("__u"),
+        F.expr(md5_uniform_sql("CAST(doc_id AS STRING)", "wg")).alias(
+            "__ug"
+        ),
     )
-    out = weighted_sample_topk(
+    glob = weighted_sample_topk(
         src, "doc_id", "w", k=100, key_col="samp_key", u_col="__u"
+    ).select(
+        F.lit("global").alias("branch"),
+        "doc_id",
+        F.lit(None).cast("string").alias("grp"),
+        "w",
+        F.round("samp_key", 6).alias("samp_key"),
+        F.lit(None).cast("long").alias("samp_rank"),
     )
-    return out.select(
-        "doc_id", "w", F.round("samp_key", 6).alias("samp_key")
+    per = weighted_sample_per_group(
+        src,
+        ["lang"],
+        "doc_id",
+        "w",
+        k=20,
+        key_col="samp_key",
+        rank_col="samp_rank",
+        u_col="__ug",
+    ).select(
+        F.lit("per_group").alias("branch"),
+        "doc_id",
+        F.col("lang").alias("grp"),
+        "w",
+        F.round("samp_key", 6).alias("samp_key"),
+        F.col("samp_rank").cast("long").alias("samp_rank"),
     )
+    return glob.unionAll(per)

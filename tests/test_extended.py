@@ -277,3 +277,41 @@ def test_weighted_sample_is_weight_proportional(spark):
         wins += top[0]["id"] == 0
     # binomial(120, 1/3): mean 40, sd ~5.2 -> 4 sd band
     assert 19 <= wins <= 61, wins
+
+
+def test_weighted_sample_per_group_model_and_cap(spark):
+    """Per-group ES sampling: ≤ k rows per group, selection equals the
+    per-group pure-math model with an injected uniform, deterministic
+    across repartitioning."""
+    import math
+    import random
+
+    from csce438_distributed_password_cracker_spark.operators.split import (
+        weighted_sample_per_group,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, str(i % 5), float(rng.randint(1, 99)), rng.random())
+        for i in range(3_000)
+    ]
+    df = spark.createDataFrame(rows, ["id", "grp", "w", "u"]).repartition(9)
+    out = weighted_sample_per_group(
+        df, ["grp"], "id", "w", k=15, u_col="u"
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["grp"], set()).add(r["id"])
+    assert all(len(v) <= 15 for v in got.values())
+    for g in map(str, range(5)):
+        members = [t for t in rows if t[1] == g]
+        model = sorted(
+            members, key=lambda t: (-(math.log(t[3]) / t[2]), t[0])
+        )[:15]
+        assert got[g] == {t[0] for t in model}, g
+    again = weighted_sample_per_group(
+        df.repartition(4), ["grp"], "id", "w", k=15, u_col="u"
+    )
+    assert sorted(r["id"] for r in out.collect()) == sorted(
+        r["id"] for r in again.collect()
+    )

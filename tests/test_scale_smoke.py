@@ -272,3 +272,48 @@ def test_bpe_tokenize_full_corpus(spark):
         assert bpe.decode_tokens(r["tokens"]) == " ".join(
             w for w in r["text"].split(" ") if w
         )
+
+
+def test_heavy_hitters_and_weighted_sample_full_corpus(spark):
+    """Late-r5 operators at full local SF: the Misra-Gries sieve over
+    all sf0.1 corpus tokens equals brute force exactly, and weighted
+    sampling draws k=1000 of orders' 150k rows through TakeOrdered
+    without a global sort."""
+    from csce438_distributed_password_cracker_spark.operators.freq import (
+        heavy_hitters,
+    )
+    from csce438_distributed_password_cracker_spark.operators.split import (
+        weighted_sample_topk,
+    )
+
+    docs = load_table(spark, SF01, "documents")
+    words = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).where(F.col("word") != "")
+    got = {
+        (r["word"], r["cnt"])
+        for r in heavy_hitters(words, "word", den=30, k=64).collect()
+    }
+    total = words.count()
+    brute = {
+        (r["word"], r["cnt"])
+        for r in words.groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") * 30 > total)
+        .collect()
+    }
+    assert got == brute and got
+
+    # orders: 150k rows with a UNIQUE key (synthetic lineitem reuses
+    # (orderkey, linenumber) tuples, so it can't pin distinctness)
+    orders = load_table(spark, SF01, "orders").select(
+        F.col("o_orderkey").alias("oid"),
+        F.col("o_totalprice").cast("double").alias("w"),
+    )
+    samp = weighted_sample_topk(orders, "oid", "w", k=1_000)
+    rows = samp.collect()
+    assert len(rows) == 1_000
+    assert len({r["oid"] for r in rows}) == 1_000  # without replacement
+    # the plan is TakeOrdered, not a global Sort+Limit
+    plan = samp._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
