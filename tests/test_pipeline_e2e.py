@@ -3,7 +3,8 @@ ingest + quarantine → exact dedup → benchmark decontamination →
 cross-doc paragraph dedup → exact-substring span sweep → MinHash-LSH
 near-dup sweep → SemDeDup semantic dedup (over the embedding table) →
 PII scrub → quality filters (repetition + CCNet LM gate) → DSIR
-importance selection → split/sample → token-budget mixing WITH
+importance selection → split/sample → corpus audits (exact heavy-hitter
+stopword discovery, per-lang weighted eval draw) → token-budget mixing WITH
 upsampling (epochs materialized) → deterministic shuffle → chunking →
 sequence packing → BM25 retrieval over the curated corpus — the full
 MassiveText/Pile-shaped curation path in curriculum order.
@@ -298,6 +299,39 @@ def test_pipeline_composes_with_reconciled_counts(spark, sf_smoke, tmp_path):
     assert set(carved.select("split").distinct().toPandas()["split"]) <= {
         "train", "val", "test",
     }
+
+    # corpus audits over the curated selection (the sweeps a pipeline
+    # runs between curation and mixing): exact heavy-hitter stopword
+    # discovery — every surfaced token really exceeds the 1/40 share —
+    # and a length-proportional per-lang eval draw (weighted sampling
+    # without replacement, ≤ 4 docs per lang, deterministic)
+    from csce438_distributed_password_cracker_spark.operators.freq import (
+        heavy_hitters,
+    )
+    from csce438_distributed_password_cracker_spark.operators.split import (
+        weighted_sample_per_group,
+    )
+
+    words = profiled.select(
+        F.explode(F.split("text", " ")).alias("w")
+    ).where("w <> ''")
+    hh = heavy_hitters(words, "w", den=40)
+    n_words = words.count()
+    hh_rows = hh.collect()
+    assert hh_rows and all(r["cnt"] * 40 > n_words for r in hh_rows)
+    eval_draw = weighted_sample_per_group(
+        profiled.withColumn(
+            "n_tokens", F.size(F.split(F.col("text"), " "))
+        ),
+        ["lang"], "doc_id", "n_tokens", k=4,
+    )
+    per_lang = {
+        r["lang"]: r["n"]
+        for r in eval_draw.groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert per_lang and all(n <= 4 for n in per_lang.values())
 
     # the mix selects a non-empty, budget-bounded train subset; zh is
     # upsampled — realized (epoch-weighted) tokens land near its 1.75×
