@@ -247,3 +247,57 @@ def test_aqe_splits_skewed_join_partitions(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+# ── corpus-wide shuffle budget ────────────────────────────────────────────
+
+# Shuffle-Exchange count of each gate query's INITIAL physical plan at
+# sf0.001 / shuffle_partitions=8 (the suite's session confs), measured
+# and pinned late round 5.  The pin is an UPPER bound: a refactor that
+# removes a shuffle passes (update the budget when you notice), one that
+# sneaks an extra Exchange into a gate query FAILS here instead of
+# surfacing as a silent bench regression three rounds later.  Broadcast
+# exchanges are excluded — they're the cheap alternative the budget is
+# steering toward.  q_stream_live is excluded (deriving its plan runs a
+# live stream).
+SHUFFLE_BUDGET = {
+    "q_agg_exists": 1, "q_agg_groupby": 1, "q_agg_grouping": 3,
+    "q_agg_percentile": 1, "q_agg_pivot": 2, "q_agg_scalars": 8,
+    "q_ann_probe": 0, "q_ann_topk": 0, "q_array_ops": 0,
+    "q_binary_roundtrip": 1, "q_codec_checks": 2, "q_crack_batch": 2,
+    "q_crack_throughput": 1, "q_crack_verdicts": 3, "q_date_ops": 1,
+    "q_dedup_components": 2, "q_dedup_embedding": 1, "q_dedup_exact": 7,
+    "q_dedup_jaccard": 15, "q_dedup_sketch": 15, "q_events_scan": 0,
+    "q_heavy_hitters": 1, "q_join_anti": 0, "q_join_asof": 2,
+    "q_join_broadcast": 0, "q_join_bucketed": 0, "q_join_range": 1,
+    "q_join_semi": 0, "q_join_skew_salted": 4, "q_join_sortmerge": 1,
+    "q_keyspace_algebra": 6, "q_math_ops": 0, "q_msg_demux": 1,
+    "q_multimodal_features": 0, "q_partition_coverage": 0,
+    "q_range_filter": 0, "q_sha1_mass": 0, "q_similarity_knn": 3,
+    "q_sort_limit": 0, "q_split_assign": 1, "q_stream_audit": 1,
+    "q_stream_flow": 5, "q_stream_stateful": 0, "q_string_ops": 0,
+    "q_text_profile": 3, "q_topk_per_group": 1, "q_tpch": 13,
+    "q_weighted_sample": 1, "q_window_lead": 1, "q_window_rank": 2,
+    "q_window_running": 1,
+}
+
+
+def test_shuffle_budget_covers_every_gate_query():
+    assert set(SHUFFLE_BUDGET) == set(corpus.REGISTRY) - {"q_stream_live"}
+
+
+@pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGET))
+def test_gate_query_within_shuffle_budget(spark, sf_smoke, name):
+    df = corpus.REGISTRY[name].fn(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    shuffles = sum(
+        1
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+    )
+    assert shuffles <= SHUFFLE_BUDGET[name], (
+        f"{name}: {shuffles} shuffle exchanges > budget "
+        f"{SHUFFLE_BUDGET[name]} — a new Exchange crept into the plan "
+        f"(or update the budget if the extra shuffle is intentional)\n"
+        f"{plan}"
+    )
