@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["resample_locf"]
+__all__ = ["resample_locf", "resample_interp"]
 
 
 def resample_locf(
@@ -42,6 +42,7 @@ def resample_locf(
     value_col: str | None = None,
     id_col: str | None = None,
     max_bins_per_key: int = 1_000_000,
+    _keep_last: bool = False,
 ) -> DataFrame:
     """Resample ``df`` onto ``interval_seconds`` bins per ``key_col``:
     one output row per (key, bin) from the key's first to last active
@@ -128,5 +129,85 @@ def resample_locf(
         out = out.withColumn(
             f"{value_col}_locf",
             F.last("_last", ignorenulls=True).over(w),
-        ).drop("_last")
+        )
+        if not _keep_last:
+            out = out.drop("_last")
     return out
+
+
+def resample_interp(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    interval_seconds: int,
+    value_col: str,
+    id_col: str | None = None,
+    max_bins_per_key: int = 1_000_000,
+) -> DataFrame:
+    """:func:`resample_locf` with LINEAR interpolation through gaps
+    instead of a flat carry — the ``pandas resample().interpolate()`` /
+    TimescaleDB ``interpolate()`` shape for quantities that drift
+    between observations (gauges, prices) rather than step (states).
+
+    Adds ``<value_col>_interp``: for a bin with an observation, the
+    observation itself (the same per-bin last-non-NULL selection as
+    LOCF); for a gap bin BETWEEN two observed bins, the straight line
+    between the surrounding anchors evaluated at the bin index; before
+    the key's first observation NULL (nothing to anchor the left end);
+    after the last observation the value holds flat (≡ LOCF — no right
+    anchor to extrapolate toward, and silent extrapolation invents
+    data).
+
+    Scale shape: everything :func:`resample_locf` does plus ONE more
+    window over the same (key, bin) ordering — the backward pass reuses
+    the LOCF exchange; the forward pass is computed inside the same
+    per-key sort (Catalyst fuses windows sharing partitioning+ordering,
+    so no extra shuffle — pinned in tests/test_resample.py).
+    """
+    out = resample_locf(
+        df,
+        key_col,
+        ts_col,
+        interval_seconds,
+        value_col=value_col,
+        id_col=id_col,
+        max_bins_per_key=max_bins_per_key,
+        _keep_last=True,
+    )
+    # anchor = (bin, value) of the nearest bin with its OWN non-NULL
+    # observation (``_last`` — NOT the LOCF column: a bin whose events
+    # all carry NULL values inherits a carry-forward but must not
+    # anchor the line); bin and value travel together as a struct
+    obs = F.when(
+        F.col("_last").isNotNull(),
+        F.struct(
+            F.col("bin").alias("b"),
+            F.col("_last").cast("double").alias("v"),
+        ),
+    )
+    back = (
+        Window.partitionBy(key_col)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(key_col)
+        .orderBy("bin")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev = F.last(obs, ignorenulls=True).over(back)
+    nxt = F.first(obs, ignorenulls=True).over(fwd)
+    # gap with both anchors → lerp; no right anchor → hold left (LOCF);
+    # no left anchor → NULL.  The observed-bin case falls out of prev:
+    # its own anchor IS prev, so the lerp fraction is 0.
+    frac = (F.col("bin") - prev["b"]).cast("double") / (
+        nxt["b"] - prev["b"]
+    ).cast("double")
+    out = out.withColumn(
+        f"{value_col}_interp",
+        F.when(
+            prev.isNotNull() & nxt.isNotNull() & (nxt["b"] != prev["b"]),
+            prev["v"] + (nxt["v"] - prev["v"]) * frac,
+        ).otherwise(prev["v"]),
+    )
+    return out.drop("_last")

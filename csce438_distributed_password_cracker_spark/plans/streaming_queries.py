@@ -124,16 +124,42 @@ _sql_query(
         SELECT event_type, unnest(generate_series(b0, b1)) AS bin
         FROM (SELECT event_type, min(bin) AS b0, max(bin) AS b1
               FROM rs0 GROUP BY 1)
+      ),
+      rsj AS (
+        SELECT g.event_type, g.bin, r.n,
+               last_value(r.lastv IGNORE NULLS) OVER back AS locf,
+               last_value(CASE WHEN r.lastv IS NOT NULL THEN g.bin END
+                 IGNORE NULLS) OVER back AS pb,
+               first_value(r.lastv IGNORE NULLS) OVER fwd AS nv,
+               first_value(CASE WHEN r.lastv IS NOT NULL THEN g.bin END
+                 IGNORE NULLS) OVER fwd AS nb
+        FROM rsg g LEFT JOIN rs0 r USING (event_type, bin)
+        WINDOW back AS (PARTITION BY g.event_type ORDER BY g.bin),
+               fwd AS (PARTITION BY g.event_type ORDER BY g.bin
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
       )
       SELECT 'resample' AS kind,
-             concat(g.event_type, '|', CAST(g.bin AS VARCHAR), '|',
-                    CASE WHEN r.n IS NULL THEN 'gap' ELSE 'obs' END)
+             concat(event_type, '|', CAST(bin AS VARCHAR), '|',
+                    CASE WHEN n IS NULL THEN 'gap' ELSE 'obs' END)
                AS grp_key,
              CAST(NULL AS TIMESTAMP) AS window_start,
-             coalesce(r.n, 0) AS n,
-             last_value(r.lastv IGNORE NULLS) OVER (
-               PARTITION BY g.event_type ORDER BY g.bin) AS total_value
-      FROM rsg g LEFT JOIN rs0 r USING (event_type, bin)
+             coalesce(n, 0) AS n,
+             locf AS total_value
+      FROM rsj
+      UNION ALL
+      -- same IEEE op order as resample_interp: pv + (nv-pv) * frac,
+      -- frac = double(bin-pb) / double(nb-pb) — hash-exact
+      SELECT 'resample_interp' AS kind,
+             concat(event_type, '|', CAST(bin AS VARCHAR), '|',
+                    CASE WHEN n IS NULL THEN 'gap' ELSE 'obs' END)
+               AS grp_key,
+             CAST(NULL AS TIMESTAMP) AS window_start,
+             coalesce(n, 0) AS n,
+             CASE WHEN pb IS NOT NULL AND nb IS NOT NULL AND nb <> pb
+                  THEN locf + (nv - locf) *
+                       (CAST(bin - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE))
+                  ELSE locf END AS total_value
+      FROM rsj
     )
     """,
     doc="T1 + tumbling windows + incremental rollup, one labeled union.  "
@@ -160,7 +186,13 @@ _sql_query(
     "value is a SELECTION (max_by over (ts, event_id) + "
     "ignorenulls-last), not arithmetic, so the raw double hashes "
     "identically — the oracle re-derives grid + arg_max + "
-    "IGNORE-NULLS window in SQL.",
+    "IGNORE-NULLS window in SQL.  resample_interp (late r5): the same "
+    "grid LINEARLY interpolated through gaps (resample_interp) — "
+    "anchors are bins with their OWN non-NULL observation, leading "
+    "bins NULL, trailing bins hold flat; the lerp is spelled with the "
+    "identical IEEE op order in both engines (pv + (nv-pv) * "
+    "(double(bin-pb)/double(nb-pb))), so even this arithmetic double "
+    "is hash-exact.",
 )
 def q_stream_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
@@ -229,22 +261,43 @@ def q_stream_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # total_value is a SELECTED raw double (max_by + carry-forward, no
     # arithmetic), so it hashes exactly in both engines; the bin rides
     # grp_key as a string to keep timestamps out of the compare.
-    from ..operators.resample import resample_locf
+    from ..operators.resample import resample_interp
 
-    rs = resample_locf(
+    rs_base = resample_interp(
         ev, "event_type", "ts", 6 * 3600, "value", "event_id"
-    ).select(
-        F.lit("resample").alias("kind"),
-        F.concat(
-            "event_type",
-            F.lit("|"),
-            F.col("bin").cast("string"),
-            F.lit("|"),
-            F.when(F.col("filled"), "gap").otherwise("obs"),
-        ).alias("grp_key"),
-        F.lit(None).cast("timestamp").alias("window_start"),
+    )
+    rs_key = F.concat(
+        "event_type",
+        F.lit("|"),
+        F.col("bin").cast("string"),
+        F.lit("|"),
+        F.when(F.col("filled"), "gap").otherwise("obs"),
+    )
+    # both fill variants leave the SAME resample pass via one map-only
+    # explode — a unionAll of two selects over rs_base would duplicate
+    # the whole grid/window subtree (+2 shuffles, caught by the
+    # corpus shuffle budget)
+    rs = rs_base.select(
+        rs_key.alias("grp_key"),
         F.col("n_events").alias("n"),
-        F.col("value_locf").alias("total_value"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("resample").alias("kind"),
+                    F.col("value_locf").alias("total_value"),
+                ),
+                F.struct(
+                    F.lit("resample_interp").alias("kind"),
+                    F.col("value_interp").alias("total_value"),
+                ),
+            )
+        ).alias("e"),
+    ).select(
+        F.col("e.kind").alias("kind"),
+        "grp_key",
+        F.lit(None).cast("timestamp").alias("window_start"),
+        "n",
+        F.col("e.total_value").alias("total_value"),
     )
     return (
         by_type.unionAll(tumbling).unionAll(rollup_branch).unionAll(rs)

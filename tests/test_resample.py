@@ -141,3 +141,58 @@ def test_null_measurement_does_not_erase_carry(spark):
         key=lambda r: r["bin"],
     )
     assert [r["val_locf"] for r in out] == [5.0, 5.0, 5.0]
+
+
+def test_interp_closed_form_and_edges(spark):
+    """Linear interpolation: interior gaps lerp between anchors, an
+    all-NULL-value bin never anchors the line, leading bins stay NULL,
+    trailing bins hold flat (≡ LOCF), observed bins keep their own
+    value."""
+    rows = [
+        ("a", _t("2024-01-01 00:01:00"), None, 1),   # leading NULL obs
+        ("a", _t("2024-01-01 00:02:00"), 10.0, 2),
+        # 00:03, 00:04 empty -> lerp toward 40
+        ("a", _t("2024-01-01 00:05:00"), 40.0, 3),
+        ("a", _t("2024-01-01 00:06:00"), None, 4),   # NULL bin mid-series
+        # 00:07 empty
+        ("a", _t("2024-01-01 00:08:00"), 70.0, 5),
+        # trailing gap 00:09 via a NULL-valued event
+        ("a", _t("2024-01-01 00:09:00"), None, 6),
+    ]
+    out = {
+        r["bin_start"].minute: r
+        for r in resample.resample_interp(
+            _ev(spark, rows), "key", "ts", 60, "val", "eid"
+        ).collect()
+    }
+    assert out[1]["val_interp"] is None          # before first anchor
+    assert out[2]["val_interp"] == 10.0          # observed
+    assert out[3]["val_interp"] == 20.0          # lerp 10->40 at 1/3
+    assert out[4]["val_interp"] == 30.0
+    assert out[5]["val_interp"] == 40.0
+    # bins 6 and 7 sit between anchors 5 (40.0) and 8 (70.0): the NULL
+    # bin at 6 must NOT anchor — both lerp on the 40->70 line
+    assert out[6]["val_interp"] == 50.0
+    assert out[7]["val_interp"] == 60.0
+    assert out[8]["val_interp"] == 70.0          # observed
+    assert out[9]["val_interp"] == 70.0          # trailing: hold flat
+    # LOCF column still rides along unchanged
+    assert out[3]["val_locf"] == 10.0 and out[9]["val_locf"] == 70.0
+    assert "_last" not in resample.resample_interp(
+        _ev(spark, rows), "key", "ts", 60, "val", "eid"
+    ).columns
+
+
+def test_interp_adds_no_exchange_over_locf(spark):
+    rows = [("a", _t("2024-01-01 00:00:00"), 1.0, 1)]
+    df = _ev(spark, rows)
+    locf_plan = (
+        resample.resample_locf(df, "key", "ts", 60, "val", "eid")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    interp_plan = (
+        resample.resample_interp(df, "key", "ts", 60, "val", "eid")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    n = lambda p: sum(1 for ln in p.splitlines() if "Exchange" in ln)  # noqa: E731
+    assert n(interp_plan) == n(locf_plan), interp_plan
