@@ -1,0 +1,109 @@
+"""Robust outlier flagging — Tukey IQR fences and MAD z-scores, the
+numeric-column screening step a pipeline runs before training on
+telemetry/price/measurement columns (corrupt sensors, fat-finger
+values, unit mix-ups).
+
+Reference analog: none (north-star extension, BASELINE.json); public
+prior art: Tukey 1977 (box-plot fences), Hampel 1974 / Leys 2013 (MAD,
+consistency constant 1.4826 for normal data).
+
+Why ROBUST statistics: mean/stddev move with the outliers they are
+supposed to find (one 1e12 glitch shifts the mean past every honest
+value); quartiles and the median absolute deviation don't.  A
+plain-zscore variant is deliberately not offered — callers who want it
+can compose mean/stddev themselves, and the float-sum accumulation
+order would make it nondeterministic across partitionings anyway.
+
+Scale shape (100 TB):
+
+- bounds are ONE aggregation reduced to a single driver row (a bounded
+  collect by construction), then the verdict is a MAP-ONLY comparison
+  against plan-literal fences — no shuffle touches the corpus;
+- the default bounds pass uses ``approxQuantile`` (Greenwald-Khanna,
+  one pass, mergeable) — percentile error moves the FENCE by ~ε·range,
+  it does not corrupt the verdict logic; ``exact=True`` switches to the
+  sort-based exact ``percentile`` (what the oracle-checked gate query
+  uses — Spark ``percentile`` ≡ DuckDB ``quantile_cont`` bit-for-bit);
+- MAD needs a second pass (median of |x − median|, inherently nested);
+  IQR needs one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAD_SCALE = 1.4826  # E|N(0,1)| MAD⁻¹ — makes k comparable to a z-score
+
+
+def outlier_bounds(
+    df: DataFrame,
+    value_col: str,
+    method: str = "iqr",
+    k: float = 1.5,
+    exact: bool = False,
+    relative_error: float = 1e-4,
+) -> tuple[float, float]:
+    """(lo, hi) fence for ``value_col``:
+
+    - ``iqr``: ``q1 − k·(q3 − q1)`` .. ``q3 + k·(q3 − q1)`` (Tukey,
+      k=1.5 classic / 3.0 conservative);
+    - ``mad``: ``med ± k·1.4826·MAD`` (k plays the z-score role).
+
+    NULLs are ignored by the quantile (and flag NULL downstream).  All
+    fence arithmetic is plain IEEE double in a fixed order, so the
+    gate's DuckDB twin recomputes identical fences from identical exact
+    quantiles."""
+    if method not in ("iqr", "mad"):
+        raise ValueError(f"method must be 'iqr' or 'mad', got {method!r}")
+
+    def _q(frame: DataFrame, col: str, probs: list[float]) -> list[float]:
+        if exact:
+            arr = ", ".join(repr(p) for p in probs)
+            row = frame.select(
+                F.expr(f"percentile({col}, array({arr}))")
+            ).first()[0]
+            return [float(x) for x in row]
+        return [
+            float(x)
+            for x in frame.approxQuantile(col, probs, relative_error)
+        ]
+
+    if method == "iqr":
+        q1, q3 = _q(df, value_col, [0.25, 0.75])
+        spread = k * (q3 - q1)
+        return q1 - spread, q3 + spread
+    med = _q(df, value_col, [0.5])[0]
+    dev = df.select(
+        (F.abs(F.col(value_col) - F.lit(med))).alias("__dev")
+    )
+    mad = _q(dev, "__dev", [0.5])[0]
+    spread = k * MAD_SCALE * mad
+    return med - spread, med + spread
+
+
+def flag_outliers(
+    df: DataFrame,
+    value_col: str,
+    method: str = "iqr",
+    k: float = 1.5,
+    exact: bool = False,
+    flag_col: str = "is_outlier",
+    bounds: tuple[float, float] | None = None,
+) -> DataFrame:
+    """Append ``bound_lo``/``bound_hi`` (the plan-literal fences) and
+    ``flag_col`` — true iff the value falls STRICTLY outside [lo, hi],
+    NULL for NULL values.  Pass ``bounds`` to reuse fences computed
+    once (e.g. per-day scoring against a reference window)."""
+    lo, hi = (
+        bounds
+        if bounds is not None
+        else outlier_bounds(df, value_col, method, k, exact)
+    )
+    v = F.col(value_col)
+    return df.select(
+        "*",
+        F.lit(lo).alias("bound_lo"),
+        F.lit(hi).alias("bound_hi"),
+        ((v < F.lit(lo)) | (v > F.lit(hi))).alias(flag_col),
+    )

@@ -314,3 +314,71 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b")
     ids = docs.select(F.col("doc_id").alias("id"))
     return dedup.connected_components(ids, edges)
+
+
+# ── robust outlier screening (late round 5) ──────────────────────────────
+
+@register(
+    "q_outlier_flags",
+    oracle="""
+    WITH b AS (
+      SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.75) AS q3,
+             quantile_cont(o_totalprice, 0.5)  AS med
+      FROM orders
+    ),
+    md AS (
+      SELECT quantile_cont(abs(o_totalprice - (SELECT med FROM b)), 0.5)
+               AS mad
+      FROM orders
+    ),
+    ifen AS (
+      SELECT q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM b
+    ),
+    mfen AS (
+      SELECT med - 3.0 * 1.4826 * mad AS lo,
+             med + 3.0 * 1.4826 * mad AS hi
+      FROM b, md
+    )
+    SELECT 'iqr' AS branch, o_orderkey, o_totalprice AS v,
+           lo AS bound_lo, hi AS bound_hi,
+           (o_totalprice < lo OR o_totalprice > hi) AS is_outlier
+    FROM orders, ifen
+    UNION ALL
+    SELECT 'mad' AS branch, o_orderkey, o_totalprice AS v,
+           lo AS bound_lo, hi AS bound_hi,
+           (o_totalprice < lo OR o_totalprice > hi) AS is_outlier
+    FROM orders, mfen
+    """,
+    doc="Robust outlier screening (operators/outliers.py) over order "
+    "totals, both fence families as a labeled union: Tukey IQR fences "
+    "(k=1.5) and MAD z-fences (k=3, consistency constant 1.4826).  The "
+    "Spark side runs the real operator with exact=True — fences derive "
+    "from the sort-based exact percentile (≡ DuckDB quantile_cont "
+    "bit-for-bit) through fixed-order IEEE fence arithmetic computed "
+    "driver-side, so fences AND per-row verdicts hash-match without "
+    "rounding.  Production path: approxQuantile (Greenwald-Khanna, one "
+    "mergeable pass) for the bounds — the verdict stays a map-only "
+    "comparison against plan-literal fences; bounds are reusable via "
+    "the bounds= parameter (score today's partition against last "
+    "week's fences).",
+)
+def q_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.outliers import flag_outliers
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    def _branch(method: str, k: float) -> DataFrame:
+        return flag_outliers(
+            orders, "o_totalprice", method=method, k=k, exact=True
+        ).select(
+            F.lit(method).alias("branch"),
+            "o_orderkey",
+            F.col("o_totalprice").alias("v"),
+            "bound_lo",
+            "bound_hi",
+            "is_outlier",
+        )
+
+    return _branch("iqr", 1.5).unionAll(_branch("mad", 3.0))
