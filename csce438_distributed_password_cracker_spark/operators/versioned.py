@@ -714,6 +714,66 @@ def merge_versioned(
     raise AssertionError("unreachable")
 
 
+def delete_where(
+    spark: SparkSession,
+    root_dir: str,
+    predicate: str,
+    key_cols: list[str],
+    partition_col: str | list[str],
+    num_files: int = 4,
+    retries: int = 0,
+    backend=None,
+) -> tuple[int, int]:
+    """Row-level DELETE as a new version — the GDPR-erasure / retention
+    shape ("purge user X", "drop rows older than N days"): tombstone
+    every current-head row matching the SQL ``predicate`` through the
+    copy-on-write merge.  Returns ``(new_version, n_deleted)``;
+    a predicate matching nothing commits no version (no-op, the current
+    head is returned unchanged with ``n_deleted=0``).
+
+    Scale shape: the matching pass is one partition-prunable scan of
+    the head (Catalyst pushes the predicate into the parquet read; a
+    predicate on the partition columns prunes directories at planning
+    time), the delta carries ONLY (key, partition, tombstone) columns
+    — never the payload — and the merge rewrites just the touched
+    partitions, hard-linking the rest.  Note the ERASURE caveat hard
+    links imply: older versions still reference the rows until
+    :func:`vacuum` trims them — a compliance delete is
+    ``delete_where`` + ``vacuum(keep_last=1)``.
+    """
+    part_cols = normalize_partition_cols(partition_col)
+    head = read_version(spark, root_dir)
+    victims = head.where(predicate).select(
+        *dict.fromkeys([*key_cols, *part_cols])
+    )
+    from pyspark.sql import functions as F
+
+    delta = victims.withColumn("__deleted", F.lit(True))
+    # an all-tombstone delta still passes the merge's structural
+    # payload-column contract: attach typed NULLs for the columns a
+    # delete row never reads
+    for f in head.schema.fields:
+        if f.name not in delta.columns:
+            delta = delta.withColumn(
+                f.name, F.lit(None).cast(f.dataType)
+            )
+    n = delta.count()
+    if n == 0:
+        return _load_manifest(Path(root_dir))["version"], 0
+    v = merge_versioned(
+        spark,
+        root_dir,
+        delta,
+        key_cols=key_cols,
+        partition_col=part_cols,
+        delete_col="__deleted",
+        num_files=num_files,
+        retries=retries,
+        backend=backend,
+    )
+    return v, n
+
+
 def vacuum(root_dir: str, keep_last: int = 2, backend=None) -> list[int]:
     """Delete version directories beyond the newest ``keep_last``
     (hard links make retained versions self-sufficient — deleting an

@@ -112,3 +112,32 @@ def land(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(out_dir)
+
+
+def with_provenance(
+    df: DataFrame,
+    file_col: str = "src_file",
+    row_col: str = "src_row",
+) -> DataFrame:
+    """Append row-level lineage from Spark's hidden ``_metadata``
+    file-source struct: ``src_file`` (the originating file's path) and
+    ``src_row`` (the row's 0-based index WITHIN that file — stable
+    across reads, unlike ``monotonically_increasing_id``, which bakes
+    in the session's partition layout).
+
+    Every audit trail a curation pipeline owes its corpus ("which crawl
+    shard did this document come from?") reduces to carrying these two
+    columns from ingest onward; dedup/quality verdicts joined back on
+    them localize bad upstream files.  Must be called on a DataFrame
+    still directly backed by a file source (`spark.read...`/
+    :func:`ingest` output) — after a shuffle or join the metadata
+    struct is gone, which this surfaces as the Spark analysis error
+    rather than silently inventing lineage.
+
+    Map-only: the columns are constants of the scan, no data moves.
+    """
+    return df.select(
+        "*",
+        F.col("_metadata.file_path").alias(file_col),
+        F.col("_metadata.row_index").alias(row_col),
+    )

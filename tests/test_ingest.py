@@ -158,3 +158,35 @@ def test_orc_roundtrip_schema_contract(spark, tmp_path):
     assert df.columns == ["k", "s", "missing"]  # extra pruned, missing added
     rows = {r.k: (r.s, r.missing) for r in df.collect()}
     assert rows == {1: ("a", None), 2: ("b", None)}
+
+
+def test_with_provenance_file_and_row_lineage(spark, tmp_path):
+    """_metadata lineage: src_file names the real part file, src_row is
+    the stable 0-based index within it (re-reads agree), and the
+    columns are scan constants (no Exchange)."""
+    from csce438_distributed_password_cracker_spark.sources.ingest import (
+        with_provenance,
+    )
+
+    p = str(tmp_path / "t")
+    spark.range(100).selectExpr("id", "id * 2 AS v").repartition(
+        4
+    ).write.parquet(p)
+    out = with_provenance(spark.read.parquet(p))
+    rows = out.collect()
+    assert len(rows) == 100
+    by_file: dict = {}
+    for r in rows:
+        assert r["src_file"].endswith(".parquet") and "/t/" in r["src_file"]
+        by_file.setdefault(r["src_file"], []).append(r["src_row"])
+    # within each file: 0-based, contiguous, unique
+    for idxs in by_file.values():
+        assert sorted(idxs) == list(range(len(idxs)))
+    # stable across re-reads
+    again = {
+        (r["id"], r["src_file"], r["src_row"])
+        for r in with_provenance(spark.read.parquet(p)).collect()
+    }
+    assert again == {(r["id"], r["src_file"], r["src_row"]) for r in rows}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

@@ -667,3 +667,36 @@ def test_table_changes_between_versions(spark, table):
     # unknown version still raises through read_version
     with pytest.raises(ValueError, match="not in history"):
         versioned.table_changes(spark, table, ["k"], 7)
+
+
+def test_delete_where_tombstones_and_erasure_path(spark, table):
+    """Row-level DELETE: predicate-matching rows vanish from the new
+    head, survive in the old version until vacuum, no-op predicates
+    commit nothing, and the full erasure recipe (delete + vacuum)
+    removes the bytes."""
+    v, n = versioned.delete_where(
+        spark, table, "k % 4 = 1", ["k"], "part"
+    )
+    assert (v, n) == (2, 5)  # keys 1,5,9,13,17 of range(20)
+    head = versioned.read_version(spark, table)
+    assert head.count() == 15
+    assert head.where("k % 4 = 1").count() == 0
+    # time travel still sees them (hard links) — the documented caveat
+    assert versioned.read_version(spark, table, 1).count() == 20
+    # no-op predicate: no new version
+    v2, n2 = versioned.delete_where(
+        spark, table, "k > 1000", ["k"], "part"
+    )
+    assert (v2, n2) == (2, 0)
+    assert [h["version"] for h in versioned.history(table)] == [1, 2]
+    # compliance erasure: vacuum to the head only
+    versioned.vacuum(table, keep_last=1)
+    with pytest.raises(ValueError, match="not in history"):
+        versioned.read_version(spark, table, 1)
+    # partition-scoped delete prunes to the partition and empties it
+    v3, n3 = versioned.delete_where(
+        spark, table, "part = '2'", ["k"], "part"
+    )
+    assert n3 == 5 and versioned.read_version(spark, table).where(
+        "part = '2'"
+    ).count() == 0
