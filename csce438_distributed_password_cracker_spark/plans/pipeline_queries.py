@@ -1991,3 +1991,44 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("samp_rank").cast("long").alias("samp_rank"),
     )
     return glob.unionAll(per)
+
+
+@register(
+    "q_collocations",
+    oracle="""
+    WITH toks AS (
+      SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    big AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+            FROM toks WHERE len(t) >= 2)
+    ),
+    cab AS (SELECT w1, w2, count(*) AS c_ab FROM big GROUP BY 1, 2),
+    ca AS (SELECT w1, CAST(sum(c_ab) AS BIGINT) AS c_a FROM cab GROUP BY 1),
+    cb AS (SELECT w2, CAST(sum(c_ab) AS BIGINT) AS c_b FROM cab GROUP BY 1),
+    tot AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n FROM cab)
+    SELECT w1, w2, c_ab, c_a, c_b,
+           (CAST(c_ab AS DOUBLE) * CAST(n AS DOUBLE))
+             / (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE)) AS lift
+    FROM cab JOIN ca USING (w1) JOIN cb USING (w2), tot
+    WHERE c_ab >= 10
+    """,
+    doc="Collocation mining (operators/collocations.py; Manning-"
+    "Schutze ch.5 / word2vec phrase pass): adjacent word bigrams with "
+    "c_ab >= 10, their exact position-based unigram counts, and the "
+    "independence LIFT = N*c_ab/(c_a*c_b) (= 2^PMI).  ONE corpus pass "
+    "builds the bigram count table (map-only zip-shift explode -> one "
+    "shuffle with map-side partials); unigram counts, N and survivors "
+    "all derive from that vocab^2-bounded table (lazily checkpointed "
+    "so its consumers share one materialization).  Lift is one IEEE "
+    "division of exact integers — spelled in the identical op order in "
+    "both engines, hash-exact with no transcendental (log2-free by "
+    "design; PMI = log2(lift) driver-side).",
+)
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.collocations import collocations
+
+    docs = load_table(spark, sf_dir, "documents")
+    return collocations(docs, "text", min_count=10)

@@ -265,6 +265,7 @@ SHUFFLE_BUDGET = {
     "q_agg_percentile": 1, "q_agg_pivot": 2, "q_agg_scalars": 8,
     "q_ann_probe": 0, "q_ann_topk": 0, "q_array_ops": 0,
     "q_binary_roundtrip": 1, "q_codec_checks": 2, "q_crack_batch": 2,
+    "q_collocations": 3,
     "q_crack_throughput": 1, "q_crack_verdicts": 3, "q_date_ops": 1,
     "q_dedup_components": 2, "q_dedup_embedding": 1, "q_dedup_exact": 7,
     "q_dedup_jaccard": 15, "q_dedup_sketch": 15, "q_events_scan": 0,
