@@ -82,6 +82,70 @@ def outlier_bounds(
     return med - spread, med + spread
 
 
+def flag_outliers_grouped(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    method: str = "iqr",
+    k: float = 1.5,
+    exact: bool = False,
+    flag_col: str = "is_outlier",
+) -> DataFrame:
+    """Per-group fences — "each sensor/domain/partition gets its own
+    normal range", the shape that actually survives 100 TB: fences stay
+    a DISTRIBUTED grouped aggregate (one shuffle on the group key, no
+    driver collect, no per-group driver loop), broadcast-joined back,
+    verdict map-only.  ``exact=True`` uses the sort-based ``percentile``
+    (the oracle-checked path); default is ``approx_percentile``.
+
+    Fence arithmetic runs as column expressions in the SAME fixed IEEE
+    order as the global :func:`flag_outliers`, so a DuckDB twin with
+    grouped ``quantile_cont`` reproduces fences and verdicts exactly."""
+    if method not in ("iqr", "mad"):
+        raise ValueError(f"method must be 'iqr' or 'mad', got {method!r}")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    v = F.col(value_col)
+    pfn = "percentile" if exact else "approx_percentile"
+
+    def _p(col: str, p: float):
+        return F.expr(f"{pfn}({col}, {p!r})")
+
+    if method == "iqr":
+        fences = df.groupBy(*group_cols).agg(
+            (
+                _p(value_col, 0.25)
+                - F.lit(k) * (_p(value_col, 0.75) - _p(value_col, 0.25))
+            ).alias("bound_lo"),
+            (
+                _p(value_col, 0.75)
+                + F.lit(k) * (_p(value_col, 0.75) - _p(value_col, 0.25))
+            ).alias("bound_hi"),
+        )
+    else:
+        med = df.groupBy(*group_cols).agg(
+            _p(value_col, 0.5).alias("__med")
+        )
+        dev = df.join(F.broadcast(med), group_cols).withColumn(
+            "__dev", F.abs(v - F.col("__med"))
+        )
+        fences = dev.groupBy(*group_cols, "__med").agg(
+            (
+                F.col("__med")
+                - F.lit(k) * F.lit(MAD_SCALE) * _p("__dev", 0.5)
+            ).alias("bound_lo"),
+            (
+                F.col("__med")
+                + F.lit(k) * F.lit(MAD_SCALE) * _p("__dev", 0.5)
+            ).alias("bound_hi"),
+        ).drop("__med")
+    out = df.join(F.broadcast(fences), group_cols)
+    return out.select(
+        "*",
+        ((v < F.col("bound_lo")) | (v > F.col("bound_hi"))).alias(flag_col),
+    )
+
+
 def flag_outliers(
     df: DataFrame,
     value_col: str,

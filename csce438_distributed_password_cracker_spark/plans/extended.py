@@ -339,16 +339,34 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT med - 3.0 * 1.4826 * mad AS lo,
              med + 3.0 * 1.4826 * mad AS hi
       FROM b, md
+    ),
+    gfen AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.25)
+               - 1.5 * (quantile_cont(o_totalprice, 0.75)
+                        - quantile_cont(o_totalprice, 0.25)) AS lo,
+             quantile_cont(o_totalprice, 0.75)
+               + 1.5 * (quantile_cont(o_totalprice, 0.75)
+                        - quantile_cont(o_totalprice, 0.25)) AS hi
+      FROM orders GROUP BY 1
     )
     SELECT 'iqr' AS branch, o_orderkey, o_totalprice AS v,
+           CAST(NULL AS VARCHAR) AS grp,
            lo AS bound_lo, hi AS bound_hi,
            (o_totalprice < lo OR o_totalprice > hi) AS is_outlier
     FROM orders, ifen
     UNION ALL
     SELECT 'mad' AS branch, o_orderkey, o_totalprice AS v,
+           CAST(NULL AS VARCHAR) AS grp,
            lo AS bound_lo, hi AS bound_hi,
            (o_totalprice < lo OR o_totalprice > hi) AS is_outlier
     FROM orders, mfen
+    UNION ALL
+    SELECT 'iqr_grp' AS branch, o_orderkey, o_totalprice AS v,
+           o_orderpriority AS grp,
+           lo AS bound_lo, hi AS bound_hi,
+           (o_totalprice < lo OR o_totalprice > hi) AS is_outlier
+    FROM orders JOIN gfen USING (o_orderpriority)
     """,
     doc="Robust outlier screening (operators/outliers.py) over order "
     "totals, both fence families as a labeled union: Tukey IQR fences "
@@ -364,7 +382,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     "week's fences).",
 )
 def q_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.outliers import flag_outliers
+    from ..operators.outliers import flag_outliers, flag_outliers_grouped
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
@@ -376,9 +394,32 @@ def q_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(method).alias("branch"),
             "o_orderkey",
             F.col("o_totalprice").alias("v"),
+            F.lit(None).cast("string").alias("grp"),
             "bound_lo",
             "bound_hi",
             "is_outlier",
         )
 
-    return _branch("iqr", 1.5).unionAll(_branch("mad", 3.0))
+    # per-group fences: a DISTRIBUTED grouped aggregate joined back —
+    # the no-driver-collect shape a 100 TB deployment needs
+    grouped = flag_outliers_grouped(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        ),
+        ["o_orderpriority"],
+        "o_totalprice",
+        method="iqr",
+        k=1.5,
+        exact=True,
+    ).select(
+        F.lit("iqr_grp").alias("branch"),
+        "o_orderkey",
+        F.col("o_totalprice").alias("v"),
+        F.col("o_orderpriority").alias("grp"),
+        "bound_lo",
+        "bound_hi",
+        "is_outlier",
+    )
+    return _branch("iqr", 1.5).unionAll(_branch("mad", 3.0)).unionAll(
+        grouped
+    )

@@ -103,3 +103,38 @@ def test_approx_bounds_agree_on_separated_data(spark):
     assert sorted(
         r["id"] for r in exact.collect() if r["is_outlier"]
     ) == sorted(r["id"] for r in approx.collect() if r["is_outlier"])
+
+
+def test_grouped_fences_per_group_and_match_global_within_group(spark):
+    """Per-group fences: each group is judged by its OWN range (a value
+    normal in a wide group is an outlier in a tight one), and a group's
+    fences equal the global operator run on that group alone."""
+    from csce438_distributed_password_cracker_spark.operators.outliers import (
+        flag_outliers_grouped,
+    )
+
+    rows = (
+        # tight group: 100±1, plus a 110 that only THIS group flags
+        [(i, "tight", 100.0 + (i % 3) - 1) for i in range(40)]
+        + [(100, "tight", 110.0)]
+        # wide group: 0..1000 — 110 would be perfectly normal here
+        + [(200 + i, "wide", float(i * 25)) for i in range(41)]
+    )
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    out = flag_outliers_grouped(
+        df, ["grp"], "v", method="iqr", k=1.5, exact=True
+    )
+    flagged = {r["id"] for r in out.collect() if r["is_outlier"]}
+    assert flagged == {100}
+    # group fences == global fences computed on the slice
+    tight = df.where("grp = 'tight'")
+    lo, hi = outlier_bounds(tight, "v", method="iqr", k=1.5, exact=True)
+    got = out.where("grp = 'tight'").select("bound_lo", "bound_hi").first()
+    assert (got[0], got[1]) == (pytest.approx(lo), pytest.approx(hi))
+    # grouped MAD path exercises the two-stage median
+    mad_out = flag_outliers_grouped(
+        df, ["grp"], "v", method="mad", k=3.0, exact=True
+    )
+    assert {r["id"] for r in mad_out.collect() if r["is_outlier"]} == {100}
+    with pytest.raises(ValueError, match="group_cols"):
+        flag_outliers_grouped(df, [], "v")

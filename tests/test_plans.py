@@ -273,7 +273,7 @@ SHUFFLE_BUDGET = {
     "q_join_broadcast": 0, "q_join_bucketed": 0, "q_join_range": 1,
     "q_join_semi": 0, "q_join_skew_salted": 4, "q_join_sortmerge": 1,
     "q_keyspace_algebra": 6, "q_math_ops": 0, "q_msg_demux": 1,
-    "q_multimodal_features": 0, "q_outlier_flags": 0,
+    "q_multimodal_features": 0, "q_outlier_flags": 1,
     "q_partition_coverage": 0,
     "q_range_filter": 0, "q_sha1_mass": 0, "q_similarity_knn": 3,
     "q_sort_limit": 0, "q_split_assign": 1, "q_stream_audit": 1,
