@@ -70,13 +70,18 @@ def collocations(
     # ONE corpus pass: everything downstream (unigram position counts,
     # N, the pruned survivors) derives from the bigram COUNT table,
     # which is vocab²-bounded — orders of magnitude smaller than the
-    # corpus.  The lazy checkpoint truncates lineage so its four
-    # consumers share one materialization instead of re-running the
-    # corpus explode+shuffle per branch.
+    # corpus.  persist (NOT localCheckpoint — the repo convention, see
+    # similarity.py's multiprobe join): the four consumers share one
+    # materialization, lineage survives executor loss so a lost block
+    # recomputes instead of failing the job, and no job runs at
+    # construction time.  Lifecycle: owned by the returned plan; Spark
+    # evicts LRU.
+    from pyspark import StorageLevel
+
     c_ab = (
         big.groupBy("w1", "w2")
         .agg(F.count("*").alias("c_ab"))
-        .localCheckpoint(eager=False)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     c_a = c_ab.groupBy("w1").agg(F.sum("c_ab").alias("c_a"))
     c_b = c_ab.groupBy("w2").agg(F.sum("c_ab").alias("c_b"))

@@ -53,15 +53,17 @@ def mg_merge(summary: dict, batch_counts: dict, k: int) -> dict:
     """Merge exact ``batch_counts`` into a Misra–Gries ``summary`` with
     at most ``k`` counters (Agarwal et al. 2012 §3: sum counters, then
     subtract the (k+1)-th largest and drop ≤ 0).  Pure function of the
-    two dicts — shared by the Arrow sweep and the property tests."""
+    two dicts (inputs are never mutated) — shared by the Arrow sweep
+    and the property tests."""
+    merged = dict(summary)
     for item, c in batch_counts.items():
-        summary[item] = summary.get(item, 0) + int(c)
-    if len(summary) > k:
+        merged[item] = merged.get(item, 0) + int(c)
+    if len(merged) > k:
         # (k+1)-th largest count; subtracting it zeroes at least one
         # counter, so ≤ k survive
-        cut = sorted(summary.values(), reverse=True)[k]
-        summary = {i: c - cut for i, c in summary.items() if c - cut > 0}
-    return summary
+        cut = sorted(merged.values(), reverse=True)[k]
+        merged = {i: c - cut for i, c in merged.items() if c - cut > 0}
+    return merged
 
 
 def mg_partials(df: DataFrame, item_col: str, k: int) -> DataFrame:
@@ -69,10 +71,12 @@ def mg_partials(df: DataFrame, item_col: str, k: int) -> DataFrame:
     partition plus ONE sentinel row (item NULL, est = partition row
     count) so the caller gets the exact total in the same single scan.
     NULL items are excluded from counting (mirror any oracle with
-    ``WHERE item IS NOT NULL``)."""
+    ``WHERE item IS NOT NULL``).  The item column keeps its ORIGINAL
+    type — summaries and the downstream recount join/filter stay
+    type-exact (no stringification collisions)."""
     if k < 1:
         raise ValueError(f"k must be ≥ 1, got {k}")
-    src = df.select(F.col(item_col).cast("string").alias("item"))
+    src = df.select(F.col(item_col).alias("item"))
     out_schema = StructType(
         [
             StructField("item", src.schema["item"].dataType, True),
@@ -105,13 +109,22 @@ def heavy_hitters(
     count_col: str = "cnt",
 ) -> DataFrame:
     """All items whose frequency strictly exceeds ``total / den``, with
-    their EXACT counts — ``(item, cnt)`` with the original column name.
+    their EXACT counts — ``(item, cnt)``, the item keeping its original
+    column name AND type.
 
     ``k`` (MG counter budget, default ``2 * den``) must satisfy
     ``k + 1 ≥ den`` or candidates could be silently missed.  The
     candidate collect is bounded by construction: ≤ (k+1) rows per
     partition of the FIRST pass, and only items above the threshold
     sieve are kept driver-side before the exact pass.
+
+    EAGER by design: the sieve pass runs when this function is CALLED
+    (the driver must see the candidates to build the second-pass
+    plan), like the other build-then-return operators (index builds,
+    fence computation) — don't construct it from plan-only tooling.
+    The fully-lazy alternative (semi-join against a candidates
+    DataFrame) would re-run the corpus sweep once per consumer of the
+    partials; one bounded collect is the cheaper contract.
     """
     if den < 2:
         raise ValueError(f"den must be ≥ 2, got {den}")
@@ -140,21 +153,23 @@ def heavy_hitters(
         for i, u in upper.items()
         if (u * (k + 1) + total) * den > total * (k + 1)
     ]
-    item = F.col(item_col).cast("string")
+    item = F.col(item_col)
     if not cand:
         filtered = df.where(F.lit(False))
     elif len(cand) <= 10_000:
-        # small list → pushed-down In filter, no join at all
+        # small list → pushed-down In filter, no join at all; the
+        # collected values carry the column's native type
         filtered = df.where(item.isin(cand))
     else:
         cand_df = df.sparkSession.createDataFrame(
-            [(c,) for c in cand], ["__hh_item"]
+            [(c,) for c in cand],
+            schema=df.select(item.alias("__hh_item")).schema,
         )
         filtered = df.join(
             F.broadcast(cand_df), item == F.col("__hh_item"), "left_semi"
         )
     return (
-        filtered.groupBy(item.alias(item_col))
+        filtered.groupBy(item)
         .agg(F.count("*").alias(count_col))
         .where(F.col(count_col) * den > F.lit(total))
     )

@@ -63,11 +63,21 @@ def outlier_bounds(
             row = frame.select(
                 F.expr(f"percentile({col}, array({arr}))")
             ).first()[0]
-            return [float(x) for x in row]
-        return [
-            float(x)
-            for x in frame.approxQuantile(col, probs, relative_error)
-        ]
+            qs = [float(x) for x in row] if row is not None else []
+        else:
+            qs = [
+                float(x)
+                for x in frame.approxQuantile(col, probs, relative_error)
+            ]
+        if len(qs) != len(probs):
+            # percentile returns NULL / approxQuantile returns [] when
+            # every value is NULL or the frame is empty — name the real
+            # problem instead of crashing on the unpack downstream
+            raise ValueError(
+                f"cannot compute outlier fences: column {col!r} has no "
+                "non-NULL values (empty input or fully-NULL feed)"
+            )
+        return qs
 
     if method == "iqr":
         q1, q3 = _q(df, value_col, [0.25, 0.75])
@@ -100,13 +110,31 @@ def flag_outliers_grouped(
 
     Fence arithmetic runs as column expressions in the SAME fixed IEEE
     order as the global :func:`flag_outliers`, so a DuckDB twin with
-    grouped ``quantile_cont`` reproduces fences and verdicts exactly."""
+    grouped ``quantile_cont`` reproduces fences and verdicts exactly.
+
+    NULL group keys form their OWN group (groupBy semantics) and their
+    rows are preserved — the fence joins are null-safe, so a screening
+    step never changes the row count.  Join strategy is left to the
+    optimizer (AQE broadcasts small fence tables automatically; a
+    forced broadcast would die at web-scale group cardinality)."""
     if method not in ("iqr", "mad"):
         raise ValueError(f"method must be 'iqr' or 'mad', got {method!r}")
     if not group_cols:
         raise ValueError("group_cols must be non-empty")
     v = F.col(value_col)
     pfn = "percentile" if exact else "approx_percentile"
+
+    def _nullsafe_join(left: DataFrame, right: DataFrame) -> DataFrame:
+        r = right
+        for g in group_cols:
+            r = r.withColumnRenamed(g, f"__g_{g}")
+        cond = None
+        for g in group_cols:
+            c = left[g].eqNullSafe(r[f"__g_{g}"])
+            cond = c if cond is None else (cond & c)
+        return left.join(r, cond, "inner").drop(
+            *[f"__g_{g}" for g in group_cols]
+        )
 
     def _p(col: str, p: float):
         return F.expr(f"{pfn}({col}, {p!r})")
@@ -126,7 +154,7 @@ def flag_outliers_grouped(
         med = df.groupBy(*group_cols).agg(
             _p(value_col, 0.5).alias("__med")
         )
-        dev = df.join(F.broadcast(med), group_cols).withColumn(
+        dev = _nullsafe_join(df, med).withColumn(
             "__dev", F.abs(v - F.col("__med"))
         )
         fences = dev.groupBy(*group_cols, "__med").agg(
@@ -139,7 +167,7 @@ def flag_outliers_grouped(
                 + F.lit(k) * F.lit(MAD_SCALE) * _p("__dev", 0.5)
             ).alias("bound_hi"),
         ).drop("__med")
-    out = df.join(F.broadcast(fences), group_cols)
+    out = _nullsafe_join(df, fences)
     return out.select(
         "*",
         ((v < F.col("bound_lo")) | (v > F.col("bound_hi"))).alias(flag_col),

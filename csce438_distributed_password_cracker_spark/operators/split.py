@@ -185,6 +185,29 @@ def md5_uniform_sql(expr: str, tag: str, hex_chars: int = 6) -> str:
     return f"(({acc} + 0.5) / {16 ** hex_chars}.0)"
 
 
+def _es_keyed(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    seed: int,
+    key_col: str,
+    u_col: str | None,
+) -> DataFrame:
+    """The shared Efraimidis–Spirakis coordinate: drop nonpositive/NULL
+    weights, append ``key_col = ln(u)/w`` where u is the hash-derived
+    (or injected) per-row uniform.  One definition so the global and
+    per-group scopes can never drift apart."""
+    w = F.col(weight_col).cast("double")
+    if u_col is None:
+        u = (
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1 << 24))
+            + F.lit(0.5)
+        ) / F.lit(float(1 << 24))
+    else:
+        u = F.col(u_col)
+    return df.where(w > 0).withColumn(key_col, F.ln(u) / w)
+
+
 def weighted_sample_topk(
     df: DataFrame,
     id_col: str,
@@ -215,15 +238,7 @@ def weighted_sample_topk(
     """
     if k < 1:
         raise ValueError(f"k must be ≥ 1, got {k}")
-    w = F.col(weight_col).cast("double")
-    if u_col is None:
-        u = (
-            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1 << 24))
-            + F.lit(0.5)
-        ) / F.lit(float(1 << 24))
-    else:
-        u = F.col(u_col)
-    out = df.where(w > 0).withColumn(key_col, F.ln(u) / w)
+    out = _es_keyed(df, id_col, weight_col, seed, key_col, u_col)
     return out.orderBy(F.desc(key_col), F.col(id_col)).limit(k)
 
 
@@ -258,15 +273,7 @@ def weighted_sample_per_group(
 
     if k < 1:
         raise ValueError(f"k must be ≥ 1, got {k}")
-    w = F.col(weight_col).cast("double")
-    if u_col is None:
-        u = (
-            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1 << 24))
-            + F.lit(0.5)
-        ) / F.lit(float(1 << 24))
-    else:
-        u = F.col(u_col)
-    keyed = df.where(w > 0).withColumn(key_col, F.ln(u) / w)
+    keyed = _es_keyed(df, id_col, weight_col, seed, key_col, u_col)
     win = Window.partitionBy(*group_cols).orderBy(
         F.desc(key_col), F.col(id_col)
     )

@@ -479,6 +479,14 @@ def table_changes(
 
     if to_version is None:
         to_version = _load_manifest(Path(root_dir))["version"]
+    if from_version > to_version:
+        # swapped args would silently INVERT added/removed labels — an
+        # audit consumer acting on backwards changes is worse than an
+        # error
+        raise ValueError(
+            f"from_version {from_version} > to_version {to_version}: "
+            "swap the arguments (the feed direction is from → to)"
+        )
     before = read_version(spark, root_dir, from_version)
     after = read_version(spark, root_dir, to_version)
     d = snapshot_diff(before, after, key_cols)
@@ -757,6 +765,10 @@ def delete_where(
             delta = delta.withColumn(
                 f.name, F.lit(None).cast(f.dataType)
             )
+    # checkpoint BEFORE counting: the count and merge_versioned's own
+    # eager checkpoint would otherwise each run the head predicate scan
+    # — one pass instead of two
+    delta = delta.localCheckpoint(eager=True)
     n = delta.count()
     if n == 0:
         return _load_manifest(Path(root_dir))["version"], 0

@@ -130,3 +130,14 @@ def test_mg_partials_sentinel_totals_and_bound(spark):
     assert total == 3_000
     # ≤ k survivors per partition (8 partitions from _skewed_df)
     assert sum(1 for r in rows if r["item"] is not None) <= 16 * 8
+
+
+def test_heavy_hitters_preserves_item_dtype(spark):
+    df = spark.createDataFrame(
+        [(i % 3,) for i in range(300)], "user_id long"
+    )
+    out = heavy_hitters(df, "user_id", den=5)
+    assert dict(out.dtypes)["user_id"] == "bigint"
+    assert {(r["user_id"], r["cnt"]) for r in out.collect()} == {
+        (0, 100), (1, 100), (2, 100),
+    }

@@ -138,3 +138,24 @@ def test_grouped_fences_per_group_and_match_global_within_group(spark):
     assert {r["id"] for r in mad_out.collect() if r["is_outlier"]} == {100}
     with pytest.raises(ValueError, match="group_cols"):
         flag_outliers_grouped(df, [], "v")
+
+
+def test_grouped_preserves_null_group_rows(spark):
+    """A NULL group key is its own group (groupBy semantics) and its
+    rows survive the fence joins — the screen never changes row count."""
+    from csce438_distributed_password_cracker_spark.operators.outliers import (
+        flag_outliers_grouped,
+    )
+
+    rows = [(i, None, float(i % 10)) for i in range(30)] + [
+        (30, None, 1e6),
+        (40, "g", 1.0), (41, "g", 2.0), (42, "g", 3.0), (43, "g", 4.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    for method in ("iqr", "mad"):
+        out = flag_outliers_grouped(df, ["grp"], "v", method=method,
+                                    exact=True)
+        assert out.count() == df.count(), method
+        flagged = {r["id"] for r in out.collect() if r["is_outlier"]}
+        assert flagged == {30}, method
+

@@ -666,7 +666,10 @@ def test_table_changes_between_versions(spark, table):
     assert versioned.table_changes(spark, table, ["k"], 1, 1).count() == 0
     # unknown version still raises through read_version
     with pytest.raises(ValueError, match="not in history"):
-        versioned.table_changes(spark, table, ["k"], 7)
+        versioned.table_changes(spark, table, ["k"], 1, 7)
+    # swapped arguments would invert added/removed — loud error instead
+    with pytest.raises(ValueError, match="swap the arguments"):
+        versioned.table_changes(spark, table, ["k"], 2, 1)
 
 
 def test_delete_where_tombstones_and_erasure_path(spark, table):
