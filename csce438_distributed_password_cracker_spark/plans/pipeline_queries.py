@@ -9,9 +9,8 @@ oracle (driver records rows-only) and are brute-force-checked in tests.
 
 Per-doc text analyses are fused into ONE query (``q_text_profile``) and
 the three hash-sketch families into another (``q_dedup_sketch``) so the
-driver correctness gate — which records at most 50 registry entries —
-covers every semantic: the fusions are single-scan column unions /
-labeled unions, not new semantics.
+driver correctness gate covers every semantic compactly: the fusions
+are single-scan column unions / labeled unions, not new semantics.
 """
 
 from __future__ import annotations
