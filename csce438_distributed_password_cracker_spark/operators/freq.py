@@ -73,9 +73,20 @@ def mg_partials(df: DataFrame, item_col: str, k: int) -> DataFrame:
     NULL items are excluded from counting (mirror any oracle with
     ``WHERE item IS NOT NULL``).  The item column keeps its ORIGINAL
     type — summaries and the downstream recount join/filter stay
-    type-exact (no stringification collisions)."""
+    type-exact (no stringification collisions).  Complex item types
+    (array/map/struct) are rejected loudly — they are unhashable in
+    the counting kernel; serialize first (``to_json`` or a hash)."""
     if k < 1:
         raise ValueError(f"k must be ≥ 1, got {k}")
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    dt = df.schema[item_col].dataType
+    if isinstance(dt, (ArrayType, MapType, StructType)):
+        raise ValueError(
+            f"item column {item_col!r} has complex type {dt.simpleString()}"
+            " — unhashable in the counting kernel; serialize it first"
+            " (to_json(col) or xxhash64(col))"
+        )
     src = df.select(F.col(item_col).alias("item"))
     out_schema = StructType(
         [
@@ -91,12 +102,16 @@ def mg_partials(df: DataFrame, item_col: str, k: int) -> DataFrame:
             vals = pdf["item"].dropna()
             seen += len(vals)
             summary = mg_merge(summary, vals.value_counts().to_dict(), k)
+        # the sentinel travels in its OWN frame: appending None to an
+        # int64 item list coerces the pandas column to float64, which
+        # silently corrupts ids above 2^53 (review-caught regression)
         yield pd.DataFrame(
             {
-                "item": list(summary.keys()) + [None],
-                "est": [int(v) for v in summary.values()] + [seen],
+                "item": list(summary.keys()),
+                "est": [int(v) for v in summary.values()],
             }
         )
+        yield pd.DataFrame({"item": [None], "est": [seen]})
 
     return src.mapInPandas(_sweep, out_schema)
 

@@ -477,8 +477,17 @@ def table_changes(
 
     from .diff import snapshot_diff
 
+    m = _load_manifest(Path(root_dir))
     if to_version is None:
-        to_version = _load_manifest(Path(root_dir))["version"]
+        to_version = m["version"]
+    # existence FIRST: asking for changes since a version that never
+    # existed must say "not in history", not "swap the arguments"
+    known = [h["version"] for h in m["history"]]
+    for v in (from_version, to_version):
+        if v not in known:
+            raise ValueError(
+                f"version {v} not in history {known} (vacuumed?)"
+            )
     if from_version > to_version:
         # swapped args would silently INVERT added/removed labels — an
         # audit consumer acting on backwards changes is worse than an

@@ -116,6 +116,10 @@ def heavy_hitter_stream(
     candidate set (items never span shards)."""
     if k < 1:
         raise ValueError(f"k must be ≥ 1, got {k}")
+    if num_ranges < 1:
+        # pmod(x, 0) only fails at stream runtime (ANSI remainder-by-
+        # zero mid-query) — fail at construction like the k guard
+        raise ValueError(f"num_ranges must be ≥ 1, got {num_ranges}")
     src = items.select(
         F.pmod(F.xxhash64(F.col(item_col)), F.lit(num_ranges))
         .cast("int")

@@ -664,10 +664,13 @@ def test_table_changes_between_versions(spark, table):
     assert (rows[0], rows[1]) == (1, 2)
     # explicit to_version and identity diff
     assert versioned.table_changes(spark, table, ["k"], 1, 1).count() == 0
-    # unknown version still raises through read_version
+    # a version that never existed says so — even when it ALSO exceeds
+    # the defaulted to_version (existence is checked before ordering)
+    with pytest.raises(ValueError, match="not in history"):
+        versioned.table_changes(spark, table, ["k"], 7)
     with pytest.raises(ValueError, match="not in history"):
         versioned.table_changes(spark, table, ["k"], 1, 7)
-    # swapped arguments would invert added/removed — loud error instead
+    # swapped EXISTING versions would invert added/removed — loud error
     with pytest.raises(ValueError, match="swap the arguments"):
         versioned.table_changes(spark, table, ["k"], 2, 1)
 
