@@ -282,6 +282,71 @@ def weighted_sample_per_group(
     )
 
 
+def curriculum_order(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    n_stages: int = 4,
+    seed: int = 42,
+    exact: bool = False,
+    stage_col: str = "stage",
+    order_col: str = "curr_key",
+    relative_error: float = 1e-4,
+) -> DataFrame:
+    """Curriculum ordering for a dataloader (public prior art: Bengio
+    2009 curriculum learning; length/quality-staged pretraining): bucket
+    rows into ``n_stages`` ascending-score stages by QUANTILE thresholds
+    and give each row a deterministic within-stage shuffle coordinate —
+    the consumer sorts by ``(stage, curr_key, id)`` and reads easy→hard
+    with the inside of each stage deterministically shuffled.
+
+    Scale shape: thresholds are ONE quantile aggregation reduced to
+    n_stages−1 driver literals (``approxQuantile`` one-pass mergeable by
+    default; sort-based exact ``percentile`` under ``exact=True`` — the
+    oracle-checked path), then stage assignment and the shuffle
+    coordinate are MAP-ONLY.  No global sort happens here — materialize
+    the order with ``repartitionByRange(stage_col, order_col)`` +
+    within-partition sort at write time, exactly like
+    :func:`shuffle_rows`.  A window ``ntile`` would equalize stage sizes
+    but costs a single-partition global sort — the quantile-threshold
+    form trades exact equality of stage sizes for a plan that survives
+    100 TB.  NULL scores get stage NULL (screen them first)."""
+    if n_stages < 2:
+        raise ValueError(f"n_stages must be ≥ 2, got {n_stages}")
+    probs = [i / n_stages for i in range(1, n_stages)]
+    if exact:
+        arr = ", ".join(repr(p) for p in probs)
+        row = df.select(
+            F.expr(f"percentile({score_col}, array({arr}))")
+        ).first()[0]
+        if row is None:
+            raise ValueError(
+                f"cannot stage curriculum: {score_col!r} has no "
+                "non-NULL values"
+            )
+        thresholds = [float(x) for x in row]
+    else:
+        thresholds = [
+            float(x)
+            for x in df.approxQuantile(score_col, probs, relative_error)
+        ]
+        if len(thresholds) != len(probs):
+            raise ValueError(
+                f"cannot stage curriculum: {score_col!r} has no "
+                "non-NULL values"
+            )
+    s = F.col(score_col)
+    stage = None
+    for t in thresholds:
+        step = F.when(s > F.lit(t), 1).otherwise(0)
+        stage = step if stage is None else stage + step
+    return df.select(
+        "*",
+        F.when(s.isNotNull(), stage).cast("int").alias(stage_col),
+        _sample_bucket(id_col, seed).alias(order_col),
+    )
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,

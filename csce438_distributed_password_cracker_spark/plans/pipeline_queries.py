@@ -2031,3 +2031,46 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return collocations(docs, "text", min_count=10)
+
+
+@register(
+    "q_curriculum",
+    oracle="""
+    WITH t AS (
+      SELECT quantile_cont(n_chars, 0.25) AS t1,
+             quantile_cont(n_chars, 0.5)  AS t2,
+             quantile_cont(n_chars, 0.75) AS t3
+      FROM documents
+    )
+    SELECT doc_id, n_chars,
+           CAST((CASE WHEN n_chars > t1 THEN 1 ELSE 0 END)
+              + (CASE WHEN n_chars > t2 THEN 1 ELSE 0 END)
+              + (CASE WHEN n_chars > t3 THEN 1 ELSE 0 END) AS INT)
+             AS stage
+    FROM documents, t
+    """,
+    doc="Curriculum staging (split.curriculum_order; Bengio 2009 / "
+    "length-staged pretraining): documents bucket into 4 ascending-"
+    "length stages by QUANTILE thresholds — one quantile aggregation "
+    "reduced to 3 plan literals (exact sort-based percentile here, the "
+    "oracle path; approxQuantile one-pass mergeable in production), "
+    "then stage assignment is MAP-ONLY.  The within-stage deterministic "
+    "shuffle coordinate (curr_key = the shared xxhash64 sampling "
+    "bucket) is projected out of the gate output — that machinery is "
+    "already hash-checked through q_split_assign's md5 twin — so this "
+    "query pins the threshold/stage semantics: Spark percentile ≡ "
+    "DuckDB quantile_cont bit-for-bit, stage comparisons integer-"
+    "exact.  A window ntile would equalize stage sizes but costs a "
+    "single-partition global sort; the threshold form is the one that "
+    "survives 100 TB (consumers materialize order via "
+    "repartitionByRange(stage, curr_key) at write time).",
+)
+def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.split import curriculum_order
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    return curriculum_order(
+        docs, "doc_id", "n_chars", n_stages=4, exact=True
+    ).select("doc_id", "n_chars", "stage")

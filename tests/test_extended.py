@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from csce438_distributed_password_cracker_spark.catalog import load_table
@@ -315,3 +316,47 @@ def test_weighted_sample_per_group_model_and_cap(spark):
     assert sorted(r["id"] for r in out.collect()) == sorted(
         r["id"] for r in again.collect()
     )
+
+
+def test_curriculum_order_stages_and_plan(spark):
+    """Quantile-staged curriculum: stages are monotone in score,
+    roughly balanced on smooth data, NULL scores stage NULL, the
+    verdict plan is map-only, and the guards fire."""
+    from csce438_distributed_password_cracker_spark.operators.split import (
+        curriculum_order,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1_000)] + [(2_000, None)],
+        "id long, score double",
+    )
+    out = curriculum_order(df, "id", "score", n_stages=4, exact=True)
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[2_000]["stage"] is None
+    # monotone: stage never decreases as the score rises
+    staged = [rows[i]["stage"] for i in range(1_000)]
+    assert staged == sorted(staged)
+    assert set(staged) == {0, 1, 2, 3}
+    # balanced within one row on this uniform ramp
+    from collections import Counter
+
+    sizes = Counter(staged)
+    assert all(abs(v - 250) <= 1 for v in sizes.values()), sizes
+    # the coordinate is the shared sampling bucket: deterministic
+    again = curriculum_order(
+        df.repartition(7), "id", "score", n_stages=4, exact=True
+    )
+    assert sorted(
+        (r["id"], r["stage"], r["curr_key"]) for r in out.collect()
+    ) == sorted((r["id"], r["stage"], r["curr_key"]) for r in again.collect())
+    # stage+coordinate assignment is map-only (thresholds are literals)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    # guards
+    with pytest.raises(ValueError, match="n_stages"):
+        curriculum_order(df, "id", "score", n_stages=1)
+    allnull = spark.createDataFrame([(1, None)], "id long, score double")
+    with pytest.raises(ValueError, match="no\\s+non-NULL|non-NULL"):
+        curriculum_order(allnull, "id", "score", exact=True)
+    with pytest.raises(ValueError, match="no\\s+non-NULL|non-NULL"):
+        curriculum_order(allnull, "id", "score", exact=False)

@@ -271,7 +271,8 @@ SHUFFLE_BUDGET = {
     "q_ann_probe": 0, "q_ann_topk": 0, "q_array_ops": 0,
     "q_binary_roundtrip": 1, "q_codec_checks": 1, "q_collocations": 4,
     "q_crack_batch": 2,
-    "q_crack_throughput": 1, "q_crack_verdicts": 1, "q_date_ops": 1,
+    "q_crack_throughput": 1, "q_crack_verdicts": 1, "q_curriculum": 0,
+    "q_date_ops": 1,
     "q_dedup_components": 2, "q_dedup_embedding": 1, "q_dedup_exact": 7,
     "q_dedup_jaccard": 15, "q_dedup_sketch": 15, "q_events_scan": 0,
     "q_heavy_hitters": 1, "q_join_anti": 0, "q_join_asof": 2,
