@@ -57,27 +57,12 @@ def outlier_bounds(
     if method not in ("iqr", "mad"):
         raise ValueError(f"method must be 'iqr' or 'mad', got {method!r}")
 
+    from .quantiles import column_quantiles
+
     def _q(frame: DataFrame, col: str, probs: list[float]) -> list[float]:
-        if exact:
-            arr = ", ".join(repr(p) for p in probs)
-            row = frame.select(
-                F.expr(f"percentile({col}, array({arr}))")
-            ).first()[0]
-            qs = [float(x) for x in row] if row is not None else []
-        else:
-            qs = [
-                float(x)
-                for x in frame.approxQuantile(col, probs, relative_error)
-            ]
-        if len(qs) != len(probs):
-            # percentile returns NULL / approxQuantile returns [] when
-            # every value is NULL or the frame is empty — name the real
-            # problem instead of crashing on the unpack downstream
-            raise ValueError(
-                f"cannot compute outlier fences: column {col!r} has no "
-                "non-NULL values (empty input or fully-NULL feed)"
-            )
-        return qs
+        return column_quantiles(
+            frame, col, probs, exact=exact, relative_error=relative_error
+        )
 
     if method == "iqr":
         q1, q3 = _q(df, value_col, [0.25, 0.75])

@@ -313,38 +313,23 @@ def curriculum_order(
     100 TB.  NULL scores get stage NULL (screen them first)."""
     if n_stages < 2:
         raise ValueError(f"n_stages must be ≥ 2, got {n_stages}")
+    from .quantiles import column_quantiles
+
     probs = [i / n_stages for i in range(1, n_stages)]
-    if exact:
-        arr = ", ".join(repr(p) for p in probs)
-        row = df.select(
-            F.expr(f"percentile({score_col}, array({arr}))")
-        ).first()[0]
-        if row is None:
-            raise ValueError(
-                f"cannot stage curriculum: {score_col!r} has no "
-                "non-NULL values"
-            )
-        thresholds = [float(x) for x in row]
-    else:
-        thresholds = [
-            float(x)
-            for x in df.approxQuantile(score_col, probs, relative_error)
-        ]
-        if len(thresholds) != len(probs):
-            raise ValueError(
-                f"cannot stage curriculum: {score_col!r} has no "
-                "non-NULL values"
-            )
+    thresholds = column_quantiles(
+        df, score_col, probs, exact=exact, relative_error=relative_error
+    )
     s = F.col(score_col)
     stage = None
     for t in thresholds:
         step = F.when(s > F.lit(t), 1).otherwise(0)
         stage = step if stage is None else stage + step
-    return df.select(
-        "*",
-        F.when(s.isNotNull(), stage).cast("int").alias(stage_col),
-        _sample_bucket(id_col, seed).alias(order_col),
-    )
+    # withColumn, not select('*', ...): a pre-existing stage/curr_key
+    # column is REPLACED instead of silently duplicated (the ambiguous-
+    # reference error would otherwise surface at the consumer's sort)
+    return df.withColumn(
+        stage_col, F.when(s.isNotNull(), stage).cast("int")
+    ).withColumn(order_col, _sample_bucket(id_col, seed))
 
 
 def hash_split(

@@ -2043,10 +2043,11 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id, n_chars,
-           CAST((CASE WHEN n_chars > t1 THEN 1 ELSE 0 END)
-              + (CASE WHEN n_chars > t2 THEN 1 ELSE 0 END)
-              + (CASE WHEN n_chars > t3 THEN 1 ELSE 0 END) AS INT)
-             AS stage
+           CASE WHEN n_chars IS NULL THEN CAST(NULL AS INT)
+                ELSE CAST((CASE WHEN n_chars > t1 THEN 1 ELSE 0 END)
+                   + (CASE WHEN n_chars > t2 THEN 1 ELSE 0 END)
+                   + (CASE WHEN n_chars > t3 THEN 1 ELSE 0 END) AS INT)
+           END AS stage
     FROM documents, t
     """,
     doc="Curriculum staging (split.curriculum_order; Bengio 2009 / "
