@@ -271,3 +271,50 @@ def test_hist_quantile_properties(data):
     for q in qs:
         v = hist_quantile(single, q)
         assert lo - 1e-9 <= v <= lo + width + 1e-9
+
+
+@given(st.data())
+@settings(max_examples=30, deadline=None)
+def test_curriculum_staging_matches_python_model(spark, data):
+    """curriculum_order's quantile-threshold staging equals the pure
+    model (type-7 percentile thresholds + strict-greater counting) on
+    random scores, for any stage count — and stages are monotone in
+    score by construction."""
+    from csce438_distributed_password_cracker_spark.operators.split import (
+        curriculum_order,
+    )
+
+    n_stages = data.draw(st.integers(min_value=2, max_value=6))
+    scores = data.draw(
+        st.lists(
+            st.floats(
+                min_value=-1e6, max_value=1e6,
+                allow_nan=False, allow_infinity=False,
+            ),
+            min_size=n_stages,
+            max_size=60,
+        )
+    )
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(scores)], "id long, v double"
+    )
+    got = {
+        r["id"]: r["stage"]
+        for r in curriculum_order(
+            df, "id", "v", n_stages=n_stages, exact=True
+        ).collect()
+    }
+    s = sorted(scores)
+
+    def q(p):
+        h = (len(s) - 1) * p
+        f = int(h)
+        return s[f] + (h - f) * (s[min(f + 1, len(s) - 1)] - s[f])
+
+    ts = [q(i / n_stages) for i in range(1, n_stages)]
+    for i, v in enumerate(scores):
+        assert got[i] == sum(1 for t in ts if v > t), (i, v, ts)
+    # monotone: sorting by score never decreases the stage
+    order = sorted(range(len(scores)), key=lambda i: scores[i])
+    staged = [got[i] for i in order]
+    assert staged == sorted(staged)
