@@ -23,7 +23,8 @@ Scale shape (100 TB):
   one pass, mergeable) — percentile error moves the FENCE by ~ε·range,
   it does not corrupt the verdict logic; ``exact=True`` switches to the
   sort-based exact ``percentile`` (what the oracle-checked gate query
-  uses — Spark ``percentile`` ≡ DuckDB ``quantile_cont`` bit-for-bit);
+  uses — Spark ``percentile`` ≡ DuckDB ``quantile_cont`` up to
+  interpolation op order, identical except ulps at subnormal spacing);
 - MAD needs a second pass (median of |x − median|, inherently nested);
   IQR needs one.
 """
@@ -122,7 +123,7 @@ def flag_outliers_grouped(
         )
 
     def _p(col: str, p: float):
-        return F.expr(f"{pfn}({col}, {p!r})")
+        return F.expr(f"{pfn}(`{col}`, {p!r})")
 
     if method == "iqr":
         fences = df.groupBy(*group_cols).agg(

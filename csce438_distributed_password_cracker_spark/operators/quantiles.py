@@ -3,7 +3,10 @@ handful of plan literals, the common first step of every fence/staging
 operator (outlier fences, curriculum thresholds).
 
 ``exact=True`` uses the sort-based ``percentile`` (≡ DuckDB
-``quantile_cont`` bit-for-bit — the oracle-checked path); default is
+``quantile_cont`` up to interpolation op order — Spark evaluates
+``(1-frac)*lower + frac*higher``, DuckDB ``lower + frac*(higher-lower)``,
+identical except for ulps at subnormal spacing — the oracle-checked
+path); default is
 ``approxQuantile`` (Greenwald–Khanna, one mergeable pass — the 100 TB
 path).  Extracted so the exact/approx pair and the all-NULL guard live
 ONCE (the copies in outliers.py and split.py had already drifted before
@@ -29,7 +32,7 @@ def column_quantiles(
     the real problem downstream)."""
     if exact:
         arr = ", ".join(repr(p) for p in probs)
-        row = df.select(F.expr(f"percentile({col}, array({arr}))")).first()[
+        row = df.select(F.expr(f"percentile(`{col}`, array({arr}))")).first()[
             0
         ]
         qs = [float(x) for x in row] if row is not None else []

@@ -255,8 +255,8 @@ def weighted_sample_per_group(
 ) -> DataFrame:
     """Per-stratum weighted sampling without replacement — the weighted
     analog of :func:`group_quota`: within each group, rank rows by the
-    Efraimidis–Spirakis key ``ln(u)/w`` descending (tie-break on the
-    key column) and keep ``rank ≤ k``.  Each group draws its own
+    Efraimidis–Spirakis key ``ln(u)/w`` descending (deterministic
+    tie-break on the id column) and keep ``rank ≤ k``.  Each group draws its own
     weighted-without-replacement sample of size ≤ k — the per-domain /
     per-source curation cap where bigger documents should win
     proportionally, not uniformly.

@@ -100,8 +100,8 @@ _sql_query(
     GROUP BY o_orderpriority
     """,
     doc="Exact grouped percentiles (linear interpolation): Spark "
-    "percentile() ≡ DuckDB quantile_cont() bit-for-bit — interpolation "
-    "between sorted neighbors with dyadic fractions stays exact.  At "
+    "percentile() ≡ DuckDB quantile_cont() up to interpolation op order "
+    "— between sorted neighbors with dyadic fractions both stay exact.  At "
     "scale the exact sort-based form gives way to approx_percentile "
     "(t-digest), whose error-bounded twin q_approx_distinct models.",
     tables=("orders",),
@@ -372,8 +372,8 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     "totals, both fence families as a labeled union: Tukey IQR fences "
     "(k=1.5) and MAD z-fences (k=3, consistency constant 1.4826).  The "
     "Spark side runs the real operator with exact=True — fences derive "
-    "from the sort-based exact percentile (≡ DuckDB quantile_cont "
-    "bit-for-bit) through fixed-order IEEE fence arithmetic computed "
+    "from the sort-based exact percentile (≡ DuckDB quantile_cont up "
+    "to interpolation op order) through fixed-order IEEE fence arithmetic computed "
     "driver-side, so fences AND per-row verdicts hash-match without "
     "rounding.  Production path: approxQuantile (Greenwald-Khanna, one "
     "mergeable pass) for the bounds — the verdict stays a map-only "

@@ -2060,8 +2060,8 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bucket) is projected out of the gate output — that machinery is "
     "already hash-checked through q_split_assign's md5 twin — so this "
     "query pins the threshold/stage semantics: Spark percentile ≡ "
-    "DuckDB quantile_cont bit-for-bit, stage comparisons integer-"
-    "exact.  A window ntile would equalize stage sizes but costs a "
+    "DuckDB quantile_cont up to interpolation op order, stage "
+    "comparisons integer-exact.  A window ntile would equalize stage sizes but costs a "
     "single-partition global sort; the threshold form is the one that "
     "survives 100 TB (consumers materialize order via "
     "repartitionByRange(stage, curr_key) at write time).",

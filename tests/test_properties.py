@@ -285,12 +285,16 @@ def test_curriculum_staging_matches_python_model(spark, data):
     )
 
     n_stages = data.draw(st.integers(min_value=2, max_value=6))
+    # Integer-grid scores: Spark's percentile interpolates as
+    # (1-frac)*lower + frac*higher while the type-7 model below uses
+    # lower + frac*(higher-lower); the two differ by ulps at subnormal
+    # spacing (seen: scores [0.0, -5e-324] flip the strict-> stage
+    # comparison).  On an integer grid the interior threshold sits
+    # >= gap/6 away from any score, so op-order ulps can never cross
+    # a comparison boundary.
     scores = data.draw(
         st.lists(
-            st.floats(
-                min_value=-1e6, max_value=1e6,
-                allow_nan=False, allow_infinity=False,
-            ),
+            st.integers(min_value=-(10**6), max_value=10**6).map(float),
             min_size=n_stages,
             max_size=60,
         )
