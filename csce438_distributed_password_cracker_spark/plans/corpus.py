@@ -6,9 +6,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Import order IS registry order, and the driver's correctness gate
 # records at most the first 50 entries.  The registry sits exactly at
-# that cap (49 oracle-checked + the rows-only throughput probe); if it
-# ever grows past 50, order the weakest-signal entries last so a cap
-# off-by-one never hides an oracle-checked query.
+# that cap (49 oracle-checked + the rows-only throughput probe) —
+# restored in round 6 by fusing the five late-round-5 overflow queries
+# into existing entries (heavy_hitters -> q_collocations's hh branch;
+# weighted_sample + curriculum -> q_split_assign; range_filter ->
+# q_keyspace_algebra's range_* columns; sha1_mass -> q_string_ops's
+# digest column).  NEW SEMANTICS MUST FUSE INTO AN EXISTING ENTRY, not
+# append a 51st: an entry past the cap gets NO driver correctness row,
+# which is strictly weaker signal than a fused branch.  If the registry
+# ever grows past 50 anyway, order the weakest-signal entries last so a
+# cap off-by-one never hides an oracle-checked query.
 from . import extended  # noqa: F401  (registers relational first, then itself)
 from . import keyspace_queries  # noqa: F401
 from . import tpch  # noqa: F401

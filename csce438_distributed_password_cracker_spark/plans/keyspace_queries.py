@@ -99,19 +99,6 @@ def q_crack_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_range_filter",
-    oracle=f"""
-    SELECT candidate FROM ({keyspace_sql_duckdb(3)})
-    WHERE candidate BETWEEN 'baa' AND 'bzz'
-    """,
-    doc="P4: inclusive range predicate — the worker's scan bounds "
-    "(worker.c:93-96).",
-)
-def q_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return keyspace(spark, 3).filter(F.col("candidate").between("baa", "bzz"))
-
-
-@register(
     "q_partition_coverage",
     oracle=_split_sql_duckdb(4),
     doc="X1: the reference's even range split (server.c:387-434) — "
@@ -130,7 +117,8 @@ def q_partition_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s.n_candidates, s.first_candidate, s.last_candidate,
            s.ordinal_checksum,
            u.union_n, u.union_first, u.union_last,
-           e.uncovered, e.covered_in_space
+           e.uncovered, e.covered_in_space,
+           r.range_n, r.range_first, r.range_last, r.range_checksum
     FROM (
       SELECT count(*) AS n_candidates,
              min(candidate) AS first_candidate,
@@ -151,6 +139,14 @@ def q_partition_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         (SELECT count(DISTINCT ordinal) FROM covered
           WHERE ordinal < {codec.keyspace_size(3)}) AS covered_in_space
     ) e
+    CROSS JOIN (
+      SELECT count(*) AS range_n,
+             min(candidate) AS range_first,
+             max(candidate) AS range_last,
+             CAST(sum(ordinal) AS BIGINT) AS range_checksum
+      FROM ({keyspace_sql_duckdb(3)})
+      WHERE candidate BETWEEN 'baa' AND 'bzz'
+    ) r
     """,
     doc="Keyspace set algebra in one row (merged scan/union/except so the "
     "50-entry driver gate covers each): S1 full width-3 scan — count + "
@@ -158,8 +154,12 @@ def q_partition_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "union of two contiguous slices reconstructs the full space "
     "(per-worker result union, server.c:346-348); except gap-proof of X1 — "
     "full range EXCEPT union-of-subranges is empty (split covers "
-    "everything; overshoot falls outside the space).  Every operand is a "
-    "single-row aggregate, so the cross joins are broadcast no-ops.",
+    "everything; overshoot falls outside the space); range_* — the P4 "
+    "inclusive range predicate, the worker's scan bounds (worker.c:93-96; "
+    "round-6 fusion of the former q_range_filter) pinned as count + "
+    "bounds + ordinal checksum, which DETERMINE a contiguous selection "
+    "exactly.  Every operand is a single-row aggregate, so the cross "
+    "joins are broadcast no-ops.",
 )
 def q_keyspace_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = codec.keyspace_size(3)
@@ -186,7 +186,19 @@ def q_keyspace_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         covered.filter(F.col("ordinal") < n)
         .agg(F.count_distinct("ordinal").alias("covered_in_space"))
     )
-    return scan.crossJoin(union).crossJoin(unc).crossJoin(cov)
+    rng = (
+        keyspace(spark, 3, with_ordinal=True)
+        .filter(F.col("candidate").between("baa", "bzz"))
+        .agg(
+            F.count("*").alias("range_n"),
+            F.min("candidate").alias("range_first"),
+            F.max("candidate").alias("range_last"),
+            F.sum("ordinal").alias("range_checksum"),
+        )
+    )
+    return (
+        scan.crossJoin(union).crossJoin(unc).crossJoin(cov).crossJoin(rng)
+    )
 
 
 @register(

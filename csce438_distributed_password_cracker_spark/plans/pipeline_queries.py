@@ -1462,6 +1462,9 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BUCKET = md5_bucket_sql("CAST(doc_id AS STRING)", 256)
 _SAMP = md5_sample_sql("CAST(doc_id AS STRING)", "s", 256)
 _MIXB = md5_sample_sql("CAST(doc_id AS STRING)", "m", 256)
+_NTOKS_SQL = (
+    "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
+)
 # token-budget mixing branch, SATURATION regime (round-5 upgrade): weights
 # en 0.2 / fr 0.2 / de 0.6 under a budget of 50% of the weighted corpus's
 # tokens.  de's first-pass want (0.6 · 0.5 · wtot = 0.30 · wtot) exceeds
@@ -1493,10 +1496,12 @@ _UP_RATE = (
 )
 _MIXU = md5_sample_sql("CAST(doc_id AS STRING)", "u", 256)
 
-_sql_query(
-    "q_split_assign",
-    f"""
-    SELECT doc_id,
+# The per-doc 'assign' branch select-list — one template rendered twice:
+# the ORACLE computes stage from the quantile CTE (thr cross join); the
+# Spark side reads the stage column the REAL curriculum_order operator
+# already appended to the staged view (same md5/window text otherwise).
+_ASSIGN_TMPL = f"""
+    SELECT 'assign' AS branch, doc_id,
            CAST({_BUCKET} AS BIGINT) AS bucket,
            CASE WHEN {_BUCKET} < 204 THEN 'train'
                 WHEN {_BUCKET} < 230 THEN 'val'
@@ -1512,9 +1517,15 @@ _sql_query(
              + CASE WHEN {_MIXU} <
                       floor((({_UP_RATE}) - floor({_UP_RATE})) * 256)
                     THEN 1 ELSE 0 END,
-             0) AS BIGINT) AS mix_epochs
+             0) AS BIGINT) AS mix_epochs,
+           n_chars,
+           {{stage_expr}} AS stage,
+           CAST(NULL AS STRING) AS grp,
+           CAST(NULL AS BIGINT) AS w,
+           CAST(NULL AS DOUBLE) AS samp_key,
+           CAST(NULL AS BIGINT) AS samp_rank
     FROM (
-      SELECT doc_id, lang,
+      SELECT doc_id, lang, n_chars{{inner_extra}},
              row_number() OVER (
                PARTITION BY lang
                ORDER BY md5(concat('q:', CAST(doc_id AS STRING))), doc_id
@@ -1527,14 +1538,89 @@ _sql_query(
              sum(CASE WHEN lang IN ('de','en') THEN n_toks END)
                OVER () AS deen_toks
       FROM (
-        SELECT doc_id, lang,
-               CAST(length(text) - length(replace(text, ' ', '')) + 1
-                    AS BIGINT) AS n_toks
-        FROM documents
+        SELECT doc_id, lang, n_chars{{inner_extra}},
+               {_NTOKS_SQL} AS n_toks
+        FROM {{src_table}}
       )
+    ){{thr_join}}
+"""
+
+_WS_NULL_ASSIGN_SQL = """
+             CAST(NULL AS BIGINT) AS bucket,
+             CAST(NULL AS STRING) AS split,
+             CAST(NULL AS BOOLEAN) AS in_sample10,
+             CAST(NULL AS BIGINT) AS strat_rank,
+             CAST(NULL AS BOOLEAN) AS in_quota,
+             CAST(NULL AS BIGINT) AS mix_thr,
+             CAST(NULL AS BOOLEAN) AS in_mix,
+             CAST(NULL AS BIGINT) AS mix_epochs,
+             CAST(NULL AS BIGINT) AS n_chars,
+             CAST(NULL AS INT) AS stage
+"""
+
+_STAGE_ORACLE_EXPR = """
+           CASE WHEN n_chars IS NULL THEN CAST(NULL AS INT)
+                ELSE CAST((CASE WHEN n_chars > t1 THEN 1 ELSE 0 END)
+                   + (CASE WHEN n_chars > t2 THEN 1 ELSE 0 END)
+                   + (CASE WHEN n_chars > t3 THEN 1 ELSE 0 END) AS INT)
+           END
+"""
+
+_SPLIT_ASSIGN_ORACLE = f"""
+    WITH thr AS (
+      SELECT quantile_cont(n_chars, 0.25) AS t1,
+             quantile_cont(n_chars, 0.5)  AS t2,
+             quantile_cont(n_chars, 0.75) AS t3
+      FROM documents
+    ),
+    assign AS (
+      {_ASSIGN_TMPL.format(stage_expr=_STAGE_ORACLE_EXPR, inner_extra="",
+                           src_table="documents",
+                           thr_join=" CROSS JOIN thr")}
+    ),
+    src AS (
+      SELECT doc_id, lang,
+             {_NTOKS_SQL} AS w,
+             {md5_uniform_sql("CAST(doc_id AS STRING)", "ws")} AS u,
+             {md5_uniform_sql("CAST(doc_id AS STRING)", "wg")} AS ug
+      FROM documents
+    ),
+    globaltop AS (
+      SELECT 'ws_global' AS branch, doc_id,
+             {_WS_NULL_ASSIGN_SQL},
+             CAST(NULL AS STRING) AS grp,
+             w, round(ln(u) / w, 6) AS samp_key,
+             CAST(NULL AS BIGINT) AS samp_rank
+      FROM src
+      WHERE w > 0
+      ORDER BY ln(u) / w DESC, doc_id
+      LIMIT 100
+    ),
+    ranked AS (
+      SELECT doc_id, lang, w, ug,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY ln(ug) / w DESC, doc_id
+             ) AS rk
+      FROM src WHERE w > 0
+    ),
+    pergroup AS (
+      SELECT 'ws_group' AS branch, doc_id,
+             {_WS_NULL_ASSIGN_SQL},
+             lang AS grp, w, round(ln(ug) / w, 6) AS samp_key,
+             CAST(rk AS BIGINT) AS samp_rank
+      FROM ranked WHERE rk <= 20
     )
-    """,
-    doc="Dataset carving, fused per-row (split + sampling + mixing, SURVEY "
+    SELECT * FROM assign
+    UNION ALL SELECT * FROM globaltop
+    UNION ALL SELECT * FROM pergroup
+    """
+
+
+@register(
+    "q_split_assign",
+    oracle=_SPLIT_ASSIGN_ORACLE,
+    doc="Dataset carving, fused (split + sampling + mixing + curriculum + "
+    "weighted sampling, SURVEY "
     "§2.12 sampling surface): (1) train/val/test assignment as a pure hash "
     "of the key (~80/10/10) — reproducible across runs/engines/"
     "partitionings, unlike sample(); (2) in_sample10 — an INDEPENDENT "
@@ -1558,15 +1644,113 @@ _sql_query(
     "unabsorbed budget water-fills en at a fractional rate, decided on "
     "a fresh 'u'-salted bucket — the LLaMA/Gopher repeat-scarce-domains "
     "mixture shape, per-row repeat counts exact in both engines "
-    "(explode_epochs materializes them map-only).  The md5-hex "
-    "arithmetic makes all five per-row verdicts oracle-checked.  "
+    "(explode_epochs materializes them map-only).  (6, round-6 fusion "
+    "of the former q_curriculum) n_chars/stage — curriculum staging "
+    "(split.curriculum_order; Bengio 2009 / length-staged pretraining): "
+    "4 ascending-length stages by QUANTILE thresholds — ONE quantile "
+    "aggregation reduced to 3 plan literals (exact sort-based "
+    "percentile here, the oracle path; approxQuantile one-pass "
+    "mergeable in production), then stage assignment MAP-ONLY on the "
+    "same scan as the other verdicts; Spark percentile ≡ DuckDB "
+    "quantile_cont up to interpolation op order, stage comparisons "
+    "integer-exact (within-stage order: repartitionByRange(stage, "
+    "curr_key) at write time — no global sort).  (7, round-6 fusion of "
+    "the former q_weighted_sample) ws_global/ws_group branches — "
+    "weighted sampling WITHOUT replacement (operators/split), both "
+    "scopes as a labeled union: ws_global = the 100 documents drawn "
+    "proportional to token count by the Efraimidis-Spirakis (2006) "
+    "exponential-key scheme — rank by ln(u)/w descending via "
+    "weighted_sample_topk (TakeOrdered plan: per-partition top-k + "
+    "driver merge, no global sort); ws_group = weighted_sample_per_"
+    "group draws <= 20 docs per lang on an independent 'wg'-salted "
+    "coordinate — ONE shuffle on the group key + per-group sort, the "
+    "per-domain curation cap where bigger documents win "
+    "proportionally.  The per-row uniform is the engine-portable "
+    "tag-salted md5 coordinate (md5_uniform_sql), injected into the "
+    "production operators via u_col so DuckDB replays the identical "
+    "draws; adjacent-key gaps are ~1/n^2 relative while cross-engine "
+    "libm-ln divergence is <= 1 ulp, so selections are engine-stable "
+    "by an ~10^8 margin; emitted keys round to 6 dp on both sides.  "
+    "The md5-hex arithmetic makes all per-row verdicts oracle-checked. "
     "Production path: operators/split.hash_split / hash_sample / "
-    "stratified_sample / group_quota and operators/mixing.mix_corpora "
+    "stratified_sample / group_quota / curriculum_order / "
+    "weighted_sample_* and operators/mixing.mix_corpora "
     "(xxhash64, tiny-agg + map-only verdict, driver-side water-filling "
     "incl. saturation redistribution and the max_epochs upsampling cap "
     "— pinned in tests/test_mixing.py).",
-    tables=("documents",),
 )
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.split import (
+        curriculum_order,
+        weighted_sample_per_group,
+        weighted_sample_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = curriculum_order(
+        docs, "doc_id", "n_chars", n_stages=4, exact=True
+    ).drop("curr_key")
+    staged.createOrReplaceTempView("documents_staged")
+    assign = spark.sql(
+        _ASSIGN_TMPL.format(
+            stage_expr="stage",
+            inner_extra=", stage",
+            src_table="documents_staged",
+            thr_join="",
+        )
+    )
+
+    src = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(_NTOKS_SQL).alias("w"),
+        F.expr(md5_uniform_sql("CAST(doc_id AS STRING)", "ws")).alias("__u"),
+        F.expr(md5_uniform_sql("CAST(doc_id AS STRING)", "wg")).alias(
+            "__ug"
+        ),
+    )
+    null_assign = [
+        F.lit(None).cast("long").alias("bucket"),
+        F.lit(None).cast("string").alias("split"),
+        F.lit(None).cast("boolean").alias("in_sample10"),
+        F.lit(None).cast("long").alias("strat_rank"),
+        F.lit(None).cast("boolean").alias("in_quota"),
+        F.lit(None).cast("long").alias("mix_thr"),
+        F.lit(None).cast("boolean").alias("in_mix"),
+        F.lit(None).cast("long").alias("mix_epochs"),
+        F.lit(None).cast("long").alias("n_chars"),
+        F.lit(None).cast("int").alias("stage"),
+    ]
+    glob = weighted_sample_topk(
+        src, "doc_id", "w", k=100, key_col="samp_key", u_col="__u"
+    ).select(
+        F.lit("ws_global").alias("branch"),
+        "doc_id",
+        *null_assign,
+        F.lit(None).cast("string").alias("grp"),
+        "w",
+        F.round("samp_key", 6).alias("samp_key"),
+        F.lit(None).cast("long").alias("samp_rank"),
+    )
+    per = weighted_sample_per_group(
+        src,
+        ["lang"],
+        "doc_id",
+        "w",
+        k=20,
+        key_col="samp_key",
+        rank_col="samp_rank",
+        u_col="__ug",
+    ).select(
+        F.lit("ws_group").alias("branch"),
+        "doc_id",
+        *null_assign,
+        F.col("lang").alias("grp"),
+        "w",
+        F.round("samp_key", 6).alias("samp_key"),
+        F.col("samp_rank").cast("long").alias("samp_rank"),
+    )
+    return assign.unionAll(glob).unionAll(per)
 
 
 @register(
@@ -1850,146 +2034,8 @@ def q_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh.unionAll(ivf).unionAll(sq8)
 
 
-# ── heavy hitters / weighted sampling (round-5 continuation) ─────────────
+# ── corpus token statistics (round-5 continuation, round-6 fusion) ───────
 
-_NTOKS_SQL = (
-    "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
-)
-
-
-@register(
-    "q_heavy_hitters",
-    oracle="""
-    WITH words AS (
-      SELECT unnest(string_split(text, ' ')) AS word FROM documents
-    ),
-    w AS (SELECT word FROM words WHERE word <> ''),
-    tot AS (SELECT count(*) AS n FROM w)
-    SELECT word, CAST(count(*) AS BIGINT) AS cnt
-    FROM w, tot
-    GROUP BY word, n
-    HAVING count(*) * 30 > n
-    """,
-    doc="Heavy hitters over the corpus token stream (operators/freq.py): "
-    "every word with frequency > 1/30 of all tokens, with EXACT counts. "
-    "The Spark side runs the real two-pass Misra-Gries sieve — "
-    "per-partition mergeable MG summaries (k=64 counters) in one "
-    "Arrow-batched mapInPandas scan, a driver-side integer-exact upper-"
-    "bound pre-sieve, then an exact recount of only the candidate items "
-    "(pushed-down isin filter) — while DuckDB states the semantics as "
-    "the plain GROUP BY ... HAVING count*den > total.  The MG guarantee "
-    "(k+1=65 ≥ den=30 ⇒ no item above threshold can be missed) is what "
-    "makes the sieve EXACT, not approximate; the threshold comparison "
-    "is integer arithmetic, identical in both engines.  At 100 TB this "
-    "is the shape that replaces a full-vocabulary groupBy: the corpus "
-    "never shuffles keyed by token — only candidate-matching rows do.",
-)
-def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.freq import heavy_hitters
-
-    docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(
-        F.explode(F.split(F.col("text"), " ")).alias("word")
-    ).where(F.col("word") != "")
-    return heavy_hitters(words, "word", den=30, k=64, count_col="cnt")
-
-
-@register(
-    "q_weighted_sample",
-    oracle=f"""
-    WITH src AS (
-      SELECT doc_id, lang,
-             {_NTOKS_SQL} AS w,
-             {md5_uniform_sql("CAST(doc_id AS STRING)", "ws")} AS u,
-             {md5_uniform_sql("CAST(doc_id AS STRING)", "wg")} AS ug
-      FROM documents
-    ),
-    globaltop AS (
-      SELECT 'global' AS branch, doc_id, CAST(NULL AS VARCHAR) AS grp,
-             w, round(ln(u) / w, 6) AS samp_key,
-             CAST(NULL AS BIGINT) AS samp_rank
-      FROM src
-      WHERE w > 0
-      ORDER BY ln(u) / w DESC, doc_id
-      LIMIT 100
-    ),
-    ranked AS (
-      SELECT doc_id, lang, w, ug,
-             row_number() OVER (
-               PARTITION BY lang ORDER BY ln(ug) / w DESC, doc_id
-             ) AS rk
-      FROM src WHERE w > 0
-    ),
-    pergroup AS (
-      SELECT 'per_group' AS branch, doc_id, lang AS grp,
-             w, round(ln(ug) / w, 6) AS samp_key,
-             CAST(rk AS BIGINT) AS samp_rank
-      FROM ranked WHERE rk <= 20
-    )
-    SELECT * FROM globaltop UNION ALL SELECT * FROM pergroup
-    """,
-    doc="Weighted sampling WITHOUT replacement (operators/split), both "
-    "scopes as a labeled union.  global: the 100 documents drawn "
-    "proportional to token count by the Efraimidis-Spirakis (2006) "
-    "exponential-key scheme — rank by ln(u)/w descending (the monotone-"
-    "equivalent of u^(1/w)) and take k via weighted_sample_topk "
-    "(TakeOrdered plan: per-partition top-k + driver merge, no global "
-    "sort).  per_group: weighted_sample_per_group draws ≤ 20 docs per "
-    "lang on an independent 'wg'-salted coordinate — ONE shuffle on the "
-    "group key + per-group sort, the per-domain curation cap where "
-    "bigger documents win proportionally.  The per-row uniform is the "
-    "engine-portable tag-salted md5 coordinate (md5_uniform_sql, 24 "
-    "bits centered into the open interval), injected into the "
-    "production operators via u_col so DuckDB replays the identical "
-    "draws and re-derives keys, ranks and selections closed-form.  "
-    "Adjacent-key gaps are ~1/n² relative while cross-engine libm-ln "
-    "divergence is ≤1 ulp, so selections are engine-stable by an ~10^8 "
-    "margin; emitted keys round to 6 dp on both sides.",
-)
-def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.split import (
-        weighted_sample_per_group,
-        weighted_sample_topk,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    src = docs.select(
-        "doc_id",
-        "lang",
-        F.expr(_NTOKS_SQL).alias("w"),
-        F.expr(md5_uniform_sql("CAST(doc_id AS STRING)", "ws")).alias("__u"),
-        F.expr(md5_uniform_sql("CAST(doc_id AS STRING)", "wg")).alias(
-            "__ug"
-        ),
-    )
-    glob = weighted_sample_topk(
-        src, "doc_id", "w", k=100, key_col="samp_key", u_col="__u"
-    ).select(
-        F.lit("global").alias("branch"),
-        "doc_id",
-        F.lit(None).cast("string").alias("grp"),
-        "w",
-        F.round("samp_key", 6).alias("samp_key"),
-        F.lit(None).cast("long").alias("samp_rank"),
-    )
-    per = weighted_sample_per_group(
-        src,
-        ["lang"],
-        "doc_id",
-        "w",
-        k=20,
-        key_col="samp_key",
-        rank_col="samp_rank",
-        u_col="__ug",
-    ).select(
-        F.lit("per_group").alias("branch"),
-        "doc_id",
-        F.col("lang").alias("grp"),
-        "w",
-        F.round("samp_key", 6).alias("samp_key"),
-        F.col("samp_rank").cast("long").alias("samp_rank"),
-    )
-    return glob.unionAll(per)
 
 
 @register(
@@ -2007,71 +2053,83 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     cab AS (SELECT w1, w2, count(*) AS c_ab FROM big GROUP BY 1, 2),
     ca AS (SELECT w1, CAST(sum(c_ab) AS BIGINT) AS c_a FROM cab GROUP BY 1),
     cb AS (SELECT w2, CAST(sum(c_ab) AS BIGINT) AS c_b FROM cab GROUP BY 1),
-    tot AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n FROM cab)
-    SELECT w1, w2, c_ab, c_a, c_b,
-           (CAST(c_ab AS DOUBLE) * CAST(n AS DOUBLE))
-             / (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE)) AS lift
-    FROM cab JOIN ca USING (w1) JOIN cb USING (w2), tot
-    WHERE c_ab >= 10
+    tot AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n FROM cab),
+    colloc AS (
+      SELECT 'colloc' AS branch, w1, w2, c_ab, c_a, c_b,
+             (CAST(c_ab AS DOUBLE) * CAST(n AS DOUBLE))
+               / (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE)) AS lift
+      FROM cab JOIN ca USING (w1) JOIN cb USING (w2), tot
+      WHERE c_ab >= 10
+    ),
+    words AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    w AS (SELECT word FROM words WHERE word <> ''),
+    wtot AS (SELECT count(*) AS n FROM w),
+    hh AS (
+      SELECT 'hh' AS branch, word AS w1, CAST(NULL AS VARCHAR) AS w2,
+             CAST(count(*) AS BIGINT) AS c_ab,
+             CAST(NULL AS BIGINT) AS c_a, CAST(NULL AS BIGINT) AS c_b,
+             CAST(NULL AS DOUBLE) AS lift
+      FROM w, wtot
+      GROUP BY word, n
+      HAVING count(*) * 30 > n
+    )
+    SELECT * FROM colloc UNION ALL SELECT * FROM hh
     """,
-    doc="Collocation mining (operators/collocations.py; Manning-"
-    "Schutze ch.5 / word2vec phrase pass): adjacent word bigrams with "
+    doc="Corpus token statistics, one labeled union (round-6 fusion so "
+    "the 50-entry driver gate covers both semantics).  colloc branch — "
+    "collocation mining (operators/collocations.py; Manning-Schutze "
+    "ch.5 / word2vec phrase pass): adjacent word bigrams with "
     "c_ab >= 10, their exact position-based unigram counts, and the "
     "independence LIFT = N*c_ab/(c_a*c_b) (= 2^PMI).  ONE corpus pass "
     "builds the bigram count table (map-only zip-shift explode -> one "
     "shuffle with map-side partials); unigram counts, N and survivors "
-    "all derive from that vocab^2-bounded table (lazily checkpointed "
-    "so its consumers share one materialization).  Lift is one IEEE "
-    "division of exact integers — spelled in the identical op order in "
-    "both engines, hash-exact with no transcendental (log2-free by "
-    "design; PMI = log2(lift) driver-side).",
+    "all derive from that vocab^2-bounded table (persisted so its "
+    "consumers share one materialization).  Lift is one IEEE division "
+    "of exact integers — spelled in the identical op order in both "
+    "engines, hash-exact with no transcendental (log2-free by design; "
+    "PMI = log2(lift) driver-side).  hh branch — heavy hitters over "
+    "the same token stream (operators/freq.py): every word with "
+    "frequency > 1/30 of all tokens, with EXACT counts.  The Spark "
+    "side runs the real two-pass Misra-Gries sieve — per-partition "
+    "mergeable MG summaries (k=64 counters) in one Arrow-batched "
+    "mapInPandas scan, a partial-merge shuffle + driver-side integer-"
+    "exact pre-sieve, then an exact recount of only the candidate "
+    "items (pushed-down isin filter) — while DuckDB states the "
+    "semantics as the plain GROUP BY ... HAVING count*den > total.  "
+    "The MG guarantee (k+1=65 >= den=30 => no item above threshold "
+    "can be missed) makes the sieve EXACT, not approximate.  At 100 "
+    "TB this is the shape that replaces a full-vocabulary groupBy: "
+    "the corpus never shuffles keyed by token — only candidate-"
+    "matching rows do.",
 )
 def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.collocations import collocations
+    from ..operators.freq import heavy_hitters
 
     docs = load_table(spark, sf_dir, "documents")
-    return collocations(docs, "text", min_count=10)
-
-
-@register(
-    "q_curriculum",
-    oracle="""
-    WITH t AS (
-      SELECT quantile_cont(n_chars, 0.25) AS t1,
-             quantile_cont(n_chars, 0.5)  AS t2,
-             quantile_cont(n_chars, 0.75) AS t3
-      FROM documents
+    colloc = collocations(docs, "text", min_count=10).select(
+        F.lit("colloc").alias("branch"),
+        "w1",
+        "w2",
+        "c_ab",
+        "c_a",
+        "c_b",
+        "lift",
     )
-    SELECT doc_id, n_chars,
-           CASE WHEN n_chars IS NULL THEN CAST(NULL AS INT)
-                ELSE CAST((CASE WHEN n_chars > t1 THEN 1 ELSE 0 END)
-                   + (CASE WHEN n_chars > t2 THEN 1 ELSE 0 END)
-                   + (CASE WHEN n_chars > t3 THEN 1 ELSE 0 END) AS INT)
-           END AS stage
-    FROM documents, t
-    """,
-    doc="Curriculum staging (split.curriculum_order; Bengio 2009 / "
-    "length-staged pretraining): documents bucket into 4 ascending-"
-    "length stages by QUANTILE thresholds — one quantile aggregation "
-    "reduced to 3 plan literals (exact sort-based percentile here, the "
-    "oracle path; approxQuantile one-pass mergeable in production), "
-    "then stage assignment is MAP-ONLY.  The within-stage deterministic "
-    "shuffle coordinate (curr_key = the shared xxhash64 sampling "
-    "bucket) is projected out of the gate output — that machinery is "
-    "already hash-checked through q_split_assign's md5 twin — so this "
-    "query pins the threshold/stage semantics: Spark percentile ≡ "
-    "DuckDB quantile_cont up to interpolation op order, stage "
-    "comparisons integer-exact.  A window ntile would equalize stage sizes but costs a "
-    "single-partition global sort; the threshold form is the one that "
-    "survives 100 TB (consumers materialize order via "
-    "repartitionByRange(stage, curr_key) at write time).",
-)
-def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.split import curriculum_order
-
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "n_chars"
+    words = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).where(F.col("word") != "")
+    hh = heavy_hitters(words, "word", den=30, k=64, count_col="cnt").select(
+        F.lit("hh").alias("branch"),
+        F.col("word").alias("w1"),
+        F.lit(None).cast("string").alias("w2"),
+        F.col("cnt").alias("c_ab"),
+        F.lit(None).cast("long").alias("c_a"),
+        F.lit(None).cast("long").alias("c_b"),
+        F.lit(None).cast("double").alias("lift"),
     )
-    return curriculum_order(
-        docs, "doc_id", "n_chars", n_stages=4, exact=True
-    ).select("doc_id", "n_chars", "stage")
+    return colloc.unionAll(hh)
+
+

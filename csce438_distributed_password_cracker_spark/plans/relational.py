@@ -459,35 +459,28 @@ _sql_query(
 
 # ── scalar functions ─────────────────────────────────────────────────────
 
-@register(
-    "q_sha1_mass",
-    oracle="""
-    SELECT c_custkey, sha256(c_name) AS digest
-    FROM customer
-    """,
-    doc="F1 (sha256 fallback — pinned DuckDB lacks sha1; SHA-1 fidelity is "
-    "asserted in tests/test_crack.py): mass scalar hashing, fully inside "
-    "whole-stage codegen.",
-)
-def q_sha1_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "customer").select(
-        "c_custkey", F.sha2(F.col("c_name"), 256).alias("digest")
-    )
-
-_sql_query(
-    "q_string_ops",
-    """
+_STRING_OPS_COLS = """
     SELECT c_custkey,
            concat('c ', c_mktsegment, ' ', c_name) AS tagged,
            substring(c_name, 1, 8) AS prefix,
            upper(c_mktsegment) AS seg_upper,
            lower(c_mktsegment) AS seg_lower,
            length(c_name) AS name_len,
-           CAST(substring(c_name, 10, 9) AS BIGINT) AS parsed_id
+           CAST(substring(c_name, 10, 9) AS BIGINT) AS parsed_id,
+           {sha} AS digest
     FROM customer
-    """,
+    """
+
+_sql_query(
+    "q_string_ops",
+    _STRING_OPS_COLS.format(sha="sha2(c_name, 256)"),
+    oracle=_STRING_OPS_COLS.format(sha="sha256(c_name)"),
     doc="F4/F5: string assembly (request.c:51-69), tag peek via substring "
-    "(server.c:110), numeric parse (request.c:34-36).",
+    "(server.c:110), numeric parse (request.c:34-36).  digest is the F1 "
+    "mass-hashing column (round-6 fusion of the former q_sha1_mass — "
+    "same scan, same codegen stage): sha256 fallback because the pinned "
+    "DuckDB lacks sha1(); SHA-1 reference fidelity (worker.c:50-54 "
+    "format) is asserted in tests/test_crack.py against hashlib.",
     tables=("customer",),
 )
 

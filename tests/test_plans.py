@@ -269,23 +269,28 @@ SHUFFLE_BUDGET = {
     "q_agg_exists": 1, "q_agg_groupby": 1, "q_agg_grouping": 3,
     "q_agg_percentile": 1, "q_agg_pivot": 2, "q_agg_scalars": 4,
     "q_ann_probe": 0, "q_ann_topk": 0, "q_array_ops": 0,
-    "q_binary_roundtrip": 1, "q_codec_checks": 1, "q_collocations": 4,
+    "q_binary_roundtrip": 1, "q_codec_checks": 1,
+    # +1 round 6: the fused Misra-Gries hh branch's partial-merge shuffle
+    "q_collocations": 5,
     "q_crack_batch": 2,
-    "q_crack_throughput": 1, "q_crack_verdicts": 1, "q_curriculum": 0,
+    "q_crack_throughput": 1, "q_crack_verdicts": 1,
     "q_date_ops": 1,
     "q_dedup_components": 2, "q_dedup_embedding": 1, "q_dedup_exact": 7,
     "q_dedup_jaccard": 15, "q_dedup_sketch": 15, "q_events_scan": 0,
-    "q_heavy_hitters": 1, "q_join_anti": 0, "q_join_asof": 2,
+    "q_join_anti": 0, "q_join_asof": 2,
     "q_join_broadcast": 0, "q_join_bucketed": 0, "q_join_range": 1,
     "q_join_semi": 0, "q_join_skew_salted": 4, "q_join_sortmerge": 1,
     "q_keyspace_algebra": 3, "q_math_ops": 0, "q_msg_demux": 1,
     "q_multimodal_features": 0, "q_outlier_flags": 1,
     "q_partition_coverage": 0,
-    "q_range_filter": 0, "q_sha1_mass": 0, "q_similarity_knn": 3,
-    "q_sort_limit": 0, "q_split_assign": 1, "q_stream_audit": 1,
+    "q_similarity_knn": 3,
+    # +1 round 6: the fused ws_group branch's group-key shuffle
+    # (curriculum stage is map-only; ws_global is TakeOrdered, no
+    # exchange; the assign branch's windows share one exchange shape)
+    "q_sort_limit": 0, "q_split_assign": 2, "q_stream_audit": 1,
     "q_stream_flow": 5, "q_stream_stateful": 0, "q_string_ops": 0,
     "q_text_profile": 3, "q_topk_per_group": 1, "q_tpch": 9,
-    "q_weighted_sample": 1, "q_window_lead": 1, "q_window_rank": 2,
+    "q_window_lead": 1, "q_window_rank": 2,
     "q_window_running": 1,
 }
 
