@@ -22,13 +22,19 @@ a two-pass sieve (Misra–Gries 1982; mergeability per Agarwal et al.
    one partition and therefore appears in some summary (the pigeonhole
    step — pinned by a hypothesis property in tests/test_freq.py).
    Output is ≤ k rows per partition — no shuffle of the corpus.
-2. **Exact pass:** re-scan with the (tiny) candidate set as a
+2. **Merge + pre-sieve (one tiny shuffle):** the per-partition
+   summaries (≤ k+1 rows each) merge via ``groupBy(item).agg(sum)``
+   and the threshold upper-bound test runs distributed, so the driver
+   collect is O(true candidates), not O(partitions·k) — the shape
+   that survives 10⁵-10⁶ input partitions.
+3. **Exact pass:** re-scan with the (tiny) candidate set as a
    pushed-down ``isin`` filter / broadcast semi-join, groupBy the
    survivors only, and keep items with ``count * den > total`` —
    integer-exact, engine-portable arithmetic.
 
-Total cost: two corpus scans, one shuffle whose input is only the
-candidate-matching rows.  The threshold must satisfy
+Total cost: two corpus scans, one summary-sized merge shuffle, and one
+shuffle whose input is only the candidate-matching rows.  The
+threshold must satisfy
 ``1/den ≥ 1/(k+1)`` (i.e. ``k + 1 ≥ den``) for the no-false-negative
 guarantee; :func:`heavy_hitters` enforces it.
 
@@ -116,6 +122,41 @@ def mg_partials(df: DataFrame, item_col: str, k: int) -> DataFrame:
     return src.mapInPandas(_sweep, out_schema)
 
 
+def sieved_candidates(partials: DataFrame, den: int, k: int) -> DataFrame:
+    """The distributed pre-sieve between the MG sweep and the driver:
+    merge per-partition summaries with ONE tiny shuffle
+    (``groupBy(item).agg(sum(est))`` — ≤ (k+1) rows per input partition,
+    ≤ distinct-candidate rows out), recover ``total`` from the merged
+    NULL-item sentinel group as a broadcast 1-row frame, and keep only
+    items whose estimate UPPER BOUND crosses the threshold:
+
+        keep i  iff  (sum_est_i + total/(k+1)) > total/den
+
+    cross-multiplied so the comparison stays integer-exact (a floored
+    slack could drop a boundary item).  An item absent from a
+    partition's summary has local undercount ≤ n_p/(k+1); summed over
+    partitions the global understatement is ≤ total/(k+1), so no item
+    above threshold can be sieved out (the pigeonhole guarantee).
+
+    Scale shape: the driver collect downstream of this frame is
+    O(true candidates), NOT O(partitions·k) — at 10⁵-10⁶ input
+    partitions the unmerged collect would ship 10⁷-10⁸ rows to the
+    driver; the merged, pre-sieved collect ships only items that can
+    actually pass.  Output columns: item, est, __total."""
+    merged = partials.groupBy("item").agg(F.sum("est").alias("est"))
+    tot = merged.where(F.col("item").isNull()).select(
+        F.col("est").alias("__total")
+    )
+    return (
+        merged.where(F.col("item").isNotNull())
+        .crossJoin(F.broadcast(tot))
+        .where(
+            (F.col("est") * (k + 1) + F.col("__total")) * den
+            > F.col("__total") * (k + 1)
+        )
+    )
+
+
 def heavy_hitters(
     df: DataFrame,
     item_col: str,
@@ -129,9 +170,11 @@ def heavy_hitters(
 
     ``k`` (MG counter budget, default ``2 * den``) must satisfy
     ``k + 1 ≥ den`` or candidates could be silently missed.  The
-    candidate collect is bounded by construction: ≤ (k+1) rows per
-    partition of the FIRST pass, and only items above the threshold
-    sieve are kept driver-side before the exact pass.
+    candidate collect is bounded by construction: the per-partition
+    summaries (≤ k+1 rows each) merge through ONE tiny shuffle and the
+    threshold pre-sieve runs DISTRIBUTED (:func:`sieved_candidates`),
+    so only true candidates — items whose upper bound crosses the
+    threshold — ever reach the driver.
 
     EAGER by design: the sieve pass runs when this function is CALLED
     (the driver must see the candidates to build the second-pass
@@ -149,25 +192,22 @@ def heavy_hitters(
             f"k={k} breaks the guarantee: need k+1 ≥ den={den} so every "
             "item above threshold survives the Misra-Gries sieve"
         )
-    rows = mg_partials(df, item_col, k).collect()
-    total = sum(r["est"] for r in rows if r["item"] is None)
-    # driver-side pre-sieve: an item absent from a partition's summary
-    # has local undercount ≤ n_p/(k+1), so summing the surviving
-    # estimates understates the true count by ≤ total/(k+1); anything
-    # whose upper bound misses the threshold can be dropped before the
-    # exact pass shrinks the isin list further
-    upper: dict = {}
-    for r in rows:
-        if r["item"] is not None:
-            upper[r["item"]] = upper.get(r["item"], 0) + r["est"]
-    # keep i iff  u_i + total/(k+1) > total/den, cross-multiplied so the
-    # comparison stays integer-exact (a floored slack could drop a
-    # boundary item)
-    cand = [
-        i
-        for i, u in upper.items()
-        if (u * (k + 1) + total) * den > total * (k + 1)
-    ]
+    from pyspark import StorageLevel
+
+    # persist so the sentinel-total subtree and the merged-candidates
+    # subtree share ONE corpus sweep (the cached partials are ≤ (k+1)
+    # rows per partition — negligible); released before the exact pass
+    partials = mg_partials(df, item_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        cand_rows = sieved_candidates(partials, den, k).collect()
+    finally:
+        partials.unpersist()
+    # every sieved row carries the broadcast total; when no candidate
+    # survives the result is empty regardless of the threshold
+    total = cand_rows[0]["__total"] if cand_rows else 0
+    cand = [r["item"] for r in cand_rows]
     item = F.col(item_col)
     if not cand:
         filtered = df.where(F.lit(False))

@@ -18,6 +18,7 @@ from csce438_distributed_password_cracker_spark.operators.freq import (
     heavy_hitters,
     mg_merge,
     mg_partials,
+    sieved_candidates,
 )
 
 # ── pure-Python MG properties ─────────────────────────────────────────────
@@ -141,3 +142,41 @@ def test_heavy_hitters_preserves_item_dtype(spark):
     assert {(r["user_id"], r["cnt"]) for r in out.collect()} == {
         (0, 100), (1, 100), (2, 100),
     }
+
+
+def test_sieve_collect_input_is_merged_and_candidate_bounded(spark):
+    """The driver collect's input frame is the MERGED summary table
+    (one Exchange hashpartitioning on item upstream of the collect),
+    and its row count is O(true candidates) — NOT O(partitions*k):
+    with 8 partitions and k=16 the unmerged partials can carry up to
+    128 rows for the same item set, but the sieved frame must hold
+    only items whose upper bound crosses the threshold."""
+    den, k = 5, 16
+    df = _skewed_df(spark, n=3_000)
+    partials = mg_partials(df, "item", k)
+    sieved = sieved_candidates(partials, den, k)
+
+    plan = sieved._jdf.queryExecution().executedPlan().toString()
+    # the merge shuffle sits between the MG sweep and the collect
+    assert "Exchange hashpartitioning(item" in plan
+    # the total's 1-row frame joins back broadcast, never shuffled
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+    rows = sieved.collect()
+    n_partials = sum(
+        1 for r in partials.collect() if r["item"] is not None
+    )
+    # merged+sieved is never larger than the raw partial stream, and
+    # every surviving row satisfies the integer upper-bound test
+    assert len(rows) <= n_partials
+    total = 3_000
+    for r in rows:
+        assert r["__total"] == total
+        assert (r["est"] * (k + 1) + total) * den > total * (k + 1)
+    # completeness: every true heavy hitter is among the candidates
+    truth = {
+        r["item"]
+        for r in df.groupBy("item").count().collect()
+        if r["count"] * den > total
+    }
+    assert truth <= {r["item"] for r in rows}
