@@ -10,17 +10,27 @@ and each language's, smallest distance wins.
 
 Distributed re-expression:
 
-- **Training** (:func:`train_char_ngram_profiles`): char n-gram explode
-  is map-only (``substring`` over a ``sequence`` — codegen'd, no
-  lambda-per-char re-scan), counts are ONE shuffle on (lang, gram)
-  with map-side partials, per-language ranking is a window over the
-  counts (language-partitioned), and only L×K rows reach the driver.
-- **Classification** (:func:`classify_char_ngram`): entirely MAP-ONLY —
-  the language profiles are plan literals (a few KB), the document's
-  own top-K profile is built with the battery's sort + run-length
-  pattern (one pass per doc, no per-distinct rescans), and the
-  out-of-place distance is K array_position probes per language.
-  Zero shuffles, zero UDFs: classification of 100 TB is a projection.
+- **Training** (:func:`train_char_ngram_profiles`): gram counts
+  pre-aggregate per partition in one Arrow sweep (a Counter per
+  (partition, lang) — default ``engine="arrow"``; ``engine="sql"``
+  keeps the zero-UDF codegen'd explode), merge through ONE shuffle on
+  (lang, gram) whose input is distinct-grams-per-partition rows, and
+  per-language ranking is a window over the counts
+  (language-partitioned) — only L×K rows reach the driver.
+- **Classification** (:func:`classify_char_ngram`): entirely MAP-ONLY
+  either way; two engines, same verdicts:
+
+  - ``engine="arrow"`` (default): one Arrow-batched ``pandas_udf`` —
+    per doc a Counter + top-K sort + rank-dict probes, the profiles
+    captured in the closure.  ~4× faster than the expression tower
+    (the round-5 opbench's heaviest entry): the interpreted
+    ``filter``/``zip_with``/``transform`` lambdas over sorted gram
+    arrays cost more per doc than one Python loop over Arrow batches.
+  - ``engine="sql"``: zero-UDF expression path — the document's own
+    top-K profile from the battery's sort + run-length pattern, the
+    out-of-place distance as literal-map probes.  Keeps classification
+    inside codegen for pipelines that must stay UDF-free; pinned equal
+    to the arrow engine on real sentences in tests/test_langid.py.
 
 Determinism: profile ranks tie-break on the gram string; language
 argmin ties break on the language code; docs shorter than ``n`` chars
@@ -32,6 +42,7 @@ textops.language_id's marker heuristic).
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -49,28 +60,91 @@ def _grams_sql(text_col: str, n: int) -> str:
     )
 
 
+def _gram_partials_arrow(
+    df: DataFrame, lang_col: str, text_col: str, n: int
+) -> DataFrame:
+    """Per-partition (lang, gram, count) partials in ONE Arrow sweep —
+    a Counter per (partition, lang) instead of exploding one row per
+    gram occurrence.  The downstream (lang, gram) shuffle then moves
+    ≤ distinct-grams-per-partition rows, not total-gram-occurrence
+    rows (the same partial-aggregate compression the exact groupBy
+    gets, minus the per-occurrence explode allocation that dominated
+    the round-5 opbench)."""
+    from collections import Counter
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    src = df.select(
+        F.col(lang_col).alias("_lang"), F.col(text_col).alias("_t")
+    )
+    out_schema = StructType(
+        [
+            StructField("_lang", src.schema["_lang"].dataType, True),
+            StructField("_g", StringType(), False),
+            StructField("_c", LongType(), False),
+        ]
+    )
+
+    def _sweep(batches):
+        agg: dict = {}
+        for pdf in batches:
+            for lang, t in zip(pdf["_lang"], pdf["_t"]):
+                if not isinstance(t, str) or len(t) < n:
+                    continue
+                agg.setdefault(lang, Counter()).update(
+                    t[i : i + n] for i in range(len(t) - n + 1)
+                )
+        yield pd.DataFrame(
+            [
+                (lang, g, c)
+                for lang, cnt in agg.items()
+                for g, c in cnt.items()
+            ],
+            columns=["_lang", "_g", "_c"],
+        )
+
+    return src.mapInPandas(_sweep, out_schema)
+
+
 def train_char_ngram_profiles(
     df: DataFrame,
     lang_col: str = "lang",
     text_col: str = "text",
     n: int = 3,
     top_k: int = 40,
+    engine: str = "arrow",
 ) -> dict[str, list[str]]:
     """Per-language rank profiles: the ``top_k`` most frequent char
     ``n``-grams per language, most frequent first (count desc, gram
     asc tie-break).  One (lang, gram) shuffle; L×K rows to the
-    driver."""
+    driver.  ``engine="arrow"`` (default) pre-aggregates gram counts
+    per partition in one Arrow sweep; ``engine="sql"`` is the zero-UDF
+    explode + groupBy — identical profiles (pinned in tests)."""
     if n < 1 or top_k < 1:
         raise ValueError("n and top_k must be >= 1")
-    counts = (
-        df.where(F.col(text_col).isNotNull())
-        .select(
-            F.col(lang_col).alias("_lang"),
-            F.explode(F.expr(_grams_sql(text_col, n))).alias("_g"),
+    if engine not in ("arrow", "sql"):
+        raise ValueError(f"engine must be 'arrow' or 'sql', got {engine!r}")
+    if engine == "arrow":
+        counts = (
+            _gram_partials_arrow(df, lang_col, text_col, n)
+            .groupBy("_lang", "_g")
+            .agg(F.sum("_c").alias("_c"))
         )
-        .groupBy("_lang", "_g")
-        .agg(F.count("*").alias("_c"))
-    )
+    else:
+        counts = (
+            df.where(F.col(text_col).isNotNull())
+            .select(
+                F.col(lang_col).alias("_lang"),
+                F.explode(F.expr(_grams_sql(text_col, n))).alias("_g"),
+            )
+            .groupBy("_lang", "_g")
+            .agg(F.count("*").alias("_c"))
+        )
     ranked = counts.withColumn(
         "_rank",
         F.row_number().over(
@@ -132,6 +206,53 @@ def _sql_str(s: str) -> str:
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
+def _classify_arrow_udf(profiles: dict[str, list[str]], n: int, top_k: int):
+    """Arrow-batched classifier: per doc, gram Counter → top-K by
+    (count desc, gram asc) → out-of-place distance against each
+    language's rank dict (missing gram costs ``top_k``) → argmin with
+    language-code tie-break.  Exactly the SQL engine's semantics, one
+    Python pass per Arrow batch instead of an interpreted-lambda tower
+    per row."""
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {
+        lang: {g: i + 1 for i, g in enumerate(p)}
+        for lang, p in profiles.items()
+    }
+    langs = sorted(profiles)
+    k = int(top_k)
+
+    @pandas_udf("string")
+    def classify(texts: pd.Series) -> pd.Series:
+        from collections import Counter
+
+        out: list[str | None] = []
+        for t in texts:
+            if not isinstance(t, str) or len(t) < n:
+                out.append(None)
+                continue
+            cnt = Counter(t[i : i + n] for i in range(len(t) - n + 1))
+            dp = [
+                g
+                for g, _ in sorted(
+                    cnt.items(), key=lambda kv: (-kv[1], kv[0])
+                )[:k]
+            ]
+            best_d, best_l = None, None
+            for lang in langs:
+                r = ranks[lang]
+                d = 0
+                for i, g in enumerate(dp):
+                    rg = r.get(g)
+                    d += abs(i + 1 - rg) if rg is not None else k
+                if best_d is None or d < best_d:
+                    best_d, best_l = d, lang
+            out.append(best_l)
+        return pd.Series(out, dtype="object")
+
+    return classify
+
+
 def classify_char_ngram(
     df: DataFrame,
     profiles: dict[str, list[str]],
@@ -139,13 +260,24 @@ def classify_char_ngram(
     n: int = 3,
     top_k: int = 40,
     out_col: str = "lang_pred_ngram",
+    engine: str = "arrow",
 ) -> DataFrame:
     """Append ``out_col``: the language whose rank profile is closest
     (Cavnar–Trenkle out-of-place distance) to the document's own
-    profile.  Map-only — profiles ship as plan literals.  Docs shorter
-    than ``n`` chars get NULL (no signal)."""
+    profile.  Map-only — profiles ship as plan/closure literals.  Docs
+    shorter than ``n`` chars get NULL (no signal).  ``engine="arrow"``
+    (default, one Arrow-batched pandas_udf) and ``engine="sql"``
+    (zero-UDF expression tower) produce identical verdicts — see the
+    module docstring for the trade."""
     if not profiles:
         raise ValueError("profiles must not be empty")
+    if engine not in ("arrow", "sql"):
+        raise ValueError(f"engine must be 'arrow' or 'sql', got {engine!r}")
+    if engine == "arrow":
+        return df.withColumn(
+            out_col,
+            _classify_arrow_udf(profiles, n, top_k)(F.col(text_col)),
+        )
     doc_prof = _doc_profile_sql(text_col, n, top_k)
     staged = df.withColumn("__dp", F.expr(doc_prof))
     k = int(top_k)

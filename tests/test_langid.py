@@ -115,3 +115,45 @@ def test_corpus_scale_plan_and_determinism(spark, sf_smoke):
         ).collect()
     )
     assert a == b
+
+
+def test_classify_engines_agree(spark, sf_smoke):
+    """The arrow fast path and the zero-UDF SQL expression path produce
+    identical verdicts on real corpus sentences, short docs (NULL) and
+    NULL text included."""
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    extra = spark.createDataFrame(
+        [(10_001, "xx", "ab"), (10_002, "xx", None), (10_003, "xx", "")],
+        "doc_id long, lang string, text string",
+    )
+    docs = docs.unionByName(extra)
+    prof = langid.train_char_ngram_profiles(docs)
+    got_arrow = {
+        r["doc_id"]: r["lang_pred_ngram"]
+        for r in langid.classify_char_ngram(
+            docs, prof, engine="arrow"
+        ).collect()
+    }
+    got_sql = {
+        r["doc_id"]: r["lang_pred_ngram"]
+        for r in langid.classify_char_ngram(
+            docs, prof, engine="sql"
+        ).collect()
+    }
+    assert got_arrow == got_sql
+    assert got_arrow[10_001] is None  # shorter than n=3
+    assert got_arrow[10_002] is None  # NULL text
+    assert got_arrow[10_003] is None  # empty text
+
+
+def test_train_engines_agree(spark, sf_smoke):
+    """Arrow partial-count training and the zero-UDF explode+groupBy
+    training produce identical rank profiles."""
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    a = langid.train_char_ngram_profiles(docs, engine="arrow")
+    b = langid.train_char_ngram_profiles(docs, engine="sql")
+    assert a == b
