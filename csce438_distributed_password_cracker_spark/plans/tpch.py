@@ -10,7 +10,8 @@ broadcast the dims (region/nation) and shuffle the facts, aggregate
 pushdown through multi-way joins, selective date-range scans with full
 predicate pushdown.
 
-Q1/Q3/Q4/Q5/Q6/Q7/Q10/Q12/Q14/Q19/Q22 are registered as ONE labeled union (`q_tpch`) so the driver
+Q1/Q3/Q4/Q5/Q6/Q7/Q10/Q12/Q13/Q14/Q15/Q18/Q19/Q21/Q22 are registered
+as ONE labeled union (`q_tpch`) so the driver
 correctness gate — which records at most 50 registry entries — covers
 all three: each branch keeps its own joins, pushed-down predicates, and
 deterministic top-k; the outer union only harmonizes the output schema
@@ -235,6 +236,112 @@ _sql_query(
       GROUP BY 1, 2
     )
     UNION ALL
+    SELECT 'q13' AS tpch_q,
+           CAST(c_count AS BIGINT) AS k_id,
+           CAST(NULL AS STRING) AS k_name,
+           CAST(NULL AS STRING) AS k_name2,
+           CAST(NULL AS TIMESTAMP) AS order_ts,
+           CAST(NULL AS DOUBLE) AS revenue,
+           custdist AS n_rows,
+           CAST(NULL AS DOUBLE) AS sum_qty
+    FROM (
+      SELECT c_count, COUNT(*) AS custdist
+      FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+      )
+      GROUP BY c_count
+    )
+    UNION ALL
+    SELECT 'q15' AS tpch_q,
+           CAST(s_suppkey AS BIGINT) AS k_id,
+           s_name AS k_name,
+           CAST(NULL AS STRING) AS k_name2,
+           CAST(NULL AS TIMESTAMP) AS order_ts,
+           total_revenue AS revenue,
+           CAST(NULL AS BIGINT) AS n_rows,
+           CAST(NULL AS DOUBLE) AS sum_qty
+    FROM (
+      SELECT s.s_suppkey, s.s_name, r.total_revenue
+      FROM supplier s
+      JOIN (
+        SELECT l.l_suppkey,
+               sum({_REVENUE}) AS tot_dec,
+               {_money(_REVENUE, "total_revenue")}
+        FROM lineitem l
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l.l_suppkey
+      ) r ON s.s_suppkey = r.l_suppkey
+      WHERE r.tot_dec = (
+        SELECT max(tot_dec) FROM (
+          SELECT sum({_REVENUE}) AS tot_dec
+          FROM lineitem l
+          WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND l.l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+          GROUP BY l.l_suppkey
+        )
+      )
+    )
+    UNION ALL
+    SELECT 'q18' AS tpch_q,
+           CAST(o_orderkey AS BIGINT) AS k_id,
+           c_name AS k_name,
+           CAST(NULL AS STRING) AS k_name2,
+           o_orderdate AS order_ts,
+           CAST(o_totalprice AS DOUBLE) AS revenue,
+           CAST(NULL AS BIGINT) AS n_rows,
+           sum_qty
+    FROM (
+      SELECT o.o_orderkey, c.c_name, o.o_orderdate, o.o_totalprice,
+             CAST(round(sum({_dec("l.l_quantity")}), 2) AS DOUBLE)
+               AS sum_qty
+      FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum({_dec("l_quantity")}) > 200
+      )
+      GROUP BY o.o_orderkey, c.c_name, o.o_orderdate, o.o_totalprice
+      ORDER BY o.o_totalprice DESC, o.o_orderkey
+      LIMIT 100
+    )
+    UNION ALL
+    SELECT 'q21' AS tpch_q,
+           CAST(NULL AS BIGINT) AS k_id,
+           s_name AS k_name,
+           CAST(NULL AS STRING) AS k_name2,
+           CAST(NULL AS TIMESTAMP) AS order_ts,
+           CAST(NULL AS DOUBLE) AS revenue,
+           numwait AS n_rows,
+           CAST(NULL AS DOUBLE) AS sum_qty
+    FROM (
+      SELECT s.s_name, COUNT(*) AS numwait
+      FROM supplier s
+      JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+      JOIN nation n    ON s.s_nationkey = n.n_nationkey
+      WHERE o.o_orderstatus = 'F'
+        AND l1.l_returnflag = 'R'
+        AND n.n_name = 'NATION_3'
+        AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R')
+      GROUP BY s.s_name
+    )
+    UNION ALL
     SELECT 'q22' AS tpch_q,
            CAST(NULL AS BIGINT) AS k_id,
            n_name AS k_name,
@@ -284,7 +391,23 @@ _sql_query(
     "(both dims broadcast, facts shuffled once); Q22 global-relationship "
     "check — an uncorrelated SCALAR subquery (one-row broadcast) "
     "gating a correlated NOT EXISTS (left-anti join), the "
-    "positive-balance-never-urgent customer cohort.",
+    "positive-balance-never-urgent customer cohort.  Round-6 additions "
+    "(the four remaining shapes expressible without partsupp): Q13 "
+    "customer order-count distribution — LEFT OUTER join with an extra "
+    "join-condition filter (priority stands in for the comment NOT "
+    "LIKE), double grouping, NULL-extended customers land in c_count=0; "
+    "Q15 top supplier — a grouped revenue view joined back against its "
+    "own MAX via an uncorrelated scalar subquery, the max-equality "
+    "taken on the exact DECIMAL sums (never the rounded doubles) so "
+    "the winning-supplier set is engine-identical; Q18 large-volume "
+    "customers — IN-subquery with a grouped HAVING over the fact "
+    "table (Catalyst: left-semi after aggregate), 3-way join, "
+    "deterministic top-100 (totalprice desc, orderkey tie-break); "
+    "Q21 waiting suppliers — the multi-EXISTS shape: a correlated "
+    "EXISTS (another supplier on the order) AND a correlated NOT "
+    "EXISTS (no OTHER supplier's line returned), both with non-equi "
+    "suppkey<>suppkey conjuncts Catalyst decorrelates to semi/anti "
+    "joins (returnflag='R' stands in for receipt-past-commit).",
     tables=(
         "customer", "orders", "lineitem", "supplier", "nation", "region",
         "part",

@@ -289,7 +289,11 @@ SHUFFLE_BUDGET = {
     # exchange; the assign branch's windows share one exchange shape)
     "q_sort_limit": 0, "q_split_assign": 2, "q_stream_audit": 1,
     "q_stream_flow": 5, "q_stream_stateful": 0, "q_string_ops": 0,
-    "q_text_profile": 3, "q_topk_per_group": 1, "q_tpch": 9,
+    # q_tpch 9 -> 16 round 6: Q13 (2: outer-join + distribution agg),
+    # Q15 (2: revenue-view agg + its max twin), Q18 (2: HAVING agg +
+    # orderkey join), Q21 (1: the semi/anti fact joins share the
+    # l_orderkey exchange shape)
+    "q_text_profile": 3, "q_topk_per_group": 1, "q_tpch": 16,
     "q_window_lead": 1, "q_window_rank": 2,
     "q_window_running": 1,
 }
