@@ -123,3 +123,46 @@ def crack(
     if probe is None:
         return CrackResult(False, None)
     return CrackResult(True, probe["candidate"])
+
+
+def crack_chunked(
+    spark: SparkSession,
+    digest: str,
+    width: int,
+    lower_ord: int = 0,
+    upper_ord: int | None = None,
+    chunk_ordinals: int = 256 * 4_000_000,
+    hash_func: str = "sha1",
+) -> CrackResult:
+    """The SURVEY §4.4 chunked ordinal loop — the drive shape for
+    spaces past the honest partition-sizing envelope (width ≥ 9, where
+    ``num_partitions_for``'s 1M-task cap makes per-task size grow) and
+    for targeted sub-range requests at any width (server.c:403-434).
+
+    Successive inclusive ``[lo, hi]`` windows of ``chunk_ordinals``
+    each run the same first()-probe as :func:`crack`; a hit in window
+    i means windows > i are never SUBMITTED (driver-level early stop,
+    bounding wasted work to < one chunk beyond the hit), and within
+    the hit window executeTake's incremental waves leave its own tail
+    unlaunched (task-level early stop).  Windows ascend and the probe
+    row is the lowest-ordinal match of its window, so the answer is
+    the deterministic min over the whole range — A2 semantics, same
+    verdict as one :func:`crack_verdict_df` over ``[lower_ord,
+    upper_ord]``.  A miss exhausts every window to 'x', the
+    reference's exhaustion path (worker.c:103-107, server.c:257-262).
+    """
+    if chunk_ordinals < 1:
+        raise ValueError(f"chunk_ordinals must be ≥ 1, got {chunk_ordinals}")
+    n = codec.keyspace_size(width)
+    hi = n - 1 if upper_ord is None else upper_ord
+    lo = lower_ord
+    while lo <= hi:
+        chunk_hi = min(lo + chunk_ordinals - 1, hi)
+        probe = candidates_matching(
+            spark, digest, width, lo, chunk_hi, hash_func,
+            with_ordinal=True,
+        ).first()
+        if probe is not None:
+            return CrackResult(True, probe["candidate"])
+        lo = chunk_hi + 1
+    return CrackResult(False, None)

@@ -210,3 +210,70 @@ def test_width7_full_space_early_hit_stays_prefix_launched(spark):
     assert 1 <= launched <= 5, (
         f"expected a 1-2 wave prefix, launched {launched} of {total_parts}"
     )
+
+
+def test_width8_envelope_chunked_loop_early_stop(spark):
+    """The §4.4 recipe proven at the width-8 envelope edge
+    (sources/keyspace.py: ~2.1e11 ordinals, the last width where
+    partition sizing holds the ~4M/task target): a targeted-range
+    crack_chunked over a 5M-ordinal window deep in the space — every
+    ordinal past 2^32, i.e. past the reference's uint32 ceiling —
+    must (a) answer the reference's 'f <pass>' verdict
+    (server.c:251-262), (b) stop SUBMITTING chunks after the hit
+    chunk, and (c) stay a ≤2-wave launch inside the hit chunk."""
+    from csce438_distributed_password_cracker_spark.functions import codec
+    from csce438_distributed_password_cracker_spark.operators.crack import (
+        crack_chunked,
+    )
+
+    n = codec.keyspace_size(8)
+    assert n == 26**8 > 2 * 10**11  # the envelope being exercised
+
+    chunk = 1_000_000
+    lo = n - 5 * chunk  # 5-chunk envelope at the very top of the space
+    assert lo > 2**32
+    # preimage early in the SECOND chunk: chunk 1 must exhaust (full
+    # scan), chunk 2 must hit in its first take wave, chunks 3-5 must
+    # never be submitted
+    target_ord = lo + chunk + 10_000
+    preimage = codec.py_decode(target_ord, 8)
+    assert codec.py_encode(preimage) == target_ord  # int64-exact codec
+    digest = hashlib.sha1(preimage.encode()).hexdigest()
+
+    sc = spark.sparkContext
+    per_chunk_parts = min(sc.defaultParallelism, chunk)
+    sc.setJobGroup("w8_chunked", "width-8 chunked-loop launch assertion")
+    try:
+        res = crack_chunked(
+            spark, digest, 8, lower_ord=lo, upper_ord=n - 1,
+            chunk_ordinals=chunk,
+        )
+    finally:
+        sc.setJobGroup(None, None)
+    assert res.reply == f"f {preimage}"  # server.c:251-256 hit reply
+
+    st = sc.statusTracker()
+    launched = 0
+    for jid in st.getJobIdsForGroup("w8_chunked"):
+        info = st.getJobInfo(jid)
+        if info is None:
+            continue
+        for sid in info.stageIds:
+            sinfo = st.getStageInfo(sid)
+            if sinfo is not None:
+                launched += sinfo.numTasks
+    # chunk 1 exhausts all its partitions; chunk 2's hit sits in its
+    # first partition, so executeTake stops after ≤2 waves (≤5 tasks);
+    # the 3 unsubmitted chunks would have added 3×per_chunk_parts more
+    assert per_chunk_parts <= launched <= per_chunk_parts + 5, (
+        f"expected one exhausted chunk + a ≤2-wave prefix, launched "
+        f"{launched} tasks ({per_chunk_parts} per chunk, 5 chunks)"
+    )
+
+    # miss over a disjoint 2-chunk window exhausts to 'x'
+    # (worker.c:103-107 exhaustion -> server.c:257-262 'x' reply)
+    miss = crack_chunked(
+        spark, digest, 8, lower_ord=0, upper_ord=2 * chunk - 1,
+        chunk_ordinals=chunk,
+    )
+    assert miss.reply == "x"
