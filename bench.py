@@ -122,24 +122,37 @@ def main() -> None:
         for name, s in op_samples.items()
     }
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "corpus_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_median": medians,
-                "total_median": round(sum(medians.values()), 3),
-                "operators": op_timings,
-                "operators_median": op_medians,
-                "runs": max(1, runs),
-                "setup": setup,
-                "sketch_mode": sketch_mode,
-                "sf": sf,
-            }
-        )
+    payload = {
+        "metric": "corpus_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_median": medians,
+        "total_median": round(sum(medians.values()), 3),
+        "operators": op_timings,
+        "operators_median": op_medians,
+        "runs": max(1, runs),
+        "setup": setup,
+        "sketch_mode": sketch_mode,
+        "sf": sf,
+    }
+    print(json.dumps(payload))
+    # The driver truncates the stdout line into BENCH_r{N}.json's `tail`,
+    # losing the per-query min dict — also write the full payload to a
+    # repo file so round-over-round diffs stay machine-readable without
+    # BASELINE.md prose.  SPARK_GRAFT_BENCH_DETAIL overrides the path;
+    # set it to empty to skip the write (ad-hoc sf0.01 runs).
+    detail = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_detail_latest.json",
+        ),
     )
+    if detail:
+        with open(detail, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+            f.write("\n")
 
 
 if __name__ == "__main__":

@@ -165,6 +165,47 @@ def heavy_winners(winners: DataFrame, heavy_hitters: int) -> DataFrame:
     )
 
 
+def reassemble(
+    df: DataFrame,
+    kept: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str,
+    out_col: str,
+) -> DataFrame:
+    """Rejoin surviving (``_did``, ``_pos``, ``_para``) rows into
+    per-document texts: ``(id_col, out_col, n_paragraphs, n_kept)``.
+    The shared tail of :func:`paragraph_dedup` and the streaming
+    ingest twin (streaming/paradedup_ingest.py) — per-doc totals come
+    map-only off the split array, survivors reassemble with one
+    grouped sort, and a document whose every paragraph lost still
+    comes back (empty text, n_kept 0)."""
+    sep_re = _quote_regex(sep)
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    totals = df.select(
+        F.col(id_col).alias("_did"),
+        F.size(F.split(text, F.lit(sep_re), -1))
+        .cast("long")
+        .alias("n_paragraphs"),
+    )
+    survivors = kept.groupBy("_did").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_pos", "_para"))),
+                lambda s: s["_para"],
+            ),
+            sep,
+        ).alias(out_col),
+        F.count("*").alias("n_kept"),
+    )
+    return totals.join(survivors, "_did", "left").select(
+        F.col("_did").alias(id_col),
+        F.coalesce(out_col, F.lit("")).alias(out_col),
+        "n_paragraphs",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+    )
+
+
 def paragraph_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -222,32 +263,4 @@ def paragraph_dedup(
             .select("_did", "_pos", "_para")
         )
     kept = kept_contested.unionByName(exempt)
-    # per-doc paragraph count straight off the split array — a map-only
-    # projection, not an explode+aggregate (one less exchange and one
-    # less corpus-wide Generate)
-    sep_re = _quote_regex(sep)
-    text = F.coalesce(F.col(text_col), F.lit(""))
-    totals = df.select(
-        F.col(id_col).alias("_did"),
-        F.size(F.split(text, F.lit(sep_re), -1))
-        .cast("long")
-        .alias("n_paragraphs"),
-    )
-    survivors = kept.groupBy("_did").agg(
-        F.array_join(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("_pos", "_para"))),
-                lambda s: s["_para"],
-            ),
-            sep,
-        ).alias(out_col),
-        F.count("*").alias("n_kept"),
-    )
-    # left join from totals: a document whose EVERY paragraph lost its
-    # election still comes back (empty text, n_kept 0)
-    return totals.join(survivors, "_did", "left").select(
-        F.col("_did").alias(id_col),
-        F.coalesce(out_col, F.lit("")).alias(out_col),
-        "n_paragraphs",
-        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-    )
+    return reassemble(df, kept, id_col, text_col, sep, out_col)
