@@ -133,26 +133,18 @@ def merge_spans(spans: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def excise_duplicate_spans(
+def excise_spans(
     df: DataFrame,
+    spans: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    k: int = 8,
-    seed: int = 42,
-    portable: bool = False,
-    min_count: int = 2,
     out_col: str = "text_deduped",
 ) -> DataFrame:
-    """Corpus-wide exact-substring dedup: every duplicated k-token span
-    is removed from all occurrences AFTER the first; returns
+    """Remove merged ``[start, end)`` token spans from each document —
+    the map-side rebuild shared by :func:`excise_duplicate_spans` and
+    the streaming ingest twin (streaming/substring_ingest.py).  Returns
     ``(id_col, out_col, n_tokens, n_removed)`` for every input document
-    (untouched documents come back verbatim-reassembled)."""
-    spans = merge_spans(
-        duplicate_spans(
-            df, id_col, text_col, k, seed, portable, min_count
-        ),
-        id_col,
-    )
+    (documents with no spans come back verbatim-reassembled)."""
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("start", "end")).alias("_spans")
     )
@@ -174,3 +166,26 @@ def excise_duplicate_spans(
         F.size("_toks").cast("long").alias("n_tokens"),
         (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
     )
+
+
+def excise_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    seed: int = 42,
+    portable: bool = False,
+    min_count: int = 2,
+    out_col: str = "text_deduped",
+) -> DataFrame:
+    """Corpus-wide exact-substring dedup: every duplicated k-token span
+    is removed from all occurrences AFTER the first; returns
+    ``(id_col, out_col, n_tokens, n_removed)`` for every input document
+    (untouched documents come back verbatim-reassembled)."""
+    spans = merge_spans(
+        duplicate_spans(
+            df, id_col, text_col, k, seed, portable, min_count
+        ),
+        id_col,
+    )
+    return excise_spans(df, spans, id_col, text_col, out_col)
