@@ -1530,17 +1530,26 @@ _ASSIGN_TMPL = f"""
                PARTITION BY lang
                ORDER BY md5(concat('q:', CAST(doc_id AS STRING))), doc_id
              ) AS strat_rank,
-             sum(n_toks) OVER (PARTITION BY lang) AS lang_toks,
-             sum(CASE WHEN lang IN ('en','fr','de') THEN n_toks END)
-               OVER () AS wtot_toks,
-             sum(CASE WHEN lang = 'de' THEN n_toks END) OVER () AS de_toks,
-             sum(CASE WHEN lang = 'en' THEN n_toks END) OVER () AS en_toks,
-             sum(CASE WHEN lang IN ('de','en') THEN n_toks END)
-               OVER () AS deen_toks
+             sum(n_toks) OVER (PARTITION BY lang) AS lang_toks
       FROM (
         SELECT doc_id, lang, n_chars{{inner_extra}},
                {_NTOKS_SQL} AS n_toks
         FROM {{src_table}}
+      )
+    )
+    CROSS JOIN (
+      -- corpus-wide token totals as ONE single-row aggregate joined
+      -- back broadcast: an OVER () window here would move the whole
+      -- table to a single partition (the 100 TB cliff); the extra
+      -- column-pruned scan is the cheap side of that trade
+      SELECT sum(CASE WHEN lang IN ('en','fr','de') THEN n_toks END)
+               AS wtot_toks,
+             sum(CASE WHEN lang = 'de' THEN n_toks END) AS de_toks,
+             sum(CASE WHEN lang = 'en' THEN n_toks END) AS en_toks,
+             sum(CASE WHEN lang IN ('de','en') THEN n_toks END)
+               AS deen_toks
+      FROM (
+        SELECT lang, {_NTOKS_SQL} AS n_toks FROM {{src_table}}
       )
     ){{thr_join}}
 """

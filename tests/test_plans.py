@@ -284,10 +284,13 @@ SHUFFLE_BUDGET = {
     "q_multimodal_features": 0, "q_outlier_flags": 1,
     "q_partition_coverage": 0,
     "q_similarity_knn": 3,
-    # +1 round 6: the fused ws_group branch's group-key shuffle
-    # (curriculum stage is map-only; ws_global is TakeOrdered, no
-    # exchange; the assign branch's windows share one exchange shape)
-    "q_sort_limit": 0, "q_split_assign": 2, "q_stream_audit": 1,
+    # round 6: +1 fused ws_group branch's group-key shuffle (curriculum
+    # stage is map-only; ws_global is TakeOrdered, no exchange; the
+    # assign branch's lang windows share one exchange shape), +1 the
+    # corpus-totals single-ROW aggregate's SinglePartition exchange (4
+    # longs — it REPLACED the OVER () windows that moved the whole
+    # table to one partition)
+    "q_sort_limit": 0, "q_split_assign": 3, "q_stream_audit": 1,
     "q_stream_flow": 5, "q_stream_stateful": 0, "q_string_ops": 0,
     # q_tpch 9 -> 16 round 6: Q13 (2: outer-join + distribution agg),
     # Q15 (2: revenue-view agg + its max twin), Q18 (2: HAVING agg +
