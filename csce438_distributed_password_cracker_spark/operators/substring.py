@@ -50,25 +50,23 @@ from pyspark.sql import functions as F
 from ..functions.porthash import md5_int_spark
 
 
-def duplicate_spans(
+def window_occurrences(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
     seed: int = 42,
     portable: bool = False,
-    min_count: int = 2,
 ) -> DataFrame:
-    """Token spans ``(id_col, start, end)`` — 0-based, end-exclusive —
-    whose k-token window text occurs at least ``min_count`` times
-    corpus-wide, EXCLUDING each window's first occurrence (the minimum
-    (doc, pos), so verdicts are deterministic and engine-portable).
-    Documents shorter than ``k`` tokens emit no windows."""
+    """Every k-token window of every document: ``(_did, _pos, _h)`` —
+    0-based positions, xxhash64 fingerprints (md5-60 under
+    ``portable=True``).  Documents shorter than ``k`` tokens emit no
+    windows.  The SINGLE tokenize/explode/fingerprint definition shared
+    by the batch sweep and the streaming ingest twin
+    (streaming/substring_ingest.py) — the persisted index's convergence
+    to batch semantics depends on these being bit-identical."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    if min_count < 2:
-        raise ValueError("min_count must be >= 2 (1 would excise text "
-                         "that is not duplicated anywhere)")
     toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     base = (
         df.select(F.col(id_col).alias("_did"), toks.alias("_toks"))
@@ -86,22 +84,60 @@ def duplicate_spans(
         if portable
         else f"xxhash64({gram}, {int(seed)})"
     )
-    occ = pos.select(
+    return pos.select(
         "_did", (F.col("_i") - 1).alias("_pos"), F.expr(h).alias("_h")
     )
-    winners = occ.groupBy("_h").agg(
-        F.min_by(
-            F.struct("_did", "_pos"), F.struct("_did", "_pos")
-        ).alias("_w"),
-        F.count("*").alias("_n"),
+
+
+def window_winners(occ: DataFrame) -> DataFrame:
+    """First-occurrence election over window occurrences: one row per
+    fingerprint ``(_h, _wdid, _wpos, _n)`` — the minimum (doc, pos)
+    plus the occurrence count, computed with map-side min/count
+    partials (the billion-fold boilerplate window reduces before the
+    exchange).  Shared by :func:`duplicate_spans` and the streaming
+    ingest twin's per-batch election."""
+    return (
+        occ.groupBy("_h")
+        .agg(
+            F.min_by(
+                F.struct("_did", "_pos"), F.struct("_did", "_pos")
+            ).alias("_w"),
+            F.count("*").alias("_n"),
+        )
+        .select(
+            "_h",
+            F.col("_w._did").alias("_wdid"),
+            F.col("_w._pos").alias("_wpos"),
+            "_n",
+        )
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    seed: int = 42,
+    portable: bool = False,
+    min_count: int = 2,
+) -> DataFrame:
+    """Token spans ``(id_col, start, end)`` — 0-based, end-exclusive —
+    whose k-token window text occurs at least ``min_count`` times
+    corpus-wide, EXCLUDING each window's first occurrence (the minimum
+    (doc, pos), so verdicts are deterministic and engine-portable)."""
+    if min_count < 2:
+        raise ValueError("min_count must be >= 2 (1 would excise text "
+                         "that is not duplicated anywhere)")
+    occ = window_occurrences(df, id_col, text_col, k, seed, portable)
+    winners = window_winners(occ)
     return (
         occ.join(winners, "_h")
         .where(
             (F.col("_n") >= int(min_count))
             & ~(
-                (F.col("_did") == F.col("_w._did"))
-                & (F.col("_pos") == F.col("_w._pos"))
+                (F.col("_did") == F.col("_wdid"))
+                & (F.col("_pos") == F.col("_wpos"))
             )
         )
         .select(

@@ -315,46 +315,26 @@ def start_dedup_ingest(
     online dedup must).
 
     ``compact_every`` > 0 runs operators/maintenance.compact_dedup_index
-    every that-many micro-batches, INSIDE the single writer's foreachBatch
-    (so it never races an append) — the always-on maintenance cadence that
-    keeps the index's file count bounded no matter how long the stream
-    runs.  0 leaves compaction to an external maintenance window.
+    every that-many micro-batches through the shared ingest scaffold
+    (streaming/ingest_common.start_ingest_stream — cadence, error
+    visibility and backpressure contract documented there); 0 leaves
+    compaction to an external maintenance window.
     ``max_files_per_trigger`` caps each micro-batch's file intake (source
     back-pressure; also what tests use to force multi-batch runs)."""
-    reader = spark.readStream.schema("doc_id LONG, text STRING")
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.json(source_dir)
+    from ..operators.maintenance import compact_dedup_index
+    from .ingest_common import start_ingest_stream
 
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        out = ingest_batch(
+    return start_ingest_stream(
+        spark,
+        source_dir,
+        checkpoint_dir,
+        sink_table,
+        lambda batch_df, _bid: ingest_batch(
             spark, batch_df, index_path, threshold=threshold, **params
-        )
-        out.write.mode("append").saveAsTable(sink_table)
-        if compact_every > 0 and (batch_id + 1) % compact_every == 0:
-            from ..operators.maintenance import compact_dedup_index
-
-            # best-effort: by this point the batch's index/sink writes are
-            # durable, and a compaction error must NOT fail the micro-batch
-            # (a foreachBatch retry would double-write the sink), but it
-            # must be VISIBLE — silent breakage would let small files
-            # accrete unbounded, the exact failure mode compaction exists
-            # to prevent
-            try:
-                compact_dedup_index(spark, index_path)
-            except Exception:
-                import logging
-
-                logging.getLogger(__name__).warning(
-                    "dedup-index compaction failed at batch %d "
-                    "(deferred to the next cadence)",
-                    batch_id,
-                    exc_info=True,
-                )
-
-    writer = stream.writeStream.foreachBatch(process).option(
-        "checkpointLocation", checkpoint_dir
+        ),
+        compact=lambda: compact_dedup_index(spark, index_path),
+        compact_every=compact_every,
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
+        compact_label="dedup-index",
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

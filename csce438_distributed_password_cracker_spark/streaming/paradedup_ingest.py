@@ -42,24 +42,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.paradedup import election, reassemble
+from .ingest_common import bucketed, index_exists, start_ingest_stream
 
 # pmod(_k, K_BUCKETS) partition dirs: 64 dirs list in one round trip,
 # and a probe that hits k of them reads k/64 of the index
 K_BUCKETS = 64
 
-CLEANED_SCHEMA = (
-    "doc_id long, text_deduped string, n_paragraphs long, n_kept long"
-)
-
 
 def _with_bucket(rows: DataFrame) -> DataFrame:
-    return rows.withColumn("k_bucket", F.pmod("_k", F.lit(K_BUCKETS)))
-
-
-def _index_exists(index_path: str) -> bool:
-    from pathlib import Path
-
-    return (Path(index_path) / "paras" / "_SUCCESS").exists()
+    return bucketed(rows, "_k", K_BUCKETS, "k_bucket")
 
 
 def build_para_index(
@@ -139,7 +130,7 @@ def ingest_paradedup_batch(
     occ = occ.localCheckpoint(eager=True)
     winners = winners.drop("_n").localCheckpoint(eager=True)
 
-    if _index_exists(index_path):
+    if index_exists(index_path, "paras"):
         seen = _pruned_seen(
             spark, index_path, winners.select("_k")
         ).localCheckpoint(eager=True)
@@ -195,23 +186,15 @@ def ingest_paradedup_batch(
 def compact_para_index(spark: SparkSession, index_path: str) -> None:
     """Rewrite the paras/ tree to one file per bucket — appends add a
     file per touched bucket per batch, and probe cost grows with file
-    count.  Same overwrite-via-staging discipline as
-    operators/maintenance: read fully, write to a staging dir, swap —
-    never overwrite in place while a reader may hold the old listing."""
-    import shutil
-    from pathlib import Path
+    count.  Delegates to the maintenance module's crash-safe swap
+    (write-new → rename-old-away → rename-new-in → delete-old): the
+    live index is never deleted before its replacement is in place, so
+    a crash mid-compaction cannot silently lose the dedup state."""
+    from ..operators.maintenance import compact_parquet
 
-    src = Path(index_path) / "paras"
-    stage = Path(index_path) / "paras__compact"
-    rows = spark.read.parquet(str(src))
-    (
-        rows.repartition("k_bucket")
-        .write.mode("overwrite")
-        .partitionBy("k_bucket")
-        .parquet(str(stage))
+    compact_parquet(
+        spark, f"{index_path}/paras", partition_by=["k_bucket"]
     )
-    shutil.rmtree(src)
-    stage.rename(src)
 
 
 def start_paradedup_ingest(
@@ -228,41 +211,22 @@ def start_paradedup_ingest(
 ):
     """readStream over a directory of document files (json lines with
     doc_id/text) → foreachBatch ingest_paradedup_batch → cleaned-docs
-    sink table.  The index is the cross-batch STATE: admitted
-    fingerprints are visible to every later batch.  ``compact_every``
-    > 0 compacts the index every that-many micro-batches INSIDE the
-    single writer's foreachBatch (never racing an append), best-effort
-    with a visible warning — the dedup_ingest cadence contract."""
-    reader = spark.readStream.schema("doc_id LONG, text STRING")
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.json(source_dir)
-
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        out = ingest_paradedup_batch(
-            spark,
-            batch_df,
-            index_path,
-            sep=sep,
-            min_chars=min_chars,
-        )
-        out.write.mode("append").saveAsTable(sink_table)
-        if compact_every > 0 and (batch_id + 1) % compact_every == 0:
-            try:
-                compact_para_index(spark, index_path)
-            except Exception:
-                import logging
-
-                logging.getLogger(__name__).warning(
-                    "paragraph-index compaction failed at batch %d "
-                    "(deferred to the next cadence)",
-                    batch_id,
-                    exc_info=True,
-                )
-
-    writer = stream.writeStream.foreachBatch(process).option(
-        "checkpointLocation", checkpoint_dir
+    sink table, through the shared ingest scaffold
+    (streaming/ingest_common.start_ingest_stream — cadence, error
+    visibility and backpressure contract documented there).  The index
+    is the cross-batch STATE: admitted fingerprints are visible to
+    every later batch."""
+    return start_ingest_stream(
+        spark,
+        source_dir,
+        checkpoint_dir,
+        sink_table,
+        lambda batch_df, _bid: ingest_paradedup_batch(
+            spark, batch_df, index_path, sep=sep, min_chars=min_chars
+        ),
+        compact=lambda: compact_para_index(spark, index_path),
+        compact_every=compact_every,
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
+        compact_label="paragraph-index",
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

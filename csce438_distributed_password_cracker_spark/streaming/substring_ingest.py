@@ -36,48 +36,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.substring import excise_spans, merge_spans
+from ..operators.substring import (
+    excise_spans,
+    merge_spans,
+    window_occurrences,
+    window_winners,
+)
+from .ingest_common import bucketed, index_exists, start_ingest_stream
 
 H_BUCKETS = 64
 
-CLEANED_SCHEMA = (
-    "doc_id long, text_deduped string, n_tokens long, n_removed long"
-)
-
 
 def _with_bucket(rows: DataFrame) -> DataFrame:
-    return rows.withColumn("h_bucket", F.pmod("_h", F.lit(H_BUCKETS)))
-
-
-def _index_exists(index_path: str) -> bool:
-    from pathlib import Path
-
-    return (Path(index_path) / "wins" / "_SUCCESS").exists()
-
-
-def _occurrences(
-    df: DataFrame, id_col: str, text_col: str, k: int, seed: int
-) -> DataFrame:
-    """Every k-token window of every document: (_did, _pos, _h) —
-    0-based positions, xxhash64 fingerprints (the batch operator's
-    production hash; its collision-odds note applies)."""
-    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
-    base = (
-        df.select(F.col(id_col).alias("_did"), toks.alias("_toks"))
-        .withColumn("_nt", F.size("_toks"))
-        .where(F.col("_nt") >= k)
-    )
-    pos = base.select(
-        "_did",
-        "_toks",
-        F.explode(F.expr(f"sequence(1, _nt - {k} + 1)")).alias("_i"),
-    )
-    gram = f"array_join(slice(_toks, _i, {k}), ' ')"
-    return pos.select(
-        "_did",
-        (F.col("_i") - 1).alias("_pos"),
-        F.expr(f"xxhash64({gram}, {int(seed)})").alias("_h"),
-    )
+    return bucketed(rows, "_h", H_BUCKETS, "h_bucket")
 
 
 def build_substring_index(
@@ -91,20 +62,9 @@ def build_substring_index(
     """One-off index build over the existing (already substring-deduped)
     corpus: one election aggregation over every window, winners land
     partitioned by h_bucket."""
-    winners = (
-        _occurrences(docs, id_col, text_col, k, seed)
-        .groupBy("_h")
-        .agg(
-            F.min_by(
-                F.struct("_did", "_pos"), F.struct("_did", "_pos")
-            ).alias("_w")
-        )
-        .select(
-            "_h",
-            F.col("_w._did").alias("_wdid"),
-            F.col("_w._pos").alias("_wpos"),
-        )
-    )
+    winners = window_winners(
+        window_occurrences(docs, id_col, text_col, k, seed)
+    ).drop("_n")
     (
         _with_bucket(winners)
         .repartition("h_bucket")
@@ -132,27 +92,14 @@ def ingest_substring_batch(
     their batch-elected winners.  An occurrence survives iff it IS the
     winner of record for its fingerprint — the index winner when seen
     (replay-idempotent), else the batch's elected first occurrence."""
-    occ = _occurrences(
+    occ = window_occurrences(
         batch, id_col, text_col, k, seed
     ).localCheckpoint(eager=True)  # reused: winners, probe keys, verdict
-    winners = (
-        occ.groupBy("_h")
-        .agg(
-            F.min_by(
-                F.struct("_did", "_pos"), F.struct("_did", "_pos")
-            ).alias("_w"),
-            F.count("*").alias("_nb"),
-        )
-        .select(
-            "_h",
-            F.col("_w._did").alias("_wdid"),
-            F.col("_w._pos").alias("_wpos"),
-            "_nb",
-        )
-        .localCheckpoint(eager=True)  # reused: verdict + admit
-    )
+    winners = window_winners(occ).localCheckpoint(
+        eager=True
+    )  # reused: verdict + admit
 
-    if _index_exists(index_path):
+    if index_exists(index_path, "wins"):
         # batch keys broadcast into the index scan: the corpus side is
         # never shuffled.  Window hashes are uniform, so no bucket
         # pruning is attempted — a non-trivial batch touches every
@@ -179,7 +126,7 @@ def ingest_substring_batch(
             "_h",
             F.coalesce("_idid", "_wdid").alias("_rdid"),
             F.coalesce("_ipos", "_wpos").alias("_rpos"),
-            (F.col("_idid").isNotNull() | (F.col("_nb") >= 2)).alias(
+            (F.col("_idid").isNotNull() | (F.col("_n") >= 2)).alias(
                 "_dup"
             ),
         )
@@ -216,22 +163,16 @@ def ingest_substring_batch(
 
 
 def compact_substring_index(spark: SparkSession, index_path: str) -> None:
-    """Rewrite wins/ to one file per bucket — same staging-swap
-    discipline as paradedup_ingest.compact_para_index."""
-    import shutil
-    from pathlib import Path
+    """Rewrite wins/ to one file per bucket via the maintenance
+    module's crash-safe swap (write-new → rename-old-away →
+    rename-new-in → delete-old): the live index is never deleted
+    before its replacement is in place, so a crash mid-compaction
+    cannot silently lose the dedup state."""
+    from ..operators.maintenance import compact_parquet
 
-    src = Path(index_path) / "wins"
-    stage = Path(index_path) / "wins__compact"
-    rows = spark.read.parquet(str(src))
-    (
-        rows.repartition("h_bucket")
-        .write.mode("overwrite")
-        .partitionBy("h_bucket")
-        .parquet(str(stage))
+    compact_parquet(
+        spark, f"{index_path}/wins", partition_by=["h_bucket"]
     )
-    shutil.rmtree(src)
-    stage.rename(src)
 
 
 def start_substring_ingest(
@@ -248,35 +189,21 @@ def start_substring_ingest(
 ):
     """readStream over a directory of document files (json lines with
     doc_id/text) → foreachBatch ingest_substring_batch → cleaned-docs
-    sink table.  The index is the cross-batch STATE; ``compact_every``
-    > 0 compacts inside the single writer's foreachBatch, best-effort
-    with a visible warning (the dedup-ingest cadence contract)."""
-    reader = spark.readStream.schema("doc_id LONG, text STRING")
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.json(source_dir)
-
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        out = ingest_substring_batch(
+    sink table, through the shared ingest scaffold
+    (streaming/ingest_common.start_ingest_stream — cadence, error
+    visibility and backpressure contract documented there).  The index
+    is the cross-batch STATE."""
+    return start_ingest_stream(
+        spark,
+        source_dir,
+        checkpoint_dir,
+        sink_table,
+        lambda batch_df, _bid: ingest_substring_batch(
             spark, batch_df, index_path, k=k, seed=seed
-        )
-        out.write.mode("append").saveAsTable(sink_table)
-        if compact_every > 0 and (batch_id + 1) % compact_every == 0:
-            try:
-                compact_substring_index(spark, index_path)
-            except Exception:
-                import logging
-
-                logging.getLogger(__name__).warning(
-                    "substring-index compaction failed at batch %d "
-                    "(deferred to the next cadence)",
-                    batch_id,
-                    exc_info=True,
-                )
-
-    writer = stream.writeStream.foreachBatch(process).option(
-        "checkpointLocation", checkpoint_dir
+        ),
+        compact=lambda: compact_substring_index(spark, index_path),
+        compact_every=compact_every,
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
+        compact_label="substring-index",
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
