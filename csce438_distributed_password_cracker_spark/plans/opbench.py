@@ -50,6 +50,11 @@ builds, a real disk write with fresh-per-run teardown):
 - ``langid_classify`` — Cavnar-Trenkle language ID end-to-end: train
   the per-language rank profiles, classify the full corpus map-side
   (operators/langid.py).
+- ``paradedup_ingest`` / ``substring_ingest`` — the streaming ingest
+  dedup twins (round 6): fingerprint-index build over 80% of the
+  corpus + one 20% micro-batch through probe/verdict/admit, fresh
+  index per run (streaming/paradedup_ingest.py,
+  streaming/substring_ingest.py).
 """
 
 from __future__ import annotations
@@ -192,6 +197,54 @@ def bench_dsir_select(spark: SparkSession, sf_dir: str) -> None:
     _noop(dsir.dsir_select(docs, w, k=500))
 
 
+def bench_paradedup_ingest(spark: SparkSession, sf_dir: str) -> None:
+    """Ingest-time paragraph dedup end-to-end: build the fingerprint
+    index over 80% of the corpus, then ingest the remaining 20% as one
+    micro-batch (probe + verdict + reassembly + admit append).  Fresh
+    index per run so every pass pays the full build + probe cycle."""
+    from ..operators.paradedup import carve_pseudo_paragraphs
+    from ..streaming import paradedup_ingest as pdi
+    from .pipeline_queries import warehouse_root_tag
+
+    wh, tag = warehouse_root_tag(sf_dir)
+    path = wh / f"opbench_paraidx_{tag}_{uuid.uuid4().hex[:8]}"
+    docs = carve_pseudo_paragraphs(_docs(spark, sf_dir), sep="|")
+    try:
+        pdi.build_para_index(
+            docs.where("doc_id % 5 != 0"), str(path), sep="|"
+        )
+        _noop(
+            pdi.ingest_paradedup_batch(
+                spark, docs.where("doc_id % 5 = 0"), str(path), sep="|"
+            )
+        )
+    finally:
+        shutil.rmtree(Path(path), ignore_errors=True)
+
+
+def bench_substring_ingest(spark: SparkSession, sf_dir: str) -> None:
+    """Ingest-time substring dedup end-to-end: window index over 80% of
+    the corpus, one 20% micro-batch through probe + span merge +
+    excision + admit.  Fresh index per run."""
+    from ..streaming import substring_ingest as ssi
+    from .pipeline_queries import warehouse_root_tag
+
+    wh, tag = warehouse_root_tag(sf_dir)
+    path = wh / f"opbench_substridx_{tag}_{uuid.uuid4().hex[:8]}"
+    docs = _docs(spark, sf_dir)
+    try:
+        ssi.build_substring_index(
+            docs.where("doc_id % 5 != 0"), str(path)
+        )
+        _noop(
+            ssi.ingest_substring_batch(
+                spark, docs.where("doc_id % 5 = 0"), str(path)
+            )
+        )
+    finally:
+        shutil.rmtree(Path(path), ignore_errors=True)
+
+
 OPERATOR_BENCH: dict[str, Callable[[SparkSession, str], None]] = {
     "paragraph_dedup": bench_paragraph_dedup,
     "semantic_dedup": bench_semantic_dedup,
@@ -205,4 +258,6 @@ OPERATOR_BENCH: dict[str, Callable[[SparkSession, str], None]] = {
     "bpe_encode": bench_bpe_encode,
     "export_shards": bench_export_shards,
     "langid_classify": bench_langid_classify,
+    "paradedup_ingest": bench_paradedup_ingest,
+    "substring_ingest": bench_substring_ingest,
 }

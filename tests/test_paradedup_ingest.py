@@ -190,3 +190,49 @@ def test_live_stream_end_to_end_with_compaction(spark, tmp_path):
         str(tmp_path / "index"),
     ).collect()
     assert out2[0]["text_deduped"] == ""
+
+
+def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
+    """A second stream over the SAME checkpoint after new files arrive
+    processes only the new files, against the index state the first
+    run admitted — the durable-restart contract of the ingest
+    pattern."""
+    import os
+
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "b0.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": f"{P1}\n\n{P2}"}) + "\n")
+
+    sink = "paradedup_restart_sink"
+    spark.sql(f"DROP TABLE IF EXISTS {sink}")
+    import shutil
+    from pathlib import Path
+
+    loc = Path("spark-warehouse") / sink
+    if loc.exists():
+        shutil.rmtree(loc)
+
+    common = dict(
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        index_path=str(tmp_path / "index"),
+        sink_table=sink,
+    )
+    q = pdi.start_paradedup_ingest(spark, str(src), **common)
+    q.awaitTermination(120)
+
+    # new file lands AFTER the first run finished
+    with open(src / "b1.json", "w") as f:
+        f.write(json.dumps({"doc_id": 2, "text": f"{P1}\n\n{P3}"}) + "\n")
+    now = os.stat(src / "b1.json").st_mtime
+    os.utime(src / "b0.json", (now - 10, now - 10))
+
+    q2 = pdi.start_paradedup_ingest(spark, str(src), **common)
+    q2.awaitTermination(120)
+
+    spark.catalog.refreshTable(sink)
+    rows = spark.table(sink).collect()
+    out = {r["doc_id"]: r["text_deduped"] for r in rows}
+    assert len(rows) == 2  # doc 1 NOT reprocessed by the restart
+    assert out[1] == f"{P1}\n\n{P2}"
+    assert out[2] == P3  # P1 excised against the restored index state
