@@ -22,6 +22,8 @@ def test_operator_bench_entries_run(spark, sf_smoke):
         "bpe_encode",
         "export_shards",
         "langid_classify",
+        "paradedup_ingest",
+        "substring_ingest",
     }
     for name, fn in sorted(opbench.OPERATOR_BENCH.items()):
         fn(spark, sf_smoke)  # must execute end-to-end without raising
