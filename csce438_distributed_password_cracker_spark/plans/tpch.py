@@ -236,6 +236,54 @@ _sql_query(
       GROUP BY 1, 2
     )
     UNION ALL
+    SELECT 'q8' AS tpch_q,
+           CAST(o_year AS BIGINT) AS k_id,
+           CAST(NULL AS STRING) AS k_name,
+           CAST(NULL AS STRING) AS k_name2,
+           CAST(NULL AS TIMESTAMP) AS order_ts,
+           CAST(round(nation_rev / total_rev, 6) AS DOUBLE) AS revenue,
+           n_rows,
+           CAST(NULL AS DOUBLE) AS sum_qty
+    FROM (
+      SELECT year(o.o_orderdate) AS o_year,
+             {_money(f"CASE WHEN n2.n_name = 'NATION_3' THEN {_REVENUE} ELSE CAST(0 AS DECIMAL(18,2)) END", "nation_rev")},
+             {_money(_REVENUE, "total_rev")},
+             COUNT(*) AS n_rows
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA'
+        AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY year(o.o_orderdate)
+    )
+    UNION ALL
+    SELECT 'q17' AS tpch_q,
+           CAST(NULL AS BIGINT) AS k_id,
+           CAST(NULL AS STRING) AS k_name,
+           CAST(NULL AS STRING) AS k_name2,
+           CAST(NULL AS TIMESTAMP) AS order_ts,
+           CAST(round(total_rev / 7.0, 2) AS DOUBLE) AS revenue,
+           n_rows,
+           CAST(NULL AS DOUBLE) AS sum_qty
+    FROM (
+      SELECT {_money(_dec("l.l_extendedprice"), "total_rev")},
+             COUNT(*) AS n_rows
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#13'
+        AND l.l_quantity < (
+          SELECT 0.2 * avg(l2.l_quantity)
+          FROM lineitem l2
+          WHERE l2.l_partkey = p.p_partkey)
+    )
+    UNION ALL
     SELECT 'q13' AS tpch_q,
            CAST(c_count AS BIGINT) AS k_id,
            CAST(NULL AS STRING) AS k_name,
@@ -407,7 +455,15 @@ _sql_query(
     "EXISTS (another supplier on the order) AND a correlated NOT "
     "EXISTS (no OTHER supplier's line returned), both with non-equi "
     "suppkey<>suppkey conjuncts Catalyst decorrelates to semi/anti "
-    "joins (returnflag='R' stands in for receipt-past-commit).",
+    "joins (returnflag='R' stands in for receipt-past-commit); "
+    "Q8 national market share — the 8-way join with TWO nation roles "
+    "(supplier's vs customer's), share = round-then-divide of two "
+    "exact DECIMAL revenue sums per order year; Q17 small-quantity "
+    "revenue — a CORRELATED scalar-avg subquery per partkey (Catalyst "
+    "decorrelates it to an aggregate + join); the threshold "
+    "0.2*avg(l_quantity) is engine-exact because integer-valued "
+    "doubles sum exactly regardless of order.  With these, every "
+    "TPC-H shape expressible without partsupp is covered: 17 of 22.",
     tables=(
         "customer", "orders", "lineitem", "supplier", "nation", "region",
         "part",

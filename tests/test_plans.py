@@ -292,11 +292,12 @@ SHUFFLE_BUDGET = {
     # table to one partition)
     "q_sort_limit": 0, "q_split_assign": 3, "q_stream_audit": 1,
     "q_stream_flow": 5, "q_stream_stateful": 0, "q_string_ops": 0,
-    # q_tpch 9 -> 16 round 6: Q13 (2: outer-join + distribution agg),
+    # q_tpch 9 -> 18 round 6: Q13 (2: outer-join + distribution agg),
     # Q15 (2: revenue-view agg + its max twin), Q18 (2: HAVING agg +
     # orderkey join), Q21 (1: the semi/anti fact joins share the
-    # l_orderkey exchange shape)
-    "q_text_profile": 3, "q_topk_per_group": 1, "q_tpch": 16,
+    # l_orderkey exchange shape), Q8 (1: year group agg; dims
+    # broadcast), Q17 (1: the decorrelated per-partkey avg agg)
+    "q_text_profile": 3, "q_topk_per_group": 1, "q_tpch": 18,
     "q_window_lead": 1, "q_window_rank": 2,
     "q_window_running": 1,
 }
