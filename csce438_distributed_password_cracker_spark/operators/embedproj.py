@@ -1,0 +1,182 @@
+"""Distributed PCA for embedding columns — the standard pre-transform
+of a vector-heavy training-data pipeline (dimension reduction /
+whitening before ANN indexing and semantic dedup; FAISS ships the same
+as its PCA/OPQ pretransforms, Johnson et al. 2017; SemDeDup operates on
+reduced embeddings, Abbas et al. 2023).
+
+Reference analog: none (north-star §2.12 embedding surface).
+
+Scale shape (the only one that survives 100 TB of vectors):
+
+- **Fit** is ONE corpus pass reduced to a d×d driver matrix: each Arrow
+  batch contributes a partial Gram matrix ``Bᵀ·B`` (numpy, BLAS), a
+  column sum and a count; partials are mergeable by addition, so the
+  pass is a ``mapInPandas`` sweep + a d²-element sum — for d = 1024
+  that is an 8 MB reduce, independent of corpus size.  The
+  eigendecomposition of the d×d covariance happens driver-side (numpy
+  ``eigh`` — microseconds next to the scan).
+- **Projection** is MAP-ONLY: mean and components broadcast inside a
+  pandas_udf closure; no shuffle, composes with any downstream ANN
+  index build or SemDeDup clustering.
+
+Determinism: eigenvectors are sign-normalized (largest-|coordinate|
+component made positive) so fitted models are reproducible across runs
+and partitionings; eigh on the same float64 covariance is
+deterministic.  NULL / wrong-length vectors are rejected loudly at fit
+(a silent skip would bias the mean) and project to NULL.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+__all__ = ["PcaModel", "fit_pca", "project"]
+
+
+@dataclass(frozen=True)
+class PcaModel:
+    """mean (d,), components (k, d) — rows are the top-k principal
+    axes, descending eigenvalue — explained_variance (k,), and the
+    total input variance (for explained-ratio bookkeeping)."""
+
+    mean: np.ndarray
+    components: np.ndarray
+    explained_variance: np.ndarray
+    total_variance: float
+    n: int
+
+    @property
+    def k(self) -> int:
+        return int(self.components.shape[0])
+
+    @property
+    def explained_ratio(self) -> float:
+        return float(self.explained_variance.sum() / self.total_variance)
+
+
+def _moment_partials(df: DataFrame, vec_col: str, d: int) -> DataFrame:
+    """Per-partition (n, sum(d), gram(d*d)) rows — the mergeable
+    sufficient statistics of PCA, flattened to arrays so one groupless
+    aggregation (array element-wise sums would shuffle d² columns;
+    instead each partition emits ONE row and the driver merges ≤
+    n_partitions rows)."""
+    out_schema = StructType(
+        [
+            StructField("n", LongType(), False),
+            StructField("s", ArrayType(DoubleType()), False),
+            StructField("g", ArrayType(DoubleType()), False),
+        ]
+    )
+
+    def _sweep(batches):
+        n = 0
+        s = np.zeros(d, dtype=np.float64)
+        g = np.zeros((d, d), dtype=np.float64)
+        for pdf in batches:
+            for v in pdf["v"]:
+                if v is None or len(v) != d:
+                    raise ValueError(
+                        f"embedding must be non-NULL length-{d}; got "
+                        f"{None if v is None else len(v)} — screen rows "
+                        "first (a silent skip would bias the mean)"
+                    )
+            if len(pdf):
+                b = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+                )
+                n += b.shape[0]
+                s += b.sum(axis=0)
+                g += b.T @ b
+        yield pd.DataFrame(
+            {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
+        )
+
+    return df.select(F.col(vec_col).alias("v")).mapInPandas(
+        _sweep, out_schema
+    )
+
+
+def fit_pca(df: DataFrame, vec_col: str, k: int) -> PcaModel:
+    """Fit a top-``k`` PCA on the ``array<float>`` column: one Arrow
+    sweep to d×d sufficient statistics, driver-side ``eigh``.  EAGER —
+    like the other build-then-return operators."""
+    first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("cannot fit PCA on an empty DataFrame")
+    d = int(first["d"])
+    if not (1 <= k <= d):
+        raise ValueError(f"k must be in [1, {d}], got {k}")
+    rows = _moment_partials(df, vec_col, d).collect()
+    n = sum(r["n"] for r in rows)
+    if n < 2:
+        raise ValueError(f"need >= 2 vectors to fit PCA, got {n}")
+    s = np.zeros(d)
+    g = np.zeros((d, d))
+    for r in rows:
+        s += np.asarray(r["s"])
+        g += np.asarray(r["g"]).reshape(d, d)
+    mean = s / n
+    # unbiased covariance from the raw moments: (G - n·mean·meanᵀ)/(n-1)
+    cov = (g - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comp = evecs[:, order].T.copy()
+    # sign normalization: flip each axis so its largest-|coordinate|
+    # entry is positive — reproducible across LAPACK builds
+    for i in range(comp.shape[0]):
+        j = int(np.argmax(np.abs(comp[i])))
+        if comp[i, j] < 0:
+            comp[i] = -comp[i]
+    return PcaModel(
+        mean=mean,
+        components=comp,
+        explained_variance=np.maximum(evals[order], 0.0),
+        total_variance=float(np.maximum(evals, 0.0).sum()),
+        n=n,
+    )
+
+
+def project(
+    df: DataFrame,
+    model: PcaModel,
+    vec_col: str,
+    out_col: str = "embedding_pca",
+    whiten: bool = False,
+) -> DataFrame:
+    """Append ``out_col`` = the k-dim projection ``(x - mean)·Wᵀ``
+    (``array<float>``), map-only — mean/components travel in the UDF
+    closure (k·d floats, broadcast once per executor).  ``whiten=True``
+    scales each axis to unit variance (the isotropic form ANN distance
+    metrics prefer).  NULL or wrong-length vectors project to NULL."""
+    mean = model.mean.copy()
+    w = model.components.copy()
+    if whiten:
+        scale = 1.0 / np.sqrt(np.maximum(model.explained_variance, 1e-12))
+        w = w * scale[:, None]
+    d = mean.shape[0]
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def _proj(vs: pd.Series) -> pd.Series:
+        out = []
+        for v in vs:
+            if v is None or len(v) != d:
+                out.append(None)
+                continue
+            x = np.asarray(v, dtype=np.float64) - mean
+            out.append((w @ x).astype(np.float32).tolist())
+        return pd.Series(out, dtype="object")
+
+    return df.withColumn(out_col, _proj(F.col(vec_col)))

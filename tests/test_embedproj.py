@@ -1,0 +1,125 @@
+"""Distributed PCA over embedding columns (operators/embedproj.py):
+equivalence with single-machine numpy PCA, partition invariance,
+projection/whitening semantics, and guards."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from csce438_distributed_password_cracker_spark.operators import embedproj
+
+
+def _emb(spark, sf_smoke):
+    return spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+
+
+def _np_pca(x, k):
+    mean = x.mean(axis=0)
+    cov = np.cov(x, rowvar=False)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    comp = evecs[:, order].T.copy()
+    for i in range(k):
+        j = int(np.argmax(np.abs(comp[i])))
+        if comp[i, j] < 0:
+            comp[i] = -comp[i]
+    return mean, comp, evals[order]
+
+
+def test_fit_matches_numpy_and_is_partition_invariant(spark, sf_smoke):
+    emb = _emb(spark, sf_smoke)
+    x = np.asarray(
+        [r["embedding"] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    k = 8
+    m = embedproj.fit_pca(emb, "embedding", k)
+    mean, comp, evals = _np_pca(x, k)
+    assert m.n == x.shape[0]
+    np.testing.assert_allclose(m.mean, mean, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(m.explained_variance, evals, rtol=1e-8)
+    np.testing.assert_allclose(m.components, comp, rtol=1e-6, atol=1e-9)
+    assert 0 < m.explained_ratio <= 1
+    # same model from a different partitioning (mergeable partials)
+    m2 = embedproj.fit_pca(emb.repartition(13), "embedding", k)
+    np.testing.assert_allclose(m2.components, m.components, atol=1e-9)
+    np.testing.assert_allclose(m2.mean, m.mean, atol=1e-12)
+
+
+def test_projection_variances_and_whitening(spark, sf_smoke):
+    emb = _emb(spark, sf_smoke)
+    k = 6
+    m = embedproj.fit_pca(emb, "embedding", k)
+    proj = embedproj.project(emb, m, "embedding")
+    y = np.asarray(
+        [r["embedding_pca"] for r in proj.select("embedding_pca").collect()],
+        dtype=np.float64,
+    )
+    assert y.shape[1] == k
+    var = y.var(axis=0, ddof=1)
+    # axis variances equal the eigenvalues, in descending order
+    np.testing.assert_allclose(var, m.explained_variance, rtol=1e-4)
+    assert all(var[i] >= var[i + 1] - 1e-9 for i in range(k - 1))
+    # whitened axes are unit-variance
+    w = embedproj.project(emb, m, "embedding", whiten=True)
+    yw = np.asarray(
+        [r["embedding_pca"] for r in w.select("embedding_pca").collect()],
+        dtype=np.float64,
+    )
+    np.testing.assert_allclose(
+        yw.var(axis=0, ddof=1), np.ones(k), rtol=1e-3
+    )
+
+
+def test_projection_is_map_only_and_reconstruction_improves(
+    spark, sf_smoke
+):
+    emb = _emb(spark, sf_smoke)
+    proj = embedproj.project(
+        emb, embedproj.fit_pca(emb, "embedding", 4), "embedding"
+    )
+    plan = proj._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # broadcast-closure projection
+
+    x = np.asarray(
+        [r["embedding"] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+
+    def recon_err(k):
+        m = embedproj.fit_pca(emb, "embedding", k)
+        c = x - m.mean
+        return float(((c - (c @ m.components.T) @ m.components) ** 2).sum())
+
+    e4, e16, e64 = recon_err(4), recon_err(16), recon_err(64)
+    assert e4 > e16 > e64
+    assert e64 < 1e-12  # k = d reconstructs exactly
+
+
+def test_null_and_bad_rows(spark, sf_smoke):
+    emb = _emb(spark, sf_smoke)
+    m = embedproj.fit_pca(emb, "embedding", 3)
+    extra = spark.createDataFrame(
+        [(9_001, None), (9_002, [1.0, 2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: r["embedding_pca"]
+        for r in embedproj.project(
+            emb.select("vec_id", "embedding").unionByName(extra), m,
+            "embedding",
+        ).collect()
+    }
+    assert out[9_001] is None and out[9_002] is None
+    assert sum(v is not None for v in out.values()) == len(out) - 2
+    # fit REJECTS bad rows loudly instead of biasing the mean
+    with pytest.raises(Exception, match="length"):
+        embedproj.fit_pca(
+            emb.select("vec_id", "embedding").unionByName(extra),
+            "embedding",
+            3,
+        )
+    with pytest.raises(ValueError, match="k must be"):
+        embedproj.fit_pca(emb, "embedding", 0)
