@@ -123,3 +123,52 @@ def test_null_and_bad_rows(spark, sf_smoke):
         )
     with pytest.raises(ValueError, match="k must be"):
         embedproj.fit_pca(emb, "embedding", 0)
+
+
+def test_composes_with_semdedup_near_dup_recall(spark, sf_smoke):
+    """The pipeline composition PCA exists for: project embeddings to
+    k=16 (75% dimension cut), then run SemDeDup pair-finding on the
+    REDUCED vectors — true near-duplicates (cos ~ 0.995 in the original
+    space) still co-locate and surface with high recall, because PCA
+    preserves the dominant directions that make them near."""
+    from csce438_distributed_password_cracker_spark.operators import (
+        semdedup,
+    )
+    from csce438_distributed_password_cracker_spark.operators.similarity import (
+        cosine_pairs_blocked,
+    )
+
+    emb = _emb(spark, sf_smoke).select("vec_id", "embedding")
+    # plant a near-dup of every base vector (the semdedup suite's recipe)
+    rows = emb.collect()
+    out = []
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        out.append((int(r["vec_id"]), [float(x) for x in v]))
+        p = v + 0.1 * np.roll(v, 1)
+        p = p / np.linalg.norm(p)
+        out.append((int(r["vec_id"]) + 10_000, [float(x) for x in p]))
+    planted = spark.createDataFrame(
+        out, "vec_id long, embedding array<double>"
+    )
+
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs_blocked(planted, 0.9).collect()
+    }
+    assert len(truth) >= 400
+
+    m = embedproj.fit_pca(planted, "embedding", 16)
+    reduced = embedproj.project(planted, m, "embedding").select(
+        "vec_id", F.col("embedding_pca").alias("embedding")
+    )
+    # near-dup pairs in the reduced space (cosine there is computed on
+    # 16-dim centered projections — threshold relaxed accordingly)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in semdedup.semantic_pairs(
+            reduced, 0.9, n_centroids=8
+        ).collect()
+    }
+    found = len(got & truth) / len(truth)
+    assert found >= 0.85, f"recall {found:.3f} after 64->16 PCA"
