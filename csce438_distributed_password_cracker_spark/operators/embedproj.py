@@ -10,11 +10,13 @@ Scale shape (the only one that survives 100 TB of vectors):
 
 - **Fit** is ONE corpus pass reduced to a d×d driver matrix: each Arrow
   batch contributes a partial Gram matrix ``Bᵀ·B`` (numpy, BLAS), a
-  column sum and a count; partials are mergeable by addition, so the
-  pass is a ``mapInPandas`` sweep + a d²-element sum — for d = 1024
-  that is an 8 MB reduce, independent of corpus size.  The
-  eigendecomposition of the d×d covariance happens driver-side (numpy
-  ``eigh`` — microseconds next to the scan).
+  column sum and a count; partials merge by addition through an
+  executor-side ``treeReduce`` (depth 2), so the DRIVER receives
+  exactly one (n, sum, Gram) triple — ~8 MB at d = 1024 — regardless
+  of partition count (a raw collect would scale with partitions: TB at
+  10⁵-10⁶ splits).  The eigendecomposition of the d×d covariance
+  happens driver-side (numpy ``eigh`` — microseconds next to the
+  scan).
 - **Projection** is MAP-ONLY: mean and components broadcast inside a
   pandas_udf closure; no shuffle, composes with any downstream ANN
   index build or SemDeDup clustering.
@@ -64,6 +66,10 @@ class PcaModel:
 
     @property
     def explained_ratio(self) -> float:
+        # a constant corpus (all vectors identical) has zero total
+        # variance — every axis explains all of nothing; report 0, not nan
+        if self.total_variance <= 0.0:
+            return 0.0
         return float(self.explained_variance.sum() / self.total_variance)
 
 
@@ -111,23 +117,46 @@ def _moment_partials(df: DataFrame, vec_col: str, d: int) -> DataFrame:
 
 def fit_pca(df: DataFrame, vec_col: str, k: int) -> PcaModel:
     """Fit a top-``k`` PCA on the ``array<float>`` column: one Arrow
-    sweep to d×d sufficient statistics, driver-side ``eigh``.  EAGER —
-    like the other build-then-return operators."""
-    first = df.select(F.size(vec_col).alias("d")).first()
+    sweep to d×d sufficient statistics merged through an executor-side
+    reduction tree, driver-side ``eigh``.  EAGER — like the other
+    build-then-return operators."""
+    # d from any NON-NULL row (size(NULL) is NULL — an unlucky first
+    # row must not turn the screening contract into a TypeError);
+    # NULL / wrong-length rows then fail loudly inside the sweep
+    first = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col).alias("d"))
+        .first()
+    )
     if first is None:
-        raise ValueError("cannot fit PCA on an empty DataFrame")
+        raise ValueError(
+            f"cannot fit PCA: column {vec_col!r} has no non-NULL vectors"
+        )
     d = int(first["d"])
     if not (1 <= k <= d):
         raise ValueError(f"k must be in [1, {d}], got {k}")
-    rows = _moment_partials(df, vec_col, d).collect()
-    n = sum(r["n"] for r in rows)
+    # treeReduce, NOT .collect(): the driver must hold O(d²), never
+    # O(partitions·d²) — at 10⁵-10⁶ input partitions the per-partition
+    # 8 MB (n, sum, Gram) rows would be terabytes on the driver, while
+    # the 2-level executor-side merge tree lands exactly one.  (The one
+    # place per-partition imperative reduction is the right tool — the
+    # same treeAggregate shape MLlib's summarizers use.)
+    n, s, g = (
+        _moment_partials(df, vec_col, d)
+        .rdd.map(
+            lambda r: (
+                int(r["n"]),
+                np.asarray(r["s"], dtype=np.float64),
+                np.asarray(r["g"], dtype=np.float64),
+            )
+        )
+        .treeReduce(
+            lambda a, b: (a[0] + b[0], a[1] + b[1], a[2] + b[2]), depth=2
+        )
+    )
+    g = g.reshape(d, d)
     if n < 2:
         raise ValueError(f"need >= 2 vectors to fit PCA, got {n}")
-    s = np.zeros(d)
-    g = np.zeros((d, d))
-    for r in rows:
-        s += np.asarray(r["s"])
-        g += np.asarray(r["g"]).reshape(d, d)
     mean = s / n
     # unbiased covariance from the raw moments: (G - n·mean·meanᵀ)/(n-1)
     cov = (g - n * np.outer(mean, mean)) / (n - 1)
@@ -164,19 +193,38 @@ def project(
     mean = model.mean.copy()
     w = model.components.copy()
     if whiten:
-        scale = 1.0 / np.sqrt(np.maximum(model.explained_variance, 1e-12))
-        w = w * scale[:, None]
+        # a near-zero-variance axis would whiten to ~1e6× amplified
+        # float noise that dominates every downstream distance — refuse
+        # rank-deficient whitening instead of silently corrupting it
+        floor = 1e-9 * max(model.explained_variance.max(), 1.0)
+        if (model.explained_variance < floor).any():
+            bad = int(np.argmin(model.explained_variance))
+            raise ValueError(
+                f"cannot whiten: axis {bad} has ~zero variance "
+                f"({model.explained_variance[bad]:.3e}) — the data has "
+                f"rank < k={model.k}; reduce k or skip whitening"
+            )
+        w = w / np.sqrt(model.explained_variance)[:, None]
     d = mean.shape[0]
 
     @F.pandas_udf(ArrayType(FloatType()))
     def _proj(vs: pd.Series) -> pd.Series:
-        out = []
-        for v in vs:
-            if v is None or len(v) != d:
-                out.append(None)
-                continue
-            x = np.asarray(v, dtype=np.float64) - mean
-            out.append((w @ x).astype(np.float32).tolist())
+        # stack the batch's valid rows into ONE (n, d) GEMM — the same
+        # BLAS idiom the fit sweep uses; per-row matvecs would pay the
+        # interpreter per vector on the operator's hot path
+        valid = [
+            i
+            for i, v in enumerate(vs)
+            if v is not None and len(v) == d
+        ]
+        out: list = [None] * len(vs)
+        if valid:
+            b = np.asarray(
+                [np.asarray(vs.iloc[i], dtype=np.float64) for i in valid]
+            )
+            y = ((b - mean) @ w.T).astype(np.float32)
+            for row, i in zip(y, valid):
+                out[i] = row.tolist()
         return pd.Series(out, dtype="object")
 
     return df.withColumn(out_col, _proj(F.col(vec_col)))

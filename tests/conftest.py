@@ -31,3 +31,23 @@ def sf_smoke():
 @pytest.fixture(scope="session")
 def sf_oracle():
     return SF_ORACLE
+
+
+def fresh_sink(spark, name: str) -> str:
+    """Drop a managed sink table AND its leftover warehouse location (a
+    crashed earlier run leaves the dir behind after the DROP, and
+    saveAsTable refuses to reuse it).  Shared by every streaming-ingest
+    test that writes a saveAsTable sink."""
+    import shutil
+    from pathlib import Path
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = Path(
+        spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+    )
+    loc = wh / name
+    if loc.exists():
+        shutil.rmtree(loc)
+    return name

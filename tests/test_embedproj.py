@@ -172,3 +172,44 @@ def test_composes_with_semdedup_near_dup_recall(spark, sf_smoke):
     }
     found = len(got & truth) / len(truth)
     assert found >= 0.85, f"recall {found:.3f} after 64->16 PCA"
+
+
+def test_rank_deficient_whiten_refused_and_constant_corpus_ratio(
+    spark, sf_smoke
+):
+    """whiten must REFUSE rank-deficient axes (amplified float noise
+    would dominate every downstream distance) instead of flooring them;
+    a constant corpus reports explained_ratio 0.0, never nan."""
+    # rank-1 data in 3 dims: axis 2+ variance is float noise
+    rows = [(i, [float(i), 2.0 * i, -1.0 * i]) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    m = embedproj.fit_pca(df, "v", 3)
+    with pytest.raises(ValueError, match="rank"):
+        embedproj.project(df, m, "v", whiten=True)
+    # k=1 captures the only real axis — whitening that is fine
+    m1 = embedproj.fit_pca(df, "v", 1)
+    y = embedproj.project(df, m1, "v", whiten=True)
+    assert y.where("embedding_pca IS NOT NULL").count() == 50
+
+    const = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(5)], "id long, v array<double>"
+    )
+    mc = embedproj.fit_pca(const, "v", 1)
+    assert mc.explained_ratio == 0.0  # 0/0 reported as 0, not nan
+
+
+def test_fit_rejects_null_first_row_loudly(spark):
+    """d inference must skip NULL rows (size(NULL) is NULL) and the
+    sweep must still reject NULLs with the screening message."""
+    df = spark.createDataFrame(
+        [(1, None), (2, [1.0, 2.0]), (3, [3.0, 4.0])],
+        "id long, v array<double>",
+    ).coalesce(1)  # NULL row first in scan order
+    with pytest.raises(Exception, match="screen rows"):
+        embedproj.fit_pca(df, "v", 1)
+    # all-NULL column: the clear no-vectors error, not a TypeError
+    nulls = spark.createDataFrame(
+        [(1, None), (2, None)], "id long, v array<double>"
+    )
+    with pytest.raises(ValueError, match="no non-NULL"):
+        embedproj.fit_pca(nulls, "v", 1)

@@ -155,16 +155,9 @@ def test_live_stream_end_to_end_with_compaction(spark, tmp_path):
     now = os.stat(src / "b1.json").st_mtime
     os.utime(src / "b0.json", (now - 10, now - 10))
 
-    sink = "paradedup_live_sink"
-    spark.sql(f"DROP TABLE IF EXISTS {sink}")
-    # a crashed earlier run can leave the managed location behind after
-    # the DROP — saveAsTable refuses to reuse it
-    import shutil
-    from pathlib import Path
+    from tests.conftest import fresh_sink
 
-    loc = Path("spark-warehouse") / sink
-    if loc.exists():
-        shutil.rmtree(loc)
+    sink = fresh_sink(spark, "paradedup_live_sink")
     q = pdi.start_paradedup_ingest(
         spark,
         str(src),
@@ -174,7 +167,7 @@ def test_live_stream_end_to_end_with_compaction(spark, tmp_path):
         compact_every=1,
         max_files_per_trigger=1,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
 
     spark.catalog.refreshTable(sink)
     out = {
@@ -204,14 +197,9 @@ def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
     with open(src / "b0.json", "w") as f:
         f.write(json.dumps({"doc_id": 1, "text": f"{P1}\n\n{P2}"}) + "\n")
 
-    sink = "paradedup_restart_sink"
-    spark.sql(f"DROP TABLE IF EXISTS {sink}")
-    import shutil
-    from pathlib import Path
+    from tests.conftest import fresh_sink
 
-    loc = Path("spark-warehouse") / sink
-    if loc.exists():
-        shutil.rmtree(loc)
+    sink = fresh_sink(spark, "paradedup_restart_sink")
 
     common = dict(
         checkpoint_dir=str(tmp_path / "ckpt"),
@@ -219,7 +207,7 @@ def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
         sink_table=sink,
     )
     q = pdi.start_paradedup_ingest(spark, str(src), **common)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
 
     # new file lands AFTER the first run finished
     with open(src / "b1.json", "w") as f:
@@ -228,7 +216,7 @@ def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
     os.utime(src / "b0.json", (now - 10, now - 10))
 
     q2 = pdi.start_paradedup_ingest(spark, str(src), **common)
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120)
 
     spark.catalog.refreshTable(sink)
     rows = spark.table(sink).collect()

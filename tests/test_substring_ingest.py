@@ -134,14 +134,9 @@ def test_live_stream_end_to_end_with_compaction(spark, tmp_path):
     now = os.stat(src / "b1.json").st_mtime
     os.utime(src / "b0.json", (now - 10, now - 10))
 
-    sink = "substring_live_sink"
-    spark.sql(f"DROP TABLE IF EXISTS {sink}")
-    import shutil
-    from pathlib import Path
+    from tests.conftest import fresh_sink
 
-    loc = Path("spark-warehouse") / sink
-    if loc.exists():
-        shutil.rmtree(loc)
+    sink = fresh_sink(spark, "substring_live_sink")
 
     q = ssi.start_substring_ingest(
         spark,
@@ -153,7 +148,7 @@ def test_live_stream_end_to_end_with_compaction(spark, tmp_path):
         compact_every=1,
         max_files_per_trigger=1,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
 
     spark.catalog.refreshTable(sink)
     out = {
