@@ -228,3 +228,159 @@ def heavy_hitters(
         .agg(F.count("*").alias(count_col))
         .where(F.col(count_col) * den > F.lit(total))
     )
+
+
+def mg_partials_by_group(
+    df: DataFrame, group_col: str, item_col: str, k: int
+) -> DataFrame:
+    """Per-(partition, group) Misra–Gries summaries: ≤ ``k``
+    (grp, item, est) rows per group per partition plus ONE sentinel row
+    per (partition, group) — item NULL, est = the group's non-NULL item
+    count — so per-group totals ride the same single scan.  NULL items
+    are excluded from counting; a NULL GROUP is a legitimate group of
+    its own (downstream joins are null-safe).  Same complex-type guard
+    as :func:`mg_partials`."""
+    if k < 1:
+        raise ValueError(f"k must be ≥ 1, got {k}")
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    for c in (group_col, item_col):
+        dt = df.schema[c].dataType
+        if isinstance(dt, (ArrayType, MapType, StructType)):
+            raise ValueError(
+                f"column {c!r} has complex type {dt.simpleString()}"
+                " — unhashable in the counting kernel; serialize it"
+                " first (to_json(col) or xxhash64(col))"
+            )
+    src = df.select(
+        F.col(group_col).alias("grp"), F.col(item_col).alias("item")
+    )
+    out_schema = StructType(
+        [
+            StructField("grp", src.schema["grp"].dataType, True),
+            StructField("item", src.schema["item"].dataType, True),
+            StructField("est", LongType(), False),
+        ]
+    )
+
+    def _sweep(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        summaries: dict = {}
+        seen: dict = {}
+        for pdf in batches:
+            ok = pdf[pdf["item"].notna()]
+            # pandas groupby drops NaN keys by default — dropna=False
+            # keeps the NULL group (its own stratum, not silently lost)
+            for grp, sub in ok.groupby("grp", dropna=False, sort=False):
+                key = None if pd.isna(grp) else grp
+                seen[key] = seen.get(key, 0) + len(sub)
+                summaries[key] = mg_merge(
+                    summaries.get(key, {}),
+                    sub["item"].value_counts().to_dict(),
+                    k,
+                )
+        yield pd.DataFrame(
+            [
+                (grp, item, int(est))
+                for grp, summary in summaries.items()
+                for item, est in summary.items()
+            ],
+            columns=["grp", "item", "est"],
+        )
+        # sentinels in their own frame (the int64-coercion trap — see
+        # mg_partials)
+        yield pd.DataFrame(
+            [(grp, None, int(n)) for grp, n in seen.items()],
+            columns=["grp", "item", "est"],
+        )
+
+    return src.mapInPandas(_sweep, out_schema)
+
+
+def grouped_heavy_hitters(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    den: int,
+    k: int | None = None,
+    count_col: str = "cnt",
+    total_col: str = "grp_total",
+) -> DataFrame:
+    """Per-GROUP heavy hitters — every (group, item) whose frequency
+    strictly exceeds ``group_total / den`` WITHIN its group, with exact
+    counts: ``(group_col, item_col, count_col, total_col)``.  The
+    per-domain sweep of corpus curation (per-source boilerplate tokens,
+    per-host URL patterns) where a global threshold would drown small
+    domains under big ones.
+
+    Same two-pass Misra–Gries shape as :func:`heavy_hitters`, grouped:
+    the MG pigeonhole bound holds PER (partition, group) — an item
+    above its group's threshold exceeds the local bound in some
+    partition's summary of that group — so the sieve stays exact with
+    the same ``k + 1 ≥ den`` requirement.  The candidate set stays a
+    DATAFRAME end-to-end (≤ groups × k rows): at millions of groups a
+    driver collect would be the exact O(groups·k) mistake the global
+    operator's pre-sieve removed, so the exact pass is a semi-join
+    against the sieved candidates instead of an isin pushdown, and the
+    optimizer (AQE) picks broadcast vs shuffle by size.  Group joins
+    are NULL-SAFE — a NULL group is a stratum, not a dropped row.
+
+    Lifecycle: the per-partition summaries persist (MEMORY_AND_DISK)
+    and are shared by the sieve and the returned plan; ownership
+    follows the returned DataFrame (the collocations convention) —
+    Spark evicts LRU, lineage survives executor loss.
+    """
+    if den < 2:
+        raise ValueError(f"den must be ≥ 2, got {den}")
+    k = 2 * den if k is None else k
+    if k + 1 < den:
+        raise ValueError(
+            f"k={k} breaks the guarantee: need k+1 ≥ den={den} so every "
+            "item above its group threshold survives the Misra-Gries sieve"
+        )
+    from pyspark import StorageLevel
+
+    partials = mg_partials_by_group(df, group_col, item_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    merged = partials.groupBy("grp", "item").agg(F.sum("est").alias("est"))
+    totals = merged.where(F.col("item").isNull()).select(
+        "grp", F.col("est").alias("__total")
+    )
+    cand = (
+        merged.where(F.col("item").isNotNull())
+        .join(
+            totals.withColumnRenamed("grp", "__t_grp"),
+            F.col("grp").eqNullSafe(F.col("__t_grp")),
+        )
+        .where(
+            (F.col("est") * (k + 1) + F.col("__total")) * den
+            > F.col("__total") * (k + 1)
+        )
+        .select("grp", "item")
+    )
+    src = df.select(
+        F.col(group_col).alias("grp"), F.col(item_col).alias("item")
+    ).where(F.col(item_col).isNotNull())
+    exact = (
+        src.join(
+            cand.withColumnsRenamed({"grp": "__c_grp", "item": "__c_item"}),
+            F.col("grp").eqNullSafe(F.col("__c_grp"))
+            & (F.col("item") == F.col("__c_item")),
+            "left_semi",
+        )
+        .groupBy("grp", "item")
+        .agg(F.count("*").alias(count_col))
+    )
+    return (
+        exact.join(
+            totals.withColumnRenamed("grp", "__t_grp"),
+            F.col("grp").eqNullSafe(F.col("__t_grp")),
+        )
+        .where(F.col(count_col) * den > F.col("__total"))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("item").alias(item_col),
+            count_col,
+            F.col("__total").alias(total_col),
+        )
+    )

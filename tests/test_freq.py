@@ -180,3 +180,81 @@ def test_sieve_collect_input_is_merged_and_candidate_bounded(spark):
         if r["count"] * den > total
     }
     assert truth <= {r["item"] for r in rows}
+
+
+def _grouped_df(spark, seed=11):
+    """Three domains with different sizes and different heavy items —
+    a global threshold would miss the small domain's boilerplate."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(6_000):
+        rows.append(("big", "big_hot" if rng.random() < 0.3 else f"bt{i}"))
+    for i in range(600):
+        rows.append(
+            ("mid", "mid_hot" if rng.random() < 0.3 else f"mt{i}")
+        )
+    for i in range(60):
+        rows.append(
+            ("small", "sm_hot" if rng.random() < 0.5 else f"st{i}")
+        )
+    rows.append((None, "null_grp_item"))  # NULL group = its own stratum
+    rows.append((None, "null_grp_item"))
+    rows.append((None, "other"))
+    return spark.createDataFrame(rows, ["domain", "item"]).repartition(8)
+
+
+def test_grouped_heavy_hitters_exact_vs_brute_force(spark):
+    from csce438_distributed_password_cracker_spark.operators.freq import (
+        grouped_heavy_hitters,
+    )
+
+    df = _grouped_df(spark)
+    for den in (4, 8):
+        got = {
+            (r["domain"], r["item"], r["cnt"], r["grp_total"])
+            for r in grouped_heavy_hitters(
+                df, "domain", "item", den=den
+            ).collect()
+        }
+        tot = {
+            r["domain"]: r["n"]
+            for r in df.groupBy("domain")
+            .agg(F.count("item").alias("n"))
+            .collect()
+        }
+        brute = {
+            (r["domain"], r["item"], r["cnt"], tot[r["domain"]])
+            for r in df.groupBy("domain", "item")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+            if r["cnt"] * den > tot[r["domain"]]
+        }
+        assert got == brute, f"den={den}"
+    # each domain's hot item survives ITS OWN threshold — including the
+    # small domain a global threshold would drown, and the NULL group
+    items = {
+        (r["domain"], r["item"])
+        for r in grouped_heavy_hitters(df, "domain", "item", den=4).collect()
+    }
+    assert {"big_hot", "mid_hot", "sm_hot"} <= {i for _, i in items}
+    assert (None, "null_grp_item") in items
+
+
+def test_grouped_heavy_hitters_stays_a_dataframe_plan(spark):
+    """The exact pass must semi-join against the sieved candidate FRAME
+    (no driver collect of O(groups*k) rows, no isin literal list) and
+    the group joins must be null-safe."""
+    from csce438_distributed_password_cracker_spark.operators.freq import (
+        grouped_heavy_hitters,
+    )
+
+    df = _grouped_df(spark)
+    out = grouped_heavy_hitters(df, "domain", "item", den=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "In(item" not in plan  # no collected literal list
+    # guards
+    with pytest.raises(ValueError, match="k\\+1"):
+        grouped_heavy_hitters(df, "domain", "item", den=30, k=10)
+    with pytest.raises(ValueError, match="den"):
+        grouped_heavy_hitters(df, "domain", "item", den=1)
