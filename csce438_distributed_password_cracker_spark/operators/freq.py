@@ -163,26 +163,31 @@ def heavy_hitters(
     den: int,
     k: int | None = None,
     count_col: str = "cnt",
+    handle: list | None = None,
 ) -> DataFrame:
     """All items whose frequency strictly exceeds ``total / den``, with
     their EXACT counts — ``(item, cnt)``, the item keeping its original
     column name AND type.
 
     ``k`` (MG counter budget, default ``2 * den``) must satisfy
-    ``k + 1 ≥ den`` or candidates could be silently missed.  The
-    candidate collect is bounded by construction: the per-partition
-    summaries (≤ k+1 rows each) merge through ONE tiny shuffle and the
-    threshold pre-sieve runs DISTRIBUTED (:func:`sieved_candidates`),
-    so only true candidates — items whose upper bound crosses the
-    threshold — ever reach the driver.
+    ``k + 1 ≥ den`` or candidates could be silently missed.
 
-    EAGER by design: the sieve pass runs when this function is CALLED
-    (the driver must see the candidates to build the second-pass
-    plan), like the other build-then-return operators (index builds,
-    fence computation) — don't construct it from plan-only tooling.
-    The fully-lazy alternative (semi-join against a candidates
-    DataFrame) would re-run the corpus sweep once per consumer of the
-    partials; one bounded collect is the cheaper contract.
+    FULLY LAZY (round-7 convergence with the grouped sibling): nothing
+    reaches the driver.  The per-partition MG summaries persist
+    (MEMORY_AND_DISK, ≤ k+1 rows per partition) and are shared by the
+    sieve subtree and the sentinel-total subtree; the exact pass is a
+    broadcast semi-join of the corpus against the sieved candidate
+    FRAME (:func:`sieved_candidates` — O(true candidates) rows), and
+    the final threshold compares against the broadcast 1-row total.
+    At 10⁵-10⁶ partitions this keeps the driver entirely out of the
+    data path — the round-6 eager variant still drained candidates
+    through one driver collect to build an ``isin`` literal list.
+
+    Lifecycle: the persisted summaries are owned by the returned plan
+    (Spark evicts LRU; lineage survives executor loss).  A long-lived
+    driver that wants DETERMINISTIC release passes ``handle=[]`` — the
+    persisted frame is appended to it, so the caller can
+    ``h[0].unpersist()`` once the result is materialized.
     """
     if den < 2:
         raise ValueError(f"den must be ≥ 2, got {den}")
@@ -196,37 +201,30 @@ def heavy_hitters(
 
     # persist so the sentinel-total subtree and the merged-candidates
     # subtree share ONE corpus sweep (the cached partials are ≤ (k+1)
-    # rows per partition — negligible); released before the exact pass
+    # rows per partition — negligible)
     partials = mg_partials(df, item_col, k).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    try:
-        cand_rows = sieved_candidates(partials, den, k).collect()
-    finally:
-        partials.unpersist()
-    # every sieved row carries the broadcast total; when no candidate
-    # survives the result is empty regardless of the threshold
-    total = cand_rows[0]["__total"] if cand_rows else 0
-    cand = [r["item"] for r in cand_rows]
+    if handle is not None:
+        handle.append(partials)
+    cand = sieved_candidates(partials, den, k).select(
+        F.col("item").alias("__hh_item")
+    )
+    tot = (
+        partials.where(F.col("item").isNull())
+        .agg(F.sum("est").alias("__total"))
+    )
     item = F.col(item_col)
-    if not cand:
-        filtered = df.where(F.lit(False))
-    elif len(cand) <= 10_000:
-        # small list → pushed-down In filter, no join at all; the
-        # collected values carry the column's native type
-        filtered = df.where(item.isin(cand))
-    else:
-        cand_df = df.sparkSession.createDataFrame(
-            [(c,) for c in cand],
-            schema=df.select(item.alias("__hh_item")).schema,
-        )
-        filtered = df.join(
-            F.broadcast(cand_df), item == F.col("__hh_item"), "left_semi"
-        )
-    return (
-        filtered.groupBy(item)
+    exact = (
+        df.where(item.isNotNull())
+        .join(F.broadcast(cand), item == F.col("__hh_item"), "left_semi")
+        .groupBy(item)
         .agg(F.count("*").alias(count_col))
-        .where(F.col(count_col) * den > F.lit(total))
+    )
+    return (
+        exact.crossJoin(F.broadcast(tot))
+        .where(F.col(count_col) * den > F.col("__total"))
+        .select(item_col, count_col)
     )
 
 
@@ -304,6 +302,7 @@ def grouped_heavy_hitters(
     k: int | None = None,
     count_col: str = "cnt",
     total_col: str = "grp_total",
+    handle: list | None = None,
 ) -> DataFrame:
     """Per-GROUP heavy hitters — every (group, item) whose frequency
     strictly exceeds ``group_total / den`` WITHIN its group, with exact
@@ -320,14 +319,25 @@ def grouped_heavy_hitters(
     DATAFRAME end-to-end (≤ groups × k rows): at millions of groups a
     driver collect would be the exact O(groups·k) mistake the global
     operator's pre-sieve removed, so the exact pass is a semi-join
-    against the sieved candidates instead of an isin pushdown, and the
-    optimizer (AQE) picks broadcast vs shuffle by size.  Group joins
-    are NULL-SAFE — a NULL group is a stratum, not a dropped row.
+    against the sieved candidates instead of an isin pushdown.  The
+    summary-sized frames (candidates, per-group totals) join with an
+    explicit BROADCAST hint: the Arrow sweep already holds every
+    group's k-counter summary in one partition's dict, so the
+    operator's memory contract is groups × k fits an executor — the
+    same bound that makes the broadcast safe, and it keeps the CORPUS
+    side of the exact pass from ever shuffling (the initial plan
+    would otherwise sort-merge the full token stream on (group,
+    item)).  Group joins are NULL-SAFE — a NULL group is a stratum,
+    not a dropped row.
 
-    Lifecycle: the per-partition summaries persist (MEMORY_AND_DISK)
-    and are shared by the sieve and the returned plan; ownership
-    follows the returned DataFrame (the collocations convention) —
-    Spark evicts LRU, lineage survives executor loss.
+    Lifecycle: the MERGED summaries (≤ candidates + groups rows — the
+    post-shuffle frame both the totals and candidate subtrees consume)
+    persist (MEMORY_AND_DISK) and are owned by the returned plan —
+    Spark evicts LRU, lineage survives executor loss.  A long-lived
+    driver that wants DETERMINISTIC release passes ``handle=[]``: the
+    persisted frame is appended to it for ``h[0].unpersist()`` after
+    the result is materialized (same contract as
+    :func:`heavy_hitters`).
     """
     if den < 2:
         raise ValueError(f"den must be ≥ 2, got {den}")
@@ -339,17 +349,21 @@ def grouped_heavy_hitters(
         )
     from pyspark import StorageLevel
 
-    partials = mg_partials_by_group(df, group_col, item_col, k).persist(
-        StorageLevel.MEMORY_AND_DISK
+    merged = (
+        mg_partials_by_group(df, group_col, item_col, k)
+        .groupBy("grp", "item")
+        .agg(F.sum("est").alias("est"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    merged = partials.groupBy("grp", "item").agg(F.sum("est").alias("est"))
+    if handle is not None:
+        handle.append(merged)
     totals = merged.where(F.col("item").isNull()).select(
         "grp", F.col("est").alias("__total")
     )
     cand = (
         merged.where(F.col("item").isNotNull())
         .join(
-            totals.withColumnRenamed("grp", "__t_grp"),
+            F.broadcast(totals.withColumnRenamed("grp", "__t_grp")),
             F.col("grp").eqNullSafe(F.col("__t_grp")),
         )
         .where(
@@ -363,7 +377,11 @@ def grouped_heavy_hitters(
     ).where(F.col(item_col).isNotNull())
     exact = (
         src.join(
-            cand.withColumnsRenamed({"grp": "__c_grp", "item": "__c_item"}),
+            F.broadcast(
+                cand.withColumnsRenamed(
+                    {"grp": "__c_grp", "item": "__c_item"}
+                )
+            ),
             F.col("grp").eqNullSafe(F.col("__c_grp"))
             & (F.col("item") == F.col("__c_item")),
             "left_semi",
@@ -373,7 +391,7 @@ def grouped_heavy_hitters(
     )
     return (
         exact.join(
-            totals.withColumnRenamed("grp", "__t_grp"),
+            F.broadcast(totals.withColumnRenamed("grp", "__t_grp")),
             F.col("grp").eqNullSafe(F.col("__t_grp")),
         )
         .where(F.col(count_col) * den > F.col("__total"))

@@ -2083,8 +2083,25 @@ def q_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM w, wtot
       GROUP BY word, n
       HAVING count(*) * 30 > n
+    ),
+    sw AS (
+      SELECT source, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    sw2 AS (SELECT source, word FROM sw WHERE word <> ''),
+    stot AS (SELECT source, count(*) AS n FROM sw2 GROUP BY 1),
+    ghh AS (
+      SELECT 'ghh' AS branch, word AS w1, source AS w2,
+             CAST(count(*) AS BIGINT) AS c_ab,
+             CAST(n AS BIGINT) AS c_a,
+             CAST(NULL AS BIGINT) AS c_b,
+             CAST(NULL AS DOUBLE) AS lift
+      FROM sw2 JOIN stot USING (source)
+      GROUP BY source, word, n
+      HAVING count(*) * 30 > n
     )
     SELECT * FROM colloc UNION ALL SELECT * FROM hh
+    UNION ALL SELECT * FROM ghh
     """,
     doc="Corpus token statistics, one labeled union (round-6 fusion so "
     "the 50-entry driver gate covers both semantics).  colloc branch — "
@@ -2103,19 +2120,31 @@ def q_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "frequency > 1/30 of all tokens, with EXACT counts.  The Spark "
     "side runs the real two-pass Misra-Gries sieve — per-partition "
     "mergeable MG summaries (k=64 counters) in one Arrow-batched "
-    "mapInPandas scan, a partial-merge shuffle + driver-side integer-"
-    "exact pre-sieve, then an exact recount of only the candidate "
-    "items (pushed-down isin filter) — while DuckDB states the "
-    "semantics as the plain GROUP BY ... HAVING count*den > total.  "
+    "mapInPandas scan, a partial-merge shuffle + a DISTRIBUTED "
+    "integer-exact pre-sieve, then an exact recount of only the "
+    "candidate items (broadcast semi-join against the sieved "
+    "candidate frame — fully lazy since round 7, nothing reaches the "
+    "driver) — while DuckDB states the semantics as the plain "
+    "GROUP BY ... HAVING count*den > total.  "
     "The MG guarantee (k+1=65 >= den=30 => no item above threshold "
     "can be missed) makes the sieve EXACT, not approximate.  At 100 "
     "TB this is the shape that replaces a full-vocabulary groupBy: "
     "the corpus never shuffles keyed by token — only candidate-"
-    "matching rows do.",
+    "matching rows do.  ghh branch (round-7 fusion — the round-6 "
+    "grouped operator's hard CORRECTNESS row): per-SOURCE heavy "
+    "hitters via operators/freq.py:grouped_heavy_hitters — every "
+    "(source, word) whose count strictly exceeds 1/30 of ITS OWN "
+    "source's token total, with exact counts AND the per-group total "
+    "(w2 carries the source, c_a the group total).  The per-domain "
+    "sweep where a global threshold would drown small domains; the "
+    "Spark side runs the per-(partition, group) MG sieve with the "
+    "candidate set a DataFrame end-to-end (null-safe semi-join exact "
+    "pass — no O(groups*k) driver collect), while DuckDB states it "
+    "as the per-group GROUP BY ... HAVING count*den > group_total.",
 )
 def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.collocations import collocations
-    from ..operators.freq import heavy_hitters
+    from ..operators.freq import grouped_heavy_hitters, heavy_hitters
 
     docs = load_table(spark, sf_dir, "documents")
     colloc = collocations(docs, "text", min_count=10).select(
@@ -2139,6 +2168,20 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("c_b"),
         F.lit(None).cast("double").alias("lift"),
     )
-    return colloc.unionAll(hh)
+    src_words = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).where(F.col("word") != "")
+    ghh = grouped_heavy_hitters(
+        src_words, "source", "word", den=30
+    ).select(
+        F.lit("ghh").alias("branch"),
+        F.col("word").alias("w1"),
+        F.col("source").alias("w2"),
+        F.col("cnt").alias("c_ab"),
+        F.col("grp_total").alias("c_a"),
+        F.lit(None).cast("long").alias("c_b"),
+        F.lit(None).cast("double").alias("lift"),
+    )
+    return colloc.unionAll(hh).unionAll(ghh)
 
 

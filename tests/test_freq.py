@@ -182,6 +182,36 @@ def test_sieve_collect_input_is_merged_and_candidate_bounded(spark):
     assert truth <= {r["item"] for r in rows}
 
 
+def test_heavy_hitters_is_lazy_and_releasable(spark):
+    """Round-7 convergence: the GLOBAL operator shares the grouped
+    sibling's fully-lazy shape — the exact pass semi-joins the sieved
+    candidate FRAME (no driver collect, no isin literal list), the
+    threshold compares against the broadcast 1-row total, and the
+    ``handle=[]`` out-param exposes the persisted summaries for
+    deterministic release."""
+    df = _skewed_df(spark, n=3_000)
+    h: list = []
+    out = heavy_hitters(df, "item", den=10, handle=h)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "In(item" not in plan  # no collected literal list
+    # building the plan ran NO job; materialize, then release
+    got = {(r["item"], r["cnt"]) for r in out.collect()}
+    total = 3_000
+    brute = {
+        (r["item"], r["cnt"])
+        for r in df.groupBy("item")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") * 10 > total)
+        .collect()
+    }
+    assert got == brute
+    [partials] = h
+    assert partials.storageLevel.useMemory  # persisted until released
+    partials.unpersist()
+    assert not partials.storageLevel.useMemory
+
+
 def _grouped_df(spark, seed=11):
     """Three domains with different sizes and different heavy items —
     a global threshold would miss the small domain's boilerplate."""
@@ -249,10 +279,16 @@ def test_grouped_heavy_hitters_stays_a_dataframe_plan(spark):
     )
 
     df = _grouped_df(spark)
-    out = grouped_heavy_hitters(df, "domain", "item", den=4)
+    h: list = []
+    out = grouped_heavy_hitters(df, "domain", "item", den=4, handle=h)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
     assert "In(item" not in plan  # no collected literal list
+    # the release handle exposes the persisted MERGED summaries
+    [merged] = h
+    assert merged.storageLevel.useMemory
+    merged.unpersist()
+    assert not merged.storageLevel.useMemory
     # guards
     with pytest.raises(ValueError, match="k\\+1"):
         grouped_heavy_hitters(df, "domain", "item", den=30, k=10)

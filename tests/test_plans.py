@@ -270,8 +270,12 @@ SHUFFLE_BUDGET = {
     "q_agg_percentile": 1, "q_agg_pivot": 2, "q_agg_scalars": 4,
     "q_ann_probe": 0, "q_ann_topk": 0, "q_array_ops": 0,
     "q_binary_roundtrip": 1, "q_codec_checks": 1,
-    # +1 round 6: the fused Misra-Gries hh branch's partial-merge shuffle
-    "q_collocations": 5,
+    # +1 round 6: the fused Misra-Gries hh branch's partial-merge shuffle.
+    # +4 round 7: the hh sieve went fully lazy, so its partial-merge +
+    # exact-recount shuffles now appear IN the returned plan (same
+    # physical work, previously eager/invisible), and the fused ghh
+    # branch adds its own per-group merge + exact-recount pair.
+    "q_collocations": 9,
     "q_crack_batch": 2,
     "q_crack_throughput": 1, "q_crack_verdicts": 1,
     "q_date_ops": 1,
