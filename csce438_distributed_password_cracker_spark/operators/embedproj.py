@@ -17,8 +17,8 @@ Scale shape (the only one that survives 100 TB of vectors):
   10⁵-10⁶ splits).  The eigendecomposition of the d×d covariance
   happens driver-side (numpy ``eigh`` — microseconds next to the
   scan).
-- **Projection** is MAP-ONLY: mean and components broadcast inside a
-  pandas_udf closure; no shuffle, composes with any downstream ANN
+- **Projection** is MAP-ONLY: mean and components ride in the
+  pandas_udf task closure; no shuffle, composes with any downstream ANN
   index build or SemDeDup clustering.
 
 Determinism: eigenvectors are sign-normalized (largest-|coordinate|
@@ -45,7 +45,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["PcaModel", "fit_pca", "project"]
+__all__ = ["PcaModel", "fit_pca", "pinned_model", "project"]
 
 
 @dataclass(frozen=True)
@@ -155,11 +155,48 @@ def fit_pca(df: DataFrame, vec_col: str, k: int) -> PcaModel:
         )
     )
     g = g.reshape(d, d)
+    return _eigen_model(n, s, g, k)
+
+
+def _eigen_model(n: int, s: np.ndarray, g: np.ndarray, k: int) -> PcaModel:
+    """Driver-side tail of the fit, shared by :func:`fit_pca` (sufficient
+    statistics from the distributed sweep) and :func:`pinned_model`
+    (statistics from a seeded synthetic corpus): raw moments →
+    covariance → ``eigh`` → sign-normalized top-k axes.
+
+    Conditioning note: the covariance comes from RAW moments,
+    ``(G - n·mean·meanᵀ)/(n-1)`` — one pass, mergeable, but subject to
+    catastrophic cancellation when ``n·‖mean‖²`` dwarfs the spread (an
+    un-centered corpus with a large DC component): eigenvalues can
+    collapse to float noise.  That regime is detected and WARNED about —
+    the caller should center the vectors first (one map-only
+    subtraction) rather than consume noise axes.  (A warning, not an
+    error: the all-identical corpus legitimately lands here and its
+    contract — every eigenvalue clamps to 0, ``explained_ratio`` 0.0 —
+    is pinned in tests.)"""
+    d = s.shape[0]
     if n < 2:
         raise ValueError(f"need >= 2 vectors to fit PCA, got {n}")
     mean = s / n
     # unbiased covariance from the raw moments: (G - n·mean·meanᵀ)/(n-1)
     cov = (g - n * np.outer(mean, mean)) / (n - 1)
+    # ill-conditioning guard: trace(cov) survives ~15 significant digits
+    # of float64; once the mean offset eats ~12 of them the remaining
+    # variance is mostly cancellation noise
+    spread = float(np.trace(g) / max(n - 1, 1))
+    offset = float(n * mean @ mean) / max(n - 1, 1)
+    if offset > 0 and spread - offset < 1e-12 * offset:
+        import warnings
+
+        warnings.warn(
+            "PCA covariance is at float64 cancellation precision: the "
+            f"corpus mean offset (n·‖mean‖²/(n-1) ≈ {offset:.3e}) "
+            f"consumes the raw second moment (trace ≈ {spread:.3e}) — "
+            "remaining variance is mostly noise; center the vectors "
+            "(subtract a pre-computed mean) before fitting",
+            RuntimeWarning,
+            stacklevel=3,
+        )
     evals, evecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(evals)[::-1][:k]
     comp = evecs[:, order].T.copy()
@@ -178,6 +215,25 @@ def fit_pca(df: DataFrame, vec_col: str, k: int) -> PcaModel:
     )
 
 
+def pinned_model(d: int, k: int, seed: int, n: int = 256) -> PcaModel:
+    """A PCA model that is a PURE FUNCTION of ``(d, k, seed, n)`` — the
+    hash-checkable stand-in the correctness gate needs (same discipline
+    as the LSH hyperplanes: every 'random' choice a deterministic plan
+    constant, similarity.py:_hyperplanes).
+
+    A seeded synthetic corpus with a planted decaying spectrum (column
+    ``j`` scaled by ``1/sqrt(1+j)`` — well-separated eigenvalues, so the
+    axis ORDER and sign normalization are stable) runs through exactly
+    the :func:`_eigen_model` math the distributed fit uses; both the
+    Spark query and the DuckDB oracle can therefore inline the same
+    float64 mean/components (``repr(float)`` round-trips exactly).  The
+    FIT over real data stays tests-only (``eigh`` is not
+    SQL-expressible); this pins the PROJECTION kernel in the gate."""
+    rng = np.random.RandomState(seed)
+    b = rng.standard_normal((n, d)) / np.sqrt(1.0 + np.arange(d))
+    return _eigen_model(n, b.sum(axis=0), b.T @ b, k)
+
+
 def project(
     df: DataFrame,
     model: PcaModel,
@@ -186,8 +242,11 @@ def project(
     whiten: bool = False,
 ) -> DataFrame:
     """Append ``out_col`` = the k-dim projection ``(x - mean)·Wᵀ``
-    (``array<float>``), map-only — mean/components travel in the UDF
-    closure (k·d floats, broadcast once per executor).  ``whiten=True``
+    (``array<float>``), map-only — mean/components travel in the
+    serialized task closure, re-deserialized per task (NOT a
+    ``sparkContext.broadcast``: at (k+1)·d doubles ≈ tens of KB the
+    per-task cost is noise; a model scaled to many MB should switch to
+    an explicit broadcast).  ``whiten=True``
     scales each axis to unit variance (the isotropic form ANN distance
     metrics prefer).  NULL or wrong-length vectors project to NULL."""
     mean = model.mean.copy()

@@ -1287,10 +1287,52 @@ def _sketch_battery(spark: SparkSession, sf_dir: str, portable: bool) -> DataFra
     return mh.unionAll(sh).unionAll(fp)
 
 
+# ── pinned PCA projection (round-7: the gate row for embedproj) ──────────
+# The model is a pure function of (d, k, seed) — real eigh output of a
+# seeded synthetic corpus (operators/embedproj.py:pinned_model), so both
+# engines inline the SAME float64 mean/components.  The dot product is
+# spelled in IDENTICAL left-associated op order on both sides: Spark's
+# aggregate(zip_with(...)) fold ≡ an unrolled `t1 + t2 + ...` chain
+# (0+t1 == t1 in IEEE).  Literals go through CAST('<repr>' AS DOUBLE) in
+# DuckDB — a bare decimal literal parses as DECIMAL and loses ulps.
+_PCA_GATE_D, _PCA_GATE_K, _PCA_GATE_SEED = 64, 4, 7
+
+
+def _pca_gate_model():
+    from ..operators.embedproj import pinned_model
+
+    return pinned_model(_PCA_GATE_D, _PCA_GATE_K, seed=_PCA_GATE_SEED)
+
+
+def _pca_proj_oracle_ctes() -> str:
+    """`proj` CTE: per (vec_id, axis) rows of round((x·wᵢ) - mean·wᵢ, 6)
+    — the centered projection with the mean term folded to a scalar
+    constant ((x-m)·w = x·w - m·w; m·w is computed ONCE in float64 and
+    inlined identically on both sides, keeping the per-row op order a
+    plain dot product)."""
+    m = _pca_gate_model()
+    selects = []
+    for i in range(m.k):
+        c = float(m.mean @ m.components[i])
+        terms = " + ".join(
+            f"(CAST(embedding[{j + 1}] AS DOUBLE) * "
+            f"CAST('{float(m.components[i][j])!r}' AS DOUBLE))"
+            for j in range(_PCA_GATE_D)
+        )
+        selects.append(
+            f"SELECT 'proj' AS branch, vec_id AS id_a, "
+            f"CAST({i} AS BIGINT) AS id_b, "
+            f"round(({terms}) - CAST('{c!r}' AS DOUBLE), 6) AS cos_sim "
+            f"FROM embeddings"
+        )
+    return "proj AS (\n" + "\n      UNION ALL ".join(selects) + "\n    )"
+
+
 @register(
     "q_dedup_embedding",
-    oracle="""
-    WITH exact AS (
+    oracle=f"""
+    WITH {_pca_proj_oracle_ctes()},
+    exact AS (
       SELECT 'exact' AS branch, id_a, id_b, cos_sim FROM (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -1335,6 +1377,7 @@ def _sketch_battery(spark: SparkSession, sf_dir: str, portable: bool) -> DataFra
       ) WHERE cos_sim >= 0.4
     )
     SELECT * FROM exact UNION ALL SELECT * FROM sem
+    UNION ALL SELECT * FROM proj
     """,
     doc="E2, one labeled union: exact — embedding-cosine near-dup pairs "
     "(cosine ≥ 0.4), EXACT via blocked GEMM candidate generation "
@@ -1345,9 +1388,23 @@ def _sketch_battery(spark: SparkSession, sf_dir: str, portable: bool) -> DataFra
     "cluster id, cluster-local blocked GEMM in applyInPandas), with the "
     "oracle re-deriving centroids, argmax assignment, and the "
     "within-cluster pair set end-to-end in SQL — the cross-cluster "
-    "misses (semantic ⊂ exact) are part of the checked contract.",
+    "misses (semantic ⊂ exact) are part of the checked contract.  "
+    "proj branch (round-7 fusion — the PCA projection's hard "
+    "CORRECTNESS row): operators/embedproj.py's projection kernel "
+    "against the PINNED model (pure function of seed; real eigh "
+    "output of a seeded synthetic corpus — the fit over real data "
+    "stays tests-only, eigh is not SQL-expressible).  One row per "
+    "(vec_id, axis): id_b is the axis, cos_sim the centered "
+    "projection rounded to 6, spelled in identical IEEE op order on "
+    "both sides.  The hashed value ALSO gate-couples the production "
+    "Arrow kernel: a +1e6 penalty lands on any axis where the "
+    "float32 pandas_udf projection deviates from the float64 JVM "
+    "twin by more than 1e-3, so a broken kernel (wrong sign, missing "
+    "mean subtraction) hash-mismatches even though the exact hashed "
+    "doubles come from the JVM expression.",
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import embedproj
     from ..operators.semdedup import semantic_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1381,7 +1438,51 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= 0.4)
     )
-    return exact.unionAll(sem)
+    model = _pca_gate_model()
+    # production kernel (Arrow GEMM, float32) on every row …
+    proj_src = embedproj.project(emb, model, "embedding", "__kvec")
+    # … and the JVM twin in DuckDB's exact op order: the left-to-right
+    # aggregate/zip_with fold, minus the precomputed mean·wᵢ scalar
+    jvm_axes = F.array(
+        *[
+            F.expr(
+                vectors.dot_sql(
+                    "embedding",
+                    "array("
+                    + ", ".join(
+                        f"{float(model.components[i][j])!r}D"
+                        for j in range(_PCA_GATE_D)
+                    )
+                    + ")",
+                )
+            )
+            - F.lit(float(model.mean @ model.components[i]))
+            for i in range(model.k)
+        ]
+    )
+    proj = (
+        proj_src.select(
+            F.col("vec_id").alias("id_a"),
+            F.posexplode(
+                F.arrays_zip(
+                    jvm_axes.alias("j"),
+                    F.col("__kvec").cast("array<double>").alias("p"),
+                )
+            ).alias("id_b", "z"),
+        )
+        .select(
+            F.lit("proj").alias("branch"),
+            "id_a",
+            F.col("id_b").cast("long").alias("id_b"),
+            (
+                F.round(F.col("z.j"), 6)
+                + F.when(
+                    F.abs(F.col("z.j") - F.col("z.p")) > 1e-3, F.lit(1e6)
+                ).otherwise(F.lit(0.0))
+            ).alias("cos_sim"),
+        )
+    )
+    return exact.unionAll(sem).unionAll(proj)
 
 
 @register(

@@ -213,3 +213,46 @@ def test_fit_rejects_null_first_row_loudly(spark):
     )
     with pytest.raises(ValueError, match="no non-NULL"):
         embedproj.fit_pca(nulls, "v", 1)
+
+
+def test_pinned_model_is_deterministic_and_real_pca():
+    """The gate model (round 7) is a pure function of (d, k, seed):
+    identical across calls, unit-norm mutually-orthogonal axes with
+    descending well-separated eigenvalues (the planted 1/(1+j) spectrum
+    keeps axis order and sign normalization stable)."""
+    a = embedproj.pinned_model(64, 4, seed=7)
+    b = embedproj.pinned_model(64, 4, seed=7)
+    assert np.array_equal(a.mean, b.mean)
+    assert np.array_equal(a.components, b.components)
+    assert a.k == 4 and a.mean.shape == (64,)
+    gram = a.components @ a.components.T
+    assert np.allclose(gram, np.eye(4), atol=1e-10)
+    ev = a.explained_variance
+    assert (ev[:-1] > ev[1:]).all() and (ev > 0).all()
+    # a different seed is a different model
+    c = embedproj.pinned_model(64, 4, seed=8)
+    assert not np.array_equal(a.components, c.components)
+
+
+def test_ill_conditioned_fit_warns(spark):
+    """A corpus whose mean offset consumes the raw second moment to
+    float64 precision gets a loud cancellation warning (ADVICE r6) —
+    the one-pass raw-moment covariance is noise there; fitting still
+    returns (the all-identical corpus contract depends on it)."""
+    base = np.array([1e9, -1e9, 5e8])
+    rows = [(i, (base + 1e-4 * np.array([i % 3, (i + 1) % 3, 1])).tolist())
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    with pytest.warns(RuntimeWarning, match="cancellation"):
+        embedproj.fit_pca(df, "v", 2)
+    # a healthy corpus does NOT warn
+    import warnings
+
+    healthy = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5), float(i % 2)])
+         for i in range(30)],
+        "id long, v array<double>",
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        embedproj.fit_pca(healthy, "v", 2)
