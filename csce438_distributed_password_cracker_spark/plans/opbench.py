@@ -50,11 +50,27 @@ builds, a real disk write with fresh-per-run teardown):
 - ``langid_classify`` — Cavnar-Trenkle language ID end-to-end: train
   the per-language rank profiles, classify the full corpus map-side
   (operators/langid.py).
-- ``paradedup_ingest`` / ``substring_ingest`` — the streaming ingest
-  dedup twins (round 6): fingerprint-index build over 80% of the
-  corpus + one 20% micro-batch through probe/verdict/admit, fresh
-  index per run (streaming/paradedup_ingest.py,
+- ``paradedup_ingest_build`` / ``substring_ingest_build`` — the
+  streaming ingest twins' fingerprint-index build over 80% of the
+  corpus, fresh per run with teardown (streaming/paradedup_ingest.py,
   streaming/substring_ingest.py).
+- ``paradedup_ingest_probe`` / ``substring_ingest_probe`` — ONE 20%
+  micro-batch through probe/verdict/admit against a PERSISTENT
+  content-tagged index (built on first use, reused across passes and
+  rounds like the bm25 gate index) — the steady-state per-batch cost a
+  production stream actually pays.  Round 7 split: the former single
+  ``*_ingest`` entries were ~90% one-off build, hiding per-batch probe
+  regressions.
+- ``grouped_heavy_hitters`` — per-source Misra-Gries heavy hitters
+  over the exploded token stream, candidates a DataFrame end-to-end
+  (operators/freq.py:grouped_heavy_hitters), persisted summaries
+  released per run via the handle out-param.
+- ``fit_pca`` — distributed PCA fit on the embeddings table: one Arrow
+  sweep to d×d sufficient statistics, depth-2 treeReduce, driver eigh
+  (operators/embedproj.py:fit_pca).
+- ``pca_project`` — the map-only projection kernel over every
+  embedding row against a once-per-process cached model
+  (operators/embedproj.py:project).
 """
 
 from __future__ import annotations
@@ -197,11 +213,10 @@ def bench_dsir_select(spark: SparkSession, sf_dir: str) -> None:
     _noop(dsir.dsir_select(docs, w, k=500))
 
 
-def bench_paradedup_ingest(spark: SparkSession, sf_dir: str) -> None:
-    """Ingest-time paragraph dedup end-to-end: build the fingerprint
-    index over 80% of the corpus, then ingest the remaining 20% as one
-    micro-batch (probe + verdict + reassembly + admit append).  Fresh
-    index per run so every pass pays the full build + probe cycle."""
+def bench_paradedup_ingest_build(spark: SparkSession, sf_dir: str) -> None:
+    """The paragraph-fingerprint index build over 80% of the corpus —
+    the one-off cost a deployment pays once per corpus version.  Fresh
+    path per run with teardown so every pass times the full build."""
     from ..operators.paradedup import carve_pseudo_paragraphs
     from ..streaming import paradedup_ingest as pdi
     from .pipeline_queries import warehouse_root_tag
@@ -213,36 +228,138 @@ def bench_paradedup_ingest(spark: SparkSession, sf_dir: str) -> None:
         pdi.build_para_index(
             docs.where("doc_id % 5 != 0"), str(path), sep="|"
         )
-        _noop(
-            pdi.ingest_paradedup_batch(
-                spark, docs.where("doc_id % 5 = 0"), str(path), sep="|"
-            )
-        )
     finally:
         shutil.rmtree(Path(path), ignore_errors=True)
 
 
-def bench_substring_ingest(spark: SparkSession, sf_dir: str) -> None:
-    """Ingest-time substring dedup end-to-end: window index over 80% of
-    the corpus, one 20% micro-batch through probe + span merge +
-    excision + admit.  Fresh index per run."""
+def _para_probe_index(spark: SparkSession, sf_dir: str) -> str:
+    """Persistent content-tagged paragraph index for the probe entry —
+    built on first use, reused afterwards (bm25 gate-index discipline:
+    a regenerated documents table invalidates by path)."""
+    from ..operators.paradedup import carve_pseudo_paragraphs
+    from ..streaming import ingest_common
+    from ..streaming import paradedup_ingest as pdi
+    from .pipeline_queries import _content_tag, warehouse_root_tag
+
+    docs = _docs(spark, sf_dir)
+    wh, tag = warehouse_root_tag(sf_dir)
+    path = str(
+        wh / f"opbench_paraidx_probe_{tag}_{_content_tag(docs, 'text')}"
+    )
+    if not ingest_common.index_exists(path, "paras"):
+        pdi.build_para_index(
+            carve_pseudo_paragraphs(docs, sep="|").where(
+                "doc_id % 5 != 0"
+            ),
+            path,
+            sep="|",
+        )
+    return path
+
+
+def bench_paradedup_ingest_probe(spark: SparkSession, sf_dir: str) -> None:
+    """ONE 20% micro-batch through probe + verdict + reassembly — the
+    steady-state per-batch cost a production ingest stream pays.  The
+    index is persistent (first-ever pass builds it; min/median over the
+    interleaved passes reflect pure probe)."""
+    from ..operators.paradedup import carve_pseudo_paragraphs
+    from ..streaming import paradedup_ingest as pdi
+
+    path = _para_probe_index(spark, sf_dir)
+    batch = carve_pseudo_paragraphs(_docs(spark, sf_dir), sep="|").where(
+        "doc_id % 5 = 0"
+    )
+    _noop(pdi.ingest_paradedup_batch(spark, batch, path, sep="|"))
+
+
+def bench_substring_ingest_build(spark: SparkSession, sf_dir: str) -> None:
+    """The substring window-fingerprint index build over 80% of the
+    corpus, fresh per run with teardown."""
     from ..streaming import substring_ingest as ssi
     from .pipeline_queries import warehouse_root_tag
 
     wh, tag = warehouse_root_tag(sf_dir)
     path = wh / f"opbench_substridx_{tag}_{uuid.uuid4().hex[:8]}"
-    docs = _docs(spark, sf_dir)
     try:
         ssi.build_substring_index(
-            docs.where("doc_id % 5 != 0"), str(path)
-        )
-        _noop(
-            ssi.ingest_substring_batch(
-                spark, docs.where("doc_id % 5 = 0"), str(path)
-            )
+            _docs(spark, sf_dir).where("doc_id % 5 != 0"), str(path)
         )
     finally:
         shutil.rmtree(Path(path), ignore_errors=True)
+
+
+def _substr_probe_index(spark: SparkSession, sf_dir: str) -> str:
+    from ..streaming import ingest_common
+    from ..streaming import substring_ingest as ssi
+    from .pipeline_queries import _content_tag, warehouse_root_tag
+
+    docs = _docs(spark, sf_dir)
+    wh, tag = warehouse_root_tag(sf_dir)
+    path = str(
+        wh / f"opbench_substridx_probe_{tag}_{_content_tag(docs, 'text')}"
+    )
+    if not ingest_common.index_exists(path, "wins"):
+        ssi.build_substring_index(docs.where("doc_id % 5 != 0"), path)
+    return path
+
+
+def bench_substring_ingest_probe(spark: SparkSession, sf_dir: str) -> None:
+    """ONE 20% micro-batch through probe + span merge + excision
+    against the persistent index — the per-batch number."""
+    from ..streaming import substring_ingest as ssi
+
+    path = _substr_probe_index(spark, sf_dir)
+    _noop(
+        ssi.ingest_substring_batch(
+            spark, _docs(spark, sf_dir).where("doc_id % 5 = 0"), path
+        )
+    )
+
+
+def bench_grouped_heavy_hitters(spark: SparkSession, sf_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    from ..operators.freq import grouped_heavy_hitters
+
+    words = (
+        _docs(spark, sf_dir)
+        .select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        .where(F.col("word") != "")
+    )
+    handle: list = []
+    try:
+        _noop(
+            grouped_heavy_hitters(
+                words, "source", "word", den=30, handle=handle
+            )
+        )
+    finally:
+        for frame in handle:
+            frame.unpersist()
+
+
+def bench_fit_pca(spark: SparkSession, sf_dir: str) -> None:
+    from ..operators import embedproj
+
+    embedproj.fit_pca(
+        load_table(spark, sf_dir, "embeddings"), "embedding", k=16
+    )
+
+
+_PCA_MODEL_CACHE: dict[str, object] = {}
+
+
+def bench_pca_project(spark: SparkSession, sf_dir: str) -> None:
+    from ..operators import embedproj
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = _PCA_MODEL_CACHE.get(sf_dir)
+    if model is None:
+        model = embedproj.fit_pca(emb, "embedding", k=16)
+        _PCA_MODEL_CACHE[sf_dir] = model
+    _noop(embedproj.project(emb, model, "embedding"))
 
 
 OPERATOR_BENCH: dict[str, Callable[[SparkSession, str], None]] = {
@@ -258,6 +375,11 @@ OPERATOR_BENCH: dict[str, Callable[[SparkSession, str], None]] = {
     "bpe_encode": bench_bpe_encode,
     "export_shards": bench_export_shards,
     "langid_classify": bench_langid_classify,
-    "paradedup_ingest": bench_paradedup_ingest,
-    "substring_ingest": bench_substring_ingest,
+    "paradedup_ingest_build": bench_paradedup_ingest_build,
+    "paradedup_ingest_probe": bench_paradedup_ingest_probe,
+    "substring_ingest_build": bench_substring_ingest_build,
+    "substring_ingest_probe": bench_substring_ingest_probe,
+    "grouped_heavy_hitters": bench_grouped_heavy_hitters,
+    "fit_pca": bench_fit_pca,
+    "pca_project": bench_pca_project,
 }

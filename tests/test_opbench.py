@@ -22,8 +22,13 @@ def test_operator_bench_entries_run(spark, sf_smoke):
         "bpe_encode",
         "export_shards",
         "langid_classify",
-        "paradedup_ingest",
-        "substring_ingest",
+        "paradedup_ingest_build",
+        "paradedup_ingest_probe",
+        "substring_ingest_build",
+        "substring_ingest_probe",
+        "grouped_heavy_hitters",
+        "fit_pca",
+        "pca_project",
     }
     for name, fn in sorted(opbench.OPERATOR_BENCH.items()):
         fn(spark, sf_smoke)  # must execute end-to-end without raising
