@@ -26,9 +26,37 @@ from .relational import _dec, _money, _sql_query
 
 _REVENUE = f"{_dec('l.l_extendedprice')} * (1 - {_dec('l.l_discount')})"
 
+# The driver testdata has no partsupp table (TESTDATA.md's table list), so
+# the five partsupp queries (Q2/Q9/Q11/Q16/Q20) run against a DERIVED
+# partsupp: the DISTINCT (l_partkey, l_suppkey) pairs observed in lineitem
+# — guaranteeing referential integrity with the fact table, which a
+# part × supplier modular formula would not (lineitem's pairs are random;
+# a 4-per-part synthetic would miss ~96% of them and gut Q9's join) —
+# with ps_availqty / ps_supplycost as closed-form integer functions of
+# the keys.  The CTE is ONE shared string, so DuckDB derives the
+# identical table and the oracle needs no extra input.  ps_supplycost is
+# an integer-valued DECIMAL(18,2) (arbitrary units; avoids cross-engine
+# decimal-division scale rules), availqty multiplications cast through
+# DECIMAL(9,0) to keep product precision well under the 38-digit cap.
+_PARTSUPP = """
+    WITH partsupp AS (
+      SELECT l_partkey AS ps_partkey,
+             l_suppkey AS ps_suppkey,
+             CAST((l_partkey * 7 + l_suppkey * 13) % 9999 + 1 AS BIGINT)
+               AS ps_availqty,
+             CAST((l_partkey * 31 + l_suppkey * 17) % 10000 + 100
+                  AS DECIMAL(18,2)) AS ps_supplycost
+      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    )
+"""
+
+_PS_VALUE = "ps.ps_supplycost * CAST(ps.ps_availqty AS DECIMAL(9,0))"
+_PS_VALUE2 = _PS_VALUE.replace("ps.", "ps2.")
+
 _sql_query(
     "q_tpch",
     f"""
+    {_PARTSUPP}
     SELECT 'q1' AS tpch_q,
            CAST(NULL AS BIGINT) AS k_id,
            l_returnflag AS k_name,
@@ -413,6 +441,132 @@ _sql_query(
             AND o.o_orderpriority = '1-URGENT')
       GROUP BY 1
     )
+    UNION ALL
+    SELECT 'q2' AS tpch_q,
+           CAST(p_partkey AS BIGINT) AS k_id,
+           s_name AS k_name,
+           n_name AS k_name2,
+           CAST(NULL AS TIMESTAMP) AS order_ts,
+           CAST(s_acctbal AS DOUBLE) AS revenue,
+           CAST(NULL AS BIGINT) AS n_rows,
+           CAST(ps_supplycost AS DOUBLE) AS sum_qty
+    FROM (
+      SELECT p.p_partkey, s.s_name, n.n_name, s.s_acctbal,
+             ps.ps_supplycost
+      FROM part p
+      JOIN partsupp ps ON p.p_partkey = ps.ps_partkey
+      JOIN supplier s  ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n    ON s.s_nationkey = n.n_nationkey
+      JOIN region r    ON n.n_regionkey = r.r_regionkey
+      WHERE p.p_size <= 15 AND p.p_type = 'ECONOMY'
+        AND r.r_name = 'ASIA'
+        AND ps.ps_supplycost = (
+          SELECT min(ps2.ps_supplycost)
+          FROM partsupp ps2
+          JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+          JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+          JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+          WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'ASIA')
+      ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+      LIMIT 100
+    )
+    UNION ALL
+    SELECT 'q9' AS tpch_q,
+           CAST(o_year AS BIGINT) AS k_id,
+           nation AS k_name,
+           CAST(NULL AS STRING) AS k_name2,
+           CAST(NULL AS TIMESTAMP) AS order_ts,
+           profit AS revenue,
+           n_rows,
+           CAST(NULL AS DOUBLE) AS sum_qty
+    FROM (
+      SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+             CAST(round(sum({_REVENUE}
+               - ps.ps_supplycost * CAST(l.l_quantity AS DECIMAL(9,0))),
+               2) AS DOUBLE) AS profit,
+             COUNT(*) AS n_rows
+      FROM part p
+      JOIN lineitem l  ON p.p_partkey = l.l_partkey
+      JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+      JOIN partsupp ps ON ps.ps_partkey = l.l_partkey
+                      AND ps.ps_suppkey = l.l_suppkey
+      JOIN orders o    ON o.o_orderkey = l.l_orderkey
+      JOIN nation n    ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_name LIKE 'red%'
+      GROUP BY n.n_name, year(o.o_orderdate)
+    )
+    UNION ALL
+    SELECT 'q11' AS tpch_q,
+           CAST(ps_partkey AS BIGINT) AS k_id,
+           CAST(NULL AS STRING) AS k_name,
+           CAST(NULL AS STRING) AS k_name2,
+           CAST(NULL AS TIMESTAMP) AS order_ts,
+           value AS revenue,
+           CAST(NULL AS BIGINT) AS n_rows,
+           CAST(NULL AS DOUBLE) AS sum_qty
+    FROM (
+      SELECT ps.ps_partkey,
+             CAST(round(sum({_PS_VALUE}), 2) AS DOUBLE) AS value
+      FROM partsupp ps
+      JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY ps.ps_partkey
+      HAVING sum({_PS_VALUE}) * 1000 > (
+        SELECT sum({_PS_VALUE2})
+        FROM partsupp ps2
+        JOIN supplier s2 ON ps2.ps_suppkey = s2.s_suppkey
+        JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+        WHERE n2.n_name = 'NATION_3')
+    )
+    UNION ALL
+    SELECT 'q16' AS tpch_q,
+           CAST(p_size AS BIGINT) AS k_id,
+           p_brand AS k_name,
+           p_type AS k_name2,
+           CAST(NULL AS TIMESTAMP) AS order_ts,
+           CAST(NULL AS DOUBLE) AS revenue,
+           supplier_cnt AS n_rows,
+           CAST(NULL AS DOUBLE) AS sum_qty
+    FROM (
+      SELECT p.p_brand, p.p_type, p.p_size,
+             COUNT(DISTINCT ps.ps_suppkey) AS supplier_cnt
+      FROM partsupp ps
+      JOIN part p ON p.p_partkey = ps.ps_partkey
+      WHERE p.p_brand <> 'Brand#45'
+        AND p.p_type <> 'MEDIUM'
+        AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+        AND ps.ps_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+      GROUP BY p.p_brand, p.p_type, p.p_size
+    )
+    UNION ALL
+    SELECT 'q20' AS tpch_q,
+           CAST(s_suppkey AS BIGINT) AS k_id,
+           s_name AS k_name,
+           n_name AS k_name2,
+           CAST(NULL AS TIMESTAMP) AS order_ts,
+           CAST(s_acctbal AS DOUBLE) AS revenue,
+           CAST(NULL AS BIGINT) AS n_rows,
+           CAST(NULL AS DOUBLE) AS sum_qty
+    FROM (
+      SELECT s.s_suppkey, s.s_name, n.n_name, s.s_acctbal
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_1'
+        AND s.s_suppkey IN (
+          SELECT ps.ps_suppkey
+          FROM partsupp ps
+          WHERE ps.ps_partkey IN (
+              SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+            AND CAST(ps.ps_availqty AS DOUBLE) > (
+              SELECT 0.5 * sum(l.l_quantity)
+              FROM lineitem l
+              WHERE l.l_partkey = ps.ps_partkey
+                AND l.l_suppkey = ps.ps_suppkey
+                AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'))
+    )
     """,
     doc="TPC-H battery, one labeled union: Q1 pricing summary — the "
     "full-fact-scan partial-agg benchmark (6-group output, map-side "
@@ -462,8 +616,22 @@ _sql_query(
     "revenue — a CORRELATED scalar-avg subquery per partkey (Catalyst "
     "decorrelates it to an aggregate + join); the threshold "
     "0.2*avg(l_quantity) is engine-exact because integer-valued "
-    "doubles sum exactly regardless of order.  With these, every "
-    "TPC-H shape expressible without partsupp is covered: 17 of 22.",
+    "doubles sum exactly regardless of order.  Round-7 additions close "
+    "the battery at 22 of 22 via the DERIVED partsupp CTE (see "
+    "_PARTSUPP above — deterministic closed form over lineitem's "
+    "distinct pairs, shared verbatim by both engines): Q2 minimum-cost "
+    "supplier — the correlated min-subquery over a 4-way dim join, "
+    "deterministic top-100 (acctbal desc, nation/supplier/partkey "
+    "tie-break); Q9 product-type profit — the 6-way join including the "
+    "two-column (partkey, suppkey) partsupp join, profit = revenue "
+    "minus supplycost*quantity in exact DECIMAL; Q11 important stock — "
+    "grouped value vs a scalar-subquery THRESHOLD compared in exact "
+    "DECIMAL (value*1000 > total, never a decimal-division fraction); "
+    "Q16 parts/supplier relationship — COUNT(DISTINCT) under a NOT IN "
+    "anti-join with disjunctive size predicates; Q20 potential part "
+    "promotion — nested IN-subqueries with a correlated scalar sum "
+    "(availqty > half the pair's shipped quantity; integer-valued "
+    "doubles keep the comparison engine-exact).",
     tables=(
         "customer", "orders", "lineitem", "supplier", "nation", "region",
         "part",

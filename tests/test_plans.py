@@ -301,7 +301,11 @@ SHUFFLE_BUDGET = {
     # orderkey join), Q21 (1: the semi/anti fact joins share the
     # l_orderkey exchange shape), Q8 (1: year group agg; dims
     # broadcast), Q17 (1: the decorrelated per-partkey avg agg)
-    "q_text_profile": 3, "q_topk_per_group": 1, "q_tpch": 18,
+    "q_text_profile": 3, "q_topk_per_group": 1,
+    # 22 TPC-H branches since round 7 (Q2/Q9/Q11/Q16/Q20 over the derived
+    # partsupp CTE): each keeps its own join/agg exchanges; identical
+    # partsupp-derivation subtrees dedupe via ReusedExchange
+    "q_tpch": 30,
     "q_window_lead": 1, "q_window_rank": 2,
     "q_window_running": 1,
 }
