@@ -6,8 +6,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Import order IS registry order, and the driver's correctness gate
 # records at most the first 50 entries.  The registry sits exactly at
-# that cap (49 oracle-checked + the rows-only throughput probe) —
-# restored in round 6 by fusing the five late-round-5 overflow queries
+# that cap — 50 oracle-checked since round 7, when the throughput probe
+# gained its closed-form (FALSE/NULL/0/26^5) oracle; cap restored in
+# round 6 by fusing the five late-round-5 overflow queries
 # into existing entries (heavy_hitters -> q_collocations's hh branch;
 # weighted_sample + curriculum -> q_split_assign; range_filter ->
 # q_keyspace_algebra's range_* columns; sha1_mass -> q_string_ops's
@@ -23,9 +24,11 @@ from . import streaming_queries  # noqa: F401
 from . import pipeline_queries  # noqa: F401
 from .registry import REGISTRY, QueryDef  # noqa: F401
 
-# Enforce the weakest-signal-last policy stated above: the rows-only
-# throughput probe (no oracle by design) goes to the end of the registry
-# so a gate cap off-by-one can never hide an oracle-checked query.
+# Enforce the weakest-signal-last policy stated above: any rows-only
+# entry (no oracle) goes to the end of the registry so a gate cap
+# off-by-one can never hide an oracle-checked query.  (Empty since
+# round 7 — every entry is oracled — kept as the standing policy for
+# any future rows-only addition.)
 for _name in [n for n, q in REGISTRY.items() if q.oracle is None]:
     REGISTRY[_name] = REGISTRY.pop(_name)
 

@@ -291,20 +291,40 @@ def q_crack_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_crack_throughput",
-    oracle=None,  # a 12M-row hash scan is seconds in Spark but would
-    # dominate the DuckDB oracle pass; correctness of the identical plan
-    # shape is covered by q_crack_hit/miss at width 3-4
+    # Round 7: the probe keeps its timing role (the Spark side still
+    # sha1-hashes all 11.88M candidates — n_match counts the FILTERED
+    # stream, so the scan cannot be optimized away) but its outputs are
+    # now closed-form: the miss verdict, the zero match count, and the
+    # 26^5 space size, all statable as constants DuckDB evaluates in
+    # microseconds.  So even the throughput query gets rows+schema+hash
+    # checks instead of the former rows-only row.
+    oracle="""
+    SELECT FALSE AS found,
+           CAST(NULL AS VARCHAR) AS password,
+           CAST(0 AS BIGINT) AS n_match,
+           CAST(26*26*26*26*26 AS BIGINT) AS n_space
+    """,
     doc="Throughput probe: full width-5 space (11.88M candidates) through "
     "generate → decode → sha1 → filter → verdict in one codegen'd stage — "
     "the engine's raw crack speed, the number BASELINE.md §C compares "
-    "against the reference's 11-worker OpenSSL ceiling.",
+    "against the reference's 11-worker OpenSSL ceiling.  The verdict, "
+    "match count and space size are closed-form (miss fixture ⇒ FALSE/"
+    "NULL/0; 26^5) so the probe is hash-checked since round 7; the "
+    "timing semantics are unchanged — n_match is an aggregate OVER THE "
+    "FILTER, so producing it requires hashing every candidate.",
 )
 def q_crack_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.crack import crack_verdict_df
+    from ..operators.crack import candidates_matching
 
     # sha1 with no preimage in the space (MISS fixture): scans everything
-    return crack_verdict_df(
+    matches = candidates_matching(
         spark, "55d74de7f828993f5286676cbe8c4774396da193", 5
     )
+    verdict = matches.agg(
+        (F.count("*") > 0).alias("found"),
+        F.min("candidate").alias("password"),
+        F.count("*").alias("n_match"),
+    )
+    return verdict.withColumn("n_space", F.lit(26**5).cast("long"))
 
 
