@@ -50,6 +50,16 @@ def compact_parquet(
     ``num_files``: target files per partition directory (or total, when
     unpartitioned).  The rewrite is one shuffle; row content, schema and
     partition layout are unchanged — asserted cheaply by row count.
+
+    LOCAL-FILESYSTEM CONTRACT: the crash-safe swap uses POSIX
+    ``Path.rename`` (atomic on one filesystem), so ``path`` must be a
+    local directory — an ``hdfs://`` / ``s3a://`` table fails loudly at
+    the rename (never silently).  The reads/writes themselves go through
+    Spark and are FS-agnostic; porting the swap to a remote store means
+    replacing the renames with the Hadoop ``FileSystem.rename`` (HDFS:
+    atomic) or a manifest flip (object stores: no atomic dir rename —
+    the versioned-table CAS backend in operators/versioned.py is the
+    engine's object-store-safe commit shape).
     """
     src = Path(path)
     if not src.exists():

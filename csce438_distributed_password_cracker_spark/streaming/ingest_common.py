@@ -20,6 +20,25 @@ def bucketed(rows: DataFrame, key_col: str, n_buckets: int, bucket_col: str) -> 
 
 
 def index_exists(index_path: str, subdir: str) -> bool:
+    """True iff the index component under ``index_path/subdir`` has a
+    committed ``_SUCCESS`` marker.
+
+    Routed through the Hadoop FileSystem API (resolved from the path's
+    scheme), so ``hdfs://`` / ``s3a://`` index locations probe correctly
+    — a local-``pathlib`` probe would report 'no index' for ANY remote
+    path and silently re-admit every batch fingerprint as novel (ADVICE
+    r6).  Falls back to pathlib only when no SparkSession is active
+    (plain-local tooling)."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(
+            f"{index_path.rstrip('/')}/{subdir}/_SUCCESS"
+        )
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(p))
     from pathlib import Path
 
     return (Path(index_path) / subdir / "_SUCCESS").exists()
