@@ -150,8 +150,23 @@ def main() -> None:
         ),
     )
     if detail:
+        # raw per-pass samples (detail file only — the stdout line the
+        # driver truncates stays compact): lets a regression be
+        # attributed to WITHIN-RUN drift (pass 3 systematically slower
+        # than pass 1 ⇒ session/GC state accumulating across the
+        # 50-query run) vs host weather (isolated multi-second spikes)
+        # without rerunning.
+        detail_payload = {
+            **payload,
+            "samples": {
+                n: [round(x, 3) for x in s] for n, s in samples.items()
+            },
+            "operator_samples": {
+                n: [round(x, 3) for x in s] for n, s in op_samples.items()
+            },
+        }
         with open(detail, "w") as f:
-            json.dump(payload, f, indent=1, sort_keys=True)
+            json.dump(detail_payload, f, indent=1, sort_keys=True)
             f.write("\n")
 
 
