@@ -53,6 +53,7 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .dedup import tokens_col
 
@@ -141,6 +142,7 @@ def bm25_build(
     ``termstats/`` (term, term_bucket, df_t), ``doclen/`` (id, dl),
     ``stats/`` one row (n_docs, total_len, n_buckets).  Returns the
     stats dict."""
+    spark = df.sparkSession
     post = _postings(df, id_col, text_col, n_buckets)
     (
         post.repartition(n_buckets, "term_bucket")
@@ -148,19 +150,32 @@ def bm25_build(
         .partitionBy("term_bucket")
         .parquet(f"{index_path}/postings")
     )
+    # termstats derives from the WRITTEN postings (a 2-column columnar
+    # scan), not from re-running `post` — the unpersisted plan would
+    # re-tokenize + re-shuffle the whole corpus a second time, the
+    # expensive map at scale.  df_t = rows per term, since postings is
+    # one row per (term, id).
     _swap_in(
-        post.groupBy("term", "term_bucket").agg(F.count("*").alias("df_t")),
+        spark.read.parquet(f"{index_path}/postings")
+        .groupBy("term", "term_bucket")
+        .agg(F.count("*").alias("df_t")),
         f"{index_path}/termstats",
     )
-    _doclen(df, id_col, text_col).repartition(1).write.mode(
-        "overwrite"
-    ).parquet(f"{index_path}/doclen")
-    n_docs, total_len = df.select(
-        F.count("*"), F.sum(F.size(tokens_col(text_col)))
-    ).first()
-    return _write_stats(
-        df.sparkSession, index_path, n_docs, total_len, n_buckets
+    # doclen keeps the input's partitioning: it is corpus-sized (one row
+    # per document), so funnelling it through repartition(1) would push
+    # every row through ONE task — a single-writer cliff at 100 TB.
+    # This pass is map-only (size(tokens), no explode/shuffle).
+    _doclen(df, id_col, text_col).write.mode("overwrite").parquet(
+        f"{index_path}/doclen"
     )
+    # corpus stats fold from the written doclen (count + sum over a
+    # 2-column table) instead of a THIRD tokenize pass over the corpus
+    n_docs, total_len = (
+        spark.read.parquet(f"{index_path}/doclen")
+        .select(F.count("*"), F.coalesce(F.sum("dl"), F.lit(0)))
+        .first()
+    )
+    return _write_stats(spark, index_path, n_docs, total_len, n_buckets)
 
 
 def bm25_update(
@@ -177,40 +192,51 @@ def bm25_update(
     st = spark.read.parquet(f"{index_path}/stats").first()
     n_buckets = int(st.n_buckets)
 
-    post = _postings(df_new, id_col, text_col, n_buckets)
-    (
-        post.repartition("term_bucket")
-        .write.mode("append")
-        .partitionBy("term_bucket")
-        .parquet(f"{index_path}/postings")
+    # the batch postings feed TWO consumers (the append write and the
+    # term-stat merge) and the doclen frame feeds two more (the append
+    # and the corpus-stat fold) — persist each so the batch is tokenized
+    # once per shape, not once per consumer
+    post = _postings(df_new, id_col, text_col, n_buckets).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    _doclen(df_new, id_col, text_col).write.mode("append").parquet(
-        f"{index_path}/doclen"
+    dl = _doclen(df_new, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    old_stats = spark.read.parquet(f"{index_path}/termstats")
-    batch_stats = post.groupBy("term", "term_bucket").agg(
-        F.count("*").alias("df_t")
-    )
-    merged = (
-        old_stats.unionByName(batch_stats)
-        # term_bucket is functionally determined by term (same hash, same
-        # n_buckets), so grouping by both merges correctly
-        .groupBy("term", "term_bucket")
-        .agg(F.sum("df_t").alias("df_t"))
-        # the union reads the table being replaced: materialize before
-        # the swap unlinks the input files
-        .localCheckpoint(eager=True)
-    )
-    _swap_in(merged, f"{index_path}/termstats")
+    try:
+        (
+            post.repartition("term_bucket")
+            .write.mode("append")
+            .partitionBy("term_bucket")
+            .parquet(f"{index_path}/postings")
+        )
+        dl.write.mode("append").parquet(f"{index_path}/doclen")
+        old_stats = spark.read.parquet(f"{index_path}/termstats")
+        batch_stats = post.groupBy("term", "term_bucket").agg(
+            F.count("*").alias("df_t")
+        )
+        merged = (
+            old_stats.unionByName(batch_stats)
+            # term_bucket is functionally determined by term (same hash,
+            # same n_buckets), so grouping by both merges correctly
+            .groupBy("term", "term_bucket")
+            .agg(F.sum("df_t").alias("df_t"))
+            # the union reads the table being replaced: materialize
+            # before the swap unlinks the input files
+            .localCheckpoint(eager=True)
+        )
+        _swap_in(merged, f"{index_path}/termstats")
 
-    add_docs, add_len = df_new.select(
-        F.count("*"), F.sum(F.size(tokens_col(text_col)))
-    ).first()
+        add_docs, add_len = dl.select(
+            F.count("*"), F.coalesce(F.sum("dl"), F.lit(0))
+        ).first()
+    finally:
+        post.unpersist()
+        dl.unpersist()
     return _write_stats(
         spark,
         index_path,
         st.n_docs + add_docs,
-        st.total_len + (add_len or 0),
+        st.total_len + add_len,
         n_buckets,
     )
 
