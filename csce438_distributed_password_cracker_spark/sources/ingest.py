@@ -141,3 +141,68 @@ def with_provenance(
         F.col("_metadata.file_path").alias(file_col),
         F.col("_metadata.row_index").alias(row_col),
     )
+
+
+def ingest_binary(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = True,
+) -> DataFrame:
+    """Raw file drop → a media table, via Spark's ``binaryFile`` source:
+    ``(doc_id, media_type, payload, path, length, mod_time)``.  The
+    first three columns match :data:`operators.multimodal.MEDIA_SCHEMA`,
+    so the result feeds ``decode_media`` / ``extract_features`` /
+    ``resize`` directly — this is the front door a multimodal corpus
+    (a crawl of image/audio files) arrives through before any operator
+    touches it.
+
+    - ``doc_id = xxhash64(path)``: stable across re-reads and cluster
+      layouts (unlike ``monotonically_increasing_id``), needs no
+      filename convention; collisions are 64-bit-unlikely.  Callers
+      with authoritative ids join them on ``path`` afterwards.
+    - ``media_type`` sniffs container magic bytes JVM-side
+      (``substring`` on the binary column — no Python boundary): same
+      vocabulary as :func:`operators.multimodal.sniff` ('png' / 'wav' /
+      NULL for opaque).
+    - ``glob`` maps to ``pathGlobFilter``: pruning happens at file
+      LISTING, before any byte is read — at a 100 TB crawl the listing
+      is the scan.
+
+    Scale contract of the source itself: ``binaryFile`` never splits a
+    file (one row per file, whole payload in one task), so the row size
+    ceiling is the 2 GiB BinaryType bound and executor memory must
+    cover the largest single file; many small files pack multiple per
+    task under ``spark.sql.files.maxPartitionBytes``.  The small-file
+    listing problem is the ingest-side twin of the sink-side one —
+    :func:`land` the decoded/derived columns as parquet once, then
+    drop back to columnar scans.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    df = reader.load(path)
+    # import here: operators package imports sources in places; keep the
+    # module graph acyclic at import time
+    from ..operators.multimodal import PNG_MAGIC
+
+    head8 = F.substring(F.col("content"), 1, 8)
+    media_type = (
+        F.when(head8 == F.lit(PNG_MAGIC), F.lit("png"))
+        .when(
+            (F.substring(F.col("content"), 1, 4) == F.lit(b"RIFF"))
+            & (F.substring(F.col("content"), 9, 4) == F.lit(b"WAVE")),
+            F.lit("wav"),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return df.select(
+        F.xxhash64(F.col("path")).alias("doc_id"),
+        media_type.alias("media_type"),
+        F.col("content").alias("payload"),
+        F.col("path"),
+        F.col("length"),
+        F.col("modificationTime").alias("mod_time"),
+    )

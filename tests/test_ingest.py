@@ -190,3 +190,80 @@ def test_with_provenance_file_and_row_lineage(spark, tmp_path):
     assert again == {(r["id"], r["src_file"], r["src_row"]) for r in rows}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def _write_media_dir(root):
+    """6 files under nested dirs: 2 PNG, 2 WAV, 2 opaque."""
+    from csce438_distributed_password_cracker_spark.operators.multimodal import (
+        png_encode,
+        wav_encode,
+    )
+
+    (root / "img").mkdir(parents=True)
+    (root / "aud" / "deep").mkdir(parents=True)
+    files = {}
+    for i in (0, 1):
+        p = root / "img" / f"pic{i}.png"
+        p.write_bytes(png_encode(3, 2, bytes((i * 31 + j) % 256 for j in range(6))))
+        files[str(p)] = "png"
+    for i in (0, 1):
+        p = root / "aud" / "deep" / f"clip{i}.wav"
+        p.write_bytes(wav_encode(8000, [(i * 7 + j * 13) % 2048 - 1024 for j in range(16)]))
+        files[str(p)] = "wav"
+    for i in (0, 1):
+        p = root / f"blob{i}.bin"
+        p.write_bytes(b"\x00opaque" + bytes([i]) * 10)
+        files[str(p)] = None
+    return files
+
+
+def test_ingest_binary_sniffs_and_feeds_decode(spark, tmp_path):
+    from csce438_distributed_password_cracker_spark.operators import multimodal
+    from csce438_distributed_password_cracker_spark.sources.ingest import (
+        ingest_binary,
+    )
+
+    files = _write_media_dir(tmp_path)
+    media = ingest_binary(spark, str(tmp_path))
+    rows = media.collect()
+    assert len(rows) == 6
+    # JVM-side sniff == the Python sniff on the same bytes, and matches
+    # what was written
+    for r in rows:
+        path = r["path"].removeprefix("file:")
+        assert r["media_type"] == files[path]
+        assert r["media_type"] == multimodal.sniff(bytes(r["payload"]))
+        assert r["length"] == len(bytes(r["payload"]))
+    # doc_id: stable across re-reads, unique across files
+    ids = {r["doc_id"] for r in rows}
+    assert len(ids) == 6
+    again = {r["doc_id"] for r in ingest_binary(spark, str(tmp_path)).collect()}
+    assert again == ids
+    # schema prefix matches MEDIA_SCHEMA -> decode_media runs directly
+    decoded = {
+        r["doc_id"]: r for r in multimodal.decode_media(media).collect()
+    }
+    kinds = {r["doc_id"]: r["media_type"] for r in rows}
+    for did, d in decoded.items():
+        if kinds[did] == "png":
+            assert (d["width"], d["height"]) == (3, 2)
+        elif kinds[did] == "wav":
+            assert (d["sample_rate"], d["n_frames"]) == (8000, 16)
+        else:
+            assert d["media_type"] == "unknown"
+    # sniff stays JVM-side: no Python evaluation node in the media plan
+    plan = media._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_ingest_binary_glob_prunes_at_listing(spark, tmp_path):
+    from csce438_distributed_password_cracker_spark.sources.ingest import (
+        ingest_binary,
+    )
+
+    _write_media_dir(tmp_path)
+    only_png = ingest_binary(spark, str(tmp_path), glob="*.png")
+    assert only_png.count() == 2
+    assert {r["media_type"] for r in only_png.collect()} == {"png"}
+    flat = ingest_binary(spark, str(tmp_path), glob="*.bin", recursive=False)
+    assert flat.count() == 2
