@@ -55,6 +55,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from ..functions.xxh64 import pmod, xxhash64_py
 from .dedup import tokens_col
 
 N_TERM_BUCKETS = 64
@@ -114,16 +115,29 @@ def _write_stats(
     return stats
 
 
-def _swap_in(df: DataFrame, final_dir: str) -> None:
-    """Rewrite a small index table via tmp + rename (same discipline as
+def _swap_in(
+    df: DataFrame, final_dir: str, partition_by: str | None = None
+) -> None:
+    """Rewrite an index table via tmp + rename (same discipline as
     operators/maintenance.compact_parquet) so a reader never sees a
-    half-written table and the input can be derived from the old one."""
+    half-written table and the input can be derived from the old one.
+
+    ``partition_by`` writes the table hive-partitioned with matching
+    write parallelism — termstats is VOCAB-sized (hundreds of millions
+    of distinct terms at a web-scale corpus), so the unpartitioned
+    single-task rewrite this started as is a single-writer cliff there;
+    truly small tables (stats) keep the one-file layout."""
     final = Path(final_dir)
     tmp = final.with_name(final.name + ".__tmp__")
     old = final.with_name(final.name + ".__old__")
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
-    df.repartition(1).write.parquet(str(tmp))
+    if partition_by is None:
+        df.repartition(1).write.parquet(str(tmp))
+    else:
+        df.repartition(partition_by).write.partitionBy(
+            partition_by
+        ).parquet(str(tmp))
     if final.exists():
         final.rename(old)
     tmp.rename(final)
@@ -160,6 +174,7 @@ def bm25_build(
         .groupBy("term", "term_bucket")
         .agg(F.count("*").alias("df_t")),
         f"{index_path}/termstats",
+        partition_by="term_bucket",
     )
     # doclen keeps the input's partitioning: it is corpus-sized (one row
     # per document), so funnelling it through repartition(1) would push
@@ -224,7 +239,7 @@ def bm25_update(
             # before the swap unlinks the input files
             .localCheckpoint(eager=True)
         )
-        _swap_in(merged, f"{index_path}/termstats")
+        _swap_in(merged, f"{index_path}/termstats", partition_by="term_bucket")
 
         add_docs, add_len = dl.select(
             F.count("*"), F.coalesce(F.sum("dl"), F.lit(0))
@@ -264,15 +279,23 @@ def bm25_search(
         raise FileNotFoundError(index_path)
     st = spark.read.parquet(f"{index_path}/stats").first()
     n_docs, avgdl = st.n_docs, st.total_len / st.n_docs
+    n_buckets = int(st.n_buckets)
     terms = sorted(set(tokenize_py(query)) - {""})
     if not terms:
         raise ValueError("empty query")
-    # term → (df_t, bucket) from the small termstats table (stored at
-    # build — closes the per-probe scheduler round-trip that used to
-    # hash the terms in a Spark job); terms absent from the index have
-    # no postings and drop out here.
+    # term → (df_t, bucket) from termstats.  The table is hive-
+    # partitioned by term_bucket (r7) and the probe computes its terms'
+    # buckets DRIVER-SIDE with the pure-Python xxhash64 twin (pinned
+    # bit-identical to F.xxhash64) — so the scan prunes to ≤ |terms|
+    # bucket directories at planning time with no per-probe hash job,
+    # instead of reading a vocab-sized table per query.  Terms absent
+    # from the index have no postings and drop out here.
+    probe_buckets = sorted(
+        {pmod(xxhash64_py(t), n_buckets) for t in terms}
+    )
     hits = (
         spark.read.parquet(f"{index_path}/termstats")
+        .filter(F.col("term_bucket").isin(probe_buckets))
         .filter(F.col("term").isin(terms))
         .collect()
     )

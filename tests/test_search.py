@@ -169,3 +169,82 @@ def test_probe_plan_has_no_join_and_prunes_buckets(spark, tmp_path):
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
     assert "PartitionFilters: [" in plan and "term_bucket" in plan
+
+
+def test_xxhash64_py_matches_spark(spark):
+    """The driver-side XXH64 twin must be bit-identical to F.xxhash64 —
+    every tail-length class of the algorithm (mod-32 stripes, mod-8
+    words, the 4-byte step, single bytes) plus multi-byte UTF-8."""
+    from pyspark.sql import functions as F
+
+    from csce438_distributed_password_cracker_spark.functions.xxh64 import (
+        pmod,
+        xxhash64_py,
+    )
+
+    cases = ["x" * n for n in range(0, 101)]
+    cases += ["naïve café ☃ 日本語", "term tok7", "\t\n mixed \x00"]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    for r in df.select("s", F.xxhash64("s").alias("h")).collect():
+        assert r["h"] == xxhash64_py(r["s"]), repr(r["s"])
+    assert all(0 <= pmod(xxhash64_py(c), 64) < 64 for c in cases)
+
+
+def test_termstats_partitioned_and_probe_prunes(spark, index, tmp_path):
+    """r7: termstats is hive-partitioned by term_bucket (vocab-sized at
+    a web corpus — the single-file rewrite was a single-writer cliff)
+    and the probe computes its buckets driver-side, so the termstats
+    scan prunes to the query terms' directories."""
+    import glob as globmod
+
+    from pyspark.sql import functions as F
+
+    from csce438_distributed_password_cracker_spark.functions.xxh64 import (
+        pmod,
+        xxhash64_py,
+    )
+
+    dirs = globmod.glob(f"{index}/termstats/term_bucket=*")
+    assert dirs, "termstats must be hive-partitioned by term_bucket"
+    # driver-side bucket == stored bucket for every indexed term
+    stats = spark.read.parquet(f"{index}/termstats").collect()
+    for r in stats:
+        assert int(r["term_bucket"]) == pmod(xxhash64_py(r["term"]), 8)
+    # the pruned read sees exactly the filtered terms
+    terms = ["quick", "fox"]
+    buckets = sorted({pmod(xxhash64_py(t), 8) for t in terms})
+    pruned = (
+        spark.read.parquet(f"{index}/termstats")
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+    )
+    assert {r["term"] for r in pruned.collect()} == set(terms)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "term_bucket" in plan
+
+
+def test_bm25_update_keeps_partitioned_termstats(spark, tmp_path):
+    """Incremental update must preserve the partitioned layout and the
+    driver-side bucket contract."""
+    import glob as globmod
+
+    from csce438_distributed_password_cracker_spark.functions.xxh64 import (
+        pmod,
+        xxhash64_py,
+    )
+    from csce438_distributed_password_cracker_spark.operators import search
+
+    base = spark.createDataFrame(
+        [(i, f"alpha tok{i % 3}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "bm25upd")
+    search.bm25_build(base, "doc_id", "text", path, n_buckets=8)
+    batch = spark.createDataFrame(
+        [(100 + i, f"beta tok{i % 5}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    search.bm25_update(batch, "doc_id", "text", path)
+    assert globmod.glob(f"{path}/termstats/term_bucket=*")
+    for r in spark.read.parquet(f"{path}/termstats").collect():
+        assert int(r["term_bucket"]) == pmod(xxhash64_py(r["term"]), 8)
