@@ -153,3 +153,18 @@ def compact_dedup_index(spark: SparkSession, index_path: str) -> dict[str, int]:
         ),
         "sigs": compact_parquet(spark, f"{index_path}/sigs"),
     }
+
+
+def compact_bm25_index(spark: SparkSession, index_path: str) -> dict[str, int]:
+    """Compact the BM25 index's APPENDING datasets (operators/search.py
+    layout): ``postings/`` keeps its term_bucket partition layout,
+    ``doclen/`` is flattened to a bounded file count.  ``termstats/``
+    and ``stats/`` are swap-rewritten whole on every update and never
+    accrete — compacting them here would only race the next swap.
+    Probe results are unaffected; only file boundaries change."""
+    return {
+        "postings": compact_parquet(
+            spark, f"{index_path}/postings", partition_by=["term_bucket"]
+        ),
+        "doclen": compact_parquet(spark, f"{index_path}/doclen"),
+    }

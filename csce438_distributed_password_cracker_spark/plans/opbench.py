@@ -316,6 +316,40 @@ def bench_substring_ingest_probe(spark: SparkSession, sf_dir: str) -> None:
     )
 
 
+def _bm25_probe_index(spark: SparkSession, sf_dir: str) -> str:
+    from ..operators import search
+    from ..streaming import ingest_common
+    from .pipeline_queries import _content_tag, warehouse_root_tag
+
+    docs = _docs(spark, sf_dir)
+    wh, tag = warehouse_root_tag(sf_dir)
+    path = str(
+        wh / f"opbench_bm25idx_probe_{tag}_{_content_tag(docs, 'text')}"
+    )
+    if not ingest_common.index_exists(path, "doclen"):
+        search.bm25_build(
+            docs.where("doc_id % 5 != 0"), "doc_id", "text", path
+        )
+    return path
+
+
+def bench_bm25_ingest_probe(spark: SparkSession, sf_dir: str) -> None:
+    """ONE 20% micro-batch through the streaming index-maintenance
+    twin against the persistent index.  First-ever pass ADMITS the
+    batch (novelty filter + full bm25_update); every later pass finds
+    the ids already indexed and times the steady novelty-check floor —
+    the anti-join against the corpus-sized doclen that EVERY batch
+    (novel or replayed) pays before touching the index."""
+    from ..streaming import search_ingest as bsi
+
+    path = _bm25_probe_index(spark, sf_dir)
+    _noop(
+        bsi.bm25_ingest_batch(
+            spark, _docs(spark, sf_dir).where("doc_id % 5 = 0"), path
+        )
+    )
+
+
 def bench_grouped_heavy_hitters(spark: SparkSession, sf_dir: str) -> None:
     from pyspark.sql import functions as F
 
@@ -379,6 +413,7 @@ OPERATOR_BENCH: dict[str, Callable[[SparkSession, str], None]] = {
     "paradedup_ingest_probe": bench_paradedup_ingest_probe,
     "substring_ingest_build": bench_substring_ingest_build,
     "substring_ingest_probe": bench_substring_ingest_probe,
+    "bm25_ingest_probe": bench_bm25_ingest_probe,
     "grouped_heavy_hitters": bench_grouped_heavy_hitters,
     "fit_pca": bench_fit_pca,
     "pca_project": bench_pca_project,

@@ -26,6 +26,7 @@ def test_operator_bench_entries_run(spark, sf_smoke):
         "paradedup_ingest_probe",
         "substring_ingest_build",
         "substring_ingest_probe",
+        "bm25_ingest_probe",
         "grouped_heavy_hitters",
         "fit_pca",
         "pca_project",
