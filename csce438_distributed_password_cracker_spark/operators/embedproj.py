@@ -73,12 +73,23 @@ class PcaModel:
         return float(self.explained_variance.sum() / self.total_variance)
 
 
-def _moment_partials(df: DataFrame, vec_col: str, d: int) -> DataFrame:
+def _moment_partials(
+    df: DataFrame,
+    vec_col: str,
+    d: int,
+    center: np.ndarray | None = None,
+    with_gram: bool = True,
+) -> DataFrame:
     """Per-partition (n, sum(d), gram(d*d)) rows — the mergeable
     sufficient statistics of PCA, flattened to arrays so one groupless
     aggregation (array element-wise sums would shuffle d² columns;
     instead each partition emits ONE row and the driver merges ≤
-    n_partitions rows)."""
+    n_partitions rows).
+
+    ``center`` subtracts a fixed vector from every row before
+    accumulating (the second pass of the centered fit — the Gram of
+    residuals has no DC component to cancel); ``with_gram=False`` skips
+    the O(d²) accumulation for the mean-only first pass."""
     out_schema = StructType(
         [
             StructField("n", LongType(), False),
@@ -90,7 +101,7 @@ def _moment_partials(df: DataFrame, vec_col: str, d: int) -> DataFrame:
     def _sweep(batches):
         n = 0
         s = np.zeros(d, dtype=np.float64)
-        g = np.zeros((d, d), dtype=np.float64)
+        g = np.zeros((d, d) if with_gram else 0, dtype=np.float64)
         for pdf in batches:
             for v in pdf["v"]:
                 if v is None or len(v) != d:
@@ -103,9 +114,12 @@ def _moment_partials(df: DataFrame, vec_col: str, d: int) -> DataFrame:
                 b = np.asarray(
                     [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
                 )
+                if center is not None:
+                    b = b - center
                 n += b.shape[0]
                 s += b.sum(axis=0)
-                g += b.T @ b
+                if with_gram:
+                    g += b.T @ b
         yield pd.DataFrame(
             {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
         )
@@ -115,11 +129,46 @@ def _moment_partials(df: DataFrame, vec_col: str, d: int) -> DataFrame:
     )
 
 
-def fit_pca(df: DataFrame, vec_col: str, k: int) -> PcaModel:
+def _reduced_moments(
+    df: DataFrame,
+    vec_col: str,
+    d: int,
+    center: np.ndarray | None = None,
+    with_gram: bool = True,
+) -> tuple[int, np.ndarray, np.ndarray]:
+    """treeReduce the partials to ONE (n, sum, gram) triple (see
+    fit_pca's driver-memory note)."""
+    return (
+        _moment_partials(df, vec_col, d, center=center, with_gram=with_gram)
+        .rdd.map(
+            lambda r: (
+                int(r["n"]),
+                np.asarray(r["s"], dtype=np.float64),
+                np.asarray(r["g"], dtype=np.float64),
+            )
+        )
+        .treeReduce(
+            lambda a, b: (a[0] + b[0], a[1] + b[1], a[2] + b[2]), depth=2
+        )
+    )
+
+
+def fit_pca(
+    df: DataFrame, vec_col: str, k: int, center_first: bool = False
+) -> PcaModel:
     """Fit a top-``k`` PCA on the ``array<float>`` column: one Arrow
     sweep to d×d sufficient statistics merged through an executor-side
     reduction tree, driver-side ``eigh``.  EAGER — like the other
-    build-then-return operators."""
+    build-then-return operators.
+
+    ``center_first=True`` trades a second corpus pass for numerical
+    robustness: pass 1 reduces the exact mean (map-only, no Gram), pass
+    2 accumulates the Gram of RESIDUALS ``(v − mean)`` — the covariance
+    then has no ``n·‖mean‖²`` term to cancel, so a corpus whose DC
+    offset dwarfs its spread (the regime the one-pass fit detects and
+    warns about) still yields clean eigenvalues.  Default stays
+    one-pass: at 100 TB the extra scan is the dominant cost and most
+    embedding corpora are either pre-normalized or warn-free."""
     # d from any NON-NULL row (size(NULL) is NULL — an unlucky first
     # row must not turn the screening contract into a TypeError);
     # NULL / wrong-length rows then fail loudly inside the sweep
@@ -141,21 +190,25 @@ def fit_pca(df: DataFrame, vec_col: str, k: int) -> PcaModel:
     # the 2-level executor-side merge tree lands exactly one.  (The one
     # place per-partition imperative reduction is the right tool — the
     # same treeAggregate shape MLlib's summarizers use.)
-    n, s, g = (
-        _moment_partials(df, vec_col, d)
-        .rdd.map(
-            lambda r: (
-                int(r["n"]),
-                np.asarray(r["s"], dtype=np.float64),
-                np.asarray(r["g"], dtype=np.float64),
-            )
+    if center_first:
+        n1, s1, _ = _reduced_moments(df, vec_col, d, with_gram=False)
+        if n1 < 2:
+            raise ValueError(f"need >= 2 vectors to fit PCA, got {n1}")
+        mu = s1 / n1
+        n, s, g = _reduced_moments(df, vec_col, d, center=mu)
+        # _eigen_model sees the RESIDUAL moments: its mean is the tiny
+        # float leftover of Σ(v−μ)/n (kept — it makes the covariance
+        # exactly the unbiased centered one), re-offset by μ here
+        m = _eigen_model(n, s, g.reshape(d, d), k)
+        return PcaModel(
+            mean=mu + m.mean,
+            components=m.components,
+            explained_variance=m.explained_variance,
+            total_variance=m.total_variance,
+            n=m.n,
         )
-        .treeReduce(
-            lambda a, b: (a[0] + b[0], a[1] + b[1], a[2] + b[2]), depth=2
-        )
-    )
-    g = g.reshape(d, d)
-    return _eigen_model(n, s, g, k)
+    n, s, g = _reduced_moments(df, vec_col, d)
+    return _eigen_model(n, s, g.reshape(d, d), k)
 
 
 def _eigen_model(n: int, s: np.ndarray, g: np.ndarray, k: int) -> PcaModel:
@@ -169,8 +222,8 @@ def _eigen_model(n: int, s: np.ndarray, g: np.ndarray, k: int) -> PcaModel:
     catastrophic cancellation when ``n·‖mean‖²`` dwarfs the spread (an
     un-centered corpus with a large DC component): eigenvalues can
     collapse to float noise.  That regime is detected and WARNED about —
-    the caller should center the vectors first (one map-only
-    subtraction) rather than consume noise axes.  (A warning, not an
+    refit with ``fit_pca(..., center_first=True)`` (the two-pass
+    centered sweep) rather than consume noise axes.  (A warning, not an
     error: the all-identical corpus legitimately lands here and its
     contract — every eigenvalue clamps to 0, ``explained_ratio`` 0.0 —
     is pinned in tests.)"""

@@ -256,3 +256,42 @@ def test_ill_conditioned_fit_warns(spark):
     with warnings.catch_warnings():
         warnings.simplefilter("error", RuntimeWarning)
         embedproj.fit_pca(healthy, "v", 2)
+
+
+def test_center_first_survives_huge_dc_offset(spark):
+    """The two-pass centered fit recovers clean eigenvalues in exactly
+    the regime the one-pass fit warns about (offset ~1e9 x spread)."""
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((200, 8))
+    data = base * 1e-3 + 1e6
+    df = spark.createDataFrame(
+        [(r.tolist(),) for r in data], "v array<double>"
+    ).repartition(5)
+    with pytest.warns(RuntimeWarning, match="cancellation"):
+        embedproj.fit_pca(df, "v", 3)
+    m = embedproj.fit_pca(df, "v", 3, center_first=True)
+    c = data - data.mean(axis=0)
+    ref = np.linalg.eigvalsh(c.T @ c / (len(data) - 1))[::-1][:3]
+    assert np.allclose(m.explained_variance, ref, rtol=1e-6)
+    assert np.allclose(m.mean, data.mean(axis=0), rtol=0, atol=1e-5)
+    # and the projection built on it is usable (finite, right shape)
+    out = embedproj.project(df, m, "v").select("embedding_pca").collect()
+    assert all(
+        len(r["embedding_pca"]) == 3
+        and all(np.isfinite(r["embedding_pca"]))
+        for r in out
+    )
+
+
+def test_center_first_equals_one_pass_on_benign_data(spark):
+    rng = np.random.RandomState(11)
+    data = rng.standard_normal((150, 6)) * [1, 2, 3, 1, 2, 3]
+    df = spark.createDataFrame(
+        [(r.tolist(),) for r in data], "v array<double>"
+    ).repartition(4)
+    a = embedproj.fit_pca(df, "v", 4)
+    b = embedproj.fit_pca(df, "v", 4, center_first=True)
+    assert np.allclose(a.mean, b.mean, atol=1e-12)
+    assert np.allclose(a.explained_variance, b.explained_variance,
+                       rtol=1e-9)
+    assert np.allclose(a.components, b.components, atol=1e-8)
