@@ -61,3 +61,92 @@ def rrf_fuse(
         .orderBy(F.desc("rrf_score"), "id")
         .limit(top_n)
     )
+
+
+MMR_MAX_SHORTLIST = 4096
+
+
+def mmr_rerank(
+    shortlist: DataFrame,
+    id_col: str = "id",
+    score_col: str = "score",
+    vec_col: str = "vec",
+    k: int = 10,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998):
+    greedily pick ``k`` docs maximizing ``lam·rel − (1−lam)·max cosine
+    to the already-picked set`` — the standard diversity pass AFTER a
+    retrieval shortlist, so near-duplicate hits don't crowd out the
+    result page / sampled batch.  Returns (id, mmr_rank 1-based,
+    mmr_score at selection time).
+
+    Scale shape: the expensive part (building the shortlist) is the
+    upstream distributed probe; MMR itself is inherently sequential in
+    ``k`` (each pick changes every remaining candidate's penalty), so
+    it runs driver-side over the COLLECTED shortlist — bounded by the
+    same rerank_n discipline as the IVF exact re-rank
+    (similarity.py ``ivf_probe``'s shortlist collect); a guard refuses
+    lists past :data:`MMR_MAX_SHORTLIST` instead of letting a
+    mis-wired full-corpus frame melt the driver.
+
+    Determinism: relevance ties break by ascending id at every pick;
+    scores are float64 throughout.  Zero vectors contribute cosine 0
+    (orthogonal-by-convention, same as vectors.cosine's guard).
+
+    The relevance scale matters: the cosine penalty lives in [0, 1], so
+    ``score_col`` should be comparably normalized (rank-based RRF
+    scores, min-max-scaled BM25, or cosine similarities) — raw BM25
+    magnitudes (~10s) drown the penalty and the re-rank degenerates to
+    relevance order.
+    """
+    import numpy as np
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    rows = (
+        shortlist.select(
+            F.col(id_col).alias("id"),
+            F.col(score_col).cast("double").alias("rel"),
+            F.col(vec_col).alias("v"),
+        )
+        .limit(MMR_MAX_SHORTLIST + 1)
+        .collect()
+    )
+    if len(rows) > MMR_MAX_SHORTLIST:
+        raise ValueError(
+            f"MMR shortlist exceeds {MMR_MAX_SHORTLIST} rows — rerank "
+            "a probe's top-n, not a corpus"
+        )
+    spark = shortlist.sparkSession
+    out_schema = "id long, mmr_rank int, mmr_score double"
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    # deterministic candidate order: relevance desc, id asc
+    rows = sorted(rows, key=lambda r: (-r["rel"], r["id"]))
+    ids = np.asarray([r["id"] for r in rows], dtype=np.int64)
+    rel = np.asarray([r["rel"] for r in rows], dtype=np.float64)
+    mat = np.asarray([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(mat, axis=1)
+    mat = mat / np.where(norms == 0.0, 1.0, norms)[:, None]
+
+    n = len(rows)
+    picked: list[int] = []
+    out = []
+    max_sim = np.full(n, -np.inf)
+    remaining = np.ones(n, dtype=bool)
+    for rank in range(1, min(k, n) + 1):
+        if picked:
+            mmr = lam * rel - (1.0 - lam) * np.maximum(max_sim, 0.0)
+        else:
+            mmr = lam * rel
+        mmr = np.where(remaining, mmr, -np.inf)
+        # argmax with the candidate order as tiebreak (rows pre-sorted
+        # rel desc / id asc, and np.argmax takes the FIRST maximum)
+        j = int(np.argmax(mmr))
+        picked.append(j)
+        remaining[j] = False
+        out.append((int(ids[j]), rank, float(round(mmr[j], 8))))
+        # one BLAS matvec updates every remaining candidate's penalty
+        max_sim = np.maximum(max_sim, mat @ mat[j])
+    return spark.createDataFrame(out, out_schema)

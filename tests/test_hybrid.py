@@ -53,3 +53,92 @@ def test_hybrid_end_to_end(spark, sf_smoke, tmp_path):
     scores = [r.rrf_score for r in fused]
     assert scores == sorted(scores, reverse=True)
     assert all(r.in_lexical or r.in_vector for r in fused)
+
+
+def _mmr_brute(rows, k, lam):
+    """Reference greedy MMR over (id, rel, unit-vec) tuples."""
+    import numpy as np
+
+    rows = sorted(rows, key=lambda r: (-r[1], r[0]))
+    ids = [r[0] for r in rows]
+    rel = np.asarray([r[1] for r in rows])
+    mat = np.asarray([r[2] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    mat = mat / np.where(norms == 0.0, 1.0, norms)[:, None]
+    picked, out = [], []
+    for rank in range(1, min(k, len(rows)) + 1):
+        best, best_score = None, None
+        for i in range(len(rows)):
+            if i in picked:
+                continue
+            pen = max(
+                (float(mat[i] @ mat[j]) for j in picked), default=None
+            )
+            s = lam * rel[i] - (1 - lam) * max(pen, 0.0) if pen is not None \
+                else lam * rel[i]
+            if best is None or s > best_score:
+                best, best_score = i, s
+        picked.append(best)
+        out.append((ids[best], rank))
+    return out
+
+
+def test_mmr_matches_brute_force_and_diversifies(spark):
+    import numpy as np
+
+    from csce438_distributed_password_cracker_spark.operators.hybrid import (
+        mmr_rerank,
+    )
+
+    rng = np.random.RandomState(3)
+    # two tight clusters + scattered: pure relevance would pick one
+    # cluster's members back-to-back; MMR must interleave
+    c1, c2 = rng.standard_normal(6), rng.standard_normal(6)
+    rows = []
+    for i in range(5):
+        rows.append((i, 1.0 - i * 0.001, (c1 + rng.standard_normal(6) * 0.01).tolist()))
+    for i in range(5, 10):
+        rows.append((i, 0.9 - i * 0.001, (c2 + rng.standard_normal(6) * 0.01).tolist()))
+    df = spark.createDataFrame(rows, "id long, score double, vec array<double>")
+    got = [
+        (r.id, r.mmr_rank)
+        for r in mmr_rerank(df, k=4, lam=0.5)
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+    want = _mmr_brute(rows, 4, 0.5)
+    assert got == want
+    # diversity: rank 2 comes from the OTHER cluster, not doc 1's twin
+    assert got[0][0] == 0 and got[1][0] >= 5
+    # lam=1 degenerates to pure relevance order
+    pure = [
+        r.id
+        for r in mmr_rerank(df, k=3, lam=1.0).orderBy("mmr_rank").collect()
+    ]
+    assert pure == [0, 1, 2]
+
+
+def test_mmr_guards_and_edges(spark):
+    import pytest
+
+    from csce438_distributed_password_cracker_spark.operators import hybrid
+
+    empty = spark.createDataFrame(
+        [], "id long, score double, vec array<double>"
+    )
+    assert hybrid.mmr_rerank(empty, k=5).count() == 0
+    with pytest.raises(ValueError, match="lam"):
+        hybrid.mmr_rerank(empty, k=5, lam=1.5)
+    # k > list size returns the whole list ranked
+    small = spark.createDataFrame(
+        [(1, 1.0, [1.0, 0.0]), (2, 0.5, [0.0, 1.0])],
+        "id long, score double, vec array<double>",
+    )
+    got = hybrid.mmr_rerank(small, k=10, lam=0.7).orderBy("mmr_rank").collect()
+    assert [r.id for r in got] == [1, 2]
+    # oversized shortlist refused
+    big = spark.range(hybrid.MMR_MAX_SHORTLIST + 1).selectExpr(
+        "id", "1.0 as score", "array(1.0, 0.0) as vec"
+    )
+    with pytest.raises(ValueError, match="shortlist"):
+        hybrid.mmr_rerank(big, k=3)
