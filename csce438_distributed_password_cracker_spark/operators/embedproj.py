@@ -45,7 +45,14 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["PcaModel", "fit_pca", "pinned_model", "project"]
+__all__ = [
+    "PcaModel",
+    "fit_pca",
+    "fit_pca_from_moments",
+    "pinned_model",
+    "project",
+    "update_moments",
+]
 
 
 @dataclass(frozen=True)
@@ -340,3 +347,77 @@ def project(
         return pd.Series(out, dtype="object")
 
     return df.withColumn(out_col, _proj(F.col(vec_col)))
+
+
+# ── Incremental fit: persisted sufficient statistics ──────────────────────
+#
+# (n, sum, Gram) are MERGEABLE — addition is the whole merge — so the
+# model can track a growing corpus batch-by-batch without ever
+# re-scanning history: the same incremental-index discipline as
+# search.bm25_update / similarity.lsh_index_update.  The stored table is
+# one row of ~d² doubles (8 MB at d=1024); the refit after each fold is
+# a driver-side eigh, microseconds next to the batch scan.
+#
+# Caller contract mirrors bm25_update: batches are NEW vectors
+# (dedup-at-ingest upstream); re-folding the same rows would double-
+# weight them — the moments have no id memory by design (keeping one
+# would make the state corpus-sized).
+
+
+def update_moments(
+    df_batch: DataFrame, vec_col: str, moments_path: str
+) -> None:
+    """Fold ``df_batch``'s (n, sum, Gram) into the one-row parquet at
+    ``moments_path`` (created if absent), via the crash-safe tmp+rename
+    swap every small index table here uses."""
+    import shutil
+    from pathlib import Path
+
+    spark = df_batch.sparkSession
+    first = (
+        df_batch.where(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col).alias("d"))
+        .first()
+    )
+    if first is None:
+        return  # empty batch: nothing to fold
+    d = int(first["d"])
+    n, s, g = _reduced_moments(df_batch, vec_col, d)
+    final = Path(moments_path)
+    if final.exists():
+        r = spark.read.parquet(moments_path).first()
+        if len(r["s"]) != d:
+            raise ValueError(
+                f"stored moments are d={len(r['s'])}, batch is d={d}"
+            )
+        n += int(r["n"])
+        s = s + np.asarray(r["s"], dtype=np.float64)
+        g = g + np.asarray(r["g"], dtype=np.float64)
+    tmp = final.with_name(final.name + ".__tmp__")
+    old = final.with_name(final.name + ".__old__")
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    spark.createDataFrame(
+        [(int(n), s.tolist(), g.ravel().tolist())],
+        "n long, s array<double>, g array<double>",
+    ).repartition(1).write.parquet(str(tmp))
+    if final.exists():
+        final.rename(old)
+    tmp.rename(final)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def fit_pca_from_moments(
+    spark, moments_path: str, k: int
+) -> PcaModel:
+    """Refit the top-``k`` model from the persisted statistics — no
+    corpus scan.  Same eigen tail (and the same raw-moment conditioning
+    note) as :func:`fit_pca`."""
+    r = spark.read.parquet(moments_path).first()
+    d = len(r["s"])
+    return _eigen_model(
+        int(r["n"]),
+        np.asarray(r["s"], dtype=np.float64),
+        np.asarray(r["g"], dtype=np.float64).reshape(d, d),
+        k,
+    )

@@ -295,3 +295,38 @@ def test_center_first_equals_one_pass_on_benign_data(spark):
     assert np.allclose(a.explained_variance, b.explained_variance,
                        rtol=1e-9)
     assert np.allclose(a.components, b.components, atol=1e-8)
+
+
+def test_incremental_moments_match_one_shot_fit(spark, tmp_path):
+    """Folding batches into the persisted moments table must refit to
+    the same model as one fit over the union (float-addition-order ulps
+    only), with no history re-scan."""
+    rng = np.random.RandomState(21)
+    a = rng.standard_normal((80, 5)) * [1, 2, 3, 1, 2]
+    b = rng.standard_normal((60, 5)) * [1, 2, 3, 1, 2] + 0.5
+    mk = lambda arr: spark.createDataFrame(
+        [(r.tolist(),) for r in arr], "v array<double>"
+    ).repartition(3)
+    path = str(tmp_path / "moments")
+    embedproj.update_moments(mk(a), "v", path)
+    embedproj.update_moments(mk(b), "v", path)
+    inc = embedproj.fit_pca_from_moments(spark, path, 3)
+    full = embedproj.fit_pca(mk(np.vstack([a, b])), "v", 3)
+    assert inc.n == full.n == 140
+    assert np.allclose(inc.mean, full.mean, atol=1e-12)
+    assert np.allclose(
+        inc.explained_variance, full.explained_variance, rtol=1e-9
+    )
+    assert np.allclose(inc.components, full.components, atol=1e-8)
+    # empty batch is a no-op
+    empty = spark.createDataFrame([], "v array<double>")
+    embedproj.update_moments(empty, "v", path)
+    again = embedproj.fit_pca_from_moments(spark, path, 3)
+    assert again.n == 140
+    # dimension mismatch refused loudly
+    with pytest.raises(ValueError, match="d="):
+        embedproj.update_moments(
+            spark.createDataFrame([([1.0, 2.0],)], "v array<double>"),
+            "v",
+            path,
+        )
