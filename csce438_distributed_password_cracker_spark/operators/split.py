@@ -358,3 +358,37 @@ def hash_split(
         F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
     )
     return df.withColumn(split_col, expr)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    edges: DataFrame,
+    weights: dict[str, float],
+    seed: int = 42,
+    split_col: str = "split",
+    component_col: str = "component_id",
+) -> DataFrame:
+    """:func:`hash_split`, keyed by the NEAR-DUP COMPONENT instead of
+    the row: two documents connected through ``edges (id_a, id_b)``
+    (any dedup family's verified candidate pairs — MinHash, SimHash,
+    embedding cosine) always land in the SAME split, so a test set
+    can't contain a near-copy of a training document — the leakage mode
+    row-keyed splitting cannot prevent, and the reason dedup runs
+    BEFORE splitting in every published pipeline.
+
+    Appends ``component_col`` (min reachable id; singletons label
+    themselves, so with NO edges this degenerates to exactly
+    ``hash_split(id_col)``) and ``split_col``.  Cost: the
+    connected-components rounds (O(component diameter) shuffles over
+    edge ENDPOINTS only) + one broadcast-scale join back; assignment
+    itself stays a pure map of the component key — deterministic in
+    (component, seed), stable under repartitioning, and new singleton
+    rows join their split without reshuffling old ones."""
+    from .dedup import connected_components
+
+    comps = connected_components(df.select(F.col(id_col).alias("id")), edges)
+    out = df.join(
+        comps.withColumnRenamed("id", id_col), id_col, "left"
+    ).withColumnRenamed("component_id", component_col)
+    return hash_split(out, component_col, weights, seed, split_col)

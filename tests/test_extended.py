@@ -360,3 +360,49 @@ def test_curriculum_order_stages_and_plan(spark):
         curriculum_order(allnull, "id", "score", exact=True)
     with pytest.raises(ValueError, match="no\\s+non-NULL|non-NULL"):
         curriculum_order(allnull, "id", "score", exact=False)
+
+
+def test_leakage_safe_split_keeps_components_together(spark):
+    from csce438_distributed_password_cracker_spark.operators.split import (
+        hash_split,
+        leakage_safe_split,
+    )
+
+    docs = spark.range(2000).select(F.col("id").alias("doc_id"))
+    # chain pairs (3k, 3k+1, 3k+2) into one component each
+    edges = spark.range(0, 2000, 3).selectExpr(
+        "id as id_a", "id + 1 as id_b"
+    ).union(
+        spark.range(0, 2000, 3).selectExpr("id + 1 as id_a", "id + 2 as id_b")
+    ).where("id_b < 2000")
+    out = leakage_safe_split(
+        docs, "doc_id", edges, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    # no component straddles splits
+    straddlers = (
+        out.groupBy("component_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .where("k > 1")
+        .count()
+    )
+    assert straddlers == 0
+    # proportions in the right ballpark (components ~uniform size 3)
+    frac = {
+        r["split"]: r["n"] / 2000
+        for r in out.groupBy("split").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    assert 0.7 < frac["train"] < 0.9 and frac["val"] > 0.03
+    # deterministic
+    again = leakage_safe_split(
+        docs, "doc_id", edges, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    assert out.exceptAll(again).count() == 0
+    # no edges -> degenerates to exactly the row-keyed hash_split
+    no_edges = spark.createDataFrame([], "id_a long, id_b long")
+    solo = leakage_safe_split(
+        docs, "doc_id", no_edges, {"train": 0.9, "test": 0.1}
+    ).select("doc_id", "split")
+    plain = hash_split(docs, "doc_id", {"train": 0.9, "test": 0.1})
+    assert solo.exceptAll(plain.select("doc_id", "split")).count() == 0
