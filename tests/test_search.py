@@ -248,3 +248,28 @@ def test_bm25_update_keeps_partitioned_termstats(spark, tmp_path):
     assert globmod.glob(f"{path}/termstats/term_bucket=*")
     for r in spark.read.parquet(f"{path}/termstats").collect():
         assert int(r["term_bucket"]) == pmod(xxhash64_py(r["term"]), 8)
+
+
+def test_probe_reads_legacy_unpartitioned_termstats(spark, index, tmp_path):
+    """Pre-r7 indexes stored term_bucket as a DATA column in a single
+    termstats file; the bucket-pruning probe must degrade to a plain
+    filter there and return identical scores."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    legacy = str(tmp_path / "legacy")
+    shutil.copytree(index, legacy)
+    ts = spark.read.parquet(f"{index}/termstats").select(
+        "term", "df_t", F.col("term_bucket").cast("int").alias("term_bucket")
+    ).collect()
+    shutil.rmtree(f"{legacy}/termstats")
+    spark.createDataFrame(
+        ts, "term string, df_t long, term_bucket int"
+    ).repartition(1).write.parquet(f"{legacy}/termstats")
+    for q in ["quick fox", "lazy dog", "spark"]:
+        a = {(r.id, r.score) for r in
+             search.bm25_search(spark, index, q, top_n=10).collect()}
+        b = {(r.id, r.score) for r in
+             search.bm25_search(spark, legacy, q, top_n=10).collect()}
+        assert a == b, q
