@@ -134,3 +134,48 @@ def test_live_stream_with_compaction(spark, tmp_path):
     )
     for query in ["quick fox", "lazy dog"]:
         assert _scores(spark, idx, query) == _scores(spark, full, query)
+
+
+def test_stream_restart_continues_from_checkpoint(spark, tmp_path):
+    """availableNow drain, then NEW files + a second start on the SAME
+    checkpoint: only the new batch is processed (no double application
+    of batch 0), and the index converges to the full rebuild."""
+    import os
+
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "b0.json", "w") as f:
+        for i in (1, 2):
+            f.write(json.dumps({"doc_id": i, "text": DOCS[i]}) + "\n")
+
+    from tests.conftest import fresh_sink
+
+    sink = fresh_sink(spark, "bm25_restart_sink")
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    q = bsi.start_bm25_ingest(
+        spark, str(src), ckpt, idx, sink_table=sink, n_buckets=8
+    )
+    assert q.awaitTermination(120)
+
+    with open(src / "b1.json", "w") as f:
+        for i in (3, 4, 5):
+            f.write(json.dumps({"doc_id": i, "text": DOCS[i]}) + "\n")
+    now = os.stat(src / "b1.json").st_mtime
+    os.utime(src / "b0.json", (now - 10, now - 10))
+    q2 = bsi.start_bm25_ingest(
+        spark, str(src), ckpt, idx, sink_table=sink, n_buckets=8
+    )
+    assert q2.awaitTermination(120)
+
+    spark.catalog.refreshTable(sink)
+    rows = spark.table(sink).orderBy("batch_id").collect()
+    # exactly two processed batches across both runs; nothing replayed
+    assert [(r.n_new, r.n_skipped) for r in rows] == [(2, 0), (3, 0)]
+    assert rows[-1].n_docs == 5.0
+
+    full = str(tmp_path / "full")
+    search.bm25_build(
+        _docs(spark, [1, 2, 3, 4, 5]), "doc_id", "text", full, n_buckets=8
+    )
+    assert _scores(spark, idx, "quick fox") == _scores(spark, full, "quick fox")
