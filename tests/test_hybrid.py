@@ -142,3 +142,28 @@ def test_mmr_guards_and_edges(spark):
     )
     with pytest.raises(ValueError, match="shortlist"):
         hybrid.mmr_rerank(big, k=3)
+
+
+def test_mmr_randomized_cases_match_brute_force(spark):
+    import numpy as np
+
+    from csce438_distributed_password_cracker_spark.operators.hybrid import (
+        mmr_rerank,
+    )
+
+    for seed, lam in [(1, 0.3), (2, 0.7), (5, 0.5)]:
+        rng = np.random.RandomState(seed)
+        rows = [
+            (i, float(rng.rand()), rng.standard_normal(4).tolist())
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(
+            rows, "id long, score double, vec array<double>"
+        ).repartition(3)
+        got = [
+            (r.id, r.mmr_rank)
+            for r in mmr_rerank(df, k=8, lam=lam)
+            .orderBy("mmr_rank")
+            .collect()
+        ]
+        assert got == _mmr_brute(rows, 8, lam), (seed, lam)
