@@ -317,3 +317,44 @@ def test_heavy_hitters_and_weighted_sample_full_corpus(spark):
     # the plan is TakeOrdered, not a global Sort+Limit
     plan = samp._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bm25_ingest_stream_full_corpus(spark, tmp_path):
+    """Round-7 twin at sf0.1: 80% corpus bootstrap + one 20% batch
+    through the streaming maintenance path; the grown index answers a
+    probe over the full corpus and the log reconciles the counts."""
+    from csce438_distributed_password_cracker_spark.streaming import (
+        search_ingest as bsi,
+    )
+
+    docs = load_table(spark, SF01, "documents")
+    idx = str(tmp_path / "bm25inc")
+    log0 = bsi.bm25_ingest_batch(
+        spark, docs.where("doc_id % 5 != 0"), idx, batch_id=0
+    ).first()
+    log1 = bsi.bm25_ingest_batch(
+        spark, docs.where("doc_id % 5 = 0"), idx, batch_id=1
+    ).first()
+    n = docs.count()
+    assert log0.n_new + log1.n_new == n and log1.n_docs == float(n)
+    hits = search.bm25_search(spark, idx, "the data model", top_n=20).collect()
+    assert len(hits) == 20 and hits[0].score >= hits[-1].score > 0
+
+
+def test_pca_moments_and_projection_full_embeddings(spark, tmp_path):
+    """Round-7: incremental moments over the full embeddings table
+    refit to the one-shot model; projection covers every row."""
+    from csce438_distributed_password_cracker_spark.operators import embedproj
+
+    emb = load_table(spark, SF01, "embeddings")
+    path = str(tmp_path / "moments")
+    embedproj.update_moments(emb.where("vec_id % 2 = 0"), "embedding", path)
+    embedproj.update_moments(emb.where("vec_id % 2 = 1"), "embedding", path)
+    inc = embedproj.fit_pca_from_moments(spark, path, 8)
+    full = embedproj.fit_pca(emb, "embedding", 8)
+    import numpy as np
+
+    assert inc.n == full.n == emb.count()
+    assert np.allclose(inc.components, full.components, atol=1e-6)
+    out = embedproj.project(emb, inc, "embedding")
+    assert out.where(F.col("embedding_pca").isNull()).count() == 0
