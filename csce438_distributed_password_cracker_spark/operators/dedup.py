@@ -438,6 +438,7 @@ def connected_components(
     labels = sym.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("comp")
     )
+    converged = False
     for _ in range(max_iter):
         nbr = sym.join(
             labels.withColumnRenamed("id", "src"), "src"
@@ -463,7 +464,22 @@ def connected_components(
         )
         labels = new_labels.select("id", "comp")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        import warnings
+
+        # labels are still a valid UPPER-BOUND partition (every id maps
+        # to SOME reachable id), but distinct components may not have
+        # fully merged — a silent return would make downstream dedup
+        # under-merge without a trace
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter); labels may still be "
+            "split — raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return ids.select("id").join(labels, "id", "left").select(
         "id", F.coalesce("comp", F.col("id")).alias("component_id")
     )

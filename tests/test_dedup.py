@@ -165,3 +165,25 @@ def test_simhash_rejects_incomplete_block_count(spark):
         dedup.simhash_near_pairs(df, "doc_id", "text", max_hamming=8, blocks=4)
     with pytest.raises(ValueError, match="blocks"):
         dedup.simhash_near_pairs(df, "doc_id", "text", max_hamming=70)
+
+
+def test_connected_components_warns_when_max_iter_exhausted(spark):
+    """A path graph of diameter 9 cannot converge in 2 rounds — the
+    caller must hear about it (silent under-merging corrupts dedup)."""
+    import warnings
+
+    import pytest
+
+    from csce438_distributed_password_cracker_spark.operators.dedup import (
+        connected_components,
+    )
+
+    ids = spark.range(10).selectExpr("id")
+    edges = spark.range(9).selectExpr("id as id_a", "id + 1 as id_b")
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        connected_components(ids, edges, max_iter=2).collect()
+    # enough rounds: converges quietly to one component
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        out = connected_components(ids, edges, max_iter=20).collect()
+    assert {r["component_id"] for r in out} == {0}
