@@ -118,3 +118,54 @@ def test_substring_ingest_randomized_convergence(spark, tmp_path):
             if r["doc_id"] >= 100
         }
         assert streamed == batch, f"seed={seed}"
+
+
+def test_compaction_failure_is_visible_but_nonfatal(spark, tmp_path, caplog):
+    """ingest_common's contract: a compaction error must not fail the
+    micro-batch (a foreachBatch retry would double-write the sink) but
+    must be LOUD — silent breakage lets small files accrete unbounded."""
+    import json
+    import logging
+
+    from csce438_distributed_password_cracker_spark.streaming import (
+        ingest_common,
+    )
+    from tests.conftest import fresh_sink
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for b in (0, 1):
+        with open(src / f"b{b}.json", "w") as f:
+            f.write(json.dumps({"doc_id": b, "text": f"doc {b}"}) + "\n")
+
+    sink = fresh_sink(spark, "compactfail_sink")
+    calls = []
+
+    def bad_compact():
+        calls.append(1)
+        raise RuntimeError("synthetic compaction failure")
+
+    with caplog.at_level(
+        logging.WARNING,
+        logger="csce438_distributed_password_cracker_spark.streaming.ingest_common",
+    ):
+        q = ingest_common.start_ingest_stream(
+            spark,
+            str(src),
+            str(tmp_path / "ckpt"),
+            sink,
+            lambda batch_df, bid: batch_df.selectExpr(
+                "doc_id", f"{bid} as batch_id"
+            ),
+            compact=bad_compact,
+            compact_every=1,
+            max_files_per_trigger=1,
+            compact_label="test-index",
+        )
+        assert q.awaitTermination(120)
+
+    assert len(calls) == 2  # cadence ran every batch, kept failing
+    spark.catalog.refreshTable(sink)
+    assert spark.table(sink).count() == 2  # every batch's rows landed
+    warn = [r for r in caplog.records if "compaction failed" in r.message]
+    assert warn and "test-index" in warn[0].getMessage()
