@@ -694,6 +694,13 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT ({md5_bucket_sql("CAST(doc_id AS STRING)", 8)}) AS shard
       FROM documents
     ) GROUP BY shard
+    UNION ALL
+    SELECT 'ingest_bin' AS branch, doc_id,
+           CASE WHEN doc_id % 2 = 1
+                THEN CAST(44 + 2 * (64 + n_chars % 128) AS BIGINT)
+           END AS n_bytes,
+           true AS roundtrip_ok
+    FROM documents WHERE doc_id < 32
     """,
     doc="E4 + ingestion front door, one labeled union.  binary: opaque "
     "binary columns — string⇄binary round trip; the multimodal decode "
@@ -713,7 +720,15 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the branch emits per-shard row counts (n_bytes column) compared "
     "against BOTH the manifest and the oracle's closed-form bucket "
     "counts, so a lost task, truncated file or mis-sharded row "
-    "hash-diverges.",
+    "hash-diverges.  ingest_bin (round-7 fusion): the raw binary-file "
+    "front door run FOR REAL — 32 deterministic media payloads "
+    "(synthesize_media) land as FILES, come back through Spark's "
+    "binaryFile source via sources/ingest.ingest_binary (JVM magic-byte "
+    "sniff, listing-time glob), and roundtrip_ok asserts byte-exact "
+    "payload + sniffed-kind + length against the in-plan synthesis "
+    "twin; n_bytes re-measures the reread WAV payloads against the "
+    "oracle's closed-form 44 + 2*(64 + n_chars % 128) (PNG sizes are "
+    "zlib-dependent, deliberately NULL).",
 )
 def q_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
@@ -802,7 +817,58 @@ def q_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__n") == F.col("mrows")).alias("roundtrip_ok"),
         )
     )
-    return binary.unionAll(ingested).unionAll(exported)
+    # ingest_bin branch (round-7 fusion): the binaryFile front door run
+    # FOR REAL.  32 deterministic payloads (synthesize_media — the
+    # q_multimodal_features generator) land as one file each, then come
+    # back through ingest_binary; the verdict compares the reread bytes
+    # / sniffed kind / length against a SECOND in-plan synthesis of the
+    # same rows, so any corruption in write-out, listing, glob, read or
+    # sniff hash-diverges.  Driver-side file write is 32 tiny blobs —
+    # gate-scale only, rebuilt fresh each run (the files ARE the input
+    # under test, not a cache).
+    from ..operators.multimodal import synthesize_media
+    from ..sources.ingest import ingest_binary
+
+    bin_dir = root / f"binary_gate_{tag}"
+    shutil.rmtree(bin_dir, ignore_errors=True)
+    bin_dir.mkdir(parents=True)
+    slice32 = docs.where(F.col("doc_id") < 32)
+    for r in synthesize_media(slice32).collect():
+        (bin_dir / f"blob_{int(r['doc_id'])}.bin").write_bytes(
+            bytes(r["payload"])
+        )
+    reread_bin = ingest_binary(spark, str(bin_dir), glob="*.bin").select(
+        F.regexp_extract(
+            F.element_at(F.split("path", "/"), -1), r"blob_(\d+)\.bin", 1
+        )
+        .cast("long")
+        .alias("doc_id"),
+        F.col("media_type").alias("__kind"),
+        F.col("payload").alias("__payload"),
+        F.col("length").alias("__len"),
+    )
+    expected = synthesize_media(slice32).select(
+        F.col("doc_id").alias("__eid"),
+        F.col("media_type").alias("__ekind"),
+        F.col("payload").alias("__epayload"),
+    )
+    ingested_bin = reread_bin.join(
+        expected, F.col("doc_id") == F.col("__eid")
+    ).select(
+        F.lit("ingest_bin").alias("branch"),
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 1, F.col("__len").cast("long")
+        ).alias("n_bytes"),
+        (
+            (F.col("__payload") == F.col("__epayload"))
+            & (F.col("__kind") == F.col("__ekind"))
+            & (F.col("__len") == F.length("__epayload"))
+        ).alias("roundtrip_ok"),
+    )
+    return (
+        binary.unionAll(ingested).unionAll(exported).unionAll(ingested_bin)
+    )
 
 
 _BM25_GATE_QUERY = "dup merge vector"  # one rare + two common terms
