@@ -267,3 +267,23 @@ def test_ingest_binary_glob_prunes_at_listing(spark, tmp_path):
     assert {r["media_type"] for r in only_png.collect()} == {"png"}
     flat = ingest_binary(spark, str(tmp_path), glob="*.bin", recursive=False)
     assert flat.count() == 2
+
+
+def test_ingest_binary_empty_and_missing_edges(spark, tmp_path):
+    """binaryFile has a FIXED schema, so empty dirs and no-match globs
+    return 0 rows (no schema-inference failure); a missing path fails
+    loudly rather than reading as empty."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from csce438_distributed_password_cracker_spark.sources.ingest import (
+        ingest_binary,
+    )
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert ingest_binary(spark, str(empty)).count() == 0
+    (empty / "a.txt").write_text("x")
+    assert ingest_binary(spark, str(empty), glob="*.png").count() == 0
+    with pytest.raises(AnalysisException):
+        ingest_binary(spark, str(tmp_path / "missing")).count()
