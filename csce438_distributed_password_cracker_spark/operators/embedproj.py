@@ -368,10 +368,17 @@ def update_moments(
     df_batch: DataFrame, vec_col: str, moments_path: str
 ) -> None:
     """Fold ``df_batch``'s (n, sum, Gram) into the one-row parquet at
-    ``moments_path`` (created if absent), via the crash-safe tmp+rename
-    swap every small index table here uses."""
-    import shutil
+    ``moments_path`` (created if absent), through the SAME tmp+rename
+    swap as the BM25 index tables (operators/search._swap_in) — which
+    also restores a history parked at ``.__old__`` by a crash between
+    the two renames, so the created-if-absent bootstrap can never
+    silently restart the statistics from one batch.  LOCAL-FILESYSTEM
+    CONTRACT (same as maintenance.compact_parquet): the existence probe
+    and renames are POSIX — a remote (hdfs:// / s3a://) moments_path
+    belongs in a versioned table instead."""
     from pathlib import Path
+
+    from .search import _swap_in
 
     spark = df_batch.sparkSession
     first = (
@@ -384,6 +391,10 @@ def update_moments(
     d = int(first["d"])
     n, s, g = _reduced_moments(df_batch, vec_col, d)
     final = Path(moments_path)
+    old = final.with_name(final.name + ".__old__")
+    if not final.exists() and old.exists():
+        # crash between _swap_in's renames: history is parked at old
+        old.rename(final)
     if final.exists():
         r = spark.read.parquet(moments_path).first()
         if len(r["s"]) != d:
@@ -393,18 +404,13 @@ def update_moments(
         n += int(r["n"])
         s = s + np.asarray(r["s"], dtype=np.float64)
         g = g + np.asarray(r["g"], dtype=np.float64)
-    tmp = final.with_name(final.name + ".__tmp__")
-    old = final.with_name(final.name + ".__old__")
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
-    spark.createDataFrame(
-        [(int(n), s.tolist(), g.ravel().tolist())],
-        "n long, s array<double>, g array<double>",
-    ).repartition(1).write.parquet(str(tmp))
-    if final.exists():
-        final.rename(old)
-    tmp.rename(final)
-    shutil.rmtree(old, ignore_errors=True)
+    _swap_in(
+        spark.createDataFrame(
+            [(int(n), s.tolist(), g.ravel().tolist())],
+            "n long, s array<double>, g array<double>",
+        ),
+        moments_path,
+    )
 
 
 def fit_pca_from_moments(
@@ -412,9 +418,11 @@ def fit_pca_from_moments(
 ) -> PcaModel:
     """Refit the top-``k`` model from the persisted statistics — no
     corpus scan.  Same eigen tail (and the same raw-moment conditioning
-    note) as :func:`fit_pca`."""
+    note and ``k`` contract) as :func:`fit_pca`."""
     r = spark.read.parquet(moments_path).first()
     d = len(r["s"])
+    if not (1 <= k <= d):
+        raise ValueError(f"k must be in [1, {d}], got {k}")
     return _eigen_model(
         int(r["n"]),
         np.asarray(r["s"], dtype=np.float64),

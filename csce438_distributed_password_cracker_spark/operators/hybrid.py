@@ -119,12 +119,28 @@ def mmr_rerank(
             "a probe's top-n, not a corpus"
         )
     spark = shortlist.sparkSession
-    out_schema = "id long, mmr_rank int, mmr_score double"
+    # id keeps the CALLER's type (bm25_search deliberately preserves the
+    # stored id type; re-ranking must not flip it, and an int64 coercion
+    # would silently floor float ids / crash on string ids)
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("id", shortlist.schema[id_col].dataType),
+            StructField("mmr_rank", IntegerType()),
+            StructField("mmr_score", DoubleType()),
+        ]
+    )
     if not rows:
         return spark.createDataFrame([], out_schema)
     # deterministic candidate order: relevance desc, id asc
     rows = sorted(rows, key=lambda r: (-r["rel"], r["id"]))
-    ids = np.asarray([r["id"] for r in rows], dtype=np.int64)
+    ids = [r["id"] for r in rows]
     rel = np.asarray([r["rel"] for r in rows], dtype=np.float64)
     mat = np.asarray([np.asarray(r["v"], dtype=np.float64) for r in rows])
     norms = np.linalg.norm(mat, axis=1)
@@ -146,7 +162,7 @@ def mmr_rerank(
         j = int(np.argmax(mmr))
         picked.append(j)
         remaining[j] = False
-        out.append((int(ids[j]), rank, float(round(mmr[j], 8))))
+        out.append((ids[j], rank, float(round(mmr[j], 8))))
         # one BLAS matvec updates every remaining candidate's penalty
         max_sim = np.maximum(max_sim, mat @ mat[j])
     return spark.createDataFrame(out, out_schema)

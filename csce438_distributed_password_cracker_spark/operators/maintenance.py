@@ -155,16 +155,32 @@ def compact_dedup_index(spark: SparkSession, index_path: str) -> dict[str, int]:
     }
 
 
-def compact_bm25_index(spark: SparkSession, index_path: str) -> dict[str, int]:
+def compact_bm25_index(
+    spark: SparkSession,
+    index_path: str,
+    postings_files: int = 64,
+    doclen_files: int = 16,
+) -> dict[str, int]:
     """Compact the BM25 index's APPENDING datasets (operators/search.py
     layout): ``postings/`` keeps its term_bucket partition layout,
     ``doclen/`` is flattened to a bounded file count.  ``termstats/``
     and ``stats/`` are swap-rewritten whole on every update and never
     accrete — compacting them here would only race the next swap.
-    Probe results are unaffected; only file boundaries change."""
+    Probe results are unaffected; only file boundaries change.
+
+    Both datasets are CORPUS-sized, so the rewrites keep real
+    parallelism (``postings_files`` hash tasks over term_bucket — one
+    file per bucket dir at the default 64 — and ``doclen_files`` flat
+    tasks); ``num_files=1`` here would be the same single-writer cliff
+    bm25_build's doclen write was cured of."""
     return {
         "postings": compact_parquet(
-            spark, f"{index_path}/postings", partition_by=["term_bucket"]
+            spark,
+            f"{index_path}/postings",
+            partition_by=["term_bucket"],
+            num_files=postings_files,
         ),
-        "doclen": compact_parquet(spark, f"{index_path}/doclen"),
+        "doclen": compact_parquet(
+            spark, f"{index_path}/doclen", num_files=doclen_files
+        ),
     }

@@ -130,6 +130,13 @@ def _swap_in(
     final = Path(final_dir)
     tmp = final.with_name(final.name + ".__tmp__")
     old = final.with_name(final.name + ".__old__")
+    # crash recovery: dying between the two renames below leaves the
+    # table absent with its previous state parked at old — restore it
+    # BEFORE cleanup, or a caller with a created-if-absent bootstrap
+    # path (embedproj.update_moments) would silently restart from
+    # nothing instead of folding into the preserved history
+    if not final.exists() and old.exists():
+        old.rename(final)
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
     if partition_by is None:

@@ -62,15 +62,21 @@ def bm25_ingest_batch(
     returns the one-row log frame (see :data:`LOG_SCHEMA`).  Usable
     directly for batch-mode backfill — the stream wrapper below calls
     exactly this."""
+    # a NULL id can never satisfy the append-only contract: the anti-
+    # join's equality never matches NULL keys, so such a row would be
+    # 'fresh' on EVERY delivery — replay idempotence (the module's core
+    # guarantee) would silently break.  Screen them out up front; they
+    # surface in the log as skipped rows (n_batch counts the raw batch).
+    keyed = batch_df.where(F.col(id_col).isNotNull())
     have_index = index_exists(index_path, "doclen")
     if have_index:
         existing = (
             spark.read.parquet(f"{index_path}/doclen")
             .select(F.col("id").alias(id_col))
         )
-        fresh = batch_df.join(existing, id_col, "left_anti")
+        fresh = keyed.join(existing, id_col, "left_anti")
     else:
-        fresh = batch_df
+        fresh = keyed
     # pin the novelty verdict BEFORE mutating the index (same rule as
     # every ingest twin): the anti-join plan references the doclen
     # parquet, and Spark's CacheManager RECACHES path-dependent plans

@@ -330,3 +330,31 @@ def test_incremental_moments_match_one_shot_fit(spark, tmp_path):
             "v",
             path,
         )
+
+
+def test_update_moments_recovers_history_parked_by_a_crash(
+    spark, tmp_path
+):
+    """A crash between the swap's two renames leaves the history at
+    .__old__ with the table absent; the next fold must restore it, not
+    silently restart the statistics from one batch."""
+    import pathlib
+
+    rng = np.random.RandomState(5)
+    a, b = rng.standard_normal((40, 4)), rng.standard_normal((30, 4))
+    mk = lambda arr: spark.createDataFrame(
+        [(r.tolist(),) for r in arr], "v array<double>"
+    )
+    path = str(tmp_path / "m")
+    embedproj.update_moments(mk(a), "v", path)
+    # simulate the crash window: history parked at old, table gone
+    p = pathlib.Path(path)
+    p.rename(p.with_name(p.name + ".__old__"))
+    embedproj.update_moments(mk(b), "v", path)
+    m = embedproj.fit_pca_from_moments(spark, path, 2)
+    assert m.n == 70  # both batches present, nothing lost
+    full = embedproj.fit_pca(mk(np.vstack([a, b])), "v", 2)
+    assert np.allclose(m.components, full.components, atol=1e-8)
+    # k contract matches fit_pca's
+    with pytest.raises(ValueError, match="k must be"):
+        embedproj.fit_pca_from_moments(spark, path, 9)

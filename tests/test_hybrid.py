@@ -167,3 +167,20 @@ def test_mmr_randomized_cases_match_brute_force(spark):
             .collect()
         ]
         assert got == _mmr_brute(rows, 8, lam), (seed, lam)
+
+
+def test_mmr_preserves_caller_id_type(spark):
+    from csce438_distributed_password_cracker_spark.operators.hybrid import (
+        mmr_rerank,
+    )
+
+    df = spark.createDataFrame(
+        [("doc-b", 0.9, [1.0, 0.0]), ("doc-a", 0.8, [0.0, 1.0])],
+        "id string, score double, vec array<double>",
+    )
+    out = mmr_rerank(df, k=2, lam=0.6)
+    assert dict(out.dtypes)["id"] == "string"
+    assert [r.id for r in out.orderBy("mmr_rank").collect()] == [
+        "doc-b",
+        "doc-a",
+    ]

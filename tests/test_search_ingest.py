@@ -179,3 +179,24 @@ def test_stream_restart_continues_from_checkpoint(spark, tmp_path):
         _docs(spark, [1, 2, 3, 4, 5]), "doc_id", "text", full, n_buckets=8
     )
     assert _scores(spark, idx, "quick fox") == _scores(spark, full, "quick fox")
+
+
+def test_null_id_rows_are_never_admitted(spark, tmp_path):
+    """A NULL id can't satisfy the append-only contract (the anti-join
+    never matches NULL keys, so it would be 'fresh' on every replay) —
+    such rows are screened out and surface as skipped."""
+    idx = str(tmp_path / "idx")
+    bsi.bm25_ingest_batch(spark, _docs(spark, [1, 2]), idx, batch_id=0,
+                          n_buckets=8)
+    withnull = spark.createDataFrame(
+        [(3, DOCS[3]), (None, "ghost doc text")],
+        "doc_id LONG, text STRING",
+    )
+    log = bsi.bm25_ingest_batch(spark, withnull, idx, batch_id=1).first()
+    assert (log.n_new, log.n_skipped, log.n_docs) == (1, 1, 3.0)
+    # replaying the same mixed batch is still a complete no-op
+    log2 = bsi.bm25_ingest_batch(spark, withnull, idx, batch_id=1).first()
+    assert (log2.n_new, log2.n_skipped, log2.n_docs) == (0, 2, 3.0)
+    assert spark.read.parquet(f"{idx}/doclen").where(
+        "id is null"
+    ).count() == 0
