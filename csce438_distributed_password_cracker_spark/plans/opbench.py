@@ -232,6 +232,25 @@ def bench_paradedup_ingest_build(spark: SparkSession, sf_dir: str) -> None:
         shutil.rmtree(Path(path), ignore_errors=True)
 
 
+_CONTENT_TAG_CACHE: dict[str, str] = {}
+
+
+def _cached_content_tag(spark: SparkSession, sf_dir: str) -> str:
+    """_content_tag(docs) is a full-corpus hash aggregation — fine once,
+    but the probe entries run inside the TIMED region on every pass, so
+    an uncached call inflates each 'steady-state per-batch' number by a
+    corpus scan.  The tag is a pure function of the documents parquet,
+    which is immutable within a bench run — cache per sf_dir (the
+    _PCA_MODEL_CACHE pattern)."""
+    t = _CONTENT_TAG_CACHE.get(sf_dir)
+    if t is None:
+        from .pipeline_queries import _content_tag
+
+        t = _content_tag(_docs(spark, sf_dir), "text")
+        _CONTENT_TAG_CACHE[sf_dir] = t
+    return t
+
+
 def _para_probe_index(spark: SparkSession, sf_dir: str) -> str:
     """Persistent content-tagged paragraph index for the probe entry —
     built on first use, reused afterwards (bm25 gate-index discipline:
@@ -239,12 +258,12 @@ def _para_probe_index(spark: SparkSession, sf_dir: str) -> str:
     from ..operators.paradedup import carve_pseudo_paragraphs
     from ..streaming import ingest_common
     from ..streaming import paradedup_ingest as pdi
-    from .pipeline_queries import _content_tag, warehouse_root_tag
+    from .pipeline_queries import warehouse_root_tag
 
     docs = _docs(spark, sf_dir)
     wh, tag = warehouse_root_tag(sf_dir)
     path = str(
-        wh / f"opbench_paraidx_probe_{tag}_{_content_tag(docs, 'text')}"
+        wh / f"opbench_paraidx_probe_{tag}_{_cached_content_tag(spark, sf_dir)}"
     )
     if not ingest_common.index_exists(path, "paras"):
         pdi.build_para_index(
@@ -258,10 +277,15 @@ def _para_probe_index(spark: SparkSession, sf_dir: str) -> str:
 
 
 def bench_paradedup_ingest_probe(spark: SparkSession, sf_dir: str) -> None:
-    """ONE 20% micro-batch through probe + verdict + reassembly — the
-    steady-state per-batch cost a production ingest stream pays.  The
-    index is persistent (first-ever pass builds it; min/median over the
-    interleaved passes reflect pure probe)."""
+    """ONE 20% micro-batch through probe + verdict + reassembly
+    against the persistent index.  The FIRST-ever pass also ADMITS the
+    batch's novel fingerprints (index build + admit write); every later
+    pass re-ingests the same batch, which the index now fully contains,
+    so min/median report the ALL-DUPLICATE replay path — probe + verdict
+    + excision with an empty admit.  That is the floor every batch pays
+    (and the whole cost of a replayed one); a mostly-novel batch adds
+    the admit-append on top, which this entry deliberately excludes to
+    stay comparable round-over-round."""
     from ..operators.paradedup import carve_pseudo_paragraphs
     from ..streaming import paradedup_ingest as pdi
 
@@ -291,12 +315,12 @@ def bench_substring_ingest_build(spark: SparkSession, sf_dir: str) -> None:
 def _substr_probe_index(spark: SparkSession, sf_dir: str) -> str:
     from ..streaming import ingest_common
     from ..streaming import substring_ingest as ssi
-    from .pipeline_queries import _content_tag, warehouse_root_tag
+    from .pipeline_queries import warehouse_root_tag
 
     docs = _docs(spark, sf_dir)
     wh, tag = warehouse_root_tag(sf_dir)
     path = str(
-        wh / f"opbench_substridx_probe_{tag}_{_content_tag(docs, 'text')}"
+        wh / f"opbench_substridx_probe_{tag}_{_cached_content_tag(spark, sf_dir)}"
     )
     if not ingest_common.index_exists(path, "wins"):
         ssi.build_substring_index(docs.where("doc_id % 5 != 0"), path)
@@ -305,7 +329,9 @@ def _substr_probe_index(spark: SparkSession, sf_dir: str) -> str:
 
 def bench_substring_ingest_probe(spark: SparkSession, sf_dir: str) -> None:
     """ONE 20% micro-batch through probe + span merge + excision
-    against the persistent index — the per-batch number."""
+    against the persistent index — the all-duplicate replay floor after
+    pass 1 admits the batch (same accounting as the paradedup probe
+    entry's docstring)."""
     from ..streaming import substring_ingest as ssi
 
     path = _substr_probe_index(spark, sf_dir)
@@ -319,12 +345,12 @@ def bench_substring_ingest_probe(spark: SparkSession, sf_dir: str) -> None:
 def _bm25_probe_index(spark: SparkSession, sf_dir: str) -> str:
     from ..operators import search
     from ..streaming import ingest_common
-    from .pipeline_queries import _content_tag, warehouse_root_tag
+    from .pipeline_queries import warehouse_root_tag
 
     docs = _docs(spark, sf_dir)
     wh, tag = warehouse_root_tag(sf_dir)
     path = str(
-        wh / f"opbench_bm25idx_probe_{tag}_{_content_tag(docs, 'text')}"
+        wh / f"opbench_bm25idx_probe_{tag}_{_cached_content_tag(spark, sf_dir)}"
     )
     if not ingest_common.index_exists(path, "doclen"):
         search.bm25_build(

@@ -1542,8 +1542,14 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id_b").cast("long").alias("id_b"),
             (
                 F.round(F.col("z.j"), 6)
+                # NULL-safe penalty: arrays_zip pads a SHORT production
+                # array with NULLs, and a NULL comparison would fall
+                # through otherwise(0.0) — a truncated/NULL-emitting
+                # kernel must hash-MISMATCH, not silently pass
                 + F.when(
-                    F.abs(F.col("z.j") - F.col("z.p")) > 1e-3, F.lit(1e6)
+                    F.col("z.p").isNull()
+                    | (F.abs(F.col("z.j") - F.col("z.p")) > 1e-3),
+                    F.lit(1e6),
                 ).otherwise(F.lit(0.0))
             ).alias("cos_sim"),
         )
@@ -2214,6 +2220,15 @@ def q_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# MG summaries persisted by the heavy-hitter branches of the PREVIOUS
+# q_collocations invocation — released generationally at the next call:
+# a registry query has no post-materialization hook to unpersist at, and
+# by the time the plan is rebuilt the prior result has been consumed.
+# Without this, every bench pass leaked two persisted frames into the
+# block-manager cache for the session's lifetime.
+_HH_GATE_HANDLES: list = []
+
+
 @register(
     "q_collocations",
     oracle="""
@@ -2258,13 +2273,15 @@ def q_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     sw2 AS (SELECT source, word FROM sw WHERE word <> ''),
     stot AS (SELECT source, count(*) AS n FROM sw2 GROUP BY 1),
     ghh AS (
-      SELECT 'ghh' AS branch, word AS w1, source AS w2,
+      SELECT 'ghh' AS branch, word AS w1, sw2.source AS w2,
              CAST(count(*) AS BIGINT) AS c_ab,
              CAST(n AS BIGINT) AS c_a,
              CAST(NULL AS BIGINT) AS c_b,
              CAST(NULL AS DOUBLE) AS lift
-      FROM sw2 JOIN stot USING (source)
-      GROUP BY source, word, n
+      -- null-safe join: the Spark side (grouped_heavy_hitters) keeps a
+      -- NULL-source stratum; a plain equality join would drop it here
+      FROM sw2 JOIN stot ON sw2.source IS NOT DISTINCT FROM stot.source
+      GROUP BY sw2.source, word, n
       HAVING count(*) * 30 > n
     )
     SELECT * FROM colloc UNION ALL SELECT * FROM hh
@@ -2313,6 +2330,10 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.collocations import collocations
     from ..operators.freq import grouped_heavy_hitters, heavy_hitters
 
+    for _h in _HH_GATE_HANDLES:
+        _h.unpersist()
+    _HH_GATE_HANDLES.clear()
+
     docs = load_table(spark, sf_dir, "documents")
     colloc = collocations(docs, "text", min_count=10).select(
         F.lit("colloc").alias("branch"),
@@ -2326,7 +2347,10 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         F.explode(F.split(F.col("text"), " ")).alias("word")
     ).where(F.col("word") != "")
-    hh = heavy_hitters(words, "word", den=30, k=64, count_col="cnt").select(
+    hh = heavy_hitters(
+        words, "word", den=30, k=64, count_col="cnt",
+        handle=_HH_GATE_HANDLES,
+    ).select(
         F.lit("hh").alias("branch"),
         F.col("word").alias("w1"),
         F.lit(None).cast("string").alias("w2"),
@@ -2339,7 +2363,7 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(F.split(F.col("text"), " ")).alias("word")
     ).where(F.col("word") != "")
     ghh = grouped_heavy_hitters(
-        src_words, "source", "word", den=30
+        src_words, "source", "word", den=30, handle=_HH_GATE_HANDLES
     ).select(
         F.lit("ghh").alias("branch"),
         F.col("word").alias("w1"),

@@ -128,9 +128,12 @@ def build_dedup_index(
 
 
 def _index_exists(spark: SparkSession, index_path: str) -> bool:
-    from pathlib import Path
+    # route through the shared scheme-aware probe (ADVICE r6 fixed the
+    # other twins; a local-pathlib probe here would report 'no index'
+    # for ANY remote path and re-admit every batch fingerprint)
+    from .ingest_common import index_exists
 
-    return (Path(index_path) / "sigs" / "_SUCCESS").exists()
+    return index_exists(index_path, "sigs")
 
 
 def _pruned_index_bands(

@@ -33,12 +33,19 @@ def index_exists(index_path: str, subdir: str) -> bool:
 
     spark = SparkSession.getActiveSession()
     if spark is not None:
-        jvm = spark._jvm
-        p = jvm.org.apache.hadoop.fs.Path(
-            f"{index_path.rstrip('/')}/{subdir}/_SUCCESS"
-        )
-        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-        return bool(fs.exists(p))
+        try:
+            jvm = spark._jvm
+            jsc = spark._jsc
+        except Exception:
+            # Spark Connect sessions have no JVM handle — fall through
+            # to the local probe rather than crash every ingest path
+            jvm = jsc = None
+        if jvm is not None and jsc is not None:
+            p = jvm.org.apache.hadoop.fs.Path(
+                f"{index_path.rstrip('/')}/{subdir}/_SUCCESS"
+            )
+            fs = p.getFileSystem(jsc.hadoopConfiguration())
+            return bool(fs.exists(p))
     from pathlib import Path
 
     return (Path(index_path) / subdir / "_SUCCESS").exists()
