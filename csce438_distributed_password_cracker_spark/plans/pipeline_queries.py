@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions import vectors
-from ..operators import decontam, dedup, multimodal, similarity, textops
+from ..operators import decontam, dedup, multimodal, similarity, textnorm, textops
 from ..operators.split import (
     md5_bucket_sql,
     md5_sample_sql,
@@ -346,6 +346,14 @@ _SYNTH_SQL = (
     "CAST(doc_id % 256 AS STRING) ELSE text END"
 )
 
+# normalization-branch input (round-7 fusion, operators/textnorm.py):
+# ASCII mixed-case + tab + padding derivation shared verbatim by both
+# dialects — ASCII-only so lower() is engine-identical (non-ASCII case
+# tables may differ JVM vs utf8proc; the operator documents that)
+_NORM_INPUT = (
+    "('  ' || upper(substring(text, 1, 40)) || chr(9) || ' End  ')"
+)
+
 
 # the structured-text derivation shared by the Gopher + repetition
 # batteries (Spark dialect; the twin states it with chr(10))
@@ -379,7 +387,10 @@ _CLF_W_H = _md5_duck("'w:' || CAST(feature AS VARCHAR)", 42, 15)
            CAST(len(regexp_extract_all(__synth, '{_EMAIL_RX}'))
               + len(regexp_extract_all(
                     regexp_replace(__synth, '{_EMAIL_RX}', '<EMAIL>', 'g'),
-                    '{_IPV4_RX}')) AS BIGINT) AS n_redactions
+                    '{_IPV4_RX}')) AS BIGINT) AS n_redactions,
+           {textnorm.normalize_sql(_NORM_INPUT)} AS norm_text,
+           CAST(length({textnorm.normalize_sql(_NORM_INPUT)}) AS BIGINT)
+             AS norm_len
     FROM (
       SELECT doc_id, lang, text,
              CAST(length(text) AS BIGINT) AS n_chars,
@@ -652,6 +663,12 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         # vocabulary (the thresholds are keyword args)
         *textops.gopher_rules(_GOPHER_TEXT),
         *textops.repetition_battery(_GOPHER_TEXT),
+        # round-7 fusion: text normalization (operators/textnorm.py) on
+        # the same scan — ASCII mixed-case + tab + padding derivation,
+        # full normalized STRING hash-checked plus its length
+        textnorm.normalize_expr(F.expr(_NORM_INPUT)).alias("norm_text"),
+    ).withColumn(
+        "norm_len", F.length("norm_text").cast("long")
     ).withColumn(
         "gopher_keep", textops.gopher_keep(min_stop_hits=1)
     ).withColumn("repetition_keep", textops.repetition_keep())
