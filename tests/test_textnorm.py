@@ -96,3 +96,26 @@ def test_spark_and_duckdb_twins_agree_byte_for_byte(spark):
         ).collect()
     }
     assert got_duck_nc == got_spark_nc
+
+
+def test_normalization_makes_disguised_copies_collide_in_dedup(spark):
+    """The reason this operator exists: zero-width insertions, case
+    flips and whitespace games defeat exact dedup on raw bytes but
+    collide after normalize_text."""
+    from csce438_distributed_password_cracker_spark.operators.dedup import (
+        exact_dedup,
+    )
+
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "The  quick\tbrown fox "),      # case + ws games
+        (3, "the quick bro​wn fox"),         # zero-width space inside
+        (4, "a different document"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # raw bytes: nothing collides
+    assert exact_dedup(df, ["text"], "doc_id").count() == 4
+    normed = textnorm.normalize_text(df, "text")
+    kept = exact_dedup(normed, ["text_norm"], "doc_id")
+    assert kept.count() == 2
+    assert {r["doc_id"] for r in kept.collect()} == {1, 4}  # min-id wins
