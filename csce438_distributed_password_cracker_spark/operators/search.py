@@ -134,8 +134,20 @@ def _swap_in(
     # table absent with its previous state parked at old — restore it
     # BEFORE cleanup, or a caller with a created-if-absent bootstrap
     # path (embedproj.update_moments) would silently restart from
-    # nothing instead of folding into the preserved history
+    # nothing instead of folding into the preserved history.  LOUD:
+    # for a multi-dataset index (bm25_update's termstats) the restored
+    # state may lag sibling datasets appended before the crash — the
+    # operator can't tell from here, so the recovery itself must be
+    # visible rather than silently serving possibly-stale stats.
     if not final.exists() and old.exists():
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "restoring %s from its crash-parked .__old__ snapshot; if "
+            "sibling datasets were appended in the interrupted update, "
+            "re-apply that batch or rebuild the index",
+            final,
+        )
         old.rename(final)
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)

@@ -34,19 +34,26 @@ from pyspark.sql import functions as F
 ZERO_WIDTH_CLASS = "[\u200b\u200c\u200d\u2060\ufeff]"
 # explicit whitespace class — NOT \s (Java's \s includes \x0b, RE2's
 # does not; an explicit class means Spark and DuckDB replace the same
-# bytes)
-WS_CLASS = "[ \\t\\n\\r\\f\\x0b]+"
-# remaining C0/C1-ish controls after whitespace collapse
-CONTROL_CLASS = "[\\x00-\\x1f\\x7f]"
+# bytes).  Includes the Unicode spaces a copy-paste round trip actually
+# produces (NBSP, en/em/thin/narrow-NBSP/math/ideographic spaces) —
+# the most common whitespace disguise.
+WS_CLASS = "[ \\t\\n\\r\\f\\x0b\u00a0\u2000-\u200a\u202f\u205f\u3000]+"
+# non-whitespace C0 controls + DEL; \t \n \x0b \f \r (09-0d) belong
+# to WS_CLASS and must COLLAPSE to a space, not vanish — deleting them
+# here would glue adjacent words together
+CONTROL_CLASS = "[\\x00-\\x08\\x0e-\\x1f\\x7f]"
 
 
 def normalize_expr(col: Column, lowercase: bool = True) -> Column:
     """The JVM-side normalization chain over a string column: strip
-    zero-width characters, collapse whitespace runs to single spaces,
-    strip remaining control characters, optionally lowercase, trim."""
+    zero-width and control characters, collapse whitespace runs to
+    single spaces, optionally lowercase, trim."""
+    # order matters: invisible/control bytes strip FIRST, then
+    # whitespace collapses — the reverse left 'a \\x01 b' with a double
+    # space ('a  b') that no longer collided with 'a b'
     out = F.regexp_replace(col, ZERO_WIDTH_CLASS, "")
-    out = F.regexp_replace(out, WS_CLASS, " ")
     out = F.regexp_replace(out, CONTROL_CLASS, "")
+    out = F.regexp_replace(out, WS_CLASS, " ")
     if lowercase:
         out = F.lower(out)
     return F.trim(out)
@@ -56,8 +63,8 @@ def normalize_sql(expr: str, lowercase: bool = True) -> str:
     """The IDENTICAL chain in DuckDB SQL (RE2 needs the explicit 'g'
     flag — without it only the first match is replaced)."""
     out = f"regexp_replace({expr}, '{ZERO_WIDTH_CLASS}', '', 'g')"
-    out = f"regexp_replace({out}, '{WS_CLASS}', ' ', 'g')"
     out = f"regexp_replace({out}, '{CONTROL_CLASS}', '', 'g')"
+    out = f"regexp_replace({out}, '{WS_CLASS}', ' ', 'g')"
     if lowercase:
         out = f"lower({out})"
     return f"trim({out})"

@@ -38,7 +38,7 @@ def index_exists(index_path: str, subdir: str) -> bool:
             jsc = spark._jsc
         except Exception:
             # Spark Connect sessions have no JVM handle — fall through
-            # to the local probe rather than crash every ingest path
+            # to the local probe for LOCAL paths only (guard below)
             jvm = jsc = None
         if jvm is not None and jsc is not None:
             p = jvm.org.apache.hadoop.fs.Path(
@@ -46,9 +46,22 @@ def index_exists(index_path: str, subdir: str) -> bool:
             )
             fs = p.getFileSystem(jsc.hadoopConfiguration())
             return bool(fs.exists(p))
+    from urllib.parse import urlsplit
+
+    scheme = urlsplit(index_path).scheme
+    if scheme not in ("", "file"):
+        # without filesystem access a remote index CANNOT be probed —
+        # a silent False here would re-admit every batch fingerprint
+        # as novel (the exact bug the Hadoop-API routing fixed)
+        raise RuntimeError(
+            f"cannot probe {scheme}://-resident index without JVM "
+            "filesystem access (Spark Connect client?): index_exists "
+            "would silently report 'missing' and corrupt ingest "
+            "idempotence"
+        )
     from pathlib import Path
 
-    return (Path(index_path) / subdir / "_SUCCESS").exists()
+    return (Path(index_path.removeprefix("file:")) / subdir / "_SUCCESS").exists()
 
 
 def start_ingest_stream(

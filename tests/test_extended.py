@@ -406,3 +406,31 @@ def test_leakage_safe_split_keeps_components_together(spark):
     ).select("doc_id", "split")
     plain = hash_split(docs, "doc_id", {"train": 0.9, "test": 0.1})
     assert solo.exceptAll(plain.select("doc_id", "split")).count() == 0
+
+
+def test_leakage_safe_split_strict_on_unconverged_components(spark):
+    import pytest
+
+    from csce438_distributed_password_cracker_spark.operators.split import (
+        leakage_safe_split,
+    )
+
+    docs = spark.range(30).selectExpr("id as doc_id")
+    # one diameter-29 path: cannot converge in 2 rounds
+    edges = spark.range(29).selectExpr("id as id_a", "id + 1 as id_b")
+    with pytest.raises(ValueError, match="did not converge"):
+        leakage_safe_split(
+            docs, "doc_id", edges, {"train": 0.5, "test": 0.5}, max_iter=2
+        )
+    # non-strict degrades to the warning and still returns a frame
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        out = leakage_safe_split(
+            docs, "doc_id", edges, {"train": 0.5, "test": 0.5},
+            max_iter=2, strict=False,
+        )
+    assert out.count() == 30
+    # enough rounds: strict passes quietly and the chain is ONE split
+    ok = leakage_safe_split(
+        docs, "doc_id", edges, {"train": 0.5, "test": 0.5}, max_iter=40
+    )
+    assert ok.select("split").distinct().count() == 1

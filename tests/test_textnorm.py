@@ -20,6 +20,9 @@ CASES = [
     "﻿BOM prefix",
     "plain",
     "",
+    "a \x01 b",                     # control flanked by spaces
+    "nbsp\u00a0disguise",           # U+00A0 copy-paste whitespace
+    "em\u2003space and\u3000wide",  # Unicode space zoo
 ]
 
 
@@ -39,6 +42,9 @@ def test_normalize_semantics_and_nulls(spark):
     assert out[6] == "bom prefix"
     assert out[7] == "plain"
     assert out[8] == ""
+    assert out[9] == "a b"          # control strip BEFORE ws collapse
+    assert out[10] == "nbsp disguise"
+    assert out[11] == "em space and wide"
     assert out[99] is None
     # map-only: no exchange, no Python (default path)
     plan = (
