@@ -125,3 +125,35 @@ def test_normalization_makes_disguised_copies_collide_in_dedup(spark):
     kept = exact_dedup(normed, ["text_norm"], "doc_id")
     assert kept.count() == 2
     assert {r["doc_id"] for r in kept.collect()} == {1, 4}  # min-id wins
+
+
+def test_randomized_alphabet_parity(spark):
+    """200 seeded random strings over a deliberately nasty alphabet
+    (controls, unicode spaces, zero-widths, mixed case, punctuation):
+    the Spark chain and the DuckDB twin must agree byte-for-byte."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    alphabet = (
+        list("aZ9 .!") + ["\t", "\n", "\x01", "\x0b", "\x7f"]
+        + [" ", " ", "　", "​", "﻿", "é"]
+    )
+    rng = random.Random(1234)
+    cases = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 30)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "id long, text string"
+    )
+    got_spark = {
+        r["id"]: r["text_norm"]
+        for r in textnorm.normalize_text(df, "text").collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"id": range(len(cases)), "text": cases}))
+    sql = textnorm.normalize_sql("text")
+    got_duck = dict(con.execute(f"SELECT id, {sql} FROM t").fetchall())
+    assert got_duck == got_spark
