@@ -412,7 +412,10 @@ def minhash_lsh_pairs(
 
 
 def connected_components(
-    ids: DataFrame, edges: DataFrame, max_iter: int = 20
+    ids: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 20,
+    on_nonconverged: str = "warn",
 ) -> DataFrame:
     """(id, component_id) where component_id = min id reachable over the
     undirected ``edges(id_a, id_b)`` graph; singletons label themselves.
@@ -467,19 +470,22 @@ def connected_components(
             converged = True
             break
     if not converged:
-        import warnings
-
         # labels are still a valid UPPER-BOUND partition (every id maps
         # to SOME reachable id), but distinct components may not have
         # fully merged — a silent return would make downstream dedup
-        # under-merge without a trace
-        warnings.warn(
+        # under-merge without a trace.  ``on_nonconverged`` makes the
+        # signal STRUCTURAL for callers whose correctness depends on it
+        # (split.leakage_safe_split) instead of a string-matched warning.
+        msg = (
             f"connected_components did not converge in {max_iter} rounds "
             "(graph diameter exceeds max_iter); labels may still be "
-            "split — raise max_iter",
-            RuntimeWarning,
-            stacklevel=2,
+            "split — raise max_iter"
         )
+        if on_nonconverged == "error":
+            raise ValueError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return ids.select("id").join(labels, "id", "left").select(
         "id", F.coalesce("comp", F.col("id")).alias("component_id")
     )

@@ -387,36 +387,21 @@ def leakage_safe_split(
     itself stays a pure map of the component key — deterministic in
     (component, seed), stable under repartitioning, and new singleton
     rows join their split without reshuffling old ones."""
-    import warnings
-
     from .dedup import connected_components
 
     # strict (default): an UNCONVERGED component labeling means split
     # components — i.e. possible near-copies straddling train/test, the
-    # exact leakage this function exists to prevent.  connected_
-    # components runs its rounds eagerly, so its nonconvergence warning
-    # fires inside this call and can be escalated here; a warning alone
-    # is too easy to miss in a Spark driver log for a SAFETY property.
-    with warnings.catch_warnings(record=True) as caught:
-        warnings.simplefilter("always", RuntimeWarning)
-        comps = connected_components(
-            df.select(F.col(id_col).alias("id")), edges, max_iter=max_iter
-        )
-    unconverged = [
-        w for w in caught if "did not converge" in str(w.message)
-    ]
-    if unconverged:
-        if strict:
-            raise ValueError(
-                f"leakage_safe_split: component labeling did not "
-                f"converge in max_iter={max_iter} rounds — near-dup "
-                "clusters may straddle splits; raise max_iter (or pass "
-                "strict=False to accept the warning)"
-            )
-        for w in unconverged:
-            warnings.warn_explicit(
-                w.message, w.category, w.filename, w.lineno
-            )
+    # exact leakage this function exists to prevent.  The escalation is
+    # STRUCTURAL (connected_components' on_nonconverged="error"), not a
+    # string-matched warning — a safety property must not depend on
+    # message wording, and a warning alone is too easy to miss in a
+    # Spark driver log.
+    comps = connected_components(
+        df.select(F.col(id_col).alias("id")),
+        edges,
+        max_iter=max_iter,
+        on_nonconverged="error" if strict else "warn",
+    )
     out = df.join(
         comps.withColumnRenamed("id", id_col), id_col, "left"
     ).withColumnRenamed("component_id", component_col)

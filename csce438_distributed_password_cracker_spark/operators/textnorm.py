@@ -35,9 +35,11 @@ ZERO_WIDTH_CLASS = "[\u200b\u200c\u200d\u2060\ufeff]"
 # explicit whitespace class — NOT \s (Java's \s includes \x0b, RE2's
 # does not; an explicit class means Spark and DuckDB replace the same
 # bytes).  Includes the Unicode spaces a copy-paste round trip actually
-# produces (NBSP, en/em/thin/narrow-NBSP/math/ideographic spaces) —
-# the most common whitespace disguise.
-WS_CLASS = "[ \\t\\n\\r\\f\\x0b\u00a0\u2000-\u200a\u202f\u205f\u3000]+"
+# produces (NEL, NBSP, ogham mark, en/em/thin/narrow-NBSP, LINE and
+# PARAGRAPH SEPARATOR, math/ideographic spaces) — the whitespace
+# disguises HTML/PDF extraction round trips actually emit.
+WS_CLASS = ("[ \\t\\n\\r\\f\\x0b\u0085\u00a0\u1680\u2000-\u200a"
+            "\u2028\u2029\u202f\u205f\u3000]+")
 # non-whitespace C0 controls + DEL; \t \n \x0b \f \r (09-0d) belong
 # to WS_CLASS and must COLLAPSE to a space, not vanish — deleting them
 # here would glue adjacent words together

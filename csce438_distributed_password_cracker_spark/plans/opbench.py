@@ -242,12 +242,19 @@ def _cached_content_tag(spark: SparkSession, sf_dir: str) -> str:
     corpus scan.  The tag is a pure function of the documents parquet,
     which is immutable within a bench run — cache per sf_dir (the
     _PCA_MODEL_CACHE pattern)."""
-    t = _CONTENT_TAG_CACHE.get(sf_dir)
+    import os
+
+    # keyed by (path, parquet mtime): a regenerated documents table
+    # changes the mtime and re-derives the tag, preserving the probe
+    # indexes' invalidate-on-content contract across long-lived drivers
+    mt = os.stat(os.path.join(sf_dir, "documents.parquet")).st_mtime_ns
+    key = f"{sf_dir}@{mt}"
+    t = _CONTENT_TAG_CACHE.get(key)
     if t is None:
         from .pipeline_queries import _content_tag
 
         t = _content_tag(_docs(spark, sf_dir), "text")
-        _CONTENT_TAG_CACHE[sf_dir] = t
+        _CONTENT_TAG_CACHE[key] = t
     return t
 
 

@@ -389,8 +389,7 @@ _CLF_W_H = _md5_duck("'w:' || CAST(feature AS VARCHAR)", 42, 15)
                     regexp_replace(__synth, '{_EMAIL_RX}', '<EMAIL>', 'g'),
                     '{_IPV4_RX}')) AS BIGINT) AS n_redactions,
            {textnorm.normalize_sql(_NORM_INPUT)} AS norm_text,
-           CAST(length({textnorm.normalize_sql(_NORM_INPUT)}) AS BIGINT)
-             AS norm_len
+           CAST(length(norm_text) AS BIGINT) AS norm_len
     FROM (
       SELECT doc_id, lang, text,
              CAST(length(text) AS BIGINT) AS n_chars,
@@ -2348,7 +2347,13 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.freq import grouped_heavy_hitters, heavy_hitters
 
     for _h in _HH_GATE_HANDLES:
-        _h.unpersist()
+        try:
+            _h.unpersist()
+        except Exception:
+            # best-effort release: the handle may belong to a stopped/
+            # replaced SparkContext (multi-session harness) — a dead
+            # handle must not break the query in the new session
+            pass
     _HH_GATE_HANDLES.clear()
 
     docs = load_table(spark, sf_dir, "documents")

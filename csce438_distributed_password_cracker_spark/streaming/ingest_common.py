@@ -48,20 +48,24 @@ def index_exists(index_path: str, subdir: str) -> bool:
             return bool(fs.exists(p))
     from urllib.parse import urlsplit
 
-    scheme = urlsplit(index_path).scheme
-    if scheme not in ("", "file"):
+    parts = urlsplit(index_path)
+    if parts.scheme.lower() not in ("", "file"):
         # without filesystem access a remote index CANNOT be probed —
         # a silent False here would re-admit every batch fingerprint
         # as novel (the exact bug the Hadoop-API routing fixed)
         raise RuntimeError(
-            f"cannot probe {scheme}://-resident index without JVM "
+            f"cannot probe {parts.scheme}://-resident index without JVM "
             "filesystem access (Spark Connect client?): index_exists "
             "would silently report 'missing' and corrupt ingest "
             "idempotence"
         )
     from pathlib import Path
 
-    return (Path(index_path.removeprefix("file:")) / subdir / "_SUCCESS").exists()
+    # urlsplit handles every file-URI spelling ('file:/x', 'file:///x',
+    # 'file://localhost/x', case-insensitive scheme) — a literal prefix
+    # strip misparsed some of them into the wrong local path
+    local = parts.path if parts.scheme else index_path
+    return (Path(local) / subdir / "_SUCCESS").exists()
 
 
 def start_ingest_stream(

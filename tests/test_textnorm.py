@@ -138,7 +138,7 @@ def test_randomized_alphabet_parity(spark):
 
     alphabet = (
         list("aZ9 .!") + ["\t", "\n", "\x01", "\x0b", "\x7f"]
-        + [" ", " ", "　", "​", "﻿", "é"]
+        + [" ", " ", "　", "​", "﻿", "é", "\u2028", "\u0085", "\u1680"]
     )
     rng = random.Random(1234)
     cases = [
