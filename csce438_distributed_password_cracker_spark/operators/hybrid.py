@@ -18,6 +18,8 @@ scan and no meaningful shuffle (two ≤ n-row lists).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -91,8 +93,20 @@ def mmr_rerank(
     mis-wired full-corpus frame melt the driver.
 
     Determinism: relevance ties break by ascending id at every pick;
-    scores are float64 throughout.  Zero vectors contribute cosine 0
-    (orthogonal-by-convention, same as vectors.cosine's guard).
+    scores are float64 throughout.  Rows with NULL or NaN relevance
+    are rejected with a ValueError (a NaN would silently poison the
+    greedy ordering).
+
+    Divergence from Carbonell & Goldstein: the diversity penalty is
+    ``max(0, max cosine to picked)`` — ALL negative similarities are
+    floored to 0, not just the zero-vector convention.  The paper's
+    raw form hands a candidate anti-correlated with the picked set a
+    positive bonus on top of its relevance; here the penalty only ever
+    suppresses redundancy, which keeps the score scale inside
+    ``[lam·rel − (1−lam), lam·rel]`` and matches the [0,1]-normalized
+    relevance contract below.  Callers wanting the raw form can negate
+    lam-weighted scores upstream; the clamp is deliberate, not a
+    zero-vector special case.
 
     The relevance scale matters: the cosine penalty lives in [0, 1], so
     ``score_col`` should be comparably normalized (rank-based RRF
@@ -138,6 +152,14 @@ def mmr_rerank(
     )
     if not rows:
         return spark.createDataFrame([], out_schema)
+    bad = sum(
+        1 for r in rows if r["rel"] is None or math.isnan(r["rel"])
+    )
+    if bad:
+        raise ValueError(
+            f"{bad} shortlist row(s) have NULL/NaN {score_col!r}; "
+            "MMR needs a total relevance order — filter or impute first"
+        )
     # deterministic candidate order: relevance desc, id asc
     rows = sorted(rows, key=lambda r: (-r["rel"], r["id"]))
     ids = [r["id"] for r in rows]

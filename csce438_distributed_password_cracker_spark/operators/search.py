@@ -60,6 +60,12 @@ from .dedup import tokens_col
 
 N_TERM_BUCKETS = 64
 
+# termstats layout is fixed (only postings' id type varies per corpus);
+# read-backs pass it explicitly so a bare directory — a partitionBy
+# write of ZERO rows emits only _SUCCESS, no files to infer from —
+# still reads as a valid empty table instead of an AnalysisException
+TERMSTATS_SCHEMA = "term string, df_t bigint, term_bucket int"
+
 
 def tokenize_py(text: str) -> list[str]:
     """Python twin of :func:`dedup.tokens_col` (``split(text, ' ')``):
@@ -187,9 +193,11 @@ def bm25_build(
     # scan), not from re-running `post` — the unpersisted plan would
     # re-tokenize + re-shuffle the whole corpus a second time, the
     # expensive map at scale.  df_t = rows per term, since postings is
-    # one row per (term, id).
+    # one row per (term, id).  Schema is passed explicitly: a corpus
+    # whose every document tokenizes empty yields ZERO postings rows,
+    # and a bare partitioned dir can't self-describe.
     _swap_in(
-        spark.read.parquet(f"{index_path}/postings")
+        spark.read.schema(post.schema).parquet(f"{index_path}/postings")
         .groupBy("term", "term_bucket")
         .agg(F.count("*").alias("df_t")),
         f"{index_path}/termstats",
@@ -244,7 +252,9 @@ def bm25_update(
             .parquet(f"{index_path}/postings")
         )
         dl.write.mode("append").parquet(f"{index_path}/doclen")
-        old_stats = spark.read.parquet(f"{index_path}/termstats")
+        old_stats = spark.read.schema(TERMSTATS_SCHEMA).parquet(
+            f"{index_path}/termstats"
+        )
         batch_stats = post.groupBy("term", "term_bucket").agg(
             F.count("*").alias("df_t")
         )
@@ -297,6 +307,14 @@ def bm25_search(
     if not Path(index_path).exists():
         raise FileNotFoundError(index_path)
     st = spark.read.parquet(f"{index_path}/stats").first()
+    if st.n_docs == 0:
+        # an index built from an empty frame has no postings files, so
+        # there is nothing to even type an empty result from — loud
+        # error over an opaque downstream AnalysisException
+        raise ValueError(
+            f"BM25 index at {index_path} is empty (n_docs=0); "
+            "grow it with bm25_update before probing"
+        )
     n_docs, avgdl = st.n_docs, st.total_len / st.n_docs
     n_buckets = int(st.n_buckets)
     terms = sorted(set(tokenize_py(query)) - {""})
@@ -313,7 +331,8 @@ def bm25_search(
         {pmod(xxhash64_py(t), n_buckets) for t in terms}
     )
     hits = (
-        spark.read.parquet(f"{index_path}/termstats")
+        spark.read.schema(TERMSTATS_SCHEMA)
+        .parquet(f"{index_path}/termstats")
         .filter(F.col("term_bucket").isin(probe_buckets))
         .filter(F.col("term").isin(terms))
         .collect()

@@ -184,3 +184,27 @@ def test_mmr_preserves_caller_id_type(spark):
         "doc-b",
         "doc-a",
     ]
+
+
+def test_mmr_rejects_null_and_nan_relevance(spark):
+    """r8 (ADVICE): a NULL relevance used to raise an opaque TypeError
+    on the sort key and a NaN silently corrupted the greedy order —
+    both must be a clear ValueError naming the score column."""
+    import pytest
+
+    from csce438_distributed_password_cracker_spark.operators.hybrid import (
+        mmr_rerank,
+    )
+
+    withnull = spark.createDataFrame(
+        [(1, 0.9, [1.0, 0.0]), (2, None, [0.0, 1.0])],
+        "id long, score double, vec array<double>",
+    )
+    with pytest.raises(ValueError, match="NULL/NaN 'score'"):
+        mmr_rerank(withnull, k=2)
+    withnan = spark.createDataFrame(
+        [(1, 0.9, [1.0, 0.0]), (2, float("nan"), [0.0, 1.0])],
+        "id long, score double, vec array<double>",
+    )
+    with pytest.raises(ValueError, match="NULL/NaN 'score'"):
+        mmr_rerank(withnan, k=2)

@@ -273,3 +273,32 @@ def test_probe_reads_legacy_unpartitioned_termstats(spark, index, tmp_path):
         b = {(r.id, r.score) for r in
              search.bm25_search(spark, legacy, q, top_n=10).collect()}
         assert a == b, q
+
+
+def test_build_survives_zero_postings_corpus(spark, tmp_path):
+    """r8 (ADVICE): a corpus whose partitioned postings write emits
+    zero rows (empty frame / all-empty token arrays) must still build a
+    valid index — the termstats read-back carries an explicit schema —
+    and a probe against the truly-empty index fails LOUDLY."""
+    import pytest
+
+    from csce438_distributed_password_cracker_spark.operators import search
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    path = str(tmp_path / "bm25bare")
+    stats = search.bm25_build(empty, "doc_id", "text", path, n_buckets=4)
+    assert stats["n_docs"] == 0.0 and stats["total_len"] == 0.0
+    with pytest.raises(ValueError, match="empty"):
+        search.bm25_search(spark, path, "anything")
+    # growing the empty-base index works and converges to a fresh build
+    docs = spark.createDataFrame(
+        [(1, "quick fox"), (2, "lazy dog dog")], "doc_id long, text string"
+    )
+    search.bm25_update(docs, "doc_id", "text", path)
+    fresh = str(tmp_path / "bm25fresh")
+    search.bm25_build(docs, "doc_id", "text", fresh, n_buckets=4)
+    a = {(r.id, r.score) for r in
+         search.bm25_search(spark, path, "dog fox", top_n=5).collect()}
+    b = {(r.id, r.score) for r in
+         search.bm25_search(spark, fresh, "dog fox", top_n=5).collect()}
+    assert a == b and a
