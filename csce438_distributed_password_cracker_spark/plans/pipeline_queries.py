@@ -890,6 +890,72 @@ def q_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_GATE_QUERY = "dup merge vector"  # one rare + two common terms
 _BM25_QUERY2 = "customer stream window"  # second list for the RRF branch
 
+# mmr branch (round 8): greedy diversity re-rank over the knn shortlist.
+# lam spelled as a string so the oracle can inline the IDENTICAL float64
+# literal (DuckDB bare decimals parse as DECIMAL and lose ulps — r7 note)
+_MMR_SHORTLIST, _MMR_K, _MMR_LAM_STR = 10, 6, "0.7"
+_MMR_LAM = float(_MMR_LAM_STR)
+
+# DuckDB twin of hybrid.mmr_rerank's greedy loop: a recursive CTE whose
+# working row carries the picked-id list; each step argmaxes
+# lam*rel − (1−lam)*max(0, max cosine to picked) over the remaining
+# shortlist, tie-broken (raw desc, rel desc, id asc) exactly like the
+# numpy kernel (rows pre-sorted rel desc/id asc + first-max argmax).
+# The penalty max runs over UNROUNDED pairwise cosines, mirroring the
+# float64 normalize-then-dot; the output mirrors Python round(·, 8).
+_MMR_ORACLE_CTES = f"""
+    mmr_cand AS (
+      SELECT e.vec_id AS id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(q.embedding AS DOUBLE[])), 6)
+               AS rel,
+             CAST(e.embedding AS DOUBLE[]) AS v
+      FROM embeddings e,
+           (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      WHERE e.vec_id <> 0
+      ORDER BY rel DESC, e.vec_id
+      LIMIT {_MMR_SHORTLIST}
+    ),
+    mmr_sims AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             list_cosine_similarity(a.v, b.v) AS sim
+      FROM mmr_cand a JOIN mmr_cand b ON a.id <> b.id
+    ),
+    mmr_g(rank, picked, id, score) AS (
+      (SELECT 1, [id], id,
+              round(CAST('{_MMR_LAM_STR}' AS DOUBLE) * rel, 8)
+       FROM mmr_cand ORDER BY rel DESC, id LIMIT 1)
+      UNION ALL
+      (SELECT rank, picked, id, score FROM (
+         SELECT g.rank + 1 AS rank,
+                list_append(g.picked, m.id) AS picked,
+                m.id AS id,
+                round(CAST('{_MMR_LAM_STR}' AS DOUBLE) * m.rel
+                  - (1 - CAST('{_MMR_LAM_STR}' AS DOUBLE))
+                    * greatest(CAST(0 AS DOUBLE),
+                        (SELECT max(s.sim) FROM mmr_sims s
+                         WHERE s.id_a = m.id
+                           AND list_contains(g.picked, s.id_b))), 8)
+                  AS score,
+                CAST('{_MMR_LAM_STR}' AS DOUBLE) * m.rel
+                  - (1 - CAST('{_MMR_LAM_STR}' AS DOUBLE))
+                    * greatest(CAST(0 AS DOUBLE),
+                        (SELECT max(s.sim) FROM mmr_sims s
+                         WHERE s.id_a = m.id
+                           AND list_contains(g.picked, s.id_b)))
+                  AS raw,
+                m.rel AS rel
+         FROM mmr_g g, mmr_cand m
+         WHERE NOT list_contains(g.picked, m.id) AND g.rank < {_MMR_K}
+         ORDER BY raw DESC, rel DESC, id
+         LIMIT 1
+      ))
+    ),
+    mmr AS (
+      SELECT concat('mmr:', CAST(rank AS VARCHAR)) AS method, id, score
+      FROM mmr_g
+    )"""
+
 
 def _terms_sql(query: str) -> str:
     return "', '".join(sorted(set(query.split(" "))))
@@ -929,7 +995,7 @@ def _bm25_list_cte(prefix: str, query: str) -> str:
 @register(
     "q_similarity_knn",
     oracle=f"""
-    WITH knn AS (
+    WITH RECURSIVE knn AS (
       SELECT 'knn' AS method, e.vec_id AS id,
              round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
                                           CAST(q.embedding AS DOUBLE[])), 6)
@@ -947,7 +1013,7 @@ def _bm25_list_cte(prefix: str, query: str) -> str:
       SELECT CAST(count(*) AS DOUBLE) AS n_docs,
              CAST(sum(len(t)) AS DOUBLE) / count(*) AS avgdl
       FROM bm_toks
-    ),{_bm25_list_cte("bm1", _BM25_GATE_QUERY)},{_bm25_list_cte("bm2", _BM25_QUERY2)},
+    ),{_MMR_ORACLE_CTES},{_bm25_list_cte("bm1", _BM25_GATE_QUERY)},{_bm25_list_cte("bm2", _BM25_QUERY2)},
     bm AS (SELECT 'bm25' AS method, id, score FROM bm1_list),
     r1 AS (
       SELECT id, 1.0 / (60 + row_number()
@@ -969,6 +1035,7 @@ def _bm25_list_cte(prefix: str, query: str) -> str:
     SELECT * FROM knn
     UNION ALL SELECT * FROM bm
     UNION ALL SELECT * FROM rrf
+    UNION ALL SELECT * FROM mmr
     """,
     doc="E2 retrieval baselines, one labeled union (round-4 fusion — the "
     "BM25 index gets its hard CORRECTNESS row by riding this entry): "
@@ -989,7 +1056,14 @@ def _bm25_list_cte(prefix: str, query: str) -> str:
     "fixed query against the same index); the oracle re-derives both "
     "lists and the 1/(60+rank) algebra closed-form, pinning the rank "
     "windows, the full-outer null-rank handling, and the fused "
-    "ordering.",
+    "ordering.  mmr (round-8 fusion) — hybrid.mmr_rerank's greedy "
+    "diversity re-rank over the knn shortlist gets its hard "
+    "CORRECTNESS row here: the oracle replays the greedy loop as a "
+    "recursive CTE (working row carries the picked-id list; each step "
+    "argmaxes lam*rel − (1−lam)*max(0, max cosine to picked) with the "
+    "kernel's exact tie order), so every pick, its rank (encoded in "
+    "the method label), and its round-8 selection score must match "
+    "the numpy kernel bit-for-bit.",
 )
 def q_similarity_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pathlib import Path
@@ -1028,7 +1102,29 @@ def q_similarity_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id",
         F.col("rrf_score").alias("score"),
     )
-    return knn.unionAll(bm).unionAll(rrf)
+    # mmr (round-8 fusion): hybrid.mmr_rerank's greedy diversity pass
+    # run over the SAME knn shortlist (cosine rel is already
+    # [0,1]-comparable), picks labeled by rank so the oracle's
+    # recursive-CTE greedy trace must match pick-for-pick
+    from ..operators.hybrid import mmr_rerank
+
+    shortlist = similarity.brute_force_topk(
+        emb.filter(F.col("vec_id") != 0), query, k=_MMR_SHORTLIST
+    ).join(
+        emb.select("vec_id", F.col("embedding").alias("vec")), "vec_id"
+    ).select(
+        F.col("vec_id").alias("id"),
+        F.col("cos_sim").cast("double").alias("score"),
+        "vec",
+    )
+    mmr = mmr_rerank(shortlist, k=_MMR_K, lam=_MMR_LAM).select(
+        F.concat(F.lit("mmr:"), F.col("mmr_rank").cast("string")).alias(
+            "method"
+        ),
+        "id",
+        F.col("mmr_score").alias("score"),
+    )
+    return knn.unionAll(bm).unionAll(rrf).unionAll(mmr)
 
 
 @register(
