@@ -338,15 +338,27 @@ def hash_split(
     weights: dict[str, float],
     seed: int = 42,
     split_col: str = "split",
+    bucket_expr: Column | None = None,
+    bucket_space: int = 1_000_000,
 ) -> DataFrame:
     """Append ``split_col`` ∈ weights.keys() assigned by hash bucket in
     proportion to the weights (must sum to 1).  Deterministic in
-    (key, seed)."""
+    (key, seed).
+
+    ``bucket_expr``/``bucket_space`` replace the xxhash64 bucket with a
+    caller-supplied coordinate in ``[0, bucket_space)`` — the same
+    oracle-injection hook as ``u_col`` in the weighted samplers (the
+    gate query injects the engine-portable md5 bucket so DuckDB replays
+    identical assignments); production leaves it None."""
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"weights must sum to 1, got {total}")
-    n = 1_000_000
-    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(n))
+    n = bucket_space
+    bucket = (
+        bucket_expr
+        if bucket_expr is not None
+        else F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(n))
+    )
     expr: Column | None = None
     acc = 0.0
     names = sorted(weights)
@@ -370,6 +382,8 @@ def leakage_safe_split(
     component_col: str = "component_id",
     max_iter: int = 20,
     strict: bool = True,
+    bucket_expr: Column | None = None,
+    bucket_space: int = 1_000_000,
 ) -> DataFrame:
     """:func:`hash_split`, keyed by the NEAR-DUP COMPONENT instead of
     the row: two documents connected through ``edges (id_a, id_b)``
@@ -405,4 +419,12 @@ def leakage_safe_split(
     out = df.join(
         comps.withColumnRenamed("id", id_col), id_col, "left"
     ).withColumnRenamed("component_id", component_col)
-    return hash_split(out, component_col, weights, seed, split_col)
+    return hash_split(
+        out,
+        component_col,
+        weights,
+        seed,
+        split_col,
+        bucket_expr=bucket_expr,
+        bucket_space=bucket_space,
+    )

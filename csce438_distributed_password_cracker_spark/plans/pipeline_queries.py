@@ -1474,6 +1474,10 @@ def _sketch_battery(spark: SparkSession, sf_dir: str, portable: bool) -> DataFra
 # (0+t1 == t1 in IEEE).  Literals go through CAST('<repr>' AS DOUBLE) in
 # DuckDB — a bare decimal literal parses as DECIMAL and loses ulps.
 _PCA_GATE_D, _PCA_GATE_K, _PCA_GATE_SEED = 64, 4, 7
+# moments branch: statistic width — the fold algebra is dimension-
+# independent, so gate over a slice that keeps the SQL-aggregate oracle
+# at 1 + d + d² = 73 hashed values instead of 4k
+_MOM_D = 8
 
 
 def _pca_gate_model():
@@ -1553,9 +1557,33 @@ def _pca_proj_oracle_ctes() -> str:
         FROM assign a JOIN assign b
           ON a.cluster = b.cluster AND a.vec_id < b.vec_id
       ) WHERE cos_sim >= 0.4
+    ),
+    momv AS (
+      SELECT vec_id,
+             list_transform(embedding[1:{_MOM_D}],
+                            x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    momu AS (
+      SELECT vec_id, ii.i - 1 AS i, v[ii.i] AS x
+      FROM momv, (SELECT unnest(generate_series(1, {_MOM_D})) AS i) ii
+    ),
+    mom AS (
+      SELECT 'moments' AS branch, CAST(-1 AS BIGINT) AS id_a,
+             CAST(-1 AS BIGINT) AS id_b, CAST(count(*) AS DOUBLE) AS cos_sim
+      FROM momv
+      UNION ALL
+      SELECT 'moments', CAST(-2 AS BIGINT), CAST(i AS BIGINT),
+             round(sum(x), 2) + CAST(0 AS DOUBLE)
+      FROM momu GROUP BY i
+      UNION ALL
+      SELECT 'moments', CAST(a.i AS BIGINT), CAST(b.i AS BIGINT),
+             round(sum(a.x * b.x), 2) + CAST(0 AS DOUBLE)
+      FROM momu a JOIN momu b USING (vec_id) GROUP BY a.i, b.i
     )
     SELECT * FROM exact UNION ALL SELECT * FROM sem
     UNION ALL SELECT * FROM proj
+    UNION ALL SELECT * FROM mom
     """,
     doc="E2, one labeled union: exact — embedding-cosine near-dup pairs "
     "(cosine ≥ 0.4), EXACT via blocked GEMM candidate generation "
@@ -1579,7 +1607,14 @@ def _pca_proj_oracle_ctes() -> str:
     "float32 pandas_udf projection deviates from the float64 JVM "
     "twin by more than 1e-3, so a broken kernel (wrong sign, missing "
     "mean subtraction) hash-mismatches even though the exact hashed "
-    "doubles come from the JVM expression.",
+    "doubles come from the JVM expression.  moments branch (round-8 "
+    "fusion): embedproj.update_moments' incremental statistic folding "
+    "— two corpus halves folded through the persisted one-row moments "
+    "table, hashed as round-2 (n, Σx, Gram) values the oracle "
+    "recomputes with plain SQL aggregates, with the proj-style +1e6 "
+    "penalty on any entry where the fold deviates from the one-shot "
+    "reduction beyond float-reorder noise; the refit itself "
+    "(fit_pca_from_moments → eigh) stays tests-only by design.",
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import embedproj
@@ -1666,7 +1701,72 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
     )
-    return exact.unionAll(sem).unionAll(proj)
+    # moments (round-8 fusion): incremental-PCA moment folding
+    # (embedproj.update_moments) is pure addition over (n, Σx, Gram) —
+    # fold the corpus in TWO halves through the persisted one-row
+    # moments table, then emit the folded statistics (over the first
+    # _MOM_D dims, which exercises the machinery at 1/16 the agg width)
+    # with the proj-branch penalty discipline: the hashed value is the
+    # round-2 statistic the oracle recomputes as plain SQL aggregates,
+    # +1e6 if the fold deviates from the ONE-SHOT reduction beyond
+    # reordering noise — so both the aggregates and the fold=one-shot
+    # identity get hard rows.  The driver-side eigh stays out by design.
+    import shutil
+
+    import numpy as np
+
+    from pathlib import Path
+
+    from ..operators.embedproj import _reduced_moments, update_moments
+
+    root, tag = warehouse_root_tag(sf_dir)
+    mpath = Path(root) / f"moments_gate_{tag}"
+    shutil.rmtree(mpath, ignore_errors=True)
+    vecs = emb.select(
+        "vec_id", F.slice(F.col("embedding"), 1, _MOM_D).alias("__v")
+    )
+    for half in (0, 1):
+        update_moments(
+            vecs.filter(F.col("vec_id") % 2 == half), "__v", str(mpath)
+        )
+    r = spark.read.parquet(str(mpath)).first()
+    n_fold = int(r["n"])
+    s_fold = np.asarray(r["s"], dtype=np.float64)
+    g_fold = np.asarray(r["g"], dtype=np.float64).reshape(_MOM_D, _MOM_D)
+    n_full, s_full, g_full = _reduced_moments(vecs, "__v", _MOM_D)
+    g_full = g_full.reshape(_MOM_D, _MOM_D)
+
+    def _pen(a: float, b: float) -> float:
+        return 0.0 if abs(a - b) <= 1e-9 * max(1.0, abs(b)) else 1e6
+
+    # `+ 0.0` canonicalizes IEEE −0.0 (a round-2 of −0.004 lands there)
+    # to +0.0 — the oracle does the same, else the hash sees -0.0 ≠ 0.0
+    rows = [("moments", -1, -1, float(n_fold) + _pen(n_fold, n_full))]
+    rows += [
+        (
+            "moments",
+            -2,
+            j,
+            round(float(s_fold[j]), 2) + _pen(s_fold[j], s_full[j]) + 0.0,
+        )
+        for j in range(_MOM_D)
+    ]
+    rows += [
+        (
+            "moments",
+            i,
+            j,
+            round(float(g_fold[i, j]), 2)
+            + _pen(g_fold[i, j], g_full[i, j])
+            + 0.0,
+        )
+        for i in range(_MOM_D)
+        for j in range(_MOM_D)
+    ]
+    mom = spark.createDataFrame(
+        rows, "branch string, id_a long, id_b long, cos_sim double"
+    )
+    return exact.unionAll(sem).unionAll(proj).unionAll(mom)
 
 
 @register(
@@ -1860,8 +1960,15 @@ _STAGE_ORACLE_EXPR = """
            END
 """
 
+# leak branch weights + the exact int() thresholds hash_split derives
+# from them over the injected 256-wide md5 bucket (accumulation order =
+# sorted split names: test, train, val)
+_LEAK_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_LEAK_T_TEST = int(_LEAK_WEIGHTS["test"] * 256)
+_LEAK_T_TRAIN = int((_LEAK_WEIGHTS["test"] + _LEAK_WEIGHTS["train"]) * 256)
+
 _SPLIT_ASSIGN_ORACLE = f"""
-    WITH thr AS (
+    WITH RECURSIVE thr AS (
       SELECT quantile_cont(n_chars, 0.25) AS t1,
              quantile_cont(n_chars, 0.5)  AS t2,
              quantile_cont(n_chars, 0.75) AS t3
@@ -1903,10 +2010,53 @@ _SPLIT_ASSIGN_ORACLE = f"""
              lang AS grp, w, round(ln(ug) / w, 6) AS samp_key,
              CAST(rk AS BIGINT) AS samp_rank
       FROM ranked WHERE rk <= 20
+    ),
+    leak_e AS (
+      SELECT a.doc_id AS ea, a.doc_id + 1 AS eb
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 10 < 3
+    ),
+    leak_sym AS (
+      SELECT ea, eb FROM leak_e
+      UNION ALL SELECT eb AS ea, ea AS eb FROM leak_e
+    ),
+    leak_reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT e.eb AS id, leak_reach.r
+      FROM leak_reach JOIN leak_sym e ON leak_reach.id = e.ea
+    ),
+    leak_comp AS (
+      SELECT id AS doc_id, min(r) AS component_id FROM leak_reach GROUP BY id
+    ),
+    leak AS (
+      SELECT 'leak' AS branch, doc_id,
+             CAST(component_id AS BIGINT) AS bucket,
+             CASE WHEN mb < {_LEAK_T_TEST} THEN 'test'
+                  WHEN mb < {_LEAK_T_TRAIN} THEN 'train'
+                  ELSE 'val' END AS split,
+             CAST(NULL AS BOOLEAN) AS in_sample10,
+             CAST(NULL AS BIGINT) AS strat_rank,
+             CAST(NULL AS BOOLEAN) AS in_quota,
+             CAST(NULL AS BIGINT) AS mix_thr,
+             CAST(NULL AS BOOLEAN) AS in_mix,
+             CAST(NULL AS BIGINT) AS mix_epochs,
+             CAST(NULL AS BIGINT) AS n_chars,
+             CAST(NULL AS INT) AS stage,
+             CAST(NULL AS STRING) AS grp,
+             CAST(NULL AS BIGINT) AS w,
+             CAST(NULL AS DOUBLE) AS samp_key,
+             CAST(NULL AS BIGINT) AS samp_rank
+      FROM (
+        SELECT doc_id, component_id,
+               {md5_bucket_sql("CAST(component_id AS STRING)", 256)} AS mb
+        FROM leak_comp
+      )
     )
     SELECT * FROM assign
     UNION ALL SELECT * FROM globaltop
     UNION ALL SELECT * FROM pergroup
+    UNION ALL SELECT * FROM leak
     """
 
 
@@ -1971,7 +2121,16 @@ _SPLIT_ASSIGN_ORACLE = f"""
     "weighted_sample_* and operators/mixing.mix_corpora "
     "(xxhash64, tiny-agg + map-only verdict, driver-side water-filling "
     "incl. saturation redistribution and the max_epochs upsampling cap "
-    "— pinned in tests/test_mixing.py).",
+    "— pinned in tests/test_mixing.py).  (8, round-8 fusion) leak "
+    "branch — the leakage-safe split COMPOSITION "
+    "(split.leakage_safe_split): connected components over a "
+    "closed-form chain edge set (consecutive-id runs, diameter 3, so "
+    "the label propagation genuinely iterates), then hash_split keyed "
+    "by the COMPONENT through the injected engine-portable md5 bucket "
+    "(bucket_expr — the split twin of the samplers' u_col hook); "
+    "bucket carries the component label, so the oracle's recursive CTE "
+    "re-derives the labeling AND verifies every component lands whole "
+    "in one split — the property row-keyed splitting cannot give.",
 )
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.split import (
@@ -2044,7 +2203,47 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("samp_key", 6).alias("samp_key"),
         F.col("samp_rank").cast("long").alias("samp_rank"),
     )
-    return assign.unionAll(glob).unionAll(per)
+    # leak (round-8 fusion): the leakage-safe split COMPOSITION —
+    # connected components over a closed-form chain edge set (runs of 4
+    # consecutive doc_ids; diameter 3 forces real CC iterations), then
+    # hash_split keyed by the COMPONENT via the injected md5 bucket
+    # (bucket_expr — the same oracle hook as u_col).  bucket carries the
+    # component label, so the oracle checks both the labeling and that
+    # every member of a component lands in the SAME split.  The jaccard
+    # edge generator is gated separately in q_dedup_components; this
+    # branch pins the CC→split plumbing.
+    from ..operators.split import leakage_safe_split
+
+    ids = docs.select("doc_id")
+    chain_edges = (
+        docs.select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + F.lit(1)).alias("id_b"),
+        )
+        .filter((F.col("doc_id") % 10) < 3)
+        .join(docs.select(F.col("doc_id").alias("id_b")), "id_b", "semi")
+    )
+    leak = leakage_safe_split(
+        ids,
+        "doc_id",
+        chain_edges,
+        _LEAK_WEIGHTS,
+        bucket_expr=F.expr(
+            md5_bucket_sql("CAST(component_id AS STRING)", 256)
+        ),
+        bucket_space=256,
+    ).select(
+        F.lit("leak").alias("branch"),
+        "doc_id",
+        F.col("component_id").cast("long").alias("bucket"),
+        "split",
+        *null_assign[2:],
+        F.lit(None).cast("string").alias("grp"),
+        F.lit(None).cast(src.schema["w"].dataType).alias("w"),
+        F.lit(None).cast("double").alias("samp_key"),
+        F.lit(None).cast("long").alias("samp_rank"),
+    )
+    return assign.unionAll(glob).unionAll(per).unionAll(leak)
 
 
 @register(

@@ -434,3 +434,56 @@ def test_leakage_safe_split_strict_on_unconverged_components(spark):
         docs, "doc_id", edges, {"train": 0.5, "test": 0.5}, max_iter=40
     )
     assert ok.select("split").distinct().count() == 1
+
+
+def test_hash_split_bucket_expr_injection(spark):
+    """r8: the bucket_expr/bucket_space hook (the split twin of the
+    samplers' u_col) must drive assignment from the injected coordinate
+    — thresholds scale to the custom bucket space — and compose through
+    leakage_safe_split so whole components move together."""
+    from csce438_distributed_password_cracker_spark.operators.split import (
+        hash_split,
+        leakage_safe_split,
+        md5_bucket_sql,
+    )
+
+    docs = spark.range(1000).select(F.col("id").alias("doc_id"))
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = hash_split(
+        docs,
+        "doc_id",
+        w,
+        bucket_expr=F.expr(md5_bucket_sql("CAST(doc_id AS STRING)", 256)),
+        bucket_space=256,
+    )
+    # replay the md5 bucket + int() thresholds by hand: sorted names
+    # accumulate test(0.1) -> 25, train(0.8) -> 230
+    b = out.withColumn(
+        "b", F.expr(md5_bucket_sql("CAST(doc_id AS STRING)", 256))
+    )
+    expect = F.when(F.col("b") < 25, "test").when(
+        F.col("b") < 230, "train"
+    ).otherwise("val")
+    assert b.where(F.col("split") != expect).count() == 0
+    # and the composition: injected bucket of the COMPONENT key keeps
+    # every chained pair in one split
+    edges = spark.range(0, 1000, 2).selectExpr(
+        "id as id_a", "id + 1 as id_b"
+    ).where("id_b < 1000")
+    leak = leakage_safe_split(
+        docs,
+        "doc_id",
+        edges,
+        w,
+        bucket_expr=F.expr(
+            md5_bucket_sql("CAST(component_id AS STRING)", 256)
+        ),
+        bucket_space=256,
+    )
+    strad = (
+        leak.groupBy("component_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .where("k > 1")
+        .count()
+    )
+    assert strad == 0

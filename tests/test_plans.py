@@ -294,7 +294,12 @@ SHUFFLE_BUDGET = {
     # corpus-totals single-ROW aggregate's SinglePartition exchange (4
     # longs — it REPLACED the OVER () windows that moved the whole
     # table to one partition)
-    "q_sort_limit": 0, "q_split_assign": 3, "q_stream_audit": 1,
+    # q_split_assign: +3 in round 8 for the leak branch — the
+    # components⋈ids equi-join (both sides corpus-keyed at scale, so
+    # SMJ is the honest plan) plus the chain-edge semi-join; the CC
+    # label-propagation rounds run eagerly behind localCheckpoint and
+    # never appear in the returned plan
+    "q_sort_limit": 0, "q_split_assign": 6, "q_stream_audit": 1,
     "q_stream_flow": 5, "q_stream_stateful": 0, "q_string_ops": 0,
     # q_tpch 9 -> 18 round 6: Q13 (2: outer-join + distribution agg),
     # Q15 (2: revenue-view agg + its max twin), Q18 (2: HAVING agg +
