@@ -40,8 +40,21 @@ from pyspark.sql import functions as F
 def word_bigrams(df: DataFrame, text_col: str) -> DataFrame:
     """Adjacent word pairs per document — map-only: zip the token array
     against itself shifted by one, explode.  Empty tokens (double
-    spaces) and NULL texts contribute nothing."""
-    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    spaces) and NULL texts contribute nothing.
+
+    ``text_col`` may be a raw string column (single-space split, the
+    default) or an ``array<string>`` of PRE-SPLIT tokens — the hook that
+    lets a caller tokenizing once feed several consumers (collocations,
+    heavy hitters) from one materialized token frame instead of paying
+    the corpus scan per consumer.  The empty-token filter reapplies
+    either way (idempotent), so both paths count identical bigrams."""
+    from pyspark.sql.types import ArrayType
+
+    pre_split = text_col in df.columns and isinstance(
+        df.schema[text_col].dataType, ArrayType
+    )
+    src = F.col(text_col) if pre_split else F.split(F.col(text_col), " ")
+    toks = F.filter(src, lambda x: x != "")
     n = F.size(toks)
     pairs = F.arrays_zip(
         F.slice(toks, 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
@@ -63,7 +76,8 @@ def collocations(
     unigram counts are over bigram POSITIONS (left word occurrences /
     right word occurrences), so the null model and the observation
     count the same events.  lift > 1 means the pair attracts; sort by
-    lift (tie-break on words) for a phrase list."""
+    lift (tie-break on words) for a phrase list.  ``text_col`` may be
+    pre-split tokens — see :func:`word_bigrams`."""
     if min_count < 1:
         raise ValueError(f"min_count must be ≥ 1, got {min_count}")
     big = word_bigrams(df, text_col)

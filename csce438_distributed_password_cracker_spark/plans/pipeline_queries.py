@@ -2652,7 +2652,21 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     _HH_GATE_HANDLES.clear()
 
     docs = load_table(spark, sf_dir, "documents")
-    colloc = collocations(docs, "text", min_count=10).select(
+    # ONE tokenize pass (round 8): colloc/hh/ghh previously each
+    # re-scanned and re-split the corpus; the shared (source, tokens)
+    # frame is persisted — same count-table discipline as
+    # collocations.py's c_ab — and released generationally through
+    # _HH_GATE_HANDLES like the MG sketch handles
+    from pyspark import StorageLevel
+
+    tok = docs.select(
+        "source",
+        F.filter(
+            F.split(F.col("text"), " "), lambda x: x != ""
+        ).alias("toks"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _HH_GATE_HANDLES.append(tok)
+    colloc = collocations(tok, "toks", min_count=10).select(
         F.lit("colloc").alias("branch"),
         "w1",
         "w2",
@@ -2661,9 +2675,7 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_b",
         "lift",
     )
-    words = docs.select(
-        F.explode(F.split(F.col("text"), " ")).alias("word")
-    ).where(F.col("word") != "")
+    words = tok.select(F.explode("toks").alias("word"))
     hh = heavy_hitters(
         words, "word", den=30, k=64, count_col="cnt",
         handle=_HH_GATE_HANDLES,
@@ -2676,9 +2688,7 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("c_b"),
         F.lit(None).cast("double").alias("lift"),
     )
-    src_words = docs.select(
-        "source", F.explode(F.split(F.col("text"), " ")).alias("word")
-    ).where(F.col("word") != "")
+    src_words = tok.select("source", F.explode("toks").alias("word"))
     ghh = grouped_heavy_hitters(
         src_words, "source", "word", den=30, handle=_HH_GATE_HANDLES
     ).select(

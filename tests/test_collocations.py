@@ -80,3 +80,23 @@ def test_min_count_prunes_and_guard(spark):
     } == {("a", "b")}
     with pytest.raises(ValueError, match="min_count"):
         collocations(df, "text", min_count=0)
+
+
+def test_collocations_presplit_tokens_match_string_path(spark):
+    """r8: the array<string> input hook (shared token frame) must count
+    exactly what the raw-string path counts, double spaces included."""
+    from pyspark.sql import functions as F
+
+    from csce438_distributed_password_cracker_spark.operators.collocations import (
+        collocations,
+    )
+
+    docs = spark.createDataFrame(
+        [("a b  b c",), ("b c b c",), ("",), (None,)], "text string"
+    )
+    tok = docs.select(
+        F.filter(F.split("text", " "), lambda x: x != "").alias("toks")
+    )
+    a = sorted(map(tuple, collocations(docs, "text", min_count=1).collect()))
+    b = sorted(map(tuple, collocations(tok, "toks", min_count=1).collect()))
+    assert a == b and a
