@@ -1,0 +1,174 @@
+"""Scheme-aware filesystem metadata operations (exists / rename /
+delete / list) for the maintenance paths that mutate on-disk datasets.
+
+Spark's own reads and writes are already FS-agnostic (they go through
+Hadoop), but the ENGINE-side metadata steps around them — the
+compaction swap's renames, the existence probes, the file counts —
+were POSIX `pathlib` calls, which silently operate on the LOCAL
+filesystem even when the dataset lives at ``hdfs://`` / ``s3a://``.
+This module routes those steps through the Hadoop ``FileSystem`` API
+resolved from the path's scheme (the same discipline as
+``streaming/ingest_common.index_exists``, ADVICE r6), falling back to
+``pathlib`` only when no JVM handle exists (Spark Connect clients,
+plain-local tooling) — and in that fallback a REMOTE path raises
+instead of silently probing the wrong filesystem.
+
+Atomicity contract for :func:`rename`: directory rename is atomic on
+POSIX local filesystems and on HDFS; object stores (``s3a://``,
+``gs://``, ...) implement it as copy+delete — O(data), NOT atomic.
+:func:`warn_if_non_atomic_rename` makes that visible at the call site;
+the object-store-safe commit shape is a manifest flip (the CAS backend
+in operators/versioned.py), not a rename.
+"""
+
+from __future__ import annotations
+
+import warnings
+from pathlib import Path
+from urllib.parse import urlsplit
+
+from pyspark.sql import SparkSession
+
+# schemes whose "rename" is a copy+delete (no atomic directory move)
+_COPY_RENAME_SCHEMES = frozenset(
+    {"s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss", "oss", "cos"}
+)
+
+
+def scheme_of(path: str) -> str:
+    """Lower-cased URI scheme of ``path`` ('' for plain local paths)."""
+    return urlsplit(path).scheme.lower()
+
+
+def sibling(path: str, suffix: str) -> str:
+    """``path`` with ``suffix`` appended to its last component —
+    URI-safe (no ``pathlib`` round-trip, which mangles ``file://``)."""
+    return path.rstrip("/") + suffix
+
+
+def _jvm_fs(spark: SparkSession, path: str):
+    """(FileSystem, hadoop.fs.Path) for ``path``, or ``None`` when the
+    session has no JVM handle (Spark Connect)."""
+    try:
+        jvm = spark._jvm
+        jsc = spark._jsc
+    except Exception:
+        return None
+    if jvm is None or jsc is None:
+        return None
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(jsc.hadoopConfiguration()), jpath
+
+
+def _local_or_raise(path: str, op: str) -> Path:
+    """pathlib fallback target for ``path``; raises for remote schemes
+    (a silent local-FS ``op`` against an hdfs://-resident dataset is
+    exactly the corruption class this module exists to prevent)."""
+    parts = urlsplit(path)
+    if parts.scheme.lower() not in ("", "file"):
+        raise RuntimeError(
+            f"cannot {op} {parts.scheme}://-resident path without JVM "
+            "filesystem access (Spark Connect client?)"
+        )
+    return Path(parts.path if parts.scheme else path)
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    """Scheme-aware existence probe."""
+    fs = _jvm_fs(spark, path)
+    if fs is not None:
+        f, p = fs
+        return bool(f.exists(p))
+    return _local_or_raise(path, "probe").exists()
+
+
+def rename(spark: SparkSession, src: str, dst: str) -> None:
+    """Scheme-aware rename; raises ``RuntimeError`` on failure.
+
+    Hadoop's ``FileSystem.rename`` has two failure modes an unchecked
+    call turns into silent corruption: it reports most failures by
+    RETURNING False rather than raising, and when ``dst`` already
+    exists as a directory it "succeeds" by moving ``src`` INSIDE it
+    (the ``mv``-into-dir semantic) — nesting the dataset one level
+    down.  This wrapper checks the return value AND refuses an
+    existing destination up front, so the swap semantics are the same
+    strict no-overwrite move on every filesystem."""
+    fs = _jvm_fs(spark, src)
+    if fs is not None:
+        f, p = fs
+        jdst = spark._jvm.org.apache.hadoop.fs.Path(dst)
+        if f.exists(jdst):
+            raise RuntimeError(
+                f"rename destination {dst!r} already exists — Hadoop "
+                "rename would nest the source inside it, not replace it"
+            )
+        try:
+            ok = f.rename(p, jdst)
+        except Exception as e:  # some FS impls throw instead (local FS
+            # raises FileNotFoundException for a missing source)
+            raise RuntimeError(
+                f"FileSystem.rename({src!r} -> {dst!r}) failed: {e}"
+            ) from e
+        if not ok:
+            raise RuntimeError(
+                f"FileSystem.rename({src!r} -> {dst!r}) returned false "
+                "(destination exists, source missing, or cross-FS move)"
+            )
+        return
+    lsrc, ldst = _local_or_raise(src, "rename"), _local_or_raise(dst, "rename")
+    if ldst.exists():
+        raise RuntimeError(
+            f"rename destination {dst!r} already exists — refusing the "
+            "overwrite/nesting ambiguity"
+        )
+    lsrc.rename(ldst)
+
+
+def delete(spark: SparkSession, path: str) -> None:
+    """Scheme-aware recursive delete; missing paths are a no-op (the
+    ``shutil.rmtree(..., ignore_errors=True)`` contract)."""
+    fs = _jvm_fs(spark, path)
+    if fs is not None:
+        f, p = fs
+        if f.exists(p):
+            f.delete(p, True)
+        return
+    import shutil
+
+    shutil.rmtree(_local_or_raise(path, "delete"), ignore_errors=True)
+
+
+def count_files(spark: SparkSession, path: str, suffix: str = ".parquet") -> int:
+    """Recursive count of data files under ``path`` whose name ends
+    with ``suffix`` (metadata files — ``_SUCCESS``, dot-files — never
+    match the suffix)."""
+    fs = _jvm_fs(spark, path)
+    if fs is not None:
+        f, p = fs
+        if not f.exists(p):
+            return 0
+        it = f.listFiles(p, True)
+        n = 0
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(suffix):
+                n += 1
+        return n
+    return sum(1 for _ in _local_or_raise(path, "list").rglob(f"*{suffix}"))
+
+
+def warn_if_non_atomic_rename(path: str, what: str) -> None:
+    """Visible warning when a swap is about to run on a filesystem
+    whose rename is copy-based (object stores): readers can observe a
+    window proportional to data size, and a crash mid-copy leaves both
+    directories.  The caller proceeds — compaction is still correct,
+    just not atomic — but the operator must know."""
+    if scheme_of(path) in _COPY_RENAME_SCHEMES:
+        warnings.warn(
+            f"{what}: {path} is on an object store whose rename is "
+            "copy+delete — the swap is NOT atomic there (readers may see "
+            "an O(data)-long unreadable window). Prefer the versioned-"
+            "table manifest flip (operators/versioned.py CAS backend) "
+            "for object-store-resident indexes.",
+            RuntimeWarning,
+            stacklevel=3,
+        )

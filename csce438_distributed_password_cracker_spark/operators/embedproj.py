@@ -372,12 +372,12 @@ def update_moments(
     swap as the BM25 index tables (operators/search._swap_in) — which
     also restores a history parked at ``.__old__`` by a crash between
     the two renames, so the created-if-absent bootstrap can never
-    silently restart the statistics from one batch.  LOCAL-FILESYSTEM
-    CONTRACT (same as maintenance.compact_parquet): the existence probe
-    and renames are POSIX — a remote (hdfs:// / s3a://) moments_path
-    belongs in a versioned table instead."""
-    from pathlib import Path
-
+    silently restart the statistics from one batch.  All filesystem
+    metadata steps are scheme-aware (fsutil.py, round 8): the probe,
+    recovery and swap work against ``file://`` / ``hdfs://`` paths; on
+    object stores the swap warns about its copy-based rename — a
+    moments table that lives there belongs in a versioned table."""
+    from .. import fsutil
     from .search import _swap_in
 
     spark = df_batch.sparkSession
@@ -390,12 +390,11 @@ def update_moments(
         return  # empty batch: nothing to fold
     d = int(first["d"])
     n, s, g = _reduced_moments(df_batch, vec_col, d)
-    final = Path(moments_path)
-    old = final.with_name(final.name + ".__old__")
-    if not final.exists() and old.exists():
+    old = fsutil.sibling(moments_path, ".__old__")
+    if not fsutil.exists(spark, moments_path) and fsutil.exists(spark, old):
         # crash between _swap_in's renames: history is parked at old
-        old.rename(final)
-    if final.exists():
+        fsutil.rename(spark, old, moments_path)
+    if fsutil.exists(spark, moments_path):
         r = spark.read.parquet(moments_path).first()
         if len(r["s"]) != d:
             raise ValueError(

@@ -9,29 +9,38 @@ footer reads, task-per-file scheduling) long before data volume is a
 problem.  Compaction rewrites a dataset to a bounded file count without
 changing its rows.
 
-The swap is write-new → rename-old-away → rename-new-in → delete-old:
-on a local filesystem the two renames are atomic individually, giving a
-sub-second unreadable window.  On an object store / cluster the same
-routine should instead write a new VERSIONED directory and flip a
-pointer (manifest, Hive metastore location, or symlink) — true atomic
-swap needs a table format (Delta/Iceberg) or a metastore, which this
-container doesn't ship.  Run compaction in a maintenance window of the
-single writer; concurrent readers of the same path get retried by
-Spark's task retry if they race the rename.
+The swap is write-new → rename-old-away → rename-new-in → delete-old,
+with every metadata step routed through the Hadoop ``FileSystem`` API
+resolved from the path's scheme (fsutil.py), so the same routine runs
+against ``file://``, ``hdfs://`` and object-store paths.  The two
+renames are atomic individually on local filesystems and on HDFS
+(sub-second unreadable window); object stores implement rename as
+copy+delete — compaction still completes correctly there but the
+window is O(data) and a visible ``RuntimeWarning`` says so — for
+object-store-resident indexes prefer the versioned-table manifest flip
+(operators/versioned.py's CAS backend), which commits with one
+conditional PUT.  Run compaction in a maintenance window of the single
+writer; concurrent readers of the same path get retried by Spark's
+task retry if they race the rename.
 """
 
 from __future__ import annotations
 
-import shutil
-from pathlib import Path
-
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import fsutil
 
-def parquet_file_count(path: str) -> int:
+
+def parquet_file_count(path: str, spark: SparkSession | None = None) -> int:
     """Data files under a parquet dataset dir (recursively; excludes
-    _SUCCESS and other metadata)."""
+    _SUCCESS and other metadata).  Scheme-aware when a session is
+    supplied or active; plain-local ``pathlib`` otherwise."""
+    spark = spark or SparkSession.getActiveSession()
+    if spark is not None:
+        return fsutil.count_files(spark, path)
+    from pathlib import Path
+
     return sum(1 for p in Path(path).rglob("*.parquet"))
 
 
@@ -51,26 +60,26 @@ def compact_parquet(
     unpartitioned).  The rewrite is one shuffle; row content, schema and
     partition layout are unchanged — asserted cheaply by row count.
 
-    LOCAL-FILESYSTEM CONTRACT: the crash-safe swap uses POSIX
-    ``Path.rename`` (atomic on one filesystem), so ``path`` must be a
-    local directory — an ``hdfs://`` / ``s3a://`` table fails loudly at
-    the rename (never silently).  The reads/writes themselves go through
-    Spark and are FS-agnostic; porting the swap to a remote store means
-    replacing the renames with the Hadoop ``FileSystem.rename`` (HDFS:
-    atomic) or a manifest flip (object stores: no atomic dir rename —
-    the versioned-table CAS backend in operators/versioned.py is the
-    engine's object-store-safe commit shape).
+    FILESYSTEM CONTRACT: every metadata step (existence probe, the two
+    swap renames, cleanup, the file count) goes through the Hadoop
+    ``FileSystem`` resolved from ``path``'s scheme (fsutil.py), so the
+    swap is atomic on local filesystems and HDFS and merely correct —
+    with a visible non-atomicity warning — on object stores, whose
+    rename is copy+delete.  A failed rename-new-in rolls the old
+    directory back before raising, so the dataset is never left
+    missing.  Without a JVM handle (Spark Connect) remote paths raise
+    loudly instead of silently operating on the local filesystem.
     """
-    src = Path(path)
-    if not src.exists():
+    if not fsutil.exists(spark, path):
         raise FileNotFoundError(path)
+    fsutil.warn_if_non_atomic_rename(path, "compact_parquet")
     df = spark.read.parquet(path)
     n_before = df.count()
 
-    tmp = str(src.with_name(src.name + ".__compact_tmp__"))
-    old = str(src.with_name(src.name + ".__compact_old__"))
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
+    tmp = fsutil.sibling(path, ".__compact_tmp__")
+    old = fsutil.sibling(path, ".__compact_old__")
+    fsutil.delete(spark, tmp)
+    fsutil.delete(spark, old)
 
     writer = (
         df.repartition(num_files, *partition_by)
@@ -82,13 +91,19 @@ def compact_parquet(
     writer.parquet(tmp)
 
     if spark.read.parquet(tmp).count() != n_before:
-        shutil.rmtree(tmp, ignore_errors=True)
+        fsutil.delete(spark, tmp)
         raise RuntimeError(f"compaction row-count mismatch for {path}")
 
-    src.rename(old)
-    Path(tmp).rename(src)
-    shutil.rmtree(old, ignore_errors=True)
-    return parquet_file_count(path)
+    fsutil.rename(spark, path, old)
+    try:
+        fsutil.rename(spark, tmp, path)
+    except Exception:
+        # roll the original back in — a compaction failure must degrade
+        # to "nothing happened", never to "the dataset vanished"
+        fsutil.rename(spark, old, path)
+        raise
+    fsutil.delete(spark, old)
+    return parquet_file_count(path, spark)
 
 
 def zorder_column(

@@ -48,8 +48,6 @@ Scale shape:
 from __future__ import annotations
 
 import math
-import shutil
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -132,10 +130,19 @@ def _swap_in(
     write parallelism — termstats is VOCAB-sized (hundreds of millions
     of distinct terms at a web-scale corpus), so the unpartitioned
     single-task rewrite this started as is a single-writer cliff there;
-    truly small tables (stats) keep the one-file layout."""
-    final = Path(final_dir)
-    tmp = final.with_name(final.name + ".__tmp__")
-    old = final.with_name(final.name + ".__old__")
+    truly small tables (stats) keep the one-file layout.
+
+    All metadata steps go through the Hadoop FileSystem resolved from
+    the path's scheme (fsutil.py, round 8) — the swap works against
+    ``file://`` / ``hdfs://`` index locations, with the object-store
+    non-atomicity warning compact_parquet gives (rename there is
+    copy+delete; prefer the versioned-table CAS manifest flip)."""
+    from .. import fsutil
+
+    spark = df.sparkSession
+    tmp = fsutil.sibling(final_dir, ".__tmp__")
+    old = fsutil.sibling(final_dir, ".__old__")
+    fsutil.warn_if_non_atomic_rename(final_dir, "_swap_in")
     # crash recovery: dying between the two renames below leaves the
     # table absent with its previous state parked at old — restore it
     # BEFORE cleanup, or a caller with a created-if-absent bootstrap
@@ -145,28 +152,34 @@ def _swap_in(
     # state may lag sibling datasets appended before the crash — the
     # operator can't tell from here, so the recovery itself must be
     # visible rather than silently serving possibly-stale stats.
-    if not final.exists() and old.exists():
+    if not fsutil.exists(spark, final_dir) and fsutil.exists(spark, old):
         import logging
 
         logging.getLogger(__name__).warning(
             "restoring %s from its crash-parked .__old__ snapshot; if "
             "sibling datasets were appended in the interrupted update, "
             "re-apply that batch or rebuild the index",
-            final,
+            final_dir,
         )
-        old.rename(final)
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
+        fsutil.rename(spark, old, final_dir)
+    fsutil.delete(spark, tmp)
+    fsutil.delete(spark, old)
     if partition_by is None:
-        df.repartition(1).write.parquet(str(tmp))
+        df.repartition(1).write.parquet(tmp)
     else:
         df.repartition(partition_by).write.partitionBy(
             partition_by
-        ).parquet(str(tmp))
-    if final.exists():
-        final.rename(old)
-    tmp.rename(final)
-    shutil.rmtree(old, ignore_errors=True)
+        ).parquet(tmp)
+    if fsutil.exists(spark, final_dir):
+        fsutil.rename(spark, final_dir, old)
+    try:
+        fsutil.rename(spark, tmp, final_dir)
+    except Exception:
+        # degrade to "nothing happened", never "the table vanished"
+        if fsutil.exists(spark, old):
+            fsutil.rename(spark, old, final_dir)
+        raise
+    fsutil.delete(spark, old)
 
 
 def bm25_build(
@@ -228,8 +241,10 @@ def bm25_update(
     existing layout, term stats merge with one aggregate over
     (old stats ∪ batch counts), corpus stats fold incrementally.
     Returns the updated stats dict."""
+    from .. import fsutil
+
     spark = df_new.sparkSession
-    if not Path(index_path).exists():
+    if not fsutil.exists(spark, index_path):
         raise FileNotFoundError(index_path)
     st = spark.read.parquet(f"{index_path}/stats").first()
     n_buckets = int(st.n_buckets)
@@ -304,7 +319,9 @@ def bm25_search(
     driver-side into a literal map, so the main job has no join at all:
     scan matched postings → codegen'd score expression → groupBy(id) →
     TakeOrdered."""
-    if not Path(index_path).exists():
+    from .. import fsutil
+
+    if not fsutil.exists(spark, index_path):
         raise FileNotFoundError(index_path)
     st = spark.read.parquet(f"{index_path}/stats").first()
     if st.n_docs == 0:

@@ -62,6 +62,61 @@ def test_compact_parquet_missing_path_raises(spark, tmp_path):
         maintenance.compact_parquet(spark, str(tmp_path / "nope"))
 
 
+def test_compact_parquet_file_scheme_uri(spark, tmp_path):
+    """The swap must run through the Hadoop FileSystem resolved from the
+    path's scheme — driven here through an explicit ``file://`` URI, the
+    scheme-aware code path a POSIX ``Path.rename`` could not serve (the
+    r7 local-FS-only caveat)."""
+    local = tmp_path / "scheme"
+    uri = f"file://{local}"
+    for lo in (0, 100, 200):
+        spark.range(lo, lo + 50).repartition(8).write.mode("append").parquet(uri)
+    before_rows = _rows(spark, str(local))
+    assert maintenance.parquet_file_count(uri, spark) >= 24
+
+    after_files = maintenance.compact_parquet(spark, uri, num_files=2)
+    assert after_files <= 2
+    # the swap left no tmp/old residue and the plain-path view agrees
+    assert not (tmp_path / "scheme.__compact_tmp__").exists()
+    assert not (tmp_path / "scheme.__compact_old__").exists()
+    assert maintenance.parquet_file_count(str(local)) == after_files
+    assert _rows(spark, str(local)) == before_rows
+
+
+def test_fsutil_rename_checks_hadoop_false_return(spark, tmp_path):
+    """Hadoop FileSystem.rename reports failure by RETURNING false;
+    fsutil.rename must surface that as an error, not silent success."""
+    import pytest
+
+    from csce438_distributed_password_cracker_spark import fsutil
+
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    with pytest.raises(RuntimeError, match="rename"):
+        fsutil.rename(spark, f"file://{tmp_path}/a", f"file://{tmp_path}/b")
+    with pytest.raises(RuntimeError, match="rename"):
+        fsutil.rename(spark, f"file://{tmp_path}/missing", f"file://{tmp_path}/c")
+    # and a legal rename works + exists/delete round-trip
+    fsutil.rename(spark, f"file://{tmp_path}/a", f"file://{tmp_path}/c")
+    assert fsutil.exists(spark, f"file://{tmp_path}/c")
+    fsutil.delete(spark, f"file://{tmp_path}/c")
+    assert not fsutil.exists(spark, f"file://{tmp_path}/c")
+    fsutil.delete(spark, f"file://{tmp_path}/c")  # missing → no-op
+
+
+def test_fsutil_object_store_rename_warns():
+    import warnings as w
+
+    from csce438_distributed_password_cracker_spark import fsutil
+
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        fsutil.warn_if_non_atomic_rename("s3a://bucket/tbl", "compact_parquet")
+        fsutil.warn_if_non_atomic_rename("/local/tbl", "compact_parquet")
+        fsutil.warn_if_non_atomic_rename("file:///local/tbl", "compact_parquet")
+    assert len(caught) == 1 and "NOT atomic" in str(caught[0].message)
+
+
 def test_compact_dedup_index_preserves_verdicts(spark, tmp_path):
     idx = str(tmp_path / "index")
     dedup_ingest.build_dedup_index(_docs(spark, [(1, DOC_A), (2, DOC_B)]), idx)
