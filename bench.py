@@ -54,6 +54,14 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
+    # SPARK_GRAFT_BENCH_ONLY: comma-separated entry names (corpus queries
+    # and/or operator-battery entries) — run just those, e.g. the heavy
+    # documents/embeddings families at a scaled corpus (BASELINE.md
+    # §C.10).  Unknown names fail loudly: a typo must not silently bench
+    # an empty set and report a vacuous total.
+    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    only = {s.strip() for s in only_env.split(",") if s.strip()} or None
+
     sketch_mode = os.environ.get("SPARK_GRAFT_BENCH_SKETCH", "production")
     if sketch_mode not in ("production", "portable"):
         # a typo must not silently bench the ~2x-slower portable mode
@@ -79,9 +87,11 @@ def main() -> None:
     # at ingest (the zero-exchange probe is what the bench entry tracks).
     from csce438_distributed_password_cracker_spark.plans import relational  # noqa: E402
 
-    t0 = time.perf_counter()
-    relational.ensure_bucketed_tables(spark, sf_dir)
-    setup = {"bucketed_build": round(time.perf_counter() - t0, 3)}
+    setup = {}
+    if only is None or "q_join_bucketed" in only:
+        t0 = time.perf_counter()
+        relational.ensure_bucketed_tables(spark, sf_dir)
+        setup["bucketed_build"] = round(time.perf_counter() - t0, 3)
 
     # Interleave the passes (run the whole corpus, then run it again) rather
     # than timing each query back-to-back: this box's slowdowns come in
@@ -101,13 +111,23 @@ def main() -> None:
 
     op_samples: dict[str, list[float]] = {}
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    corpus_names = sorted(corpus.REGISTRY)
+    op_names = sorted(opbench.OPERATOR_BENCH)
+    if only is not None:
+        unknown = only - set(corpus_names) - set(op_names)
+        if unknown:
+            raise SystemExit(
+                f"SPARK_GRAFT_BENCH_ONLY names unknown entries: {sorted(unknown)}"
+            )
+        corpus_names = [n for n in corpus_names if n in only]
+        op_names = [n for n in op_names if n in only]
     for _ in range(max(1, runs)):
-        for name in sorted(corpus.REGISTRY):
+        for name in corpus_names:
             fn = overrides.get(name, corpus.REGISTRY[name].fn)
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.setdefault(name, []).append(time.perf_counter() - t0)
-        for name in sorted(opbench.OPERATOR_BENCH):
+        for name in op_names:
             t0 = time.perf_counter()
             opbench.OPERATOR_BENCH[name](spark, sf_dir)
             op_samples.setdefault(name, []).append(time.perf_counter() - t0)
@@ -132,6 +152,7 @@ def main() -> None:
         "operators": op_timings,
         "operators_median": op_medians,
         "runs": max(1, runs),
+        "only": sorted(only) if only else None,
         "setup": setup,
         "sketch_mode": sketch_mode,
         "sf": sf,

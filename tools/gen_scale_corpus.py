@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Derive a LARGER synthetic corpus from the driver's sf0.1 tables for
+scale measurements (VERDICT r7 next-round #1: one measured point above
+sf0.1 to convert the 100 TB plan-shape arguments into data).
+
+The driver only ships sf ≤ 0.1; this script writes an sf-(0.1·M) dir
+whose ``documents`` / ``embeddings`` tables are drawn from the SAME
+distributions as the driver's generator, measured off sf0.1 itself:
+
+- documents: token length sampled from the empirical sf0.1 length
+  distribution, tokens iid from the empirical 31-word vocabulary,
+  lang/source from their empirical marginals (lang is independent of
+  text in the driver's data — verified), ``n_chars = len(text)``.
+  The duplicate structure is reproduced at the same DENSITY, because
+  that is what the dedup operators' cost scales with: ~10% of docs
+  form disjoint near-dup pairs (0.0512 pairs per doc) (one member is the other with 2 token
+  edits — sf0.1 pairs share ~45 of ~47 8-gram shingles, i.e. a couple
+  of edits), and ~0.16% are byte-exact copies.  Keeping the per-doc
+  candidate density constant is what makes the sfM/sf0.1 runtime ratio
+  interpretable as data scaling rather than workload-shape drift.
+- embeddings: the sf0.1 vectors are isotropic unit-norm float32 in 64
+  dims with labels uniform over 10 and independent of the vector
+  (verified: per-label centroids have norm ≈ 1/√n — pure noise), so
+  the scaled table is seeded Gaussian → L2-normalized, same dtypes.
+
+Every OTHER table is copied from the source dir unchanged: the heavy
+families this corpus exists to measure (dedup battery, ANN, BM25,
+text_profile, the opbench battery) read only documents/embeddings.
+The relational tables are NOT scaled — do not read TPC-H timings off
+this dir.
+
+Deterministic: one fixed numpy PCG64 seed; no wall-clock anywhere.
+
+Usage:  python tools/gen_scale_corpus.py [--mult 10] [--src /root/testdata/sf0.1]
+            [--out /root/repo/.scale/sf1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SEED = 0x5F1C0DE
+NEAR_DUP_PAIRS_PER_DOC = 0.0512  # near-dup pairs per doc (sf0.1: 256 pairs / 5000 docs)
+EXACT_DUP_FRAC = 0.0016  # fraction of docs that are byte-exact copies
+NEAR_DUP_EDITS = 2  # token edits between near-dup pair members
+
+
+def _empirical_docs(src: str):
+    """(vocab, vocab_probs, lengths, langs, lang_probs, sources) measured
+    from the source documents table."""
+    t = pq.read_table(f"{src}/documents.parquet", columns=["text", "lang", "source"])
+    texts = t.column("text").to_pylist()
+    langs = t.column("lang").to_pylist()
+    sources = t.column("source").to_pylist()
+    from collections import Counter
+
+    vocab_counts = Counter()
+    lengths = []
+    for tx in texts:
+        toks = tx.split(" ")
+        lengths.append(len(toks))
+        vocab_counts.update(toks)
+    vocab = sorted(vocab_counts)
+    tot = sum(vocab_counts.values())
+    vprobs = np.array([vocab_counts[w] / tot for w in vocab])
+    lang_counts = Counter(langs)
+    lang_vals = sorted(lang_counts)
+    lprobs = np.array([lang_counts[v] / len(langs) for v in lang_vals])
+    return vocab, vprobs, np.array(lengths), lang_vals, lprobs, sorted(set(sources))
+
+
+def gen_documents(src: str, mult: int, rng: np.random.Generator) -> pa.Table:
+    vocab, vprobs, lengths, lang_vals, lprobs, sources = _empirical_docs(src)
+    n_src = pq.read_metadata(f"{src}/documents.parquet").num_rows
+    n = n_src * mult
+
+    lens = rng.choice(lengths, size=n)
+    toks_flat = rng.choice(len(vocab), size=int(lens.sum()), p=vprobs)
+    vocab_arr = np.array(vocab, dtype=object)
+    texts: list[str] = []
+    off = 0
+    for ln in lens:
+        texts.append(" ".join(vocab_arr[toks_flat[off : off + ln]]))
+        off += ln
+
+    # near-dup pairs at the measured density: doc j := doc i, 2 edits
+    n_pairs = int(round(NEAR_DUP_PAIRS_PER_DOC * n))
+    involved = rng.choice(n, size=2 * n_pairs, replace=False)
+    for p in range(n_pairs):
+        i, j = int(involved[2 * p]), int(involved[2 * p + 1])
+        toks = texts[i].split(" ")
+        for pos in rng.choice(len(toks), size=min(NEAR_DUP_EDITS, len(toks)), replace=False):
+            toks[pos] = vocab[int(rng.integers(len(vocab)))]
+        texts[j] = " ".join(toks)
+    # byte-exact copies at the measured density (copy targets may be
+    # anyone, including a near-dup member — same as organic crawl dups)
+    n_exact = int(round(EXACT_DUP_FRAC * n))
+    dst = rng.choice(n, size=n_exact, replace=False)
+    srcs_idx = rng.choice(n, size=n_exact)
+    for a, b in zip(dst, srcs_idx):
+        if int(a) != int(b):
+            texts[int(a)] = texts[int(b)]
+
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(
+                np.array(lang_vals, dtype=object)[
+                    rng.choice(len(lang_vals), size=n, p=lprobs)
+                ]
+            ),
+            "source": pa.array(
+                np.array(sources, dtype=object)[rng.choice(len(sources), size=n)]
+            ),
+            "n_chars": pa.array(
+                np.array([len(t) for t in texts], dtype=np.int64)
+            ),
+        }
+    )
+
+
+def gen_embeddings(src: str, mult: int, rng: np.random.Generator) -> pa.Table:
+    meta = pq.read_table(f"{src}/embeddings.parquet", columns=["embedding", "label"])
+    d = len(meta.column("embedding")[0].as_py())
+    n_labels = int(max(meta.column("label").to_pylist())) + 1
+    n = meta.num_rows * mult
+
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(v), type=pa.list_(pa.float32())),
+            "label": pa.array(
+                rng.integers(n_labels, size=n).astype(np.int32)
+            ),
+        }
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/root/repo/.scale/sf1")
+    args = ap.parse_args()
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(SEED)
+
+    docs = gen_documents(args.src, args.mult, rng)
+    pq.write_table(docs, out / "documents.parquet")
+    print(f"documents: {docs.num_rows} rows")
+    emb = gen_embeddings(args.src, args.mult, rng)
+    pq.write_table(emb, out / "embeddings.parquet")
+    print(f"embeddings: {emb.num_rows} rows")
+
+    for f in sorted(Path(args.src).glob("*.parquet")):
+        if f.name not in ("documents.parquet", "embeddings.parquet"):
+            shutil.copyfile(f, out / f.name)
+            print(f"copied {f.name} (unscaled)")
+
+
+if __name__ == "__main__":
+    main()
