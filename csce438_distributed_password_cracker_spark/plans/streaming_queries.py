@@ -31,14 +31,18 @@ SESSION_GAP_MS = 30 * 60 * 1000  # analog of the 5×2s epoch timeout
 # (lsp_server.c:31-35) scaled to the events table's minutes-apart cadence.
 
 
-def _audit_sql(ms_fn: str, ts: str = "ts") -> str:
+def _audit_sql(
+    ms_fn: str, ts: str = "ts", table: str = "events", branch: str = "clean"
+) -> str:
     """T2+T3 fused audit; ``ms_fn`` = epoch-millis function name
     (Spark unix_millis / DuckDB epoch_ms).  ``ts`` = the timestamp
     expression to feed it (catalog.load_table normalizes events.ts to
     TIMESTAMP for every parquet layout, so no per-query cast is
-    needed)."""
+    needed).  ``table``/``branch`` let the same audit run over the
+    fault-injected twin with a label (round 8)."""
     return f"""
-    SELECT user_id,
+    SELECT '{branch}' AS branch,
+           user_id,
            count(*) AS n_events,
            CAST(max(gap) AS BIGINT) AS max_gap,
            CAST(min(gap) AS BIGINT) AS min_gap,
@@ -54,16 +58,38 @@ def _audit_sql(ms_fn: str, ts: str = "ts") -> str:
                          (PARTITION BY user_id ORDER BY ts, event_id)
                        > {SESSION_GAP_MS}
                   THEN 1 ELSE 0 END AS is_start
-      FROM events
+      FROM {table}
     )
     GROUP BY user_id
     """
 
 
-_sql_query(
+# T4 gate parameters: one decision per message (event_id), md5-portable
+# so the DuckDB oracle replays the identical draw.
+FAULT_DROP, FAULT_DUP, FAULT_SEED = 0.10, 0.05, "gate"
+
+
+def _audit_oracle() -> str:
+    from ..streaming.faults import faulted_cte_sql
+
+    cte = faulted_cte_sql(
+        "events",
+        "concat_ws(':', CAST(event_id AS STRING))",
+        drop_frac=FAULT_DROP,
+        dup_frac=FAULT_DUP,
+        seed=FAULT_SEED,
+    )
+    return f"""
+    WITH {cte}
+    {_audit_sql("epoch_ms")}
+    UNION ALL
+    {_audit_sql("epoch_ms", table="events_faulted", branch="faults")}
+    """
+
+
+@register(
     "q_stream_audit",
-    _audit_sql("unix_millis"),
-    oracle=_audit_sql("epoch_ms"),
+    oracle=_audit_oracle(),
     doc="T2+T3 fused per-connection audit, one scan: T3 seqnum "
     "dedup/ordering check (accept check lsp_server.c:241-249) as lag() "
     "over (partition by conn order by seq), and T2 epoch-timeout liveness "
@@ -71,9 +97,33 @@ _sql_query(
     "sessionization.  Both window specs share the user_id partition key, "
     "so Catalyst plans ONE exchange feeding two Window sorts.  Live "
     "session_window twin in streaming/sessions.py; live stateful seqnum "
-    "acceptor in streaming/stateful.py.",
-    tables=("events",),
+    "acceptor in streaming/stateful.py.  faults branch (round 8, T4 "
+    "lsp_common.c:11-36): the SAME audit over "
+    "streaming/faults.inject_faults(drop=0.10, dup=0.05, md5-portable) — "
+    "the deterministic loss injector run FOR REAL on the Spark side, "
+    "with the oracle re-deriving every drop/duplicate decision from md5 "
+    "and re-auditing; injected duplicates surface as n_dup_or_ooo>0, "
+    "drops as widened max_gap, so the detector and the injector "
+    "cross-check each other.",
 )
+def q_stream_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.faults import inject_faults
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events")
+    clean = spark.sql(_audit_sql("unix_millis"))
+    inject_faults(
+        ev,
+        ["event_id"],
+        drop_frac=FAULT_DROP,
+        dup_frac=FAULT_DUP,
+        seed=FAULT_SEED,
+        hash_mode="portable",
+    ).createOrReplaceTempView("events_faulted")
+    faults = spark.sql(
+        _audit_sql("unix_millis", table="events_faulted", branch="faults")
+    )
+    return clean.unionByName(faults)
 
 
 @register(

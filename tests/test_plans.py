@@ -130,12 +130,15 @@ def test_text_profile_scan_fusion_and_model_rollups(spark, sf_oracle):
 
 def test_stream_audit_one_exchange_two_windows(spark, sf_oracle):
     """q_stream_audit computes both lag() audits AND the final per-user
-    aggregate on one user_id hash partitioning: exactly one Exchange,
-    two Window sorts riding it."""
+    aggregate on one user_id hash partitioning per branch: exactly one
+    Exchange with two Window sorts riding it for the clean branch, and
+    the same again for the fault-injected branch (whose injector itself
+    is map-only — the second exchange is the audit's, not the
+    injector's)."""
     p = plan_str(spark, corpus.REGISTRY["q_stream_audit"].fn(spark, sf_oracle))
     tree = p.split("\n\n")[0]
-    assert tree.count("Exchange") == 1
-    assert tree.count("Window") == 2
+    assert tree.count("Exchange") == 2
+    assert tree.count("Window") == 4
 
 
 def test_bucketed_join_no_exchange(spark, sf_oracle):
@@ -299,7 +302,10 @@ SHUFFLE_BUDGET = {
     # SMJ is the honest plan) plus the chain-edge semi-join; the CC
     # label-propagation rounds run eagerly behind localCheckpoint and
     # never appear in the returned plan
-    "q_sort_limit": 0, "q_split_assign": 6, "q_stream_audit": 1,
+    # q_stream_audit 1 -> 2 round 8: the T4 faults branch re-audits the
+    # fault-injected events on its own user_id exchange (the injector
+    # itself is map-only — pinned in test_faults.py)
+    "q_sort_limit": 0, "q_split_assign": 6, "q_stream_audit": 2,
     "q_stream_flow": 5, "q_stream_stateful": 0, "q_string_ops": 0,
     # q_tpch 9 -> 18 round 6: Q13 (2: outer-join + distribution agg),
     # Q15 (2: revenue-view agg + its max twin), Q18 (2: HAVING agg +
