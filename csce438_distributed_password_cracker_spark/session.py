@@ -34,12 +34,19 @@ def get_spark(
     ``shuffle_partitions`` defaults to the local core count — small enough
     that tiny test shuffles don't pay 200-task overhead, large enough to use
     every core.  AQE coalescing makes the exact number non-critical.
+    ``SPARK_GRAFT_SHUFFLE_PARTITIONS`` overrides the default (explicit
+    argument still wins) — used to confirm no plan silently depends on
+    the partition count (BASELINE.md §C.11).
     """
     cpus = cpu_count()
+    env_sp = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "0"))
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or env_sp or cpus),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
