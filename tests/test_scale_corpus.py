@@ -1,0 +1,79 @@
+"""Scale-corpus generator (tools/gen_scale_corpus.py): deterministic
+output, schema fidelity, and the measured duplicate densities that make
+the sf1/sf0.1 bench ratio (BASELINE.md §C.10) read as data scaling.
+Pure pyarrow/numpy — no Spark session."""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo/tools")
+
+from gen_scale_corpus import (  # noqa: E402
+    EXACT_DUP_FRAC,
+    NEAR_DUP_PAIRS_PER_DOC,
+    SEED,
+    gen_documents,
+    gen_embeddings,
+)
+
+SRC = "/root/testdata/sf0.01"
+
+
+def test_documents_deterministic_and_faithful():
+    rng = np.random.default_rng(SEED)
+    t = gen_documents(SRC, 2, rng)
+    t2 = gen_documents(SRC, 2, np.random.default_rng(SEED))
+    assert t.equals(t2)
+
+    assert t.column_names == ["doc_id", "text", "lang", "source", "n_chars"]
+    n = t.num_rows
+    assert n == 1000  # 500 × 2
+    texts = t.column("text").to_pylist()
+    assert all(
+        nc == len(tx)
+        for nc, tx in zip(t.column("n_chars").to_pylist(), texts)
+    )
+    # exact-dup density ≈ measured constant
+    n_exact = n - len(set(texts))
+    assert abs(n_exact - EXACT_DUP_FRAC * n) <= 3
+    # near-dup pairs at the measured per-doc density (8-gram witness)
+    from collections import defaultdict
+
+    sh = defaultdict(set)
+    for i, tx in enumerate(texts):
+        toks = tx.split(" ")
+        for j in range(len(toks) - 7):
+            sh[" ".join(toks[j : j + 8])].add(i)
+    pairs = set()
+    for ds in sh.values():
+        if len(ds) > 1:
+            l = sorted(ds)
+            pairs.update(
+                (l[i], l[j]) for i in range(len(l)) for j in range(i + 1, len(l))
+            )
+    want = NEAR_DUP_PAIRS_PER_DOC * n
+    # 2-token edits erase the witness for the shortest docs — allow the
+    # same ~2% shortfall measured at sf1 (2522 of 2560), plus noise
+    assert 0.85 * want <= len(pairs) <= 1.25 * want, (len(pairs), want)
+    # marginals drawn from the source's domains
+    assert set(t.column("lang").to_pylist()) <= {"en", "zh", "es", "fr", "de"}
+    assert all(s.startswith("src") for s in set(t.column("source").to_pylist()))
+
+
+def test_embeddings_deterministic_unit_norm():
+    t = gen_embeddings(SRC, 2, np.random.default_rng(7))
+    t2 = gen_embeddings(SRC, 2, np.random.default_rng(7))
+    assert t.equals(t2)
+    import pyarrow as pa
+
+    assert t.schema.field("embedding").type == pa.list_(pa.float32())
+    assert t.schema.field("label").type == pa.int32()
+    v = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
+    assert v.shape[1] == 64
+    norms = np.linalg.norm(v, axis=1)
+    assert np.allclose(norms, 1.0, atol=1e-5)
+    labels = set(t.column("label").to_pylist())
+    assert labels <= set(range(10))
