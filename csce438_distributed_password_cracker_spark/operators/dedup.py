@@ -420,14 +420,27 @@ def connected_components(
     """(id, component_id) where component_id = min id reachable over the
     undirected ``edges(id_a, id_b)`` graph; singletons label themselves.
 
-    Iterative min-label propagation: each round joins labels across edges
-    and takes the min — converges in O(graph diameter) rounds (near-dup
-    clusters are shallow: dup clusters are cliques, diameter ≤ 2, so 2–3
-    rounds typical).  Each round is one shuffle join + one min-agg; lineage
-    is truncated per round with ``localCheckpoint`` (an iterative plan that
-    keeps its full lineage re-executes every prior round at every action —
-    the classic Spark iterative-algorithm trap; on a cluster use a
-    checkpoint dir for fault tolerance instead).
+    Iterative min-label propagation WITH POINTER JUMPING (round 8): each
+    round joins labels across edges, takes the min, then compresses one
+    pointer level (``comp ← comp[comp]``, the hash-to-min / path-halving
+    step of Kiveris et al. 2014's MapReduce CC family).  The reachable
+    frontier roughly DOUBLES per round, so convergence is O(log diameter)
+    rounds, not O(diameter): near-dup cliques still finish in 2–3 rounds,
+    and the adversarial deep graphs the plain propagation could not
+    survive inside ``max_iter`` — paragraph/substring overlap CHAINS,
+    where doc A shares a span with B, B with C, … — converge in ~log₂
+    rounds (a 300-link chain needs ~10 rounds, not 300).  Each round is
+    two shuffle joins + one min-agg; lineage is truncated per round with
+    ``localCheckpoint`` (an iterative plan that keeps its full lineage
+    re-executes every prior round at every action — the classic Spark
+    iterative-algorithm trap; on a cluster use a checkpoint dir for
+    fault tolerance instead).
+
+    Correctness invariant: a node's label is always the id of SOME node
+    known reachable from it — the neighbor-min step extends labels along
+    edges, the jump step composes two established reachabilities — so
+    the fixed point is exactly min(reachable ids), same as the plain
+    propagation (equality pinned in tests).
     """
     sym = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -453,13 +466,28 @@ def connected_components(
         # rides the min-agg shuffle, so detecting a fixed point is a
         # cheap scan of the checkpointed result instead of a second
         # shuffle join per round
-        new_labels = (
+        merged = (
             labels.withColumn("own", F.lit(True))
             .unionByName(nbr)
             .groupBy("id")
             .agg(
                 F.min("comp").alias("comp"),
                 F.min(F.when(F.col("own"), F.col("comp"))).alias("old"),
+            )
+        )
+        # pointer jump: comp ← comp[comp].  Labels are node ids and every
+        # labeled node's label is ≤ itself under min-propagation, so the
+        # jump only ever lowers comp (toward the component minimum); a
+        # comp outside the endpoint set labels itself (coalesce).
+        jump = merged.select(
+            F.col("id").alias("comp"), F.col("comp").alias("jcomp")
+        )
+        new_labels = (
+            merged.join(jump, "comp", "left")
+            .select(
+                "id",
+                F.coalesce("jcomp", "comp").alias("comp"),
+                "old",
             )
         ).localCheckpoint(eager=True)
         changed = (

@@ -167,6 +167,67 @@ def test_simhash_rejects_incomplete_block_count(spark):
         dedup.simhash_near_pairs(df, "doc_id", "text", max_hamming=70)
 
 
+def test_connected_components_deep_chain_converges_logarithmically(spark):
+    """Pointer jumping (round 8): a 300-link chain — the adversarial
+    shape paragraph/substring overlap chains produce — must converge
+    within the DEFAULT max_iter (20 rounds ≈ log₂ 300 + slack), where
+    plain O(diameter) propagation would need 300 rounds and raise."""
+    import warnings
+
+    from csce438_distributed_password_cracker_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 301
+    ids = spark.range(n).selectExpr("id")
+    edges = spark.range(n - 1).selectExpr("id as id_a", "id + 1 as id_b")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any non-convergence warning fails
+        out = connected_components(ids, edges).collect()
+    assert {r["component_id"] for r in out} == {0}
+    assert len(out) == n
+
+
+def test_connected_components_matches_brute_force_random_graphs(spark):
+    """The jump step must not change semantics: labels equal a driver-side
+    union-find on seeded random graphs (mixed cliques, chains, singletons)."""
+    import numpy as np
+
+    from csce438_distributed_password_cracker_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rng = np.random.default_rng(8)
+    for trial in range(3):
+        n = 60
+        m = int(rng.integers(10, 50))
+        ea = rng.integers(0, n, size=m).tolist()
+        eb = rng.integers(0, n, size=m).tolist()
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(ea, eb):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {i: find(i) for i in range(n)}
+
+        ids = spark.range(n).selectExpr("id")
+        edges = spark.createDataFrame(
+            list(zip(ea, eb)), "id_a long, id_b long"
+        ).where("id_a != id_b")
+        got = {
+            r["id"]: r["component_id"]
+            for r in connected_components(ids, edges).collect()
+        }
+        assert got == want, trial
+
+
 def test_connected_components_warns_when_max_iter_exhausted(spark):
     """A path graph of diameter 9 cannot converge in 2 rounds — the
     caller must hear about it (silent under-merging corrupts dedup)."""
