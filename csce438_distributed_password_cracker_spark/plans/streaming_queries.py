@@ -65,8 +65,12 @@ def _audit_sql(
 
 
 # T4 gate parameters: one decision per message (event_id), md5-portable
-# so the DuckDB oracle replays the identical draw.
+# so the DuckDB oracle replays the identical draw.  The full lossy-
+# channel triple is injected: delay shifts 5% of messages +2h — far
+# past SESSION_GAP_MS, so the T2 sessionization must also feel it.
 FAULT_DROP, FAULT_DUP, FAULT_SEED = 0.10, 0.05, "gate"
+FAULT_DELAY, FAULT_DELAY_SECONDS = 0.05, 7200
+_EVENT_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
 def _audit_oracle() -> str:
@@ -78,6 +82,10 @@ def _audit_oracle() -> str:
         drop_frac=FAULT_DROP,
         dup_frac=FAULT_DUP,
         seed=FAULT_SEED,
+        delay_frac=FAULT_DELAY,
+        delay_seconds=FAULT_DELAY_SECONDS,
+        ts_col="ts",
+        cols=_EVENT_COLS,
     )
     return f"""
     WITH {cte}
@@ -99,12 +107,14 @@ def _audit_oracle() -> str:
     "session_window twin in streaming/sessions.py; live stateful seqnum "
     "acceptor in streaming/stateful.py.  faults branch (round 8, T4 "
     "lsp_common.c:11-36): the SAME audit over "
-    "streaming/faults.inject_faults(drop=0.10, dup=0.05, md5-portable) — "
+    "streaming/faults.inject_faults(drop=0.10, dup=0.05, delay=0.05 of "
+    "+2h, md5-portable) — "
     "the deterministic loss injector run FOR REAL on the Spark side, "
-    "with the oracle re-deriving every drop/duplicate decision from md5 "
-    "and re-auditing; injected duplicates surface as n_dup_or_ooo>0, "
-    "drops as widened max_gap, so the detector and the injector "
-    "cross-check each other.",
+    "with the oracle re-deriving every drop/duplicate/delay decision "
+    "from md5 and re-auditing; injected duplicates surface as "
+    "n_dup_or_ooo>0, drops as widened max_gap, and the +2h delays (past "
+    "the 30-min session gap) as extra n_sessions, so the detector and "
+    "the injector cross-check each other.",
 )
 def q_stream_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.faults import inject_faults
@@ -117,6 +127,9 @@ def q_stream_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_id"],
         drop_frac=FAULT_DROP,
         dup_frac=FAULT_DUP,
+        delay_frac=FAULT_DELAY,
+        delay_seconds=FAULT_DELAY_SECONDS,
+        ts_col="ts",
         seed=FAULT_SEED,
         hash_mode="portable",
     ).createOrReplaceTempView("events_faulted")

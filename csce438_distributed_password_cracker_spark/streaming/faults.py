@@ -150,16 +150,24 @@ def faulted_cte_sql(
     dup_frac: float,
     seed: str,
     out_name: str = "events_faulted",
+    delay_frac: float = 0.0,
+    delay_seconds: int = 0,
+    ts_col: str | None = None,
+    cols: Sequence[str] | None = None,
 ) -> str:
     """WITH-clause body (two CTE definitions, no ``WITH`` keyword)
-    re-deriving the drop+dup pattern of :func:`inject_faults`
+    re-deriving :func:`inject_faults`' fault pattern
     (``hash_mode='portable'``) over ``table`` in portable SQL — the
     oracle's twin for the gate branch, composable into a larger query's
     own WITH clause.  Duplication spells as UNION ALL of the selected
     survivors, which is multiset-equal to the operator's
-    ``explode(array_repeat(...))``.  Delay is omitted (the gate branch
-    injects drop+dup only: a portable timestamp shift adds nothing to
-    the decision math under test)."""
+    ``explode(array_repeat(...))``; delay spells as a CASE shift on
+    ``ts_col`` applied to the survivors BEFORE duplication (the
+    operator's order — both copies of a duplicate shift together).
+    Timestamp+interval arithmetic is exact integer microseconds in both
+    engines, so the shifted branch stays hash-identical.  Because Spark
+    has no ``SELECT * REPLACE``, enabling delay requires the explicit
+    ``cols`` list to rebuild the projection."""
     u_drop = md5_uniform_sql(key_sql, f"{seed}:drop")
     u_dup = md5_uniform_sql(key_sql, f"{seed}:dup")
     # float literals via CAST('<repr>' AS DOUBLE): a bare decimal parses
@@ -168,9 +176,29 @@ def faulted_cte_sql(
     # decimal-vs-double literal gap, but the house spelling costs nothing
     d_drop = f"CAST('{drop_frac!r}' AS DOUBLE)"
     d_dup = f"CAST('{dup_frac!r}' AS DOUBLE)"
+    if delay_frac > 0.0:
+        if not cols or ts_col is None or delay_seconds <= 0:
+            raise ValueError(
+                "delay_frac > 0 requires cols, ts_col and a positive "
+                "delay_seconds (no portable SELECT * REPLACE)"
+            )
+        u_delay = md5_uniform_sql(key_sql, f"{seed}:delay")
+        d_delay = f"CAST('{delay_frac!r}' AS DOUBLE)"
+        proj = ", ".join(
+            c
+            if c != ts_col
+            else (
+                f"CASE WHEN {u_delay} < {d_delay} "
+                f"THEN {ts_col} + INTERVAL {int(delay_seconds)} SECOND "
+                f"ELSE {ts_col} END AS {ts_col}"
+            )
+            for c in cols
+        )
+    else:
+        proj = "*"
     return f"""
     __fault_survivors AS (
-      SELECT * FROM {table} WHERE {u_drop} >= {d_drop}
+      SELECT {proj} FROM {table} WHERE {u_drop} >= {d_drop}
     ),
     {out_name} AS (
       SELECT * FROM __fault_survivors
@@ -186,8 +214,9 @@ def faulted_view_sql(
     drop_frac: float,
     dup_frac: float,
     seed: str,
+    **kwargs,
 ) -> str:
     """Standalone SELECT form of :func:`faulted_cte_sql` (runs in both
     Spark and DuckDB as-is)."""
-    cte = faulted_cte_sql(table, key_sql, drop_frac, dup_frac, seed)
+    cte = faulted_cte_sql(table, key_sql, drop_frac, dup_frac, seed, **kwargs)
     return f"WITH {cte} SELECT * FROM events_faulted"

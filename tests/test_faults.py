@@ -122,6 +122,40 @@ def test_portable_twin_matches_duckdb(spark):
     assert _multiset(spark_sql) == _multiset(got)
 
 
+def test_portable_twin_with_delay_matches_duckdb(spark):
+    """Full triple twin: drop + dup + delay (CASE-shifted ts over an
+    explicit column list, since Spark lacks SELECT * REPLACE) — the
+    operator's rows multiset-equal DuckDB's AND Spark's run of the
+    same SQL string."""
+    import duckdb
+
+    df = _events(spark, 1200)
+    kw = dict(drop_frac=0.2, dup_frac=0.1, seed="t3")
+    got = inject_faults(
+        df, ["event_id"], delay_frac=0.3, delay_seconds=5400, ts_col="ts",
+        hash_mode="portable", **kw,
+    )
+    sql = faulted_view_sql(
+        "events", "concat_ws(':', CAST(event_id AS STRING))",
+        delay_frac=0.3, delay_seconds=5400, ts_col="ts",
+        cols=("event_id", "user_id", "ts", "value"), **kw,
+    )
+    con = duckdb.connect()
+    con.register("events", df.toPandas())
+    from collections import Counter
+
+    want = Counter(tuple(r) for r in con.execute(sql).fetchall())
+    assert _multiset(got) == want
+    df.createOrReplaceTempView("events")
+    assert _multiset(spark.sql(sql)) == _multiset(got)
+    # the shift really happened for ~30% of survivors
+    orig = {r["event_id"]: r["ts"] for r in df.collect()}
+    n_shift = sum(
+        1 for r in got.collect() if (r["ts"] - orig[r["event_id"]]).total_seconds()
+    )
+    assert n_shift > 0.15 * 1200
+
+
 def test_map_only_plan(spark):
     out = inject_faults(
         _events(spark), ["event_id"], drop_frac=0.1, dup_frac=0.1,
