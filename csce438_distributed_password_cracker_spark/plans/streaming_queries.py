@@ -25,7 +25,7 @@ from ..catalog import load_table
 from ..sources.keyspace import keyspace_sql_duckdb
 from .keyspace_queries import HIT4, MISS3
 from .registry import register
-from .relational import _dec, _money, _sql_query
+from .relational import _dec, _money
 
 SESSION_GAP_MS = 30 * 60 * 1000  # analog of the 5×2s epoch timeout
 # (lsp_server.c:31-35) scaled to the events table's minutes-apart cadence.
