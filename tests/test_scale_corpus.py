@@ -63,6 +63,32 @@ def test_documents_deterministic_and_faithful():
     assert all(s.startswith("src") for s in set(t.column("source").to_pylist()))
 
 
+def test_events_deterministic_and_faithful():
+    from gen_scale_corpus import gen_events
+
+    t = gen_events(SRC, 2, np.random.default_rng(3))
+    t2 = gen_events(SRC, 2, np.random.default_rng(3))
+    assert t.equals(t2)
+    assert t.column_names == [
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+    ]
+    n = t.num_rows
+    assert n == 20000  # 10k × 2
+    # users scale with the corpus: 150 × 2
+    users = set(t.column("user_id").to_pylist())
+    assert len(users) > 250 and max(users) < 300
+    # event_id is ts-ordered (zero inversions, as measured in the source)
+    ts = t.column("ts").to_pylist()
+    assert all(a <= b for a, b in zip(ts, ts[1:]))
+    assert set(t.column("event_type").to_pylist()) == {
+        "signup", "click", "purchase", "error", "view",
+    }
+    import json as _json
+
+    ks = {_json.loads(p)["k"] for p in t.column("props").to_pylist()[:500]}
+    assert ks <= set(range(100))
+
+
 def test_embeddings_deterministic_unit_norm():
     t = gen_embeddings(SRC, 2, np.random.default_rng(7))
     t2 = gen_embeddings(SRC, 2, np.random.default_rng(7))

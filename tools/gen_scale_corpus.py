@@ -23,11 +23,15 @@ distributions as the driver's generator, measured off sf0.1 itself:
   (verified: per-label centroids have norm ≈ 1/√n — pure noise), so
   the scaled table is seeded Gaussian → L2-normalized, same dtypes.
 
+- events (round-8 extension): users scale with the corpus (the
+  driver's own behavior), event_id ts-ordered, marginals measured —
+  so the streaming-analog family (audits, windows, asof/range
+  self-joins) gets a scale point too.
+
 Every OTHER table is copied from the source dir unchanged: the heavy
-families this corpus exists to measure (dedup battery, ANN, BM25,
-text_profile, the opbench battery) read only documents/embeddings.
-The relational tables are NOT scaled — do not read TPC-H timings off
-this dir.
+families this corpus exists to measure read only
+documents/embeddings/events.  The relational tables are NOT scaled —
+do not read TPC-H timings off this dir.
 
 Deterministic: one fixed numpy PCG64 seed; no wall-clock anywhere.
 
@@ -145,6 +149,44 @@ def gen_embeddings(src: str, mult: int, rng: np.random.Generator) -> pa.Table:
     )
 
 
+def gen_events(src: str, mult: int, rng: np.random.Generator) -> pa.Table:
+    """Scaled events stream from the measured marginals: users scale
+    WITH the corpus (driver behavior — sf0.01 has 150 users, sf0.1 has
+    1500, both ~66 events/user), so per-user window partitions keep a
+    constant size and the per-user audits scale by user count, not by
+    partition depth.  ``event_id`` is assigned in ts order (measured:
+    zero inversions in the source), values bootstrap-resample the
+    source column, ``props`` replays the ``{"k": 0..99}`` payload."""
+    t = pq.read_table(f"{src}/events.parquet", columns=["ts", "user_id", "event_type", "value"])
+    n_src = t.num_rows
+    n = n_src * mult
+    n_users = len(set(t.column("user_id").to_pylist())) * mult
+    from collections import Counter
+
+    tcounts = Counter(t.column("event_type").to_pylist())
+    types = sorted(tcounts)
+    tprobs = np.array([tcounts[x] / n_src for x in types])
+    ts_src = t.column("ts").to_pylist()
+    lo = min(ts_src).timestamp() * 1_000_000
+    hi = max(ts_src).timestamp() * 1_000_000
+
+    ts_us = np.sort(rng.integers(int(lo), int(hi), size=n))
+    values = rng.choice(np.asarray(t.column("value").to_pylist()), size=n)
+    ks = rng.integers(0, 100, size=n)
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(ts_us, type=pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, n_users, size=n).astype(np.int64)),
+            "event_type": pa.array(
+                np.array(types, dtype=object)[rng.choice(len(types), size=n, p=tprobs)]
+            ),
+            "value": pa.array(values, type=pa.float64()),
+            "props": pa.array([f'{{"k": {int(k)}}}' for k in ks], type=pa.string()),
+        }
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
@@ -162,9 +204,12 @@ def main() -> None:
     emb = gen_embeddings(args.src, args.mult, rng)
     pq.write_table(emb, out / "embeddings.parquet")
     print(f"embeddings: {emb.num_rows} rows")
+    ev = gen_events(args.src, args.mult, rng)
+    pq.write_table(ev, out / "events.parquet")
+    print(f"events: {ev.num_rows} rows")
 
     for f in sorted(Path(args.src).glob("*.parquet")):
-        if f.name not in ("documents.parquet", "embeddings.parquet"):
+        if f.name not in ("documents.parquet", "embeddings.parquet", "events.parquet"):
             shutil.copyfile(f, out / f.name)
             print(f"copied {f.name} (unscaled)")
 
