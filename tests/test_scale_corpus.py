@@ -89,6 +89,49 @@ def test_events_deterministic_and_faithful():
     assert ks <= set(range(100))
 
 
+def test_relational_deterministic_fk_consistent():
+    from gen_scale_corpus import gen_relational
+
+    rel = gen_relational(SRC, 2, np.random.default_rng(5))
+    rel2 = gen_relational(SRC, 2, np.random.default_rng(5))
+    for k in rel:
+        assert rel[k].equals(rel2[k]), k
+    n_cust = rel["customer"].num_rows
+    n_supp = rel["supplier"].num_rows
+    n_part = rel["part"].num_rows
+    n_ord = rel["orders"].num_rows
+    assert (n_cust, n_supp, n_part, n_ord) == (3000, 200, 4000, 30000)
+    # dense sequential keys + name formulas
+    assert rel["customer"].column("c_custkey").to_pylist() == list(range(n_cust))
+    assert rel["customer"].column("c_name")[7].as_py() == "Customer#000000007"
+    assert rel["supplier"].column("s_name")[0].as_py() == "Supplier#000000000"
+    # FK ranges
+    oc = rel["orders"].column("o_custkey").to_numpy()
+    assert oc.min() >= 0 and oc.max() < n_cust
+    li = rel["lineitem"]
+    assert li.column("l_partkey").to_numpy().max() < n_part
+    assert li.column("l_suppkey").to_numpy().max() < n_supp
+    ok = li.column("l_orderkey").to_numpy()
+    assert ok.min() == 0 and ok.max() == n_ord - 1
+    # fan-out preserved: mean lines/order ≈ source's 4.0, linenumbers 1..k
+    per = np.bincount(ok)
+    assert 3.5 < per.mean() < 4.5
+    import collections
+
+    ln_by_order = collections.defaultdict(list)
+    for o, ln in zip(ok[:5000], li.column("l_linenumber").to_pylist()[:5000]):
+        ln_by_order[o].append(ln)
+    for o, lns in list(ln_by_order.items())[:50]:
+        assert lns == list(range(1, len(lns) + 1)), (o, lns)
+    # schemas byte-compatible with the source
+    import pyarrow.parquet as pq
+
+    for name in ("customer", "supplier", "part", "orders", "lineitem"):
+        assert rel[name].schema.equals(
+            pq.read_schema(f"{SRC}/{name}.parquet"), check_metadata=False
+        ), name
+
+
 def test_embeddings_deterministic_unit_norm():
     t = gen_embeddings(SRC, 2, np.random.default_rng(7))
     t2 = gen_embeddings(SRC, 2, np.random.default_rng(7))

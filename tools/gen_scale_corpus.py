@@ -28,10 +28,11 @@ distributions as the driver's generator, measured off sf0.1 itself:
   so the streaming-analog family (audits, windows, asof/range
   self-joins) gets a scale point too.
 
-Every OTHER table is copied from the source dir unchanged: the heavy
-families this corpus exists to measure read only
-documents/embeddings/events.  The relational tables are NOT scaled —
-do not read TPC-H timings off this dir.
+- relational star schema (round-8 late extension): customer / supplier
+  / part / orders / lineitem row-bootstrapped ×M with dense re-keying
+  and preserved lines-per-order fan-out; nation/region stay fixed (as
+  in TPC-H proper).  The dir is therefore a FULLY scaled sf-(0.1·M)
+  corpus — every family, including q_tpch, can be measured on it.
 
 Deterministic: one fixed numpy PCG64 seed; no wall-clock anywhere.
 
@@ -187,6 +188,87 @@ def gen_events(src: str, mult: int, rng: np.random.Generator) -> pa.Table:
     )
 
 
+def _bootstrap(src_path: str, n: int, rng: np.random.Generator) -> pa.Table:
+    """Row-bootstrap: sample ``n`` whole rows with replacement — exactly
+    preserves every column marginal AND every within-row joint the
+    source has (measured: the driver's relational columns are
+    independent draws, so whole-row resampling is the faithful and
+    simplest scale-up)."""
+    t = pq.read_table(src_path)
+    idx = pa.array(rng.integers(0, t.num_rows, size=n))
+    return t.take(idx)
+
+
+def _set(t: pa.Table, name: str, arr: pa.Array) -> pa.Table:
+    return t.set_column(t.schema.get_field_index(name), name, arr)
+
+
+def gen_relational(src: str, mult: int, rng: np.random.Generator) -> dict[str, pa.Table]:
+    """Scaled TPC-H-ish star schema (round-8 late extension): customer /
+    supplier / part / orders / lineitem row-bootstrapped ×mult with
+    dense re-keying (keys are 0..N-1 sequential in the source);
+    nation/region stay fixed, as in TPC-H proper.  FK consistency by
+    re-draw: o_custkey uniform over the scaled customers, l_partkey /
+    l_suppkey uniform over the scaled parts/suppliers (measured source
+    behavior — 98.5% of (partkey, suppkey) pairs unique, ~30 suppliers
+    per part, the density the derived-partsupp CTE scales with);
+    lineitem keeps the empirical lines-per-order distribution so join
+    fan-outs are preserved.  o_totalprice is measured to be independent
+    of the order's lineitems in the source, so the bootstrap keeps it.
+    """
+    out: dict[str, pa.Table] = {}
+    n_cust = pq.read_metadata(f"{src}/customer.parquet").num_rows * mult
+    n_supp = pq.read_metadata(f"{src}/supplier.parquet").num_rows * mult
+    n_part = pq.read_metadata(f"{src}/part.parquet").num_rows * mult
+    n_ord = pq.read_metadata(f"{src}/orders.parquet").num_rows * mult
+
+    cust = _bootstrap(f"{src}/customer.parquet", n_cust, rng)
+    cust = _set(cust, "c_custkey", pa.array(np.arange(n_cust, dtype=np.int64)))
+    cust = _set(
+        cust, "c_name",
+        pa.array([f"Customer#{i:09d}" for i in range(n_cust)], type=pa.string()),
+    )
+    out["customer"] = cust
+
+    supp = _bootstrap(f"{src}/supplier.parquet", n_supp, rng)
+    supp = _set(supp, "s_suppkey", pa.array(np.arange(n_supp, dtype=np.int64)))
+    supp = _set(
+        supp, "s_name",
+        pa.array([f"Supplier#{i:09d}" for i in range(n_supp)], type=pa.string()),
+    )
+    out["supplier"] = supp
+
+    part = _bootstrap(f"{src}/part.parquet", n_part, rng)
+    out["part"] = _set(
+        part, "p_partkey", pa.array(np.arange(n_part, dtype=np.int64))
+    )
+
+    orders = _bootstrap(f"{src}/orders.parquet", n_ord, rng)
+    orders = _set(orders, "o_orderkey", pa.array(np.arange(n_ord, dtype=np.int64)))
+    orders = _set(
+        orders, "o_custkey",
+        pa.array(rng.integers(0, n_cust, size=n_ord).astype(np.int64)),
+    )
+    out["orders"] = orders
+
+    # lines-per-order from the empirical distribution → preserved fan-out
+    li_src = pq.read_table(f"{src}/lineitem.parquet")
+    counts = np.bincount(
+        np.bincount(li_src.column("l_orderkey").to_numpy(zero_copy_only=False))
+    )[1:]  # counts[k-1] = number of orders with k lines
+    ks = np.arange(1, len(counts) + 1)
+    per_order = rng.choice(ks, size=n_ord, p=counts / counts.sum())
+    n_li = int(per_order.sum())
+    li = li_src.take(pa.array(rng.integers(0, li_src.num_rows, size=n_li)))
+    li = _set(li, "l_orderkey", pa.array(np.repeat(np.arange(n_ord, dtype=np.int64), per_order)))
+    linenum = np.concatenate([np.arange(1, k + 1) for k in per_order])
+    li = _set(li, "l_linenumber", pa.array(linenum.astype(li_src.schema.field("l_linenumber").type.to_pandas_dtype())))
+    li = _set(li, "l_partkey", pa.array(rng.integers(0, n_part, size=n_li).astype(np.int64)))
+    li = _set(li, "l_suppkey", pa.array(rng.integers(0, n_supp, size=n_li).astype(np.int64)))
+    out["lineitem"] = li
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
@@ -207,11 +289,18 @@ def main() -> None:
     ev = gen_events(args.src, args.mult, rng)
     pq.write_table(ev, out / "events.parquet")
     print(f"events: {ev.num_rows} rows")
+    rel = gen_relational(args.src, args.mult, rng)
+    for name, t in rel.items():
+        pq.write_table(t, out / f"{name}.parquet")
+        print(f"{name}: {t.num_rows} rows")
 
+    scaled = {f"{n}.parquet" for n in rel} | {
+        "documents.parquet", "embeddings.parquet", "events.parquet"
+    }
     for f in sorted(Path(args.src).glob("*.parquet")):
-        if f.name not in ("documents.parquet", "embeddings.parquet", "events.parquet"):
+        if f.name not in scaled:
             shutil.copyfile(f, out / f.name)
-            print(f"copied {f.name} (unscaled)")
+            print(f"copied {f.name} (fixed dimension)")
 
 
 if __name__ == "__main__":
