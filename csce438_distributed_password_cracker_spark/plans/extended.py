@@ -93,17 +93,44 @@ _sql_query(
     """,
     oracle="""
     SELECT o_orderpriority,
-           quantile_cont(o_totalprice, 0.5) AS p50,
-           quantile_cont(o_totalprice, 0.9) AS p90,
-           count(*) AS n_orders
-    FROM orders
-    GROUP BY o_orderpriority
+           CASE WHEN flo50 = fhi50
+                  OR arr[CAST(flo50 AS BIGINT) + 1]
+                     = arr[CAST(fhi50 AS BIGINT) + 1]
+                THEN arr[CAST(flo50 AS BIGINT) + 1]
+                ELSE (fhi50 - pos50) * arr[CAST(flo50 AS BIGINT) + 1]
+                   + (pos50 - flo50) * arr[CAST(fhi50 AS BIGINT) + 1]
+           END AS p50,
+           CASE WHEN flo90 = fhi90
+                  OR arr[CAST(flo90 AS BIGINT) + 1]
+                     = arr[CAST(fhi90 AS BIGINT) + 1]
+                THEN arr[CAST(flo90 AS BIGINT) + 1]
+                ELSE (fhi90 - pos90) * arr[CAST(flo90 AS BIGINT) + 1]
+                   + (pos90 - flo90) * arr[CAST(fhi90 AS BIGINT) + 1]
+           END AS p90,
+           n AS n_orders
+    FROM (
+      SELECT o_orderpriority,
+             list_sort(list(o_totalprice)) AS arr,
+             count(*) AS n,
+             CAST('0.5' AS DOUBLE) * CAST(count(*) - 1 AS DOUBLE) AS pos50,
+             CAST('0.9' AS DOUBLE) * CAST(count(*) - 1 AS DOUBLE) AS pos90,
+             floor(CAST('0.5' AS DOUBLE) * CAST(count(*) - 1 AS DOUBLE)) AS flo50,
+             ceil(CAST('0.5' AS DOUBLE) * CAST(count(*) - 1 AS DOUBLE)) AS fhi50,
+             floor(CAST('0.9' AS DOUBLE) * CAST(count(*) - 1 AS DOUBLE)) AS flo90,
+             ceil(CAST('0.9' AS DOUBLE) * CAST(count(*) - 1 AS DOUBLE)) AS fhi90
+      FROM orders GROUP BY o_orderpriority
+    )
     """,
-    doc="Exact grouped percentiles (linear interpolation): Spark "
-    "percentile() ≡ DuckDB quantile_cont() up to interpolation op order "
-    "— between sorted neighbors with dyadic fractions both stay exact.  At "
-    "scale the exact sort-based form gives way to approx_percentile "
-    "(t-digest), whose error-bounded twin q_approx_distinct models.",
+    doc="Exact grouped percentiles (linear interpolation).  The oracle "
+    "replays Spark Percentile's EXACT arithmetic — position = q·(n−1), "
+    "then the two-sided-weight form (hi−pos)·lower + (pos−lo)·higher "
+    "with Spark's equal-neighbors short-circuit (duplicated values return exactly, no arithmetic) and integral-position branch — over a sorted list, because "
+    "DuckDB quantile_cont's own lerp differs in the last ulp once the "
+    "interpolation pair stops being dyadic (first seen at the 10x "
+    "corpus; the two-sided spelling was verified against Spark "
+    "empirically).  At scale the exact sort-based form gives way to "
+    "approx_percentile (t-digest), whose error-bounded twin "
+    "q_approx_distinct models.",
     tables=("orders",),
 )
 

@@ -1990,7 +1990,7 @@ _SPLIT_ASSIGN_ORACLE = f"""
       SELECT 'ws_global' AS branch, doc_id,
              {_WS_NULL_ASSIGN_SQL},
              CAST(NULL AS STRING) AS grp,
-             w, round(ln(u) / w, 6) AS samp_key,
+             w, round(ln(u) / w, 6) + 0.0 AS samp_key,
              CAST(NULL AS BIGINT) AS samp_rank
       FROM src
       WHERE w > 0
@@ -2007,7 +2007,7 @@ _SPLIT_ASSIGN_ORACLE = f"""
     pergroup AS (
       SELECT 'ws_group' AS branch, doc_id,
              {_WS_NULL_ASSIGN_SQL},
-             lang AS grp, w, round(ln(ug) / w, 6) AS samp_key,
+             lang AS grp, w, round(ln(ug) / w, 6) + 0.0 AS samp_key,
              CAST(rk AS BIGINT) AS samp_rank
       FROM ranked WHERE rk <= 20
     ),
@@ -2182,7 +2182,10 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         *null_assign,
         F.lit(None).cast("string").alias("grp"),
         "w",
-        F.round("samp_key", 6).alias("samp_key"),
+        # + 0.0 canonicalizes IEEE -0.0 (a key within 0.5e-6 of zero
+        # rounds to a SIGNED zero whose sign the engines render
+        # differently — first seen at the 10x corpus, .scale/sf1)
+        (F.round("samp_key", 6) + F.lit(0.0)).alias("samp_key"),
         F.lit(None).cast("long").alias("samp_rank"),
     )
     per = weighted_sample_per_group(
@@ -2200,7 +2203,7 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         *null_assign,
         F.col("lang").alias("grp"),
         "w",
-        F.round("samp_key", 6).alias("samp_key"),
+        (F.round("samp_key", 6) + F.lit(0.0)).alias("samp_key"),
         F.col("samp_rank").cast("long").alias("samp_rank"),
     )
     # leak (round-8 fusion): the leakage-safe split COMPOSITION —
