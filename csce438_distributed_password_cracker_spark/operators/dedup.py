@@ -474,6 +474,10 @@ def connected_components(
                 F.min("comp").alias("comp"),
                 F.min(F.when(F.col("own"), F.col("comp"))).alias("old"),
             )
+            # materialize before the self-join below consumes it twice —
+            # otherwise the union+groupBy min-agg subplan is duplicated
+            # inside the jump join unless ReuseExchange happens to rescue it
+            .localCheckpoint(eager=True)
         )
         # pointer jump: comp ← comp[comp].  Labels are node ids and every
         # labeled node's label is ≤ itself under min-propagation, so the
@@ -482,6 +486,11 @@ def connected_components(
         jump = merged.select(
             F.col("id").alias("comp"), F.col("comp").alias("jcomp")
         )
+        # second eager checkpoint: the jump join feeds the changed-count
+        # action now and two consumers next round (nbr join + own-label
+        # union) — materializing it once beats re-executing the join three
+        # times.  Both checkpointed frames are label-sized (edge endpoints
+        # only), so the extra materialization is cheap.
         new_labels = (
             merged.join(jump, "comp", "left")
             .select(

@@ -56,19 +56,17 @@ HASH_MODES = ("production", "portable")
 def _uniform(key_cols: Sequence[str], tag: str, hash_mode: str) -> Column:
     """Per-row uniform in (0, 1), a pure function of (key, tag).
 
-    NULL keys: both modes hash through a NULL-skipping concat
+    NULL keys: both modes hash through the SAME NULL-skipping concat
     (``concat_ws``), so a NULL component degrades to the empty string
     rather than poisoning the draw to NULL (which would silently
-    exempt the row from every fault)."""
+    exempt the row from every fault) — and a row's NULL-key disposition
+    is identical across hash modes."""
     key_sql = ", ".join(f"CAST({c} AS STRING)" for c in key_cols)
     joined = f"concat_ws(':', {key_sql})"
     if hash_mode == "portable":
         return F.expr(md5_uniform_sql(joined, tag))
     return (
-        F.pmod(
-            F.xxhash64(F.lit(tag), *[F.col(c).cast("string") for c in key_cols]),
-            F.lit(1 << 24),
-        )
+        F.pmod(F.xxhash64(F.lit(tag), F.expr(joined)), F.lit(1 << 24))
         + F.lit(0.5)
     ) / F.lit(float(1 << 24))
 
@@ -139,7 +137,13 @@ def inject_faults(
             _uniform(key_cols, f"{seed}:dup", hash_mode) < F.lit(dup_frac),
             F.lit(2),
         ).otherwise(F.lit(1))
-        out = out.withColumn("__fault_n", F.explode(F.array_repeat(F.lit(1), n_copies)))
+        # collision-proof marker: withColumn REPLACES a same-named input
+        # column, and select(*cols) would then return the exploded marker
+        # instead of the user's values
+        marker = "__fault_n"
+        while marker in cols:
+            marker += "_"
+        out = out.withColumn(marker, F.explode(F.array_repeat(F.lit(1), n_copies)))
     return out.select(*cols)
 
 
@@ -218,5 +222,6 @@ def faulted_view_sql(
 ) -> str:
     """Standalone SELECT form of :func:`faulted_cte_sql` (runs in both
     Spark and DuckDB as-is)."""
+    out_name = kwargs.get("out_name", "events_faulted")
     cte = faulted_cte_sql(table, key_sql, drop_frac, dup_frac, seed, **kwargs)
-    return f"WITH {cte} SELECT * FROM events_faulted"
+    return f"WITH {cte} SELECT * FROM {out_name}"

@@ -165,18 +165,61 @@ def test_map_only_plan(spark):
     assert "Exchange" not in plan, plan
 
 
-def test_null_keys_consistent_not_exempt(spark):
-    # NULL key components hash as empty string (concat_ws skips NULLs):
-    # every all-NULL-key row shares ONE draw — consistent, never an
-    # accidental exemption.  Replay stays deterministic.
+@pytest.mark.parametrize("mode", ["production", "portable"])
+def test_null_keys_consistent_not_exempt(spark, mode):
+    # NULL key components hash as empty string (concat_ws skips NULLs) in
+    # BOTH modes: every all-NULL-key row shares ONE draw — consistent,
+    # never an accidental exemption.  Replay stays deterministic.
     df = spark.createDataFrame(
         [(None, 1.0), (None, 2.0), (3, 3.0)], "k int, v double"
     )
-    a = inject_faults(df, ["k"], drop_frac=0.5, seed="n", hash_mode="portable")
-    b = inject_faults(df, ["k"], drop_frac=0.5, seed="n", hash_mode="portable")
+    a = inject_faults(df, ["k"], drop_frac=0.5, seed="n", hash_mode=mode)
+    b = inject_faults(df, ["k"], drop_frac=0.5, seed="n", hash_mode=mode)
     assert _multiset(a) == _multiset(b)
     kept_null = {r["v"] for r in a.collect() if r["k"] is None}
     assert kept_null in (set(), {1.0, 2.0})  # one draw for both
+    # and the NULL draw equals the empty-string key's draw: a row whose
+    # key IS '' must share the NULL rows' disposition under the same seed
+    df2 = spark.createDataFrame([("", 9.0)], "k string, v double")
+    kept_empty = {
+        r["v"]
+        for r in inject_faults(
+            df2, ["k"], drop_frac=0.5, seed="n", hash_mode=mode
+        ).collect()
+    }
+    assert (kept_empty == {9.0}) == (kept_null == {1.0, 2.0})
+
+
+def test_fault_marker_column_collision(spark):
+    # an input column literally named __fault_n must survive duplication
+    # untouched (the injector derives a collision-free temp marker)
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(200)], "event_id int, __fault_n int"
+    )
+    out = inject_faults(df, ["event_id"], dup_frac=0.3, seed="c")
+    assert out.columns == df.columns
+    vals = {(r["event_id"], r["__fault_n"]) for r in out.collect()}
+    assert vals == {(i, i * 10) for i in range(200)}
+
+
+def test_view_sql_custom_out_name(spark):
+    # faulted_view_sql must honor out_name end-to-end (the final SELECT
+    # used to hardcode events_faulted)
+    df = _events(spark, 300)
+    df.createOrReplaceTempView("events")
+    sql = faulted_view_sql(
+        "events", "concat_ws(':', CAST(event_id AS STRING))",
+        drop_frac=0.2, dup_frac=0.1, seed="o", out_name="my_cte",
+    )
+    assert "my_cte" in sql
+    got = _multiset(spark.sql(sql))
+    want = _multiset(
+        inject_faults(
+            df, ["event_id"], drop_frac=0.2, dup_frac=0.1, seed="o",
+            hash_mode="portable",
+        )
+    )
+    assert got == want
 
 
 def test_validation(spark):

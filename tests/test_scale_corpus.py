@@ -5,11 +5,18 @@ Pure pyarrow/numpy — no Spark session."""
 
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
+import pytest
 
-sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+    ),
+)
 
 from gen_scale_corpus import (  # noqa: E402
     EXACT_DUP_FRAC,
@@ -18,8 +25,11 @@ from gen_scale_corpus import (  # noqa: E402
     gen_documents,
     gen_embeddings,
 )
+from conftest import SF_ORACLE  # noqa: E402
 
-SRC = "/root/testdata/sf0.01"
+SRC = os.environ.get("SPARK_GRAFT_ORACLE_DIR", SF_ORACLE)
+if not os.path.isdir(SRC):  # pragma: no cover - container layout guard
+    pytest.skip(f"oracle corpus not present at {SRC}", allow_module_level=True)
 
 
 def test_documents_deterministic_and_faithful():
