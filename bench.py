@@ -16,9 +16,16 @@ cost is what a resident 100 TB engine pays.
 Set SPARK_GRAFT_BENCH_RUNS=1 to reproduce the single-shot numbers.
 
 The JSON carries per-query MIN (the headline `queries` map — best-case,
-sheds host-noise windows) and MEDIAN (`queries_median` — the stable
-round-over-round comparison basis; BASELINE.md §C.3 documents ±3× noise
-windows on this box, so deltas should be judged on medians).  The
+sheds host-noise windows) and MEDIAN (`queries_median` — wall-clock,
+kept for the 2×-of-baseline gate; BASELINE.md §C.3 documents ±3× noise
+windows on this box).  Round 9 adds the WEATHER-IMMUNE basis
+(BASELINE.md §C.13): `queries_cpu_median` / `total_cpu_median` carry
+per-query executor CPU seconds and `queries_shuffle_mb` the shuffle
+read+write volume, both read from the status store per query
+(plans/benchmetrics.py) — CPU-seconds is the round-over-round
+comparison headline from r9 on, because task CPU doesn't inflate when
+the shared host deschedules us.  `evictions` must be 0 for the CPU
+numbers to be trusted (it counts stages evicted unread).  The
 `operators` / `operators_median` maps time the production-operator
 battery (every entry of plans/opbench.py:OPERATOR_BENCH — the registry
 is the source of truth; see its module docstring for the current
@@ -82,6 +89,15 @@ def main() -> None:
     # Warm the JVM/session on a trivial job so q1 doesn't absorb startup.
     spark.range(1000).count()
 
+    # Weather-immune metrics: executor CPU + shuffle bytes per query
+    # (BASELINE.md §C.13).  Construction primes away startup stages.
+    from csce438_distributed_password_cracker_spark.plans.benchmetrics import (  # noqa: E402
+        StageMetricsTracker,
+    )
+
+    tracker = StageMetricsTracker(spark)
+    metric_samples: dict[str, list[dict]] = {}
+
     # Ingest-time builds run BEFORE the timed passes and are reported
     # separately: q_join_bucketed's bucketed tables are a pay-once shuffle
     # at ingest (the zero-exchange probe is what the bench entry tracks).
@@ -92,6 +108,7 @@ def main() -> None:
         t0 = time.perf_counter()
         relational.ensure_bucketed_tables(spark, sf_dir)
         setup["bucketed_build"] = round(time.perf_counter() - t0, 3)
+        tracker.delta()  # don't attribute the setup's stages to query 1
 
     # Interleave the passes (run the whole corpus, then run it again) rather
     # than timing each query back-to-back: this box's slowdowns come in
@@ -127,10 +144,12 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.setdefault(name, []).append(time.perf_counter() - t0)
+            metric_samples.setdefault(name, []).append(tracker.delta())
         for name in op_names:
             t0 = time.perf_counter()
             opbench.OPERATOR_BENCH[name](spark, sf_dir)
             op_samples.setdefault(name, []).append(time.perf_counter() - t0)
+            metric_samples.setdefault(name, []).append(tracker.delta())
 
     timings = {name: round(min(s), 3) for name, s in samples.items()}
     medians = {
@@ -142,6 +161,38 @@ def main() -> None:
         for name, s in op_samples.items()
     }
     total = round(sum(timings.values()), 3)
+
+    def _med(name: str, key: str) -> float:
+        return statistics.median(m[key] for m in metric_samples[name])
+
+    cpu_medians = {
+        n: round(_med(n, "cpu_sec"), 3)
+        for n in metric_samples
+        if n in samples
+    }
+    op_cpu_medians = {
+        n: round(_med(n, "cpu_sec"), 3)
+        for n in metric_samples
+        if n in op_samples
+    }
+    shuffle_mb = {
+        n: round(
+            (_med(n, "shuffle_read_bytes") + _med(n, "shuffle_write_bytes"))
+            / 1e6,
+            2,
+        )
+        for n in metric_samples
+    }
+    # n_unseen_evictions is cumulative within the tracker, so the run's
+    # total is the max ever reported
+    evictions = max(
+        (
+            m["n_unseen_evictions"]
+            for ms in metric_samples.values()
+            for m in ms
+        ),
+        default=0,
+    )
     payload = {
         "metric": "corpus_total_wall_clock",
         "value": total,
@@ -151,6 +202,14 @@ def main() -> None:
         "total_median": round(sum(medians.values()), 3),
         "operators": op_timings,
         "operators_median": op_medians,
+        # §C.13 weather-immune basis: executor CPU seconds (JVM task
+        # threads; Python-worker CPU excluded — see benchmetrics.py) and
+        # shuffle read+write MB, medians over the interleaved passes.
+        "queries_cpu_median": cpu_medians,
+        "total_cpu_median": round(sum(cpu_medians.values()), 3),
+        "operators_cpu_median": op_cpu_medians,
+        "queries_shuffle_mb": shuffle_mb,
+        "evictions": evictions,
         "runs": max(1, runs),
         "only": sorted(only) if only else None,
         "setup": setup,
@@ -185,6 +244,10 @@ def main() -> None:
             "operator_samples": {
                 n: [round(x, 3) for x in s] for n, s in op_samples.items()
             },
+            # full per-pass stage-metric dicts (cpu/run sec, shuffle/io
+            # bytes, stage counts) — the raw material behind
+            # queries_cpu_median, for attributing any CPU delta to a pass
+            "metric_samples": metric_samples,
         }
         with open(detail, "w") as f:
             json.dump(detail_payload, f, indent=1, sort_keys=True)
