@@ -73,6 +73,43 @@ def test_documents_deterministic_and_faithful():
     assert all(s.startswith("src") for s in set(t.column("source").to_pylist()))
 
 
+def test_documents_zipf_vocab():
+    """--vocab zipf: same schema/length/density contract, but the token
+    distribution is heavy-tailed over a large vocabulary — the corpus
+    shape that keeps shingle buckets near-constant for LSH dedup."""
+    rng = np.random.default_rng(SEED)
+    t = gen_documents(SRC, 2, rng, vocab_mode="zipf", vocab_size=5000)
+    t2 = gen_documents(
+        SRC, 2, np.random.default_rng(SEED), vocab_mode="zipf", vocab_size=5000
+    )
+    assert t.equals(t2)
+    assert t.column_names == ["doc_id", "text", "lang", "source", "n_chars"]
+    texts = t.column("text").to_pylist()
+    from collections import Counter
+
+    tok_counts = Counter(tok for tx in texts for tok in tx.split(" "))
+    # far richer than the 31-word empirical vocabulary, bounded by request
+    assert 1000 < len(tok_counts) <= 5000
+    # Zipf head: the most frequent token dominates the median one
+    freqs = sorted(tok_counts.values(), reverse=True)
+    assert freqs[0] > 20 * freqs[len(freqs) // 2]
+    # dup densities preserved (exact copies; near-dups share 8-grams)
+    n = t.num_rows
+    n_exact = n - len(set(texts))
+    assert abs(n_exact - EXACT_DUP_FRAC * n) <= 3
+    sh = {}
+    for i, tx in enumerate(texts):
+        toks = tx.split(" ")
+        for j in range(len(toks) - 7):
+            sh.setdefault(" ".join(toks[j : j + 8]), set()).add(i)
+    n_multi = sum(1 for ds in sh.values() if len(ds) > 1)
+    assert n_multi > 0  # near-dup witnesses survive the vocab swap
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="vocab_mode"):
+        gen_documents(SRC, 1, rng, vocab_mode="uniform")
+
+
 def test_events_deterministic_and_faithful():
     from gen_scale_corpus import gen_events
 

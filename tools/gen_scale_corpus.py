@@ -36,8 +36,22 @@ distributions as the driver's generator, measured off sf0.1 itself:
 
 Deterministic: one fixed numpy PCG64 seed; no wall-clock anywhere.
 
+Vocabulary modes (round 9, VERDICT r8 next #2): the driver's synthetic
+documents draw from a DEGENERATE 31-word vocabulary, which saturates
+the 8-gram shingle space — at 10× data the LSH candidate BOUND grows
+~98× (measured, §C.10) and the shingle-dedup ratios carry an asterisk.
+``--vocab zipf`` swaps in a synthetic Zipf(s=1.1) vocabulary of
+``--vocab-size`` words (default 20,000 — a realistic unique-token
+count for a 50k-doc crawl slice), everything else (length
+distribution, lang/source marginals, near/exact-dup densities)
+unchanged, so the shingle-based dedup family can be measured on
+text whose n-gram collision structure resembles real corpora.
+``--tables`` restricts generation to a comma-listed subset (the Zipf
+corpora only need ``documents``).
+
 Usage:  python tools/gen_scale_corpus.py [--mult 10] [--src /root/testdata/sf0.1]
-            [--out /root/repo/.scale/sf1]
+            [--out /root/repo/.scale/sf1] [--vocab empirical|zipf]
+            [--vocab-size 20000] [--zipf-s 1.1] [--tables documents,...]
 """
 
 from __future__ import annotations
@@ -80,8 +94,39 @@ def _empirical_docs(src: str):
     return vocab, vprobs, np.array(lengths), lang_vals, lprobs, sorted(set(sources))
 
 
-def gen_documents(src: str, mult: int, rng: np.random.Generator) -> pa.Table:
+def zipf_vocab(
+    size: int, s: float, rng: np.random.Generator
+) -> tuple[list[str], np.ndarray]:
+    """Synthetic vocabulary of ``size`` distinct lowercase words with
+    Zipf-law probabilities p(rank) ∝ rank^-s.  Word SHAPES are random
+    3–9-letter strings (drawn once, deterministically) so shingle
+    hashing sees realistic byte diversity; an index suffix guarantees
+    uniqueness without a rejection loop."""
+    if size < 2:
+        raise ValueError(f"vocab size must be ≥ 2, got {size}")
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    lens = rng.integers(3, 10, size=size)
+    words = [
+        "".join(letters[rng.integers(0, 26, size=ln)]) + str(i)
+        for i, ln in enumerate(lens)
+    ]
+    probs = 1.0 / np.arange(1, size + 1, dtype=np.float64) ** s
+    return words, probs / probs.sum()
+
+
+def gen_documents(
+    src: str,
+    mult: int,
+    rng: np.random.Generator,
+    vocab_mode: str = "empirical",
+    vocab_size: int = 20_000,
+    zipf_s: float = 1.1,
+) -> pa.Table:
     vocab, vprobs, lengths, lang_vals, lprobs, sources = _empirical_docs(src)
+    if vocab_mode == "zipf":
+        vocab, vprobs = zipf_vocab(vocab_size, zipf_s, rng)
+    elif vocab_mode != "empirical":
+        raise ValueError(f"vocab_mode must be empirical|zipf, got {vocab_mode!r}")
     n_src = pq.read_metadata(f"{src}/documents.parquet").num_rows
     n = n_src * mult
 
@@ -274,33 +319,60 @@ def main() -> None:
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/root/repo/.scale/sf1")
+    ap.add_argument("--vocab", choices=("empirical", "zipf"), default="empirical")
+    ap.add_argument("--vocab-size", type=int, default=20_000)
+    ap.add_argument("--zipf-s", type=float, default=1.1)
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma list restricting generation (documents, embeddings, "
+        "events, relational); default: everything + fixed-dim copies",
+    )
     args = ap.parse_args()
+    wanted = (
+        {s.strip() for s in args.tables.split(",") if s.strip()}
+        if args.tables
+        else {"documents", "embeddings", "events", "relational"}
+    )
+    known = {"documents", "embeddings", "events", "relational"}
+    if wanted - known:
+        raise SystemExit(f"--tables names unknown tables: {sorted(wanted - known)}")
 
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(SEED)
 
-    docs = gen_documents(args.src, args.mult, rng)
-    pq.write_table(docs, out / "documents.parquet")
-    print(f"documents: {docs.num_rows} rows")
-    emb = gen_embeddings(args.src, args.mult, rng)
-    pq.write_table(emb, out / "embeddings.parquet")
-    print(f"embeddings: {emb.num_rows} rows")
-    ev = gen_events(args.src, args.mult, rng)
-    pq.write_table(ev, out / "events.parquet")
-    print(f"events: {ev.num_rows} rows")
-    rel = gen_relational(args.src, args.mult, rng)
-    for name, t in rel.items():
-        pq.write_table(t, out / f"{name}.parquet")
-        print(f"{name}: {t.num_rows} rows")
+    if "documents" in wanted:
+        docs = gen_documents(
+            args.src, args.mult, rng,
+            vocab_mode=args.vocab, vocab_size=args.vocab_size, zipf_s=args.zipf_s,
+        )
+        pq.write_table(docs, out / "documents.parquet")
+        print(f"documents: {docs.num_rows} rows (vocab={args.vocab})")
+    if "embeddings" in wanted:
+        emb = gen_embeddings(args.src, args.mult, rng)
+        pq.write_table(emb, out / "embeddings.parquet")
+        print(f"embeddings: {emb.num_rows} rows")
+    if "events" in wanted:
+        ev = gen_events(args.src, args.mult, rng)
+        pq.write_table(ev, out / "events.parquet")
+        print(f"events: {ev.num_rows} rows")
+    rel_names: set[str] = set()
+    if "relational" in wanted:
+        rel = gen_relational(args.src, args.mult, rng)
+        rel_names = set(rel)
+        for name, t in rel.items():
+            pq.write_table(t, out / f"{name}.parquet")
+            print(f"{name}: {t.num_rows} rows")
 
-    scaled = {f"{n}.parquet" for n in rel} | {
-        "documents.parquet", "embeddings.parquet", "events.parquet"
-    }
-    for f in sorted(Path(args.src).glob("*.parquet")):
-        if f.name not in scaled:
-            shutil.copyfile(f, out / f.name)
-            print(f"copied {f.name} (fixed dimension)")
+    if args.tables is None:
+        scaled = {f"{n}.parquet" for n in rel_names} | {
+            "documents.parquet", "embeddings.parquet", "events.parquet"
+        }
+        for f in sorted(Path(args.src).glob("*.parquet")):
+            if f.name not in scaled:
+                shutil.copyfile(f, out / f.name)
+                print(f"copied {f.name} (fixed dimension)")
 
 
 if __name__ == "__main__":
