@@ -83,7 +83,14 @@ def main() -> None:
         else {}
     )
 
-    spark = get_spark(app_name="pwdcrack-bench")
+    # retainedStages must exceed the whole run's stage count (3 passes ×
+    # 70 entries ≈ a few thousand stages): the default 1000 evicts
+    # stages between polls and the CPU accounting reports them as
+    # n_unseen_evictions (observed: 115 in the first r9 anchor attempt)
+    spark = get_spark(
+        app_name="pwdcrack-bench",
+        extra_conf={"spark.ui.retainedStages": "100000"},
+    )
     samples: dict[str, list[float]] = {}
 
     # Warm the JVM/session on a trivial job so q1 doesn't absorb startup.

@@ -51,11 +51,45 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["word_counts", "train_bpe", "encode", "decode_tokens", "EOW"]
+__all__ = [
+    "word_counts",
+    "train_bpe",
+    "encode",
+    "decode_tokens",
+    "EOW",
+    "GATE_MERGES",
+]
 
 # end-of-word marker (Sennrich 2016 §3.2) — distinguishes "est</w>"
 # in "newest" from "est" mid-word, so detokenization is unambiguous
 EOW = "▁"
+
+#: Pinned merge table for the correctness gate (the ``bpe`` branch of
+#: q_array_ops): ``train_bpe(word_counts(sf0.01 documents), 16)`` — a
+#: pure function of the driver's public test data, inlined as a constant
+#: so the Spark query and its DuckDB oracle replay the SAME table at any
+#: sf (oracle_sql() strings are static).  The oracle re-applies these
+#: merges per distinct word as a recursive CTE (rank order, all
+#: non-overlapping occurrences per step — exactly :func:`_encode_word`'s
+#: greedy loop), so every token boundary and count is hash-exact.
+GATE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"),
+    ("e", EOW),
+    ("n", EOW),
+    ("er", EOW),
+    ("o", "w"),
+    ("ow", EOW),
+    ("o", "r"),
+    ("s", "t"),
+    ("h", EOW),
+    ("a", "t"),
+    ("l", "u"),
+    ("i", "n"),
+    ("a", EOW),
+    ("g", EOW),
+    ("y", EOW),
+    ("a", "r"),
+]
 
 
 def word_counts(

@@ -1769,10 +1769,93 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.unionAll(sem).unionAll(proj).unionAll(mom)
 
 
+# ── BPE gate twin (round 9, VERDICT r8 next #5) ──────────────────────────
+# The oracle replays operators/bpe._encode_word's greedy merge loop as a
+# recursive CTE over DISTINCT corpus words (the operator's per-batch word
+# cache, spelled relationally).  Symbol-sequence representation: each
+# symbol individually wrapped in U+241F separators ("␟a␟␟b␟" = [a, b]) so
+# a merge (a,b) is ONE boundary-safe string replace — '␟a␟␟b␟' → '␟ab␟'
+# replaces every non-overlapping occurrence left-to-right, exactly
+# _merge_word's scan, and a symbol whose text ENDS with `a` can never
+# false-match (the wrap means the pattern only matches whole symbols).
+# Per recursion step the word's lowest-ranked applicable merge is applied;
+# the fixed point (no applicable merge) is each word's final encoding.
+# Token ids/boundaries are strings joined with '|' — hash-exact.
+from ..operators.bpe import EOW as _EOW
+from ..operators.bpe import GATE_MERGES as _GATE_MERGES
+
+_BPE_SEP = "␟"  # not in any driver vocabulary (lowercase + digits)
+_BPE_MERGE_VALUES = ",\n      ".join(
+    f"('{a}', '{b}', {r})" for r, (a, b) in enumerate(_GATE_MERGES)
+)
+# pattern/replacement fragments for a merge row m: '␟' || a || '␟␟' || b
+# || '␟'  →  '␟' || a || b || '␟'
+_BPE_PAT = f"'{_BPE_SEP}' || m.a || '{_BPE_SEP}{_BPE_SEP}' || m.b || '{_BPE_SEP}'"
+_BPE_PAT2 = _BPE_PAT.replace("m.a", "m2.a").replace("m.b", "m2.b")
+_BPE_REPL = f"'{_BPE_SEP}' || m.a || m.b || '{_BPE_SEP}'"
+
+_BPE_ORACLE_CTES = f"""
+    bpe_merges(a, b, rank) AS (
+      VALUES {_BPE_MERGE_VALUES}
+    ),
+    bpe_words AS (
+      SELECT DISTINCT word FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE word <> ''
+    ),
+    bpe_enc AS (
+      SELECT word,
+             regexp_replace(word, '(.)', '{_BPE_SEP}\\1{_BPE_SEP}', 'g')
+               || '{_BPE_SEP}{_EOW}{_BPE_SEP}' AS seq
+      FROM bpe_words
+      UNION ALL
+      SELECT e.word, replace(e.seq, {_BPE_PAT}, {_BPE_REPL}) AS seq
+      FROM bpe_enc e
+      JOIN bpe_merges m
+        ON strpos(e.seq, {_BPE_PAT}) > 0
+       AND m.rank = (SELECT min(m2.rank) FROM bpe_merges m2
+                     WHERE strpos(e.seq, {_BPE_PAT2}) > 0)
+    ),
+    bpe_final AS (
+      SELECT word, trim(replace(seq, '{_BPE_SEP}{_BPE_SEP}', '|'),
+                        '{_BPE_SEP}') AS toks
+      FROM bpe_enc e
+      WHERE NOT EXISTS (SELECT 1 FROM bpe_merges m
+                        WHERE strpos(e.seq, {_BPE_PAT}) > 0)
+    ),
+    bpe_docw AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS ord
+      FROM documents
+    ),
+    bpe_doc AS (
+      SELECT dw.doc_id,
+             string_agg(w.toks, '|' ORDER BY dw.ord) AS s,
+             CAST(sum(len(string_split(w.toks, '|'))) AS BIGINT) AS ntok,
+             CAST(len(list_distinct(flatten(
+               list(string_split(w.toks, '|') ORDER BY dw.ord)
+             ))) AS BIGINT) AS ndist
+      FROM bpe_docw dw JOIN bpe_final w USING (word)
+      WHERE dw.word <> ''
+      GROUP BY dw.doc_id
+    ),
+    bpe AS (
+      SELECT 'bpe' AS branch, d.doc_id,
+             coalesce(db.ntok, 0) AS idx,
+             coalesce(db.s, '') AS s,
+             coalesce(db.ntok, 0) > 0 AS flag,
+             coalesce(db.ndist, 0) AS n
+      FROM documents d LEFT JOIN bpe_doc db USING (doc_id)
+    )
+"""
+
+
 @register(
     "q_array_ops",
-    oracle="""
-    WITH arrays AS (
+    oracle=f"""
+    WITH RECURSIVE {_BPE_ORACLE_CTES},
+    arrays AS (
       SELECT 'arrays' AS branch, doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS idx,
              array_to_string(
@@ -1802,17 +1885,24 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM starts
     )
     SELECT * FROM arrays UNION ALL SELECT * FROM chunks
+    UNION ALL SELECT * FROM bpe
     """,
-    doc="Array/collection functions + document chunking, one labeled "
-    "union.  arrays: sort/distinct/slice/join/contains/filter-lambda "
-    "over token arrays — Spark array_* vs DuckDB list_* spellings, same "
-    "semantics (SURVEY §2.8 'absent' row, dispositioned for corpus "
-    "breadth).  chunks (round-4 fusion): operators/chunking.py's "
-    "overlapping token windows (chunk_tokens=12, overlap=4) run through "
-    "the real sequence+posexplode+slice operator — map-only, no "
-    "shuffle, no UDF — with the window starts, exact chunk TEXT, and "
-    "per-chunk token counts all recomputed closed-form by the oracle "
-    "(generate_series + list slicing).",
+    doc="Array/collection functions + document chunking + BPE encode, "
+    "one labeled union.  arrays: sort/distinct/slice/join/contains/"
+    "filter-lambda over token arrays — Spark array_* vs DuckDB list_* "
+    "spellings, same semantics (SURVEY §2.8 'absent' row, dispositioned "
+    "for corpus breadth).  chunks (round-4 fusion): operators/"
+    "chunking.py's overlapping token windows (chunk_tokens=12, "
+    "overlap=4) run through the real sequence+posexplode+slice operator "
+    "— map-only, no shuffle, no UDF — with the window starts, exact "
+    "chunk TEXT, and per-chunk token counts all recomputed closed-form "
+    "by the oracle (generate_series + list slicing).  bpe (round-9 "
+    "fusion, VERDICT r8 #5): operators/bpe.encode over every document "
+    "with the pinned GATE_MERGES table — the real mapInPandas greedy "
+    "tokenizer, map-only — vs a recursive-CTE oracle that replays the "
+    "rank-ordered merge loop per distinct word on separator-wrapped "
+    "symbol strings; per-doc token stream ('|'-joined), token count and "
+    "distinct-token count are all hash-exact.",
 )
 def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.chunking import chunk_documents
@@ -1841,7 +1931,17 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_tokens") == 12).alias("flag"),
         F.col("n_tokens").cast("long").alias("n"),
     )
-    return arrays.unionAll(chunks)
+    from ..operators import bpe as bpe_op
+
+    bpe_rows = bpe_op.encode(docs, bpe_op.GATE_MERGES).select(
+        F.lit("bpe").alias("branch"),
+        "doc_id",
+        F.col("n_bpe_tokens").alias("idx"),
+        F.array_join("tokens", "|").alias("s"),
+        (F.col("n_bpe_tokens") > 0).alias("flag"),
+        F.size(F.array_distinct("tokens")).cast("long").alias("n"),
+    )
+    return arrays.unionAll(chunks).unionAll(bpe_rows)
 
 
 _BUCKET = md5_bucket_sql("CAST(doc_id AS STRING)", 256)
