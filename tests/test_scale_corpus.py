@@ -34,9 +34,9 @@ if not os.path.isdir(SRC):  # pragma: no cover - container layout guard
 
 def test_documents_deterministic_and_faithful():
     rng = np.random.default_rng(SEED)
-    t = gen_documents(SRC, 2, rng)
-    t2 = gen_documents(SRC, 2, np.random.default_rng(SEED))
-    assert t.equals(t2)
+    t, truth = gen_documents(SRC, 2, rng)
+    t2, truth2 = gen_documents(SRC, 2, np.random.default_rng(SEED))
+    assert t.equals(t2) and truth == truth2
 
     assert t.column_names == ["doc_id", "text", "lang", "source", "n_chars"]
     n = t.num_rows
@@ -78,8 +78,8 @@ def test_documents_zipf_vocab():
     distribution is heavy-tailed over a large vocabulary — the corpus
     shape that keeps shingle buckets near-constant for LSH dedup."""
     rng = np.random.default_rng(SEED)
-    t = gen_documents(SRC, 2, rng, vocab_mode="zipf", vocab_size=5000)
-    t2 = gen_documents(
+    t, _ = gen_documents(SRC, 2, rng, vocab_mode="zipf", vocab_size=5000)
+    t2, _ = gen_documents(
         SRC, 2, np.random.default_rng(SEED), vocab_mode="zipf", vocab_size=5000
     )
     assert t.equals(t2)
@@ -108,6 +108,41 @@ def test_documents_zipf_vocab():
 
     with _pytest.raises(ValueError, match="vocab_mode"):
         gen_documents(SRC, 1, rng, vocab_mode="uniform")
+
+
+def test_planted_truth_is_true():
+    """The sidecar ground truth must describe the corpus it ships with:
+    planted near pairs really differ by ≤ NEAR_DUP_EDITS tokens, exact
+    pairs are byte-identical, and planted embedding neighbors really are
+    their seed's nearest vectors by a decisive margin."""
+    t, truth = gen_documents(SRC, 2, np.random.default_rng(SEED))
+    texts = t.column("text").to_pylist()
+    voided = {tuple(p) for p in truth["near_pairs_voided"]}
+    checked = 0
+    for i, j in truth["near_pairs"]:
+        if (i, j) in voided:
+            continue
+        a, b = texts[i].split(" "), texts[j].split(" ")
+        assert len(a) == len(b)
+        assert sum(x != y for x, y in zip(a, b)) <= truth["near_dup_edits"]
+        checked += 1
+    assert checked > 30
+    for a, b in truth["exact_pairs"]:
+        assert texts[a] == texts[b]
+
+    emb, etruth = gen_embeddings(SRC, 2, np.random.default_rng(7))
+    v = np.array(emb.column("embedding").to_pylist(), dtype=np.float32)
+    assert len(etruth["seed_neighbors"]) == 16
+    for seed_s, nbs in etruth["seed_neighbors"].items():
+        seed = int(seed_s)
+        cos = v @ v[seed]
+        cos[seed] = -2.0  # exclude self
+        top = np.argsort(-cos)[: len(nbs)]
+        assert set(top.tolist()) == set(nbs), (seed, top, nbs)
+        # decisive margin: planted ≥ 0.99, best unplanted far below
+        assert min(cos[nbs]) > 0.99
+        cos[nbs] = -2.0
+        assert cos.max() < 0.9
 
 
 def test_events_deterministic_and_faithful():
@@ -180,9 +215,9 @@ def test_relational_deterministic_fk_consistent():
 
 
 def test_embeddings_deterministic_unit_norm():
-    t = gen_embeddings(SRC, 2, np.random.default_rng(7))
-    t2 = gen_embeddings(SRC, 2, np.random.default_rng(7))
-    assert t.equals(t2)
+    t, truth = gen_embeddings(SRC, 2, np.random.default_rng(7))
+    t2, truth2 = gen_embeddings(SRC, 2, np.random.default_rng(7))
+    assert t.equals(t2) and truth == truth2
     import pyarrow as pa
 
     assert t.schema.field("embedding").type == pa.list_(pa.float32())

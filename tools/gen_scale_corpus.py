@@ -69,6 +69,18 @@ NEAR_DUP_PAIRS_PER_DOC = 0.0512  # near-dup pairs per doc (sf0.1: 256 pairs / 50
 EXACT_DUP_FRAC = 0.0016  # fraction of docs that are byte-exact copies
 NEAR_DUP_EDITS = 2  # token edits between near-dup pair members
 
+# Planted-truth constants (round 9, VERDICT r8 next #4): the generator
+# KNOWS which rows it made similar, so it emits that knowledge as a
+# sidecar (planted_truth.json) and the at-scale correctness rig
+# (tools/scale_sweep.py) verifies containment/recall against it — an
+# exact ground truth that costs O(planted), where the full brute-force
+# oracle would cost O(n²) at sf1.
+PLANT_EMB_SEEDS = 16  # seeded ANN query vectors
+PLANT_EMB_NEIGHBORS = 4  # planted neighbors per seed
+PLANT_EMB_EPS = 0.05  # noise radius: cos(seed, nb) ≈ 0.9988, vs the
+# max random cosine over 5M 64-dim pairs ≈ 0.65 — planted neighbors are
+# the top-k of their seed with enormous margin
+
 
 def _empirical_docs(src: str):
     """(vocab, vocab_probs, lengths, langs, lang_probs, sources) measured
@@ -142,22 +154,38 @@ def gen_documents(
     # near-dup pairs at the measured density: doc j := doc i, 2 edits
     n_pairs = int(round(NEAR_DUP_PAIRS_PER_DOC * n))
     involved = rng.choice(n, size=2 * n_pairs, replace=False)
+    near_pairs: list[list[int]] = []
     for p in range(n_pairs):
         i, j = int(involved[2 * p]), int(involved[2 * p + 1])
         toks = texts[i].split(" ")
         for pos in rng.choice(len(toks), size=min(NEAR_DUP_EDITS, len(toks)), replace=False):
             toks[pos] = vocab[int(rng.integers(len(vocab)))]
         texts[j] = " ".join(toks)
+        near_pairs.append([i, j])
     # byte-exact copies at the measured density (copy targets may be
     # anyone, including a near-dup member — same as organic crawl dups)
     n_exact = int(round(EXACT_DUP_FRAC * n))
     dst = rng.choice(n, size=n_exact, replace=False)
     srcs_idx = rng.choice(n, size=n_exact)
+    exact_pairs: list[list[int]] = []
     for a, b in zip(dst, srcs_idx):
         if int(a) != int(b):
             texts[int(a)] = texts[int(b)]
+            exact_pairs.append([int(a), int(b)])
 
-    return pa.table(
+    # NOTE: a later exact-copy overwrite of a near-dup MEMBER voids that
+    # planted pair; the truth records the voided ids so the rig can skip
+    # them instead of asserting stale text relationships.
+    overwritten = {a for a, _ in ((p[0], p[1]) for p in exact_pairs)}
+    truth = {
+        "near_pairs": near_pairs,
+        "exact_pairs": exact_pairs,
+        "near_pairs_voided": sorted(
+            [p for p in near_pairs if p[0] in overwritten or p[1] in overwritten],
+        ),
+        "near_dup_edits": NEAR_DUP_EDITS,
+    }
+    table = pa.table(
         {
             "doc_id": pa.array(np.arange(n, dtype=np.int64)),
             "text": pa.array(texts, type=pa.string()),
@@ -174,9 +202,10 @@ def gen_documents(
             ),
         }
     )
+    return table, truth
 
 
-def gen_embeddings(src: str, mult: int, rng: np.random.Generator) -> pa.Table:
+def gen_embeddings(src: str, mult: int, rng: np.random.Generator):
     meta = pq.read_table(f"{src}/embeddings.parquet", columns=["embedding", "label"])
     d = len(meta.column("embedding")[0].as_py())
     n_labels = int(max(meta.column("label").to_pylist())) + 1
@@ -184,7 +213,34 @@ def gen_embeddings(src: str, mult: int, rng: np.random.Generator) -> pa.Table:
 
     v = rng.standard_normal((n, d)).astype(np.float32)
     v /= np.linalg.norm(v, axis=1, keepdims=True)
-    return pa.table(
+
+    # plant seeded ANN ground truth in the TAIL rows (ids unchanged, row
+    # count unchanged): seed s sits at base, its k neighbors at
+    # base+1..base+k are seed + eps·noise renormalized — cos ≈ 0.9988,
+    # unreachable by any random pair, so the seed's exact top-k IS the
+    # planted set.  float32 end-to-end, same dtype as the organic rows.
+    n_slots = PLANT_EMB_SEEDS * (1 + PLANT_EMB_NEIGHBORS)
+    neighbors: dict[int, list[int]] = {}
+    if n >= 2 * n_slots:
+        start = n - n_slots
+        for s in range(PLANT_EMB_SEEDS):
+            base = start + s * (1 + PLANT_EMB_NEIGHBORS)
+            seed_vec = v[base]
+            nb_ids = list(range(base + 1, base + 1 + PLANT_EMB_NEIGHBORS))
+            for j in nb_ids:
+                noise = rng.standard_normal(d).astype(np.float32)
+                noise /= np.linalg.norm(noise)
+                # unit-norm noise scaled by eps ⇒ cos(seed, nb) =
+                # (1 + eps·⟨seed,noise⟩)/‖seed+eps·noise‖ ≈ 1/√(1+eps²)
+                # ≈ 0.9988 — a deterministic margin, not dimension-dependent
+                nb = seed_vec + PLANT_EMB_EPS * noise
+                v[j] = nb / np.linalg.norm(nb)
+            neighbors[base] = nb_ids
+    truth = {
+        "seed_neighbors": {str(k): ids for k, ids in neighbors.items()},
+        "eps": PLANT_EMB_EPS,
+    }
+    table = pa.table(
         {
             "vec_id": pa.array(np.arange(n, dtype=np.int64)),
             "embedding": pa.array(list(v), type=pa.list_(pa.float32())),
@@ -193,6 +249,7 @@ def gen_embeddings(src: str, mult: int, rng: np.random.Generator) -> pa.Table:
             ),
         }
     )
+    return table, truth
 
 
 def gen_events(src: str, mult: int, rng: np.random.Generator) -> pa.Table:
@@ -342,17 +399,27 @@ def main() -> None:
     out.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(SEED)
 
+    truth: dict = {"mult": args.mult, "src": args.src, "vocab": args.vocab}
     if "documents" in wanted:
-        docs = gen_documents(
+        docs, doc_truth = gen_documents(
             args.src, args.mult, rng,
             vocab_mode=args.vocab, vocab_size=args.vocab_size, zipf_s=args.zipf_s,
         )
         pq.write_table(docs, out / "documents.parquet")
-        print(f"documents: {docs.num_rows} rows (vocab={args.vocab})")
+        truth["documents"] = doc_truth
+        print(
+            f"documents: {docs.num_rows} rows (vocab={args.vocab}, "
+            f"{len(doc_truth['near_pairs'])} planted near pairs, "
+            f"{len(doc_truth['exact_pairs'])} exact)"
+        )
     if "embeddings" in wanted:
-        emb = gen_embeddings(args.src, args.mult, rng)
+        emb, emb_truth = gen_embeddings(args.src, args.mult, rng)
         pq.write_table(emb, out / "embeddings.parquet")
-        print(f"embeddings: {emb.num_rows} rows")
+        truth["embeddings"] = emb_truth
+        print(
+            f"embeddings: {emb.num_rows} rows "
+            f"({len(emb_truth['seed_neighbors'])} planted ANN seeds)"
+        )
     if "events" in wanted:
         ev = gen_events(args.src, args.mult, rng)
         pq.write_table(ev, out / "events.parquet")
@@ -373,6 +440,12 @@ def main() -> None:
             if f.name not in scaled:
                 shutil.copyfile(f, out / f.name)
                 print(f"copied {f.name} (fixed dimension)")
+
+    import json
+
+    with open(out / "planted_truth.json", "w") as f:
+        json.dump(truth, f)
+    print(f"planted_truth.json: {sorted(k for k in truth if isinstance(truth[k], dict))}")
 
 
 if __name__ == "__main__":
