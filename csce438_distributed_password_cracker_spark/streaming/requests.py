@@ -103,6 +103,7 @@ def start_request_stream(
     sink_table: str = "crack_verdicts",
     hash_func: str = "sha1",
     available_now: bool = True,
+    transform=None,
 ):
     """readStream over a directory of request files (json lines matching
     REQUEST_SCHEMA) → foreachBatch Q-CORE → in-memory sink table.
@@ -110,11 +111,21 @@ def start_request_stream(
     ``available_now`` drains what exists then stops (test/batch-catchup
     mode); False tails the directory forever like the reference's server
     loop.
+
+    ``transform`` (optional) is applied to the streaming frame BEFORE
+    the per-batch crack — the composition point for stateless stream
+    operators such as the T4 loss injector
+    (streaming/faults.inject_faults), mirroring the reference's lossy
+    transport sitting between client and server (sendto_maydrop,
+    lsp_common.c:42-95).  It must be a narrow, streaming-legal
+    DataFrame transform.
     """
     stream = (
         spark.readStream.schema(REQUEST_SCHEMA)
         .json(source_dir)
     )
+    if transform is not None:
+        stream = transform(stream)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         out = answer_request_batch(spark, batch_df, hash_func)

@@ -169,3 +169,173 @@ def test_live_stream_soak_growing_dir_chaos_and_restart():
         timeout=600,
     )
     assert "SOAK_OK" in out.stdout, out.stdout + out.stderr
+
+
+# ---- soak variant (round 9, VERDICT r8 next #7): T4 message faults ------
+# composed WITH the task-failure chaos and the checkpoint restart — the
+# reference's full adversity stack (lossy transport + dying workers +
+# server restart) on one live stream.  The injector rides the new
+# `transform` hook of start_request_stream, exactly where the lossy
+# channel sits in the reference (between client send and server recv).
+# Expected sink contents are derived by replaying the DETERMINISTIC
+# fault pattern batch-side (stream ≡ batch for stateless narrow
+# transforms — pinned in tests/test_faults.py), so the assertions are
+# exact multisets: a dropped request must NEVER be answered, a
+# duplicated one answered exactly twice, and the restart must change
+# nothing (exactly-once file-source accounting per surviving copy).
+FAULT_SOAK_SCRIPT = textwrap.dedent(
+    """
+    import hashlib
+    import json
+    import shutil
+    import sys
+    import tempfile
+    import time
+    from collections import Counter
+
+    sys.path.insert(0, "/root/repo")
+    from pyspark import TaskContext
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[4, 2]")
+        .appName("streaming-soak-faults")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import csce438_distributed_password_cracker_spark.streaming.requests as R
+    from csce438_distributed_password_cracker_spark.streaming.faults import inject_faults
+
+    retries = spark.sparkContext.accumulator(0)
+    orig_keyspace = R.keyspace
+
+    def chaos_keyspace(spark, width, *a, **k):
+        ks = orig_keyspace(spark, width, *a, **k)
+
+        def flaky(batches):
+            ctx = TaskContext.get()
+            if ctx.partitionId() == 0:
+                if ctx.attemptNumber() == 0:
+                    raise RuntimeError("simulated worker death mid-stream")
+                retries.add(1)
+            for b in batches:
+                yield b
+
+        return ks.mapInPandas(flaky, ks.schema)
+
+    R.keyspace = chaos_keyspace
+
+    FAULTS = dict(
+        key_cols=["request_id"], drop_frac=0.25, dup_frac=0.25,
+        seed="soakf", hash_mode="production",
+    )
+
+    def req(rid, word=None):
+        h = (hashlib.sha256(word.encode()).hexdigest() if word
+             else hashlib.sha256(b"NO SUCH").hexdigest())
+        return json.dumps({"request_id": rid, "hash": h, "width": 3})
+
+    words = {1: "qed", 2: None, 3: "abc", 4: None, 5: "zz", 6: "xyz",
+             7: "dog", 8: None, 9: "cat", 10: "ab", 11: "sun", 12: None}
+
+    src = tempfile.mkdtemp(prefix="fsoak_src_")
+    ckpt = tempfile.mkdtemp(prefix="fsoak_ckpt_")
+    spark.sql("DROP TABLE IF EXISTS fsoak_verdicts")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(wh + "/fsoak_verdicts", ignore_errors=True)
+
+    def write_batch(name, rids):
+        with open(src + "/" + name, "w") as f:
+            for rid in rids:
+                f.write(req(rid, words[rid]) + "\\n")
+
+    def expected_counts():
+        # authoritative replay: the injector is a pure function of
+        # (request_id, seed), so batch application over the same rows
+        # IS the stream's fault pattern
+        batch = spark.read.schema(R.REQUEST_SCHEMA).json(src)
+        return Counter(
+            r["request_id"] for r in inject_faults(batch, **FAULTS).collect()
+        )
+
+    def sink_counts():
+        try:
+            spark.catalog.refreshTable("fsoak_verdicts")
+            return Counter(
+                r["request_id"] for r in spark.table("fsoak_verdicts").collect()
+            )
+        except Exception:
+            return Counter()
+
+    def await_counts(expect, q, deadline_s=120):
+        t0 = time.time()
+        while time.time() - t0 < deadline_s:
+            if sink_counts() == expect:
+                return
+            if q.exception() is not None:
+                raise AssertionError("query died: %s" % q.exception())
+            time.sleep(0.5)
+        raise AssertionError(
+            "timeout: want %s have %s" % (expect, sink_counts()))
+
+    transform = lambda df: inject_faults(df, **FAULTS)
+
+    # ---- phase 1: live faulted stream over a growing directory ----------
+    write_batch("b1.json", [1, 2, 3, 4])
+    q = R.start_request_stream(
+        spark, src, ckpt, sink_table="fsoak_verdicts",
+        hash_func="sha256", available_now=False, transform=transform,
+    )
+    await_counts(expected_counts(), q)
+    write_batch("b2.json", [5, 6, 7, 8])
+    await_counts(expected_counts(), q)
+    q.stop()
+    q.awaitTermination()
+
+    # ---- phase 2: restart from checkpoint with more faulted traffic -----
+    write_batch("b3.json", [9, 10, 11, 12])
+    q2 = R.start_request_stream(
+        spark, src, ckpt, sink_table="fsoak_verdicts",
+        hash_func="sha256", available_now=False, transform=transform,
+    )
+    final = expected_counts()
+    await_counts(final, q2)
+    q2.stop()
+    q2.awaitTermination()
+
+    n_drop = len(words) - len(final)
+    n_dup = sum(1 for c in final.values() if c == 2)
+    assert n_drop >= 1, "fault pattern drew no drops - change the seed"
+    assert n_dup >= 1, "fault pattern drew no duplicates - change the seed"
+    assert set(final.values()) <= {1, 2}
+
+    rows = {}
+    for r in spark.table("fsoak_verdicts").collect():
+        key = (r["request_id"], r["found"], r["password"], r["reply"])
+        rows[r["request_id"]] = (r["found"], r["password"], r["reply"])
+    for rid, cnt in final.items():
+        w = words[rid]
+        if w and len(w) == 3:
+            assert rows[rid] == (True, w, "f " + w), (rid, rows[rid])
+        else:
+            assert rows[rid] == (False, None, "x"), (rid, rows[rid])
+    assert retries.value >= 2, retries.value
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    print("FSOAK_OK drops=%d dups=%d retried=%d"
+          % (n_drop, n_dup, retries.value))
+    """
+)
+
+
+def test_live_stream_soak_with_injected_message_faults():
+    out = subprocess.run(
+        [sys.executable, "-c", FAULT_SOAK_SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert "FSOAK_OK" in out.stdout, out.stdout + out.stderr
