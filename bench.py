@@ -182,13 +182,19 @@ def main() -> None:
         for n in metric_samples
         if n in op_samples
     }
-    shuffle_mb = {
-        n: round(
+    def _shuffle_mb(n: str) -> float:
+        return round(
             (_med(n, "shuffle_read_bytes") + _med(n, "shuffle_write_bytes"))
             / 1e6,
             2,
         )
-        for n in metric_samples
+
+    # split by origin, like the CPU maps: queries_shuffle_mb is the
+    # per-QUERY plan-regression signal and must not carry operator-
+    # battery entries
+    shuffle_mb = {n: _shuffle_mb(n) for n in metric_samples if n in samples}
+    op_shuffle_mb = {
+        n: _shuffle_mb(n) for n in metric_samples if n in op_samples
     }
     # n_unseen_evictions is cumulative within the tracker, so the run's
     # total is the max ever reported
@@ -216,6 +222,7 @@ def main() -> None:
         "total_cpu_median": round(sum(cpu_medians.values()), 3),
         "operators_cpu_median": op_cpu_medians,
         "queries_shuffle_mb": shuffle_mb,
+        "operators_shuffle_mb": op_shuffle_mb,
         "evictions": evictions,
         "runs": max(1, runs),
         "only": sorted(only) if only else None,

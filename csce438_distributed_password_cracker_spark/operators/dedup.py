@@ -479,30 +479,28 @@ def connected_components(
             # inside the jump join unless ReuseExchange happens to rescue it
             .localCheckpoint(eager=True)
         )
+        # Convergence is checked on MERGED (pre-jump): changed == 0 means
+        # min-over-neighbors moved no label, which forces labels constant
+        # per component AND equal to the component's min id (the min node
+        # m has comp[m] = m since labels are reachable ids ≥ the
+        # component min and ≤ own id) — at that point the jump below is
+        # the identity, so stopping here is exactly the jumped fixed
+        # point.  Checking pre-jump keeps the round at ONE eager
+        # materialization (merged): a second checkpoint per round would
+        # hold 2× label-sized block sets until the context cleaner runs.
+        changed = merged.filter(F.col("comp") != F.col("old")).limit(1).count()
         # pointer jump: comp ← comp[comp].  Labels are node ids and every
         # labeled node's label is ≤ itself under min-propagation, so the
         # jump only ever lowers comp (toward the component minimum); a
-        # comp outside the endpoint set labels itself (coalesce).
+        # comp outside the endpoint set labels itself (coalesce).  Derived
+        # LAZILY over the checkpointed merged — its consumers next round
+        # re-execute a cheap join of two materialized frames.
         jump = merged.select(
             F.col("id").alias("comp"), F.col("comp").alias("jcomp")
         )
-        # second eager checkpoint: the jump join feeds the changed-count
-        # action now and two consumers next round (nbr join + own-label
-        # union) — materializing it once beats re-executing the join three
-        # times.  Both checkpointed frames are label-sized (edge endpoints
-        # only), so the extra materialization is cheap.
-        new_labels = (
-            merged.join(jump, "comp", "left")
-            .select(
-                "id",
-                F.coalesce("jcomp", "comp").alias("comp"),
-                "old",
-            )
-        ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.filter(F.col("comp") != F.col("old")).limit(1).count()
+        labels = merged.join(jump, "comp", "left").select(
+            "id", F.coalesce("jcomp", "comp").alias("comp")
         )
-        labels = new_labels.select("id", "comp")
         if changed == 0:
             converged = True
             break

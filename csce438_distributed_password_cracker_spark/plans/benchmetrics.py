@@ -67,6 +67,13 @@ class StageMetricsTracker:
         # listed must have been evicted before any delta() saw it
         self._ids_observed: set[int] = set()
         self._max_id = -1
+        # attempts listed while still ACTIVE/PENDING whose terminal
+        # metrics we have not folded yet: if one vanishes from the store
+        # without ever being listed terminal, its CPU was lost — count it
+        # (the id-gap heuristic alone cannot see this case, since the id
+        # WAS observed)
+        self._pending: set[tuple[int, int]] = set()
+        self._evicted_pending = 0
         # prime: account (and discard) everything already in the store so
         # the first real delta doesn't inherit session-startup stages
         self.delta()
@@ -117,9 +124,13 @@ class StageMetricsTracker:
             live.add(key)
             self._ids_observed.add(key[0])
             self._max_id = max(self._max_id, key[0])
-            if key in self._seen or s.status().toString() not in _TERMINAL:
+            if key in self._seen:
+                continue
+            if s.status().toString() not in _TERMINAL:
+                self._pending.add(key)
                 continue
             self._seen.add(key)
+            self._pending.discard(key)
             out["cpu_sec"] += s.executorCpuTime() / 1e9
             out["run_sec"] += s.executorRunTime() / 1e3
             out["shuffle_read_bytes"] += s.shuffleReadBytes()
@@ -127,11 +138,16 @@ class StageMetricsTracker:
             out["input_bytes"] += s.inputBytes()
             out["output_bytes"] += s.outputBytes()
             out["n_stages"] += 1
+        # a pending (non-terminal) attempt that left the store without
+        # ever being listed terminal lost its metrics — count it
+        vanished = self._pending - live
+        self._evicted_pending += len(vanished)
+        self._pending -= vanished
         # sequential-id gap ⇒ a stage was evicted before any delta() listed
         # it; surface the count instead of silently under-reporting
         if self._max_id >= 0:
             missing = (self._max_id + 1) - len(self._ids_observed)
-            out["n_unseen_evictions"] = missing
+            out["n_unseen_evictions"] = missing + self._evicted_pending
         # keep _seen bounded to the store's retention: anything we saw that
         # the store has dropped can never be re-listed
         self._seen &= live

@@ -60,7 +60,14 @@ def _uniform(key_cols: Sequence[str], tag: str, hash_mode: str) -> Column:
     (``concat_ws``), so a NULL component degrades to the empty string
     rather than poisoning the draw to NULL (which would silently
     exempt the row from every fault) — and a row's NULL-key disposition
-    is identical across hash modes."""
+    is identical across hash modes.
+
+    Multi-column key caveat (inherent to the joined-string design both
+    modes share): components are joined with ``':'``, so two DIFFERENT
+    keys whose rendered values embed the delimiter can collide —
+    ``('x:y', 'z')`` and ``('x', 'y:z')`` draw the SAME faults.  Pick
+    key columns whose string forms cannot contain ``':'`` (ids,
+    numbers), or pre-join the key yourself with a safe delimiter."""
     key_sql = ", ".join(f"CAST({c} AS STRING)" for c in key_cols)
     joined = f"concat_ws(':', {key_sql})"
     if hash_mode == "portable":

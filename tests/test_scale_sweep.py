@@ -56,7 +56,7 @@ def test_planted_checks_pass_on_fresh_corpus(spark, tiny_corpus):
     assert "planted recalled" in detail
     ok, detail = sw.check_components(spark, sf_dir, truth)
     assert ok, detail
-    assert "fixed point verified" in detail
+    assert "union-find" in detail
     ok, detail = sw.check_knn(spark, sf_dir, truth)
     assert ok, detail
 
@@ -89,8 +89,9 @@ def test_knn_check_detects_corruption(spark, tiny_corpus, tmp_path):
 
 
 def test_components_check_detects_bad_labeling(spark, tiny_corpus, monkeypatch):
-    """Sabotage connected_components to return self-labels: the
-    fixed-point audit must reject it whenever any edge exists."""
+    """Sabotage connected_components both ways — split (self-labels)
+    and spurious merge (all one label): the union-find comparison must
+    reject BOTH; a fixed-point audit alone cannot see the merge case."""
     from pyspark.sql import functions as F
 
     from csce438_distributed_password_cracker_spark.operators import dedup
@@ -102,4 +103,15 @@ def test_components_check_detects_bad_labeling(spark, tiny_corpus, monkeypatch):
 
     monkeypatch.setattr(dedup, "connected_components", self_labels)
     ok, detail = sw.check_components(spark, sf_dir, truth)
-    assert not ok and "straddle" in detail
+    assert not ok and "union-find" in detail
+
+    def merged_labels(ids, edges, **kw):
+        # over-merge: every node labeled by the GLOBAL min id — constant
+        # on every edge (a fixed point), but fuses unrelated components
+        return ids.select(
+            "id", F.lit(0).cast("long").alias("component_id")
+        )
+
+    monkeypatch.setattr(dedup, "connected_components", merged_labels)
+    ok, detail = sw.check_components(spark, sf_dir, truth)
+    assert not ok and "union-find" in detail

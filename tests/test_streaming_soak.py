@@ -312,16 +312,18 @@ FAULT_SOAK_SCRIPT = textwrap.dedent(
     assert n_dup >= 1, "fault pattern drew no duplicates - change the seed"
     assert set(final.values()) <= {1, 2}
 
-    rows = {}
-    for r in spark.table("fsoak_verdicts").collect():
-        key = (r["request_id"], r["found"], r["password"], r["reply"])
-        rows[r["request_id"]] = (r["found"], r["password"], r["reply"])
+    # verify EVERY copy, not just the last row per id: a duplicated
+    # request must yield byte-identical verdicts in all copies
+    row_counts = Counter(
+        (r["request_id"], r["found"], r["password"], r["reply"])
+        for r in spark.table("fsoak_verdicts").collect()
+    )
     for rid, cnt in final.items():
         w = words[rid]
-        if w and len(w) == 3:
-            assert rows[rid] == (True, w, "f " + w), (rid, rows[rid])
-        else:
-            assert rows[rid] == (False, None, "x"), (rid, rows[rid])
+        want = ((True, w, "f " + w) if w and len(w) == 3
+                else (False, None, "x"))
+        assert row_counts[(rid,) + want] == cnt, (rid, cnt, dict(row_counts))
+    assert sum(row_counts.values()) == sum(final.values())
     assert retries.value >= 2, retries.value
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)

@@ -167,16 +167,21 @@ def gen_documents(
     n_exact = int(round(EXACT_DUP_FRAC * n))
     dst = rng.choice(n, size=n_exact, replace=False)
     srcs_idx = rng.choice(n, size=n_exact)
-    exact_pairs: list[list[int]] = []
+    copied: list[tuple[int, int]] = []
     for a, b in zip(dst, srcs_idx):
         if int(a) != int(b):
             texts[int(a)] = texts[int(b)]
-            exact_pairs.append([int(a), int(b)])
+            copied.append((int(a), int(b)))
 
-    # NOTE: a later exact-copy overwrite of a near-dup MEMBER voids that
-    # planted pair; the truth records the voided ids so the rig can skip
-    # them instead of asserting stale text relationships.
-    overwritten = {a for a, _ in ((p[0], p[1]) for p in exact_pairs)}
+    # Ground truth is recorded AFTER all mutation: a copy SOURCE that is
+    # itself overwritten by a later copy leaves (a, b) no longer equal
+    # (~47% of sf1 corpora hit this at least once), so exact_pairs keeps
+    # only pairs still byte-identical in the final corpus.  A later
+    # overwrite of a near-dup MEMBER likewise voids that planted pair;
+    # the voided list lets the rig skip them instead of asserting stale
+    # text relationships.
+    exact_pairs = [[a, b] for a, b in copied if texts[a] == texts[b]]
+    overwritten = {a for a, _ in copied}
     truth = {
         "near_pairs": near_pairs,
         "exact_pairs": exact_pairs,
@@ -443,7 +448,16 @@ def main() -> None:
 
     import json
 
-    with open(out / "planted_truth.json", "w") as f:
+    # a --tables-restricted run must not destroy sidecar truth for the
+    # tables it did NOT regenerate — merge over any existing sidecar
+    sidecar = out / "planted_truth.json"
+    if sidecar.exists():
+        with open(sidecar) as f:
+            prev = json.load(f)
+        for k in ("documents", "embeddings"):
+            if k in prev and k not in truth:
+                truth[k] = prev[k]
+    with open(sidecar, "w") as f:
         json.dump(truth, f)
     print(f"planted_truth.json: {sorted(k for k in truth if isinstance(truth[k], dict))}")
 

@@ -268,78 +268,90 @@ def check_jaccard(spark, sf_dir: str, truth: dict) -> tuple[bool, str]:
     return True, "; ".join(notes)
 
 
+COMPONENTS_EDGE_CAP = 2_000_000
+COMPONENTS_NODE_CAP = 20_000_000
+
+
 def check_components(spark, sf_dir: str, truth: dict) -> tuple[bool, str]:
-    """q_dedup_components without the O(n²) recursive oracle: given the
-    edge set (whose generation check_jaccard audits), connected-
-    components output is EXACTLY correct iff (a) both endpoints of every
-    edge share a label, (b) every label group's min member id equals the
-    label, and (c) every node's label ≤ its id (labels are reachable
-    ids under min-propagation).  (a)+(b)+(c) are linear joins/aggs; a
-    labeling satisfying them is THE min-id component labeling.  Planted
-    pairs clearing the Jaccard threshold must co-label (spot recall)."""
+    """q_dedup_components without the O(n²) recursive oracle: the edge
+    LIST is output-sized (its generation is what check_jaccard audits),
+    so an INDEPENDENT driver-side union-find over the collected edges
+    computes the exact min-id labeling in O(nodes + edges), and the
+    operator's full labeling is compared to it row for row.  This
+    catches both split components (an edge straddling two labels) and
+    spurious merges (two true components sharing a label) — a
+    fixed-point audit alone cannot see the latter.  Bounded by loud
+    caps: a corpus whose emitted edge list exceeds them needs a bigger
+    rig, not a silent sample."""
     from pyspark.sql import functions as F
 
     from csce438_distributed_password_cracker_spark.catalog import load_table
     from csce438_distributed_password_cracker_spark.operators import dedup
 
     docs = load_table(spark, sf_dir, "documents")
-    edges = dedup.ngram_jaccard_pairs(
+    edges_df = dedup.ngram_jaccard_pairs(
         docs, "doc_id", "text", n=JACCARD_N, threshold=JACCARD_THRESHOLD
     ).select("id_a", "id_b")
-    edges = edges.localCheckpoint(eager=True)  # reused thrice below
     ids = docs.select(F.col("doc_id").alias("id"))
-    labels = dedup.connected_components(ids, edges).localCheckpoint(eager=True)
+    labels_df = dedup.connected_components(ids, edges_df)
 
-    la = labels.withColumnRenamed("id", "id_a").withColumnRenamed(
-        "component_id", "comp_a"
-    )
-    lb = labels.withColumnRenamed("id", "id_b").withColumnRenamed(
-        "component_id", "comp_b"
-    )
-    bad_edges = (
-        edges.join(la, "id_a").join(lb, "id_b")
-        .filter(F.col("comp_a") != F.col("comp_b"))
-        .count()
-    )
-    if bad_edges:
-        return False, f"{bad_edges} edges straddle two components"
-    bad_min = (
-        labels.groupBy("component_id")
-        .agg(F.min("id").alias("min_id"))
-        .filter(F.col("min_id") != F.col("component_id"))
-        .count()
-    )
-    if bad_min:
-        return False, f"{bad_min} component labels are not their min member"
-    bad_ord = labels.filter(F.col("component_id") > F.col("id")).count()
-    if bad_ord:
-        return False, f"{bad_ord} labels exceed their node id"
-    n_nodes = labels.count()
     n_docs = docs.count()
-    if n_nodes != n_docs:
-        return False, f"label cardinality {n_nodes} != {n_docs} docs"
+    if n_docs > COMPONENTS_NODE_CAP:
+        return False, f"{n_docs} nodes exceeds the driver-side audit cap"
+    edges = [(r["id_a"], r["id_b"]) for r in edges_df.collect()]
+    if len(edges) > COMPONENTS_EDGE_CAP:
+        return False, f"{len(edges)} edges exceeds the driver-side audit cap"
+
+    # independent reference: path-compressing union-find (by min root)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    got = {
+        r["id"]: r["component_id"] for r in labels_df.collect()
+    }
+    if len(got) != n_docs:
+        return False, f"label cardinality {len(got)} != {n_docs} docs"
+    n_bad = 0
+    first_bad = None
+    for node, comp in got.items():
+        want = find(node)
+        if comp != want:
+            n_bad += 1
+            first_bad = first_bad or (node, comp, want)
+    if n_bad:
+        return False, (
+            f"{n_bad} labels differ from the union-find reference; "
+            f"first: node {first_bad[0]} got {first_bad[1]} want {first_bad[2]}"
+        )
 
     texts = _texts(sf_dir)
     voided = {tuple(p) for p in truth["documents"]["near_pairs_voided"]}
-    pairs = [
-        p for p in truth["documents"]["near_pairs"] if tuple(p) not in voided
-    ]
-    planted_ids = sorted({i for p in pairs for i in p})
-    lab = {
-        r["id"]: r["component_id"]
-        for r in labels.filter(F.col("id").isin(planted_ids)).collect()
-    }
     n_checked = 0
-    for i, j in pairs:
+    for i, j in truth["documents"]["near_pairs"]:
+        if (i, j) in voided:
+            continue
         a, b = _shingles(texts[i], JACCARD_N), _shingles(texts[j], JACCARD_N)
         if round(len(a & b) / len(a | b), 6) < JACCARD_THRESHOLD:
             continue
-        if lab[i] != lab[j]:
+        if got[i] != got[j]:
             return False, f"planted pair {(i, j)} split across components"
         n_checked += 1
     return True, (
-        f"fixed point verified over {n_nodes} nodes; "
-        f"{n_checked} planted pairs co-labeled"
+        f"exact match vs union-find over {n_docs} nodes / {len(edges)} "
+        f"edges; {n_checked} planted pairs co-labeled"
     )
 
 
