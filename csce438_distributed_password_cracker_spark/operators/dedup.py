@@ -521,6 +521,13 @@ def connected_components(
         import warnings
 
         warnings.warn(msg, RuntimeWarning, stacklevel=2)
+    # materialize the FINAL labels once (the per-round frames stay at one
+    # checkpoint each): the loop leaves `labels` as a lazy jump join over
+    # the last checkpointed merged, and returning that plan would make
+    # every downstream action re-execute the join — and re-enter the
+    # returned plan's Exchange count, which the corpus-wide
+    # shuffle-budget pin tracks
+    labels = labels.localCheckpoint(eager=True)
     return ids.select("id").join(labels, "id", "left").select(
         "id", F.coalesce("comp", F.col("id")).alias("component_id")
     )
