@@ -20,7 +20,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, table_path
 from ..functions import vectors
 from ..operators import decontam, dedup, multimodal, similarity, textnorm, textops
 from ..operators.split import (
@@ -43,18 +43,18 @@ def warehouse_root_tag(sf_dir: str) -> tuple["Path", str]:
     return root, tag
 
 
-def _content_tag(df: DataFrame, col: str) -> int:
-    """Order-independent exact content fingerprint for build-once gate
-    indexes: sum of per-row xxhash64 over the column's string form,
-    folded to a non-negative path-safe int.  One cheap scan; a
-    regenerated table changes the tag, so the index rebuilds instead
-    of serving stale data."""
-    h = df.agg(
-        # decimal accumulator: a long sum of xxhash64 values overflows
-        # under ANSI mode
-        F.sum(F.xxhash64(F.col(col).cast("string")).cast("decimal(38,0)"))
-    ).first()[0]
-    return int(h or 0) % 1_000_000_007
+def _source_tag(spark: SparkSession, sf_dir: str, table: str) -> int:
+    """Freshness fingerprint for build-once gate indexes: the table's
+    FILE-LISTING tag (fsutil.listing_tag — names, sizes, mtimes; zero
+    data scan, zero Spark jobs).  A regenerated table re-tags, so the
+    index rebuilds instead of serving stale data.  Round 9 replaced the
+    former per-call full-corpus xxhash aggregation here: a probe-path
+    freshness check that scans the corpus costs O(table) per probe —
+    at sf10 it DOMINATED the ANN probe (the very cost the build/probe
+    split exists to avoid), and at 100 TB it would be absurd."""
+    from ..fsutil import listing_tag
+
+    return listing_tag(spark, table_path(sf_dir, table))
 
 from ..functions.porthash import md5_int_duckdb as _md5_duck
 
@@ -1089,7 +1089,7 @@ def q_similarity_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AND a content fingerprint, so a driver-regenerated documents
     # table (or an index schema change) invalidates by path instead of
     # probing a stale index
-    idx = str(root / f"bm25_{tag}_b16tb_{_content_tag(docs, 'text')}")
+    idx = str(root / f"bm25_{tag}_b16tb_{_source_tag(spark, sf_dir, 'documents')}")
     if not (Path(idx) / "stats").exists():
         search.bm25_build(docs, "doc_id", "text", idx, n_buckets=16)
     from ..operators.hybrid import rrf_fuse
@@ -2605,7 +2605,7 @@ def q_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # content fingerprint in the tag: a driver-regenerated embeddings
     # table invalidates by path instead of probing stale bucketed data
     # (same discipline as the bm25 gate index)
-    fp = _content_tag(emb, "embedding")
+    fp = _source_tag(spark, sf_dir, "embeddings")
     lsh_path = str(root / f"lsh_{tag}_d64p8s42_{fp}")
     # tag encodes the centroid-seeding scheme (md5 ordering) — an index
     # built under the old xxhash64 ordering has different clusters and

@@ -255,3 +255,31 @@ def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
     # but far better than nothing)
     x_z, _ = overlapping_files(z_path, "x", 10.0, 20.0)
     assert x_z < total_z
+
+
+def test_listing_tag_metadata_only_and_rewrite_sensitive(spark, tmp_path):
+    """fsutil.listing_tag: the freshness fingerprint probe paths key on
+    must (a) launch ZERO Spark jobs (it is the check a 100 TB probe can
+    afford — a data scan here re-creates the O(table)-per-probe cost
+    the build/probe split removes), (b) be stable across reads, and
+    (c) change when the dataset is rewritten."""
+    import time
+
+    from csce438_distributed_password_cracker_spark import fsutil
+    from csce438_distributed_password_cracker_spark.plans.benchmetrics import (
+        StageMetricsTracker,
+    )
+
+    p = str(tmp_path / "ds")
+    spark.range(100).write.parquet(p)
+    tracker = StageMetricsTracker(spark)
+    tracker.delta()
+    t1 = fsutil.listing_tag(spark, p)
+    t2 = fsutil.listing_tag(spark, p)
+    d = tracker.delta()
+    assert d["n_stages"] == 0, "listing_tag must not run Spark jobs"
+    assert t1 == t2
+    assert 0 <= t1 < 1_000_000_007
+    time.sleep(0.05)  # mtime resolution guard
+    spark.range(100).write.mode("overwrite").parquet(p)
+    assert fsutil.listing_tag(spark, p) != t1
