@@ -41,10 +41,14 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 #: StageData statuses with final task metrics.  ACTIVE/PENDING stages are
-#: left for a later delta() call; SKIPPED stages carry zero metrics and a
-#: reused earlier stage's output, so counting them would double nothing
-#: but would inflate n_stages.
+#: left for a later delta() call.  SKIPPED is ALSO terminal — the stage
+#: reused an earlier stage's shuffle output and will never run tasks —
+#: but carries zero metrics, so it is accounted as seen WITHOUT folding
+#: (folding would double nothing, counting would inflate n_stages, and
+#: leaving it pending forever would surface as a spurious
+#: n_unseen_evictions when the store eventually drops it — ADVICE r9).
 _TERMINAL = frozenset({"COMPLETE", "FAILED"})
+_TERMINAL_ZERO = frozenset({"SKIPPED"})
 
 
 class StageMetricsTracker:
@@ -126,7 +130,15 @@ class StageMetricsTracker:
             self._max_id = max(self._max_id, key[0])
             if key in self._seen:
                 continue
-            if s.status().toString() not in _TERMINAL:
+            status = s.status().toString()
+            if status in _TERMINAL_ZERO:
+                # terminal-with-zero-metrics: account as seen so a later
+                # store eviction of this attempt is not miscounted as
+                # lost work (it has none to lose)
+                self._seen.add(key)
+                self._pending.discard(key)
+                continue
+            if status not in _TERMINAL:
                 self._pending.add(key)
                 continue
             self._seen.add(key)

@@ -49,6 +49,49 @@ def test_attributes_work_to_the_right_window(spark):
     assert d3["n_stages"] == 0 and d3["cpu_sec"] == 0.0
 
 
+def test_skipped_stages_are_terminal_not_pending(spark):
+    """SKIPPED stages (shuffle-reuse: the second job over the same
+    shuffle lineage lists its map stages as SKIPPED) are
+    terminal-with-zero-metrics.  They must land in _seen, not sit in
+    _pending forever — a store eviction of a forever-pending SKIPPED
+    attempt would count as n_unseen_evictions and falsely invalidate
+    the CPU numbers (ADVICE r9)."""
+    from pyspark.sql import functions as F2
+
+    tracker = StageMetricsTracker(spark)
+    df = (
+        spark.range(1_000_000)
+        .select((F2.col("id") % 64).alias("k"))
+        .groupBy("k")
+        .count()
+    )
+    df.count()
+    tracker.delta()
+    df.count()  # re-submission lists the reused map stages as SKIPPED
+    d = tracker.delta()
+    assert d["n_unseen_evictions"] == 0
+
+    store = spark.sparkContext._jsc.sc().statusStore()
+    jvm = spark.sparkContext._jvm
+    gw = spark.sparkContext._gateway
+    stages = store.stageList(
+        jvm.java.util.ArrayList(),
+        False,
+        False,
+        gw.new_array(jvm.double, 0),
+        jvm.java.util.ArrayList(),
+    )
+    skipped = {
+        (stages.apply(i).stageId(), stages.apply(i).attemptId())
+        for i in range(stages.size())
+        if stages.apply(i).status().toString() == "SKIPPED"
+    }
+    assert skipped, "workload failed to produce a SKIPPED stage"
+    # every skipped attempt is accounted terminal (seen), none pending
+    assert skipped & tracker._seen == skipped
+    assert not (skipped & tracker._pending)
+
+
 def test_shuffle_bytes_deterministic_across_repeats(spark):
     """Shuffle volume is a property of the PLAN, not the host: two runs
     of the same job must attribute (near-)identical shuffle bytes —
