@@ -25,7 +25,12 @@ read+write volume, both read from the status store per query
 (plans/benchmetrics.py) — CPU-seconds is the round-over-round
 comparison headline from r9 on, because task CPU doesn't inflate when
 the shared host deschedules us.  `evictions` must be 0 for the CPU
-numbers to be trusted (it counts stages evicted unread).  The
+numbers to be trusted (it counts stages evicted unread).  Round 10
+adds the PYTHON side (BASELINE.md §C.18): `queries_pycpu_median` /
+`total_pycpu_median` measure driver + pyspark-worker process CPU
+(plans/pycpu.py, /proc-based) — the JVM column misses Arrow kernels
+and driver-side folds entirely, so the round-over-round basis is the
+SUM of the two columns.  The
 `operators` / `operators_median` maps time the production-operator
 battery (every entry of plans/opbench.py:OPERATOR_BENCH — the registry
 is the source of truth; see its module docstring for the current
@@ -51,9 +56,26 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import pandas as pd  # noqa: E402
+from pyspark.sql.functions import pandas_udf  # noqa: E402
+
 from csce438_distributed_password_cracker_spark.plans import corpus  # noqa: E402
 from csce438_distributed_password_cracker_spark.plans import pipeline_queries  # noqa: E402
 from csce438_distributed_password_cracker_spark.session import get_spark  # noqa: E402
+
+
+def _warm_daemons_udf():
+    """Identity Arrow kernel: forces the pyspark worker daemons up (fork
+    + pandas import) before the timed passes, so that one-off cost never
+    attributes to the first Arrow query's py-CPU window (§C.18).  Built
+    lazily — the decorator parses its return type against the active
+    session, which doesn't exist at import time."""
+
+    @pandas_udf("long")
+    def _warm(v: pd.Series) -> pd.Series:
+        return v
+
+    return _warm
 
 
 def main() -> None:
@@ -103,6 +125,23 @@ def main() -> None:
     )
 
     tracker = StageMetricsTracker(spark)
+
+    # §C.18 second column: Python-side CPU (driver + pyspark workers)
+    # — executorCpuTime is JVM task threads only, so Arrow-kernel and
+    # driver-loop queries under-report in the §C.13 basis; this column
+    # closes the one hole through which moving work JVM→Python would
+    # read as a CPU improvement.  Warm the worker daemons first so the
+    # fork + numpy/pandas import cost doesn't attribute to whichever
+    # Arrow query happens to run first.
+    from csce438_distributed_password_cracker_spark.plans.pycpu import (  # noqa: E402
+        PythonCpuTracker,
+    )
+
+    spark.range(1000).select(_warm_daemons_udf()("id")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    tracker.delta()  # warmup stages belong to no query
+    py_tracker = PythonCpuTracker()
     metric_samples: dict[str, list[dict]] = {}
 
     # Ingest-time builds run BEFORE the timed passes and are reported
@@ -116,6 +155,7 @@ def main() -> None:
         relational.ensure_bucketed_tables(spark, sf_dir)
         setup["bucketed_build"] = round(time.perf_counter() - t0, 3)
         tracker.delta()  # don't attribute the setup's stages to query 1
+        py_tracker.delta()
 
     # Interleave the passes (run the whole corpus, then run it again) rather
     # than timing each query back-to-back: this box's slowdowns come in
@@ -151,12 +191,16 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.setdefault(name, []).append(time.perf_counter() - t0)
-            metric_samples.setdefault(name, []).append(tracker.delta())
+            m = tracker.delta()
+            m["py_cpu_sec"] = py_tracker.delta()
+            metric_samples.setdefault(name, []).append(m)
         for name in op_names:
             t0 = time.perf_counter()
             opbench.OPERATOR_BENCH[name](spark, sf_dir)
             op_samples.setdefault(name, []).append(time.perf_counter() - t0)
-            metric_samples.setdefault(name, []).append(tracker.delta())
+            m = tracker.delta()
+            m["py_cpu_sec"] = py_tracker.delta()
+            metric_samples.setdefault(name, []).append(m)
 
     timings = {name: round(min(s), 3) for name, s in samples.items()}
     medians = {
@@ -179,6 +223,16 @@ def main() -> None:
     }
     op_cpu_medians = {
         n: round(_med(n, "cpu_sec"), 3)
+        for n in metric_samples
+        if n in op_samples
+    }
+    pycpu_medians = {
+        n: round(_med(n, "py_cpu_sec"), 3)
+        for n in metric_samples
+        if n in samples
+    }
+    op_pycpu_medians = {
+        n: round(_med(n, "py_cpu_sec"), 3)
         for n in metric_samples
         if n in op_samples
     }
@@ -221,6 +275,12 @@ def main() -> None:
         "queries_cpu_median": cpu_medians,
         "total_cpu_median": round(sum(cpu_medians.values()), 3),
         "operators_cpu_median": op_cpu_medians,
+        # §C.18: Python-side CPU (driver + pyspark worker process tree,
+        # plans/pycpu.py) — the JVM column's blind spot.  Combined
+        # basis = queries_cpu_median + queries_pycpu_median.
+        "queries_pycpu_median": pycpu_medians,
+        "total_pycpu_median": round(sum(pycpu_medians.values()), 3),
+        "operators_pycpu_median": op_pycpu_medians,
         "queries_shuffle_mb": shuffle_mb,
         "operators_shuffle_mb": op_shuffle_mb,
         "evictions": evictions,
