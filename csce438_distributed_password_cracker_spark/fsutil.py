@@ -82,17 +82,30 @@ def exists(spark: SparkSession, path: str) -> bool:
     return _local_or_raise(path, "probe").exists()
 
 
-def listing_tag(spark: SparkSession, path: str) -> int:
-    """O(#files) content fingerprint of a dataset: md5 over the sorted
-    file listing's (name, length, modification time), folded to a
-    path-safe int.  Every rewrite of a parquet dataset changes
-    mtime/size, so a regenerated table re-tags — the freshness signal
-    build-once index paths key on — WITHOUT scanning a single data row.
-    This is the check a 100 TB probe can afford: the former per-call
-    full-corpus hash aggregation dominated gate-probe cost at sf10
-    (a metadata listing is O(files) on any Hadoop filesystem; on object
-    stores it is one LIST per prefix page).  Zero Spark jobs — pinned
-    in tests."""
+def listing_tag(spark: SparkSession, path: str, salt: str = "") -> int:
+    """O(#files) **freshness/listing fingerprint** of a dataset: md5
+    over file count + total bytes + the sorted file listing's (name,
+    length, modification time), folded to a path-safe int.  Every
+    normal rewrite of a parquet dataset changes mtime/size/names, so a
+    regenerated table re-tags — the freshness signal build-once index
+    paths key on — WITHOUT scanning a single data row.  This is the
+    check a 100 TB probe can afford: the former per-call full-corpus
+    hash aggregation dominated gate-probe cost at sf10 (a metadata
+    listing is O(files) on any Hadoop filesystem; on object stores it
+    is one LIST per prefix page).  Zero Spark jobs — pinned in tests.
+
+    This is deliberately NOT a content fingerprint (ADVICE r9): a
+    dataset rewritten in place with identical file names AND identical
+    sizes AND mtimes within the same millisecond (object-store copy
+    with preserved metadata; coarse-mtime filesystems) keeps its tag,
+    and a stale index would be served.  Callers that need exact
+    content invalidation must force a rebuild — ``salt`` is the escape
+    hatch: any nonempty value folds into the hash, changing the tag
+    (and therefore the tag-keyed index path) deterministically.  The
+    gate/opbench probe paths wire it to ``$SPARK_GRAFT_FORCE_REBUILD``
+    (plans/pipeline_queries._source_tag); deleting the index directory
+    works too.  The limitation and the hatch are pinned in
+    tests/test_maintenance.py."""
     import hashlib
 
     entries: list[str] = []
@@ -112,7 +125,12 @@ def listing_tag(spark: SparkSession, path: str) -> int:
             if fp.is_file():
                 s = fp.stat()
                 entries.append(f"{fp}|{s.st_size}|{s.st_mtime_ns // 1_000_000}")
-    h = hashlib.md5("\n".join(sorted(entries)).encode()).hexdigest()
+    total_bytes = sum(int(e.split("|")[-2]) for e in entries)
+    payload = (
+        f"n={len(entries)}|bytes={total_bytes}|salt={salt}\n"
+        + "\n".join(sorted(entries))
+    )
+    h = hashlib.md5(payload.encode()).hexdigest()
     return int(h, 16) % 1_000_000_007
 
 

@@ -238,7 +238,10 @@ def _cached_content_tag(spark: SparkSession, sf_dir: str) -> str:
     pipeline_queries._source_tag), O(#files) metadata and zero Spark
     jobs, so it needs no cache to stay out of the timed probe numbers.
     A regenerated documents table changes mtimes and re-tags, keeping
-    the invalidate-on-content contract."""
+    the invalidate-on-rewrite contract (NOT exact content: a same-
+    names/sizes/mtime-ms in-place rewrite keeps the tag — set
+    SPARK_GRAFT_FORCE_REBUILD=<new value> or delete the opbench_*
+    index dirs to force a rebuild; see fsutil.listing_tag)."""
     from .pipeline_queries import _source_tag
 
     return str(_source_tag(spark, sf_dir, "documents"))

@@ -51,10 +51,20 @@ def _source_tag(spark: SparkSession, sf_dir: str, table: str) -> int:
     former per-call full-corpus xxhash aggregation here: a probe-path
     freshness check that scans the corpus costs O(table) per probe —
     at sf10 it DOMINATED the ANN probe (the very cost the build/probe
-    split exists to avoid), and at 100 TB it would be absurd."""
+    split exists to avoid), and at 100 TB it would be absurd.
+
+    Residual staleness hole (documented in listing_tag's docstring): a
+    same-names/same-sizes/same-mtime-ms in-place rewrite keeps the tag.
+    Escape hatch: set ``SPARK_GRAFT_FORCE_REBUILD=<any new value>`` —
+    it salts the tag, so every tag-keyed index path changes and the
+    next access rebuilds from the current data."""
     from ..fsutil import listing_tag
 
-    return listing_tag(spark, table_path(sf_dir, table))
+    return listing_tag(
+        spark,
+        table_path(sf_dir, table),
+        salt=os.environ.get("SPARK_GRAFT_FORCE_REBUILD", ""),
+    )
 
 from ..functions.porthash import md5_int_duckdb as _md5_duck
 

@@ -67,7 +67,15 @@ def _uniform(key_cols: Sequence[str], tag: str, hash_mode: str) -> Column:
     keys whose rendered values embed the delimiter can collide —
     ``('x:y', 'z')`` and ``('x', 'y:z')`` draw the SAME faults.  Pick
     key columns whose string forms cannot contain ``':'`` (ids,
-    numbers), or pre-join the key yourself with a safe delimiter."""
+    numbers), or pre-join the key yourself with a safe delimiter.
+
+    Seed-compatibility break (round 9, ADVICE r9): production mode
+    used to hash per-column (``xxhash64(tag, c1, c2, ...)``); it now
+    hashes the ':'-joined string, so any given seed replays a
+    DIFFERENT drop/dup/delay pattern than pre-r9 builds.  In-repo
+    soak baselines were re-derived; fault corpora or expected-verdict
+    sets recorded against a pre-r9 build must be regenerated, not
+    compared."""
     key_sql = ", ".join(f"CAST({c} AS STRING)" for c in key_cols)
     joined = f"concat_ws(':', {key_sql})"
     if hash_mode == "portable":

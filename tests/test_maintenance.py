@@ -283,3 +283,49 @@ def test_listing_tag_metadata_only_and_rewrite_sensitive(spark, tmp_path):
     time.sleep(0.05)  # mtime resolution guard
     spark.range(100).write.mode("overwrite").parquet(p)
     assert fsutil.listing_tag(spark, p) != t1
+
+
+def test_listing_tag_limitation_and_force_rebuild_salt(spark, tmp_path):
+    """listing_tag is a FRESHNESS fingerprint, not a content hash
+    (ADVICE r9): an in-place rewrite that preserves every file's name,
+    size and mtime-ms is invisible to it.  Pin that documented
+    limitation executable-y, and pin the escape hatch: a salt (the
+    SPARK_GRAFT_FORCE_REBUILD wiring in _source_tag) deterministically
+    changes the tag without touching the data."""
+    import os
+
+    from csce438_distributed_password_cracker_spark import fsutil
+
+    d = tmp_path / "ds"
+    d.mkdir()
+    f = d / "part-00000.bin"
+    f.write_bytes(b"A" * 64)
+    st = f.stat()
+    t1 = fsutil.listing_tag(spark, str(d))
+
+    # same-size same-mtime rewrite: content changed, tag CANNOT see it
+    f.write_bytes(b"B" * 64)
+    os.utime(f, ns=(st.st_atime_ns, st.st_mtime_ns))
+    assert fsutil.listing_tag(spark, str(d)) == t1  # the documented hole
+
+    # the escape hatch: any new salt re-tags deterministically
+    s1 = fsutil.listing_tag(spark, str(d), salt="rebuild-1")
+    assert s1 != t1
+    assert fsutil.listing_tag(spark, str(d), salt="rebuild-1") == s1
+    assert fsutil.listing_tag(spark, str(d), salt="rebuild-2") != s1
+
+    # a size change IS seen even at identical mtime (size is listed)
+    f.write_bytes(b"B" * 65)
+    os.utime(f, ns=(st.st_atime_ns, st.st_mtime_ns))
+    assert fsutil.listing_tag(spark, str(d)) != t1
+
+    # _source_tag folds the env hatch in
+    from csce438_distributed_password_cracker_spark.plans import pipeline_queries as pq
+
+    base = pq._source_tag(spark, "/root/testdata/sf0.001", "region")
+    os.environ["SPARK_GRAFT_FORCE_REBUILD"] = "test-hatch"
+    try:
+        assert pq._source_tag(spark, "/root/testdata/sf0.001", "region") != base
+    finally:
+        del os.environ["SPARK_GRAFT_FORCE_REBUILD"]
+    assert pq._source_tag(spark, "/root/testdata/sf0.001", "region") == base
