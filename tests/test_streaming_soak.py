@@ -48,6 +48,29 @@ SOAK_SCRIPT = textwrap.dedent(
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # VERDICT r9 #6: run the bench CPU tracker through the whole chaos
+    # run — micro-batch churn + task retries + a checkpoint restart is
+    # the one environment where stage eviction/attempt retries could
+    # corrupt the incremental accounting.  Constructed BEFORE any job,
+    # so the priming delta absorbs nothing; folded at the phase
+    # boundaries a bench would poll at; reconciled at the end against
+    # a direct snapshot re-read of the status store.
+    from csce438_distributed_password_cracker_spark.plans.benchmetrics import (
+        StageMetricsTracker,
+    )
+
+    tracker = StageMetricsTracker(spark)
+    tracker_acc = {"cpu_sec": 0.0, "n_stages": 0, "evictions": 0}
+
+    def fold_tracker():
+        d = tracker.delta()
+        tracker_acc["cpu_sec"] += d["cpu_sec"]
+        tracker_acc["n_stages"] += d["n_stages"]
+        # cumulative within the tracker: keep the max ever reported
+        tracker_acc["evictions"] = max(
+            tracker_acc["evictions"], d["n_unseen_evictions"]
+        )
+
     import csce438_distributed_password_cracker_spark.streaming.requests as R
 
     retries = spark.sparkContext.accumulator(0)
@@ -129,6 +152,7 @@ SOAK_SCRIPT = textwrap.dedent(
         "expected >=3 distinct data batches, saw %s" % sorted(live_batches))
     q.stop()
     q.awaitTermination()
+    fold_tracker()  # bench-style poll at the phase boundary
 
     # ---- phase 2: restart from checkpoint, keep flowing ------------------
     with open(src + "/b4.json", "w") as f:
@@ -156,7 +180,39 @@ SOAK_SCRIPT = textwrap.dedent(
     assert rows[5] == (False, None, "x"), rows   # "zz" is width 2, space is 3
     assert rows[6] == (True, "xyz", "f xyz"), rows  # answered post-restart
     assert retries.value >= 3, "chaos injection fired %d times" % retries.value
-    print("SOAK_OK batches=%d retried_tasks=%d" % (len(live_batches), retries.value))
+
+    # ---- CPU-accounting reconciliation (VERDICT r9 #6) -------------------
+    fold_tracker()  # absorb phase 2 + the verification collects above
+    assert tracker_acc["evictions"] == 0, (
+        "stage evictions under chaos+restart: %d — the bench CPU basis "
+        "would be untrustworthy here" % tracker_acc["evictions"])
+    assert tracker_acc["cpu_sec"] > 0 and tracker_acc["n_stages"] > 0
+    # snapshot re-read: sum executorCpuTime over every terminal stage
+    # still in the store.  With zero evictions the incremental deltas
+    # must account for EXACTLY this set — equality means no stage was
+    # double-counted (retried attempts) or missed (restart churn).
+    store = spark.sparkContext._jsc.sc().statusStore()
+    jvm = spark.sparkContext._jvm
+    gw = spark.sparkContext._gateway
+    stages = store.stageList(
+        jvm.java.util.ArrayList(), False, False,
+        gw.new_array(jvm.double, 0), jvm.java.util.ArrayList(),
+    )
+    snap_cpu, snap_n = 0.0, 0
+    for i in range(stages.size()):
+        s = stages.apply(i)
+        if s.status().toString() in ("COMPLETE", "FAILED"):
+            snap_cpu += s.executorCpuTime() / 1e9
+            snap_n += 1
+    assert snap_n == tracker_acc["n_stages"], (
+        "stage-count mismatch: snapshot %d vs incremental %d"
+        % (snap_n, tracker_acc["n_stages"]))
+    assert abs(snap_cpu - tracker_acc["cpu_sec"]) < 0.01, (
+        "CPU mismatch: snapshot %.3f vs incremental %.3f"
+        % (snap_cpu, tracker_acc["cpu_sec"]))
+
+    print("SOAK_OK batches=%d retried_tasks=%d tracked_stages=%d cpu=%.2f"
+          % (len(live_batches), retries.value, snap_n, snap_cpu))
     """
 )
 
