@@ -405,8 +405,14 @@ def q_agg_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )  # changed
         .unionByName(
+            # re-key by NEGATION, not a "+big constant" offset: custkeys
+            # are positive at every SF, so -k can never collide with an
+            # existing key.  The former +1_000_000 offset collided at
+            # sf10 (1.5M customers): 50k re-keyed inserts landed on
+            # existing keys, duplicating them in the after-snapshot and
+            # misclassifying added→changed (caught by the sf10 sweep).
             cust.filter(mod10 == 5).withColumn(
-                "c_custkey", F.col("c_custkey") + 1_000_000
+                "c_custkey", -F.col("c_custkey")
             )
         )  # added
     )
