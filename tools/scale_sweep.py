@@ -417,7 +417,14 @@ def worker(name: str, sf_dir: str) -> None:
     from csce438_distributed_password_cracker_spark.oracle import compare_query
     from csce438_distributed_password_cracker_spark.session import get_spark
 
-    spark = get_spark(app_name=f"scale-sweep-{name}")
+    # The COMPARE collects the full result driver-side (that's the
+    # point of the rig); at sf10 a 61M-row result blows the 1 GiB
+    # default maxResultSize (q_outlier_flags did, first sf10 run) —
+    # a harness capacity setting, not an operator property.
+    spark = get_spark(
+        app_name=f"scale-sweep-{name}",
+        extra_conf={"spark.driver.maxResultSize": "8g"},
+    )
     t0 = time.perf_counter()
     res = compare_query(spark, name, sf_dir)
     print(
