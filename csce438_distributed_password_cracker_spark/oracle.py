@@ -17,7 +17,24 @@ from .plans.corpus import REGISTRY  # corpus import populates the registry
 
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Oracle connection over the parquet views.
+
+    Capacity knobs (needed once compares run at sf10, where the
+    heaviest oracles spill): ``SPARK_GRAFT_ORACLE_MEM`` sets DuckDB's
+    memory_limit (default: DuckDB's 80%-of-RAM — overcommitted when
+    the in-process Spark driver JVM also holds a large heap) and
+    ``SPARK_GRAFT_ORACLE_TMP`` its spill directory (default: cwd/.tmp).
+    Gate-scale runs need neither."""
+    import os
+
     con = duckdb.connect()
+    mem = os.environ.get("SPARK_GRAFT_ORACLE_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+    tmp = os.environ.get("SPARK_GRAFT_ORACLE_TMP")
+    if tmp:
+        os.makedirs(tmp, exist_ok=True)
+        con.execute(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
