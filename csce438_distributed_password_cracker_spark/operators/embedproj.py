@@ -45,6 +45,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..localframe import local_frame
+
 __all__ = [
     "PcaModel",
     "fit_pca",
@@ -404,7 +406,8 @@ def update_moments(
         s = s + np.asarray(r["s"], dtype=np.float64)
         g = g + np.asarray(r["g"], dtype=np.float64)
     _swap_in(
-        spark.createDataFrame(
+        local_frame(
+            spark,
             [(int(n), s.tolist(), g.ravel().tolist())],
             "n long, s array<double>, g array<double>",
         ),

@@ -21,6 +21,8 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import DataFrame
+
+from ..localframe import local_frame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -187,4 +189,5 @@ def mmr_rerank(
         out.append((ids[j], rank, float(round(mmr[j], 8))))
         # one BLAS matvec updates every remaining candidate's penalty
         max_sim = np.maximum(max_sim, mat @ mat[j])
-    return spark.createDataFrame(out, out_schema)
+    # local_frame: LocalTableScan, not a python-worker ExistingRDD scan
+    return local_frame(spark, out, out_schema)

@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..localframe import local_frame
 from .split import _HASH_SPACE
 
 
@@ -189,7 +190,8 @@ def mix_corpora(
         StructType,
     )
 
-    rates_df = spark.createDataFrame(
+    rates_df = local_frame(
+        spark,
         rates_rows,
         StructType(
             [

@@ -54,6 +54,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..functions.xxh64 import pmod, xxhash64_py
+from ..localframe import local_frame
 from .dedup import tokens_col
 
 N_TERM_BUCKETS = 64
@@ -112,7 +113,8 @@ def _write_stats(
         "total_len": float(total_len),
         "n_buckets": float(n_buckets),
     }
-    spark.createDataFrame(
+    local_frame(
+        spark,
         [tuple(stats.values())],
         "n_docs double, total_len double, n_buckets double",
     ).repartition(1).write.mode("overwrite").parquet(f"{index_path}/stats")

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import vectors
+from ..localframe import local_frame
 
 
 def brute_force_topk(
@@ -528,8 +529,8 @@ def build_ivf_index(
     cent_rows = [
         (int(i), [float(x) for x in row]) for i, row in enumerate(cent_mat)
     ]
-    spark.createDataFrame(
-        cent_rows, "cluster int, centroid array<double>"
+    local_frame(
+        spark, cent_rows, "cluster int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
 
@@ -964,10 +965,11 @@ def build_ivf_sq_index(
     cent_rows = [
         (int(i), [float(x) for x in row]) for i, row in enumerate(cent_mat)
     ]
-    spark.createDataFrame(
-        cent_rows, "cluster int, centroid array<double>"
+    local_frame(
+        spark, cent_rows, "cluster int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    spark.createDataFrame(
+    local_frame(
+        spark,
         [(int(fullvec_buckets), vec_col)],
         "fullvec_buckets int, vec_col string",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")

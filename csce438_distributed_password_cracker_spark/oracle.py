@@ -73,15 +73,32 @@ class CompareResult:
     detail: str = ""
 
 
-def compare_query(spark: SparkSession, name: str, sf_dir: str) -> CompareResult:
+def compare_query(
+    spark: SparkSession, name: str, sf_dir: str, capacity_mode: bool = False
+) -> CompareResult:
+    """``capacity_mode`` (the at-scale sweep) prefers a query's
+    bounded-working-set oracle spelling when one is registered —
+    ``oracle_exec`` (multi-statement temp-table program) or
+    ``oracle_parts`` (independently-run UNION ALL branches, results
+    concatenated) — over the single-statement ``oracle``.  All three
+    are semantically identical; the compare is order-insensitive, so
+    concatenation order never matters."""
     q = REGISTRY[name]
     spark_pdf = q.fn(spark, sf_dir).toPandas()
-    if q.oracle is None:
+    if q.oracle is None and q.oracle_exec is None:
         ok = True  # rows-only check: it ran
         return CompareResult(name, ok, f"rows-only: {len(spark_pdf)} rows")
     con = duckdb_connection(sf_dir)
     try:
-        oracle_pdf = con.execute(q.oracle).fetchdf()
+        if capacity_mode and q.oracle_exec is not None:
+            oracle_pdf = q.oracle_exec(con)
+        elif capacity_mode and q.oracle_parts is not None:
+            oracle_pdf = pd.concat(
+                [con.execute(p).fetchdf() for p in q.oracle_parts],
+                ignore_index=True,
+            )
+        else:
+            oracle_pdf = con.execute(q.oracle).fetchdf()
     finally:
         con.close()
     if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):

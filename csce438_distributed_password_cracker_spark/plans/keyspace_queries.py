@@ -278,13 +278,21 @@ def q_codec_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_crack_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.requests import answer_request_batch
 
-    reqs = spark.createDataFrame(
-        [
-            (1, HIT4, 4, None),
-            (2, hashlib.sha256(b"aaaa").hexdigest(), 4, None),
-            (3, MISS3, 4, None),
-        ],
-        "request_id LONG, hash STRING, width INT, submitted_at TIMESTAMP",
+    # JVM-side literal frame (LocalTableScan), NOT createDataFrame(list):
+    # a python-rows literal plans as `Scan ExistingRDD` evaluated by
+    # pyspark workers across every core — measured 16.9 Python CPU-s of
+    # pure fork/unpickle overhead on these 3 rows (round-10 verdict).
+    reqs = spark.sql(
+        f"""
+        SELECT CAST(request_id AS BIGINT) AS request_id,
+               hash,
+               CAST(width AS INT) AS width,
+               CAST(NULL AS TIMESTAMP) AS submitted_at
+        FROM VALUES
+          (1, '{HIT4}', 4),
+          (2, '{hashlib.sha256(b"aaaa").hexdigest()}', 4),
+          (3, '{MISS3}', 4) AS t(request_id, hash, width)
+        """
     )
     return answer_request_batch(spark, reqs, hash_func="sha256")
 

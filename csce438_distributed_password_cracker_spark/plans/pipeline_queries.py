@@ -827,9 +827,15 @@ def q_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest = export_ops.export_shards(
         sharded, exp_dir, num_shards=8, shard_col="shard"
     )
-    mrows = spark.createDataFrame(
-        [(int(s["shard"]), int(s["rows"])) for s in manifest["shards"]],
-        "shard int, mrows long",
+    # JVM-side VALUES (LocalTableScan) — a createDataFrame(python rows)
+    # literal here plans as `Scan ExistingRDD` and forks pyspark workers
+    # to evaluate 8 rows (round-10 verdict, Scan-ExistingRDD audit)
+    _mvals = ", ".join(
+        f"({int(s['shard'])}, {int(s['rows'])})" for s in manifest["shards"]
+    )
+    mrows = spark.sql(
+        "SELECT CAST(shard AS INT) AS shard, CAST(mrows AS BIGINT) AS mrows "
+        f"FROM VALUES {_mvals} AS t(shard, mrows)"
     )
     exported = (
         export_ops.read_shards(spark, exp_dir)
@@ -1773,8 +1779,19 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(_MOM_D)
         for j in range(_MOM_D)
     ]
-    mom = spark.createDataFrame(
-        rows, "branch string, id_a long, id_b long, cos_sim double"
+    # JVM-side VALUES (LocalTableScan), not createDataFrame(python rows)
+    # — see round-10 verdict's Scan-ExistingRDD finding.  Doubles are
+    # interpolated via repr(): Python's shortest round-trip repr parsed
+    # by Spark's correctly-rounded double cast is bit-exact, so the hash
+    # the oracle compares is unchanged.
+    _mom_vals = ", ".join(
+        f"('{b}', {ia}, {ib}, CAST('{v!r}' AS DOUBLE))"
+        for (b, ia, ib, v) in rows
+    )
+    mom = spark.sql(
+        "SELECT branch, CAST(id_a AS BIGINT) AS id_a, "
+        "CAST(id_b AS BIGINT) AS id_b, cos_sim "
+        f"FROM VALUES {_mom_vals} AS t(branch, id_a, id_b, cos_sim)"
     )
     return exact.unionAll(sem).unionAll(proj).unionAll(mom)
 
@@ -1804,35 +1821,56 @@ _BPE_PAT = f"'{_BPE_SEP}' || m.a || '{_BPE_SEP}{_BPE_SEP}' || m.b || '{_BPE_SEP}
 _BPE_PAT2 = _BPE_PAT.replace("m.a", "m2.a").replace("m.b", "m2.b")
 _BPE_REPL = f"'{_BPE_SEP}' || m.a || m.b || '{_BPE_SEP}'"
 
-_BPE_ORACLE_CTES = f"""
-    bpe_merges(a, b, rank) AS (
-      VALUES {_BPE_MERGE_VALUES}
-    ),
-    bpe_words AS (
+# initial symbol-wrap of a word ('␟a␟␟b␟...␟</w>␟') and the fixed-point
+# '|'-join — shared by the recursive CTE and the iterative twin below
+_BPE_INIT_SEQ = (
+    f"regexp_replace(word, '(.)', '{_BPE_SEP}\\1{_BPE_SEP}', 'g')"
+    f" || '{_BPE_SEP}{_EOW}{_BPE_SEP}'"
+)
+_BPE_TOKS_EXPR = (
+    f"trim(replace(seq, '{_BPE_SEP}{_BPE_SEP}', '|'), '{_BPE_SEP}')"
+)
+_BPE_WORDS_SQL = """
       SELECT DISTINCT word FROM (
         SELECT unnest(string_split(text, ' ')) AS word FROM documents
       ) WHERE word <> ''
-    ),
-    bpe_enc AS (
-      SELECT word,
-             regexp_replace(word, '(.)', '{_BPE_SEP}\\1{_BPE_SEP}', 'g')
-               || '{_BPE_SEP}{_EOW}{_BPE_SEP}' AS seq
-      FROM bpe_words
-      UNION ALL
+"""
+# one merge step: each still-active word advances by its lowest-ranked
+# applicable merge (replace() rewrites every non-overlapping occurrence)
+_BPE_STEP_SQL = f"""
       SELECT e.word, replace(e.seq, {_BPE_PAT}, {_BPE_REPL}) AS seq
-      FROM bpe_enc e
+      FROM __ACTIVE__ e
       JOIN bpe_merges m
         ON strpos(e.seq, {_BPE_PAT}) > 0
        AND m.rank = (SELECT min(m2.rank) FROM bpe_merges m2
                      WHERE strpos(e.seq, {_BPE_PAT2}) > 0)
+"""
+_BPE_DONE_PRED = (
+    f"NOT EXISTS (SELECT 1 FROM bpe_merges m"
+    f" WHERE strpos(e.seq, {_BPE_PAT}) > 0)"
+)
+
+_BPE_ORACLE_CTES = f"""
+    bpe_merges(a, b, rank) AS (
+      VALUES {_BPE_MERGE_VALUES}
+    ),
+    bpe_words AS ({_BPE_WORDS_SQL}),
+    bpe_enc AS (
+      SELECT word, {_BPE_INIT_SEQ} AS seq
+      FROM bpe_words
+      UNION ALL
+{_BPE_STEP_SQL.replace("__ACTIVE__", "bpe_enc")}
     ),
     bpe_final AS (
-      SELECT word, trim(replace(seq, '{_BPE_SEP}{_BPE_SEP}', '|'),
-                        '{_BPE_SEP}') AS toks
+      SELECT word, {_BPE_TOKS_EXPR} AS toks
       FROM bpe_enc e
-      WHERE NOT EXISTS (SELECT 1 FROM bpe_merges m
-                        WHERE strpos(e.seq, {_BPE_PAT}) > 0)
-    ),
+      WHERE {_BPE_DONE_PRED}
+    )
+"""
+
+# doc-level reassembly from the per-word fixed point (bpe_final) — shared
+# verbatim by the recursive oracle and the iterative capacity twin
+_BPE_POST_CTES = """
     bpe_docw AS (
       SELECT doc_id,
              unnest(string_split(text, ' ')) AS word,
@@ -1861,10 +1899,9 @@ _BPE_ORACLE_CTES = f"""
 """
 
 
-@register(
-    "q_array_ops",
-    oracle=f"""
-    WITH RECURSIVE {_BPE_ORACLE_CTES},
+# arrays + chunking branches and the final union — shared by both oracle
+# spellings (the bpe CTE they reference comes from _BPE_POST_CTES)
+_ARRAY_OPS_TAIL = """
     arrays AS (
       SELECT 'arrays' AS branch, doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS idx,
@@ -1896,7 +1933,77 @@ _BPE_ORACLE_CTES = f"""
     )
     SELECT * FROM arrays UNION ALL SELECT * FROM chunks
     UNION ALL SELECT * FROM bpe
+"""
+
+
+def _array_ops_oracle_exec(con):
+    """Capacity-mode q_array_ops oracle: the BPE fixed point as an
+    ITERATIVE temp-table loop instead of one recursive CTE.
+
+    The recursive CTE accumulates every intermediate (word, seq) row of
+    every merge round in an unspillable working set — at sf10 (500k
+    docs) DuckDB OOMs there (SCALE_CORRECTNESS_sf10.json, round 10).
+    The loop below holds only the ACTIVE words of the current round
+    (words at their fixed point move to bpe_done and leave the working
+    set), each round is one ordinary spillable statement, and the
+    per-round table shrinks monotonically.  Semantics are identical:
+    one lowest-ranked applicable merge per word per round, fixed point
+    = no applicable merge (the CTE's bpe_final predicate — a chain's
+    intermediate rows always have an applicable merge, so filtering
+    terminal rows from the union equals collecting loop exits)."""
+    con.execute(
+        "CREATE TEMP TABLE bpe_merges(a VARCHAR, b VARCHAR, rank INT)"
+    )
+    con.execute(f"INSERT INTO bpe_merges VALUES {_BPE_MERGE_VALUES}")
+    con.execute(
+        f"""CREATE TEMP TABLE bpe_active AS
+        SELECT word, {_BPE_INIT_SEQ} AS seq
+        FROM ({_BPE_WORDS_SQL}) bpe_words"""
+    )
+    con.execute("CREATE TEMP TABLE bpe_done(word VARCHAR, seq VARCHAR)")
+    # bound: each round applies ≥1 merge to every active word, and a
+    # word of L symbols supports at most L-1 merges, so rounds ≤ max
+    # word length + 1; the explicit cap turns a logic bug into a loud
+    # error instead of an infinite loop
+    for _ in range(10_000):
+        con.execute(
+            f"""INSERT INTO bpe_done
+            SELECT e.word, e.seq FROM bpe_active e
+            WHERE {_BPE_DONE_PRED}"""
+        )
+        con.execute(
+            "CREATE TEMP TABLE bpe_next AS "
+            + _BPE_STEP_SQL.replace("__ACTIVE__", "bpe_active")
+        )
+        con.execute("DROP TABLE bpe_active")
+        con.execute("ALTER TABLE bpe_next RENAME TO bpe_active")
+        if con.execute("SELECT count(*) FROM bpe_active").fetchone()[0] == 0:
+            break
+    else:
+        raise RuntimeError("BPE merge loop did not converge in 10k rounds")
+    out = con.execute(
+        f"""
+        WITH bpe_final AS (
+          SELECT word, {_BPE_TOKS_EXPR} AS toks FROM bpe_done
+        ),
+        {_BPE_POST_CTES},
+        {_ARRAY_OPS_TAIL}
+        """
+    ).fetchdf()
+    con.execute("DROP TABLE bpe_active")
+    con.execute("DROP TABLE bpe_done")
+    con.execute("DROP TABLE bpe_merges")
+    return out
+
+
+@register(
+    "q_array_ops",
+    oracle=f"""
+    WITH RECURSIVE {_BPE_ORACLE_CTES},
+    {_BPE_POST_CTES},
+    {_ARRAY_OPS_TAIL}
     """,
+    oracle_exec=_array_ops_oracle_exec,
     doc="Array/collection functions + document chunking + BPE encode, "
     "one labeled union.  arrays: sort/distinct/slice/join/contains/"
     "filter-lambda over token arrays — Spark array_* vs DuckDB list_* "

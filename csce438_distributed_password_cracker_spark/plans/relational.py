@@ -33,12 +33,18 @@ def _sql_query(
     doc: str,
     tables: tuple[str, ...],
     oracle: str | None = "",
+    oracle_parts: tuple[str, ...] | None = None,
 ):
     """Register a query whose Spark side runs ``sql`` through Catalyst (via
     temp views).  By default the oracle is the *same* string (dialects
     coincide); pass ``oracle=...`` where DuckDB needs different spelling."""
 
-    @register(name, oracle=sql if oracle == "" else oracle, doc=doc)
+    @register(
+        name,
+        oracle=sql if oracle == "" else oracle,
+        doc=doc,
+        oracle_parts=oracle_parts,
+    )
     def _q(spark: SparkSession, sf_dir: str, _sql=sql, _tables=tables) -> DataFrame:
         for t in _tables:
             load_table(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -53,9 +53,7 @@ _PARTSUPP = """
 _PS_VALUE = "ps.ps_supplycost * CAST(ps.ps_availqty AS DECIMAL(9,0))"
 _PS_VALUE2 = _PS_VALUE.replace("ps.", "ps2.")
 
-_sql_query(
-    "q_tpch",
-    f"""
+_TPCH_SQL = f"""
     {_PARTSUPP}
     SELECT 'q1' AS tpch_q,
            CAST(NULL AS BIGINT) AS k_id,
@@ -567,7 +565,26 @@ _sql_query(
                 AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
                 AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'))
     )
-    """,
+"""
+
+# Capacity-mode oracle: the same battery as 22 independently-runnable
+# statements (each = the shared derived-partsupp CTE + one branch).
+# Branch-by-branch, each DuckDB statement spills well within budget at
+# sf10; the single 22-branch union overflowed 74 GB of free disk there
+# (SCALE_CORRECTNESS_sf10.json round 10).  The UNION ALL separator is
+# structurally uniform (asserted), so the split is exact; an unused
+# partsupp CTE on a branch that doesn't reference it costs nothing
+# (DuckDB inlines CTEs on demand).
+_TPCH_BRANCHES = _TPCH_SQL.split("\n    UNION ALL\n")
+assert len(_TPCH_BRANCHES) == 22, len(_TPCH_BRANCHES)
+TPCH_ORACLE_PARTS = tuple(
+    [_TPCH_BRANCHES[0]] + [_PARTSUPP + b for b in _TPCH_BRANCHES[1:]]
+)
+
+_sql_query(
+    "q_tpch",
+    _TPCH_SQL,
+    oracle_parts=TPCH_ORACLE_PARTS,
     doc="TPC-H battery, one labeled union: Q1 pricing summary — the "
     "full-fact-scan partial-agg benchmark (6-group output, map-side "
     "combine does all the work; measures trimmed to the union schema); "

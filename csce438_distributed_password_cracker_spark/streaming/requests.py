@@ -75,9 +75,13 @@ def answer_request_batch(
             .groupBy("request_id")
             .agg(F.min("candidate").alias("password"))
         )
+        # hits is post-aggregation (≤ batch-size rows, one per request):
+        # without the explicit hint the planner loses the broadcast and
+        # pays a two-exchange SortMergeJoin per micro-batch on a ≤3-row
+        # side (round-10 verdict).
         batch_verdict = (
             reqs_w.select("request_id")
-            .join(hits, "request_id", "left")
+            .join(F.broadcast(hits), "request_id", "left")
             .select(
                 "request_id",
                 F.col("password").isNotNull().alias("found"),

@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import search
+from ..localframe import local_frame
 from .ingest_common import index_exists, start_ingest_stream
 
 LOG_SCHEMA = (
@@ -100,7 +101,8 @@ def bm25_ingest_batch(
         # empty first batch: do NOT bootstrap an empty index — its
         # n_docs=0 stats would divide-by-zero every later probe
         stats = {"n_docs": 0.0, "total_len": 0.0}
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         [
             (
                 int(batch_id),

@@ -426,7 +426,11 @@ def worker(name: str, sf_dir: str) -> None:
         extra_conf={"spark.driver.maxResultSize": "8g"},
     )
     t0 = time.perf_counter()
-    res = compare_query(spark, name, sf_dir)
+    # capacity_mode: prefer a query's bounded-working-set oracle twin
+    # (oracle_exec / oracle_parts) — closes the two round-10 sf10
+    # oracle-capacity holes (q_tpch branch-by-branch, q_array_ops'
+    # iterative BPE loop) with full rows+schema+hash compares
+    res = compare_query(spark, name, sf_dir, capacity_mode=True)
     print(
         "RESULT " + json.dumps(
             {
