@@ -192,14 +192,20 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.setdefault(name, []).append(time.perf_counter() - t0)
             m = tracker.delta()
-            m["py_cpu_sec"] = py_tracker.delta()
+            pyd = py_tracker.delta_detail()
+            m["py_cpu_sec"] = round(pyd["driver"] + pyd["workers"], 3)
+            m["py_cpu_driver_sec"] = pyd["driver"]
+            m["py_cpu_workers_sec"] = pyd["workers"]
             metric_samples.setdefault(name, []).append(m)
         for name in op_names:
             t0 = time.perf_counter()
             opbench.OPERATOR_BENCH[name](spark, sf_dir)
             op_samples.setdefault(name, []).append(time.perf_counter() - t0)
             m = tracker.delta()
-            m["py_cpu_sec"] = py_tracker.delta()
+            pyd = py_tracker.delta_detail()
+            m["py_cpu_sec"] = round(pyd["driver"] + pyd["workers"], 3)
+            m["py_cpu_driver_sec"] = pyd["driver"]
+            m["py_cpu_workers_sec"] = pyd["workers"]
             metric_samples.setdefault(name, []).append(m)
 
     timings = {name: round(min(s), 3) for name, s in samples.items()}
@@ -233,6 +239,32 @@ def main() -> None:
     }
     op_pycpu_medians = {
         n: round(_med(n, "py_cpu_sec"), 3)
+        for n in metric_samples
+        if n in op_samples
+    }
+    # §C.19 split of the Python column: driver-process CPU (greedy
+    # folds, manifest collects, driver-side hash pruning) vs pyspark
+    # WORKER CPU (Arrow kernels) — lets a driver-loop floor be tracked
+    # separately from distributed kernel compute.  Medians are taken
+    # per component, so driver+workers may differ from the total's
+    # median by a rounding tick on noisy entries.
+    pycpu_driver = {
+        n: round(_med(n, "py_cpu_driver_sec"), 3)
+        for n in metric_samples
+        if n in samples
+    }
+    pycpu_workers = {
+        n: round(_med(n, "py_cpu_workers_sec"), 3)
+        for n in metric_samples
+        if n in samples
+    }
+    op_pycpu_driver = {
+        n: round(_med(n, "py_cpu_driver_sec"), 3)
+        for n in metric_samples
+        if n in op_samples
+    }
+    op_pycpu_workers = {
+        n: round(_med(n, "py_cpu_workers_sec"), 3)
         for n in metric_samples
         if n in op_samples
     }
@@ -281,6 +313,13 @@ def main() -> None:
         "queries_pycpu_median": pycpu_medians,
         "total_pycpu_median": round(sum(pycpu_medians.values()), 3),
         "operators_pycpu_median": op_pycpu_medians,
+        # §C.19 driver/workers split of the Python column
+        "queries_pycpu_driver": pycpu_driver,
+        "queries_pycpu_workers": pycpu_workers,
+        "total_pycpu_driver": round(sum(pycpu_driver.values()), 3),
+        "total_pycpu_workers": round(sum(pycpu_workers.values()), 3),
+        "operators_pycpu_driver": op_pycpu_driver,
+        "operators_pycpu_workers": op_pycpu_workers,
         "queries_shuffle_mb": shuffle_mb,
         "operators_shuffle_mb": op_shuffle_mb,
         "evictions": evictions,

