@@ -253,15 +253,40 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_join_range",
+    # The oracle uses the SAME 3-bin equality trick as the operator
+    # (round 11): the former raw-inequality LEFT JOIN made DuckDB plan
+    # a per-user inequality join that ground >55 min at sf10 (10M
+    # events) where this hash-join spelling takes seconds.  Semantics
+    # identical: an event within ±3600 s of a purchase lands in exactly
+    # one of the purchase's three probe bins (floor arithmetic), so
+    # each qualifying pair is counted once; unmatched purchases keep
+    # their 3 probe rows and count 0.
     oracle="""
-    SELECT p.event_id, count(e.event_id) AS n_in_range
-    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
-    LEFT JOIN events e
-      ON p.user_id = e.user_id
-     AND e.event_id <> p.event_id
-     AND abs(CAST(floor(epoch(p.ts)) AS BIGINT)
-           - CAST(floor(epoch(e.ts)) AS BIGINT)) <= 3600
-    GROUP BY p.event_id
+    WITH ex AS (
+      SELECT user_id, event_id AS oid,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600.0)
+                  AS BIGINT) AS bin
+      FROM events
+    ),
+    p AS (
+      SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ps,
+             CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600.0)
+                  AS BIGINT) AS bin
+      FROM events WHERE event_type = 'purchase'
+    ),
+    px AS (
+      SELECT p.event_id, p.user_id, p.ps, p.bin + d.d AS jbin
+      FROM p, (VALUES (-1), (0), (1)) AS d(d)
+    )
+    SELECT px.event_id,
+           count(e.oid) FILTER (WHERE e.oid <> px.event_id
+                                  AND abs(px.ps - e.es) <= 3600)
+             AS n_in_range
+    FROM px
+    LEFT JOIN ex e ON e.user_id = px.user_id AND e.bin = px.jbin
+    GROUP BY px.event_id
     """,
     doc="Range join (north-star custom operator): per purchase, how many "
     "other events of the same user fall within ±1 hour.  Binned to "
