@@ -49,8 +49,16 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
         os.makedirs(tmp, exist_ok=True)
         con.execute(f"SET temp_directory='{tmp}'")
     for t in TABLES:
+        # partial corpora are legitimate (the Zipf scale corpora carry
+        # only documents/part — tools/gen_scale_corpus.py --tables):
+        # skip views whose parquet is absent so a single-table compare
+        # can still run there; a query that references a missing table
+        # then fails loudly at its own FROM, not at connection time
+        p = table_path(sf_dir, t)
+        if not os.path.exists(p):
+            continue
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
         )
     return con
 
