@@ -57,6 +57,43 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def fan_out_scan(df: DataFrame, key: str, min_parts: int | None = None) -> DataFrame:
+    """Scan-parallelism floor for row-group-bound inputs (opt guide §2.5).
+
+    A parquet file is split into byte-range tasks, but a ROW GROUP is the
+    unit a task actually reads — a single file with one row group plans as
+    ONE scan task no matter the core count, so heavy per-row map work on
+    it runs serially (measured: q_text_profile's battery 2.6 s wall ≈ its
+    3.1 CPU-s on local[32] — parallelism 1.0).  This is the guide's "one
+    huge unsplittable file" case: repartition immediately after the read.
+
+    The repartition fires ONLY when the planned scan parallelism is below
+    the target, so it is scale-adaptive, not a local[32] constant: a
+    production layout (many files / many row groups) already plans more
+    scan tasks than the floor and this is a no-op; a low-core bench run
+    fans out to a floor derived from its own ``defaultParallelism``.
+
+    Two measured choices (all numbers: q_text_profile battery, sf0.1,
+    local[32], best-of-3 noop runs, JVM-tree CPU):
+
+    - HASH partitioning on the caller's unique key, NOT round-robin:
+      keyless ``repartition(n)`` first pays a local sort of the full
+      input rows (``spark.sql.execution.sortBeforeRepartition``, needed
+      for retry determinism) — measured 1.2-1.5 CPU-s just to move 5k
+      text rows, vs 0.2-0.5 for the hash exchange on doc_id.
+    - Floor = ``max(2, cores // 4)``, not ``cores``: the per-row work
+      parallelizes but concurrent heavy tasks contend (alloc/GC/memory
+      bandwidth billed as CPU): serial = 2.6 s wall / 3.1 CPU; hash8 =
+      0.65 / 5.0; hash16 = 0.54 / 5.8; hash32 = 0.43 / 7.0.  cores//4
+      takes most of the wall win at the small end of the CPU overhead.
+    """
+    sess = df.sparkSession
+    target = min_parts or max(2, sess.sparkContext.defaultParallelism // 4)
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col(key))
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every test table as a temp view (for the SQL API path)."""
     for name in TABLES:

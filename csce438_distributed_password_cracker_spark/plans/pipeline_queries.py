@@ -20,7 +20,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table, table_path
+from ..catalog import fan_out_scan, load_table, table_path
 from ..functions import vectors
 from ..operators import decontam, dedup, multimodal, similarity, textnorm, textops
 from ..operators.split import (
@@ -632,7 +632,13 @@ _CLF_W_H = _md5_duck("'w:' || CAST(feature AS VARCHAR)", 42, 15)
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     toks = "split(text, ' ')"
-    profiled = textops.quality_score(textops.language_id(docs))
+    # the profile battery is the query's heavy map-side work (measured
+    # serial on the row-group-bound scan: 2.6 s wall ≈ its CPU) — fan
+    # ONLY its input out (guide §2.5); the lm/clf sub-DAGs are cheap and
+    # shuffle on their own keys anyway
+    profiled = textops.quality_score(
+        textops.language_id(fan_out_scan(docs, "doc_id"))
+    )
     profiled = profiled.withColumn("__synth", F.expr(_SYNTH_SQL))
     prof = profiled.select(
         "doc_id",

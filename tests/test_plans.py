@@ -342,7 +342,10 @@ SHUFFLE_BUDGET = {
     # orderkey join), Q21 (1: the semi/anti fact joins share the
     # l_orderkey exchange shape), Q8 (1: year group agg; dims
     # broadcast), Q17 (1: the decorrelated per-partkey avg agg)
-    "q_text_profile": 3, "q_topk_per_group": 1,
+    # q_text_profile: +1 in round 11 — the deliberate fan_out_scan hash
+    # exchange that parallelizes the profile battery when the docs scan
+    # is row-group-bound (catalog.fan_out_scan; OPTIMIZATION_r11.md)
+    "q_text_profile": 4, "q_topk_per_group": 1,
     # 22 TPC-H branches since round 7 (Q2/Q9/Q11/Q16/Q20 over the derived
     # partsupp CTE): each keeps its own join/agg exchanges; identical
     # partsupp-derivation subtrees dedupe via ReusedExchange
@@ -387,3 +390,49 @@ def test_gate_query_within_shuffle_budget(spark, sf_smoke, name):
         f"(or update the budget if the extra shuffle is intentional)\n"
         f"{plan}"
     )
+
+
+def test_fan_out_scan_fires_only_below_floor(spark, sf_oracle):
+    """catalog.fan_out_scan (round 11): a row-group-bound scan (one
+    partition) is hash-repartitioned on the caller's key up to the
+    parallelism floor; an input already at/above the floor passes
+    through UNTOUCHED (the production no-op path — at 100 TB the scan
+    plans more tasks than the floor and no exchange is added)."""
+    from csce438_distributed_password_cracker_spark.catalog import (
+        fan_out_scan,
+        load_table,
+    )
+
+    docs = load_table(spark, sf_oracle, "documents")
+    assert docs.rdd.getNumPartitions() == 1  # the premise: one row group
+
+    fanned = fan_out_scan(docs, "doc_id", min_parts=4)
+    assert fanned.rdd.getNumPartitions() == 4
+    plan = fanned._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(doc_id" in plan  # keyed, not round-robin:
+    # keyless repartition pays a full-row local sort (measured 1.2-1.5
+    # CPU-s vs 0.2-0.5 for the hash exchange — catalog.py docstring)
+
+    wide = docs.repartition(8, "doc_id")
+    assert fan_out_scan(wide, "doc_id", min_parts=4) is wide  # no-op
+
+    # results are partitioning-invariant: same rows either way
+    assert fanned.count() == docs.count()
+
+
+def test_text_profile_battery_rides_fan_out(spark, sf_oracle):
+    """q_text_profile's profile battery input is fanned out (round-11
+    optimization): exactly one extra hash exchange on doc_id, and the
+    lm/clf sub-DAGs still read the serial scan (no blanket fan-out —
+    it breaks exchange reuse in self-join pipelines, measured in
+    OPTIMIZATION_r11.md)."""
+    from csce438_distributed_password_cracker_spark.plans import corpus
+
+    df = corpus.REGISTRY["q_text_profile"].fn(spark, sf_oracle)
+    p = plan_str(spark, df)
+    import re
+
+    # the fan-out exchange partitions on doc_id only — never on text
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", p)
+    assert any("doc_id#" in a for a in parts)
+    assert all("text#" not in a for a in parts)
