@@ -472,6 +472,11 @@ def q_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bound_hi",
         "is_outlier",
     )
-    return _branch("iqr", 1.5).unionAll(_branch("mad", 3.0)).unionAll(
-        grouped
-    )
+    # the two scalar branches each run an exact-percentile fence job at
+    # construction; they are independent — overlap them (opt guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        iqr_f = pool.submit(_branch, "iqr", 1.5)
+        mad_f = pool.submit(_branch, "mad", 3.0)
+    return iqr_f.result().unionAll(mad_f.result()).unionAll(grouped)

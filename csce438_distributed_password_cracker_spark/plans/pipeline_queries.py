@@ -1114,22 +1114,12 @@ def q_similarity_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = str(root / f"bm25_{tag}_b16tb_{_source_tag(spark, sf_dir, 'documents')}")
     if not (Path(idx) / "stats").exists():
         search.bm25_build(docs, "doc_id", "text", idx, n_buckets=16)
-    from ..operators.hybrid import rrf_fuse
+    from ..operators.hybrid import mmr_rerank, rrf_fuse
 
-    list1 = search.bm25_search(spark, idx, _BM25_GATE_QUERY, top_n=10)
-    list2 = search.bm25_search(spark, idx, _BM25_QUERY2, top_n=10)
-    bm = list1.select(F.lit("bm25").alias("method"), "id", "score")
-    rrf = rrf_fuse(list1, list2, top_n=10).select(
-        F.lit("rrf").alias("method"),
-        "id",
-        F.col("rrf_score").alias("score"),
-    )
     # mmr (round-8 fusion): hybrid.mmr_rerank's greedy diversity pass
     # run over the SAME knn shortlist (cosine rel is already
     # [0,1]-comparable), picks labeled by rank so the oracle's
     # recursive-CTE greedy trace must match pick-for-pick
-    from ..operators.hybrid import mmr_rerank
-
     shortlist = similarity.brute_force_topk(
         emb.filter(F.col("vec_id") != 0), query, k=_MMR_SHORTLIST
     ).join(
@@ -1139,7 +1129,29 @@ def q_similarity_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos_sim").cast("double").alias("score"),
         "vec",
     )
-    mmr = mmr_rerank(shortlist, k=_MMR_K, lam=_MMR_LAM).select(
+    # the two bm25 searches (driver-side bucket pruning + stats reads)
+    # and the MMR greedy (driver-side shortlist collect + fold) are
+    # independent blocking chains — overlap their construction
+    # (opt guide §2.6; same pattern as q_ann_probe); the index build
+    # above stays sequential, it must exist before either search
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        l1_f = pool.submit(
+            search.bm25_search, spark, idx, _BM25_GATE_QUERY, top_n=10
+        )
+        l2_f = pool.submit(
+            search.bm25_search, spark, idx, _BM25_QUERY2, top_n=10
+        )
+        mmr_f = pool.submit(mmr_rerank, shortlist, k=_MMR_K, lam=_MMR_LAM)
+    list1, list2 = l1_f.result(), l2_f.result()
+    bm = list1.select(F.lit("bm25").alias("method"), "id", "score")
+    rrf = rrf_fuse(list1, list2, top_n=10).select(
+        F.lit("rrf").alias("method"),
+        "id",
+        F.col("rrf_score").alias("score"),
+    )
+    mmr = mmr_f.result().select(
         F.concat(F.lit("mmr:"), F.col("mmr_rank").cast("string")).alias(
             "method"
         ),
@@ -1532,6 +1544,91 @@ def _pca_proj_oracle_ctes() -> str:
     return "proj AS (\n" + "\n      UNION ALL ".join(selects) + "\n    )"
 
 
+def _dedup_embedding_moments(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
+    """The moments branch of q_dedup_embedding, extracted so its chain
+    of blocking driver jobs can run in a worker thread overlapped with
+    the other branches' construction (opt guide §2.6).  Body unchanged
+    from the inline round-8 form."""
+
+    # (round-8 fusion): incremental-PCA moment folding
+    # (embedproj.update_moments) is pure addition over (n, Σx, Gram) —
+    # fold the corpus in TWO halves through the persisted one-row
+    # moments table, then emit the folded statistics (over the first
+    # _MOM_D dims, which exercises the machinery at 1/16 the agg width)
+    # with the proj-branch penalty discipline: the hashed value is the
+    # round-2 statistic the oracle recomputes as plain SQL aggregates,
+    # +1e6 if the fold deviates from the ONE-SHOT reduction beyond
+    # reordering noise — so both the aggregates and the fold=one-shot
+    # identity get hard rows.  The driver-side eigh stays out by design.
+    import shutil
+
+    import numpy as np
+
+    from pathlib import Path
+
+    from ..operators.embedproj import _reduced_moments, update_moments
+
+    root, tag = warehouse_root_tag(sf_dir)
+    mpath = Path(root) / f"moments_gate_{tag}"
+    shutil.rmtree(mpath, ignore_errors=True)
+    vecs = emb.select(
+        "vec_id", F.slice(F.col("embedding"), 1, _MOM_D).alias("__v")
+    )
+    for half in (0, 1):
+        update_moments(
+            vecs.filter(F.col("vec_id") % 2 == half), "__v", str(mpath)
+        )
+    r = spark.read.parquet(str(mpath)).first()
+    n_fold = int(r["n"])
+    s_fold = np.asarray(r["s"], dtype=np.float64)
+    g_fold = np.asarray(r["g"], dtype=np.float64).reshape(_MOM_D, _MOM_D)
+    n_full, s_full, g_full = _reduced_moments(vecs, "__v", _MOM_D)
+    g_full = g_full.reshape(_MOM_D, _MOM_D)
+
+    def _pen(a: float, b: float) -> float:
+        return 0.0 if abs(a - b) <= 1e-9 * max(1.0, abs(b)) else 1e6
+
+    # `+ 0.0` canonicalizes IEEE −0.0 (a round-2 of −0.004 lands there)
+    # to +0.0 — the oracle does the same, else the hash sees -0.0 ≠ 0.0
+    rows = [("moments", -1, -1, float(n_fold) + _pen(n_fold, n_full))]
+    rows += [
+        (
+            "moments",
+            -2,
+            j,
+            round(float(s_fold[j]), 2) + _pen(s_fold[j], s_full[j]) + 0.0,
+        )
+        for j in range(_MOM_D)
+    ]
+    rows += [
+        (
+            "moments",
+            i,
+            j,
+            round(float(g_fold[i, j]), 2)
+            + _pen(g_fold[i, j], g_full[i, j])
+            + 0.0,
+        )
+        for i in range(_MOM_D)
+        for j in range(_MOM_D)
+    ]
+    # JVM-side VALUES (LocalTableScan), not createDataFrame(python rows)
+    # — see round-10 verdict's Scan-ExistingRDD finding.  Doubles are
+    # interpolated via repr(): Python's shortest round-trip repr parsed
+    # by Spark's correctly-rounded double cast is bit-exact, so the hash
+    # the oracle compares is unchanged.
+    _mom_vals = ", ".join(
+        f"('{b}', {ia}, {ib}, CAST('{v!r}' AS DOUBLE))"
+        for (b, ia, ib, v) in rows
+    )
+    mom = spark.sql(
+        "SELECT branch, CAST(id_a AS BIGINT) AS id_a, "
+        "CAST(id_b AS BIGINT) AS id_b, cos_sim "
+        f"FROM VALUES {_mom_vals} AS t(branch, id_a, id_b, cos_sim)"
+    )
+    return mom
+
+
 @register(
     "q_dedup_embedding",
     oracle=f"""
@@ -1643,6 +1740,20 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.semdedup import semantic_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
+
+    # moments branch (round-8 fusion): incremental-PCA moment folding —
+    # a chain of blocking driver jobs (fresh table, two update_moments
+    # merges, a read-back, a treeReduce one-shot twin).  It shares
+    # nothing with the exact/semantic/proj branches below, so run the
+    # chain in a worker thread and overlap it with their construction
+    # (opt guide §2.6) — measured 2.0 s of sequential construction
+    # otherwise.  The emitted frame is a JVM-side VALUES literal, so
+    # thread timing can't reach the hashed values.
+    from concurrent.futures import ThreadPoolExecutor
+
+    _mom_pool = ThreadPoolExecutor(max_workers=1)
+    mom_f = _mom_pool.submit(_dedup_embedding_moments, spark, sf_dir, emb)
+
     exact = similarity.cosine_pairs_blocked(emb, threshold=0.4).select(
         F.lit("exact").alias("branch"), "id_a", "id_b", "cos_sim"
     )
@@ -1723,82 +1834,8 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
     )
-    # moments (round-8 fusion): incremental-PCA moment folding
-    # (embedproj.update_moments) is pure addition over (n, Σx, Gram) —
-    # fold the corpus in TWO halves through the persisted one-row
-    # moments table, then emit the folded statistics (over the first
-    # _MOM_D dims, which exercises the machinery at 1/16 the agg width)
-    # with the proj-branch penalty discipline: the hashed value is the
-    # round-2 statistic the oracle recomputes as plain SQL aggregates,
-    # +1e6 if the fold deviates from the ONE-SHOT reduction beyond
-    # reordering noise — so both the aggregates and the fold=one-shot
-    # identity get hard rows.  The driver-side eigh stays out by design.
-    import shutil
-
-    import numpy as np
-
-    from pathlib import Path
-
-    from ..operators.embedproj import _reduced_moments, update_moments
-
-    root, tag = warehouse_root_tag(sf_dir)
-    mpath = Path(root) / f"moments_gate_{tag}"
-    shutil.rmtree(mpath, ignore_errors=True)
-    vecs = emb.select(
-        "vec_id", F.slice(F.col("embedding"), 1, _MOM_D).alias("__v")
-    )
-    for half in (0, 1):
-        update_moments(
-            vecs.filter(F.col("vec_id") % 2 == half), "__v", str(mpath)
-        )
-    r = spark.read.parquet(str(mpath)).first()
-    n_fold = int(r["n"])
-    s_fold = np.asarray(r["s"], dtype=np.float64)
-    g_fold = np.asarray(r["g"], dtype=np.float64).reshape(_MOM_D, _MOM_D)
-    n_full, s_full, g_full = _reduced_moments(vecs, "__v", _MOM_D)
-    g_full = g_full.reshape(_MOM_D, _MOM_D)
-
-    def _pen(a: float, b: float) -> float:
-        return 0.0 if abs(a - b) <= 1e-9 * max(1.0, abs(b)) else 1e6
-
-    # `+ 0.0` canonicalizes IEEE −0.0 (a round-2 of −0.004 lands there)
-    # to +0.0 — the oracle does the same, else the hash sees -0.0 ≠ 0.0
-    rows = [("moments", -1, -1, float(n_fold) + _pen(n_fold, n_full))]
-    rows += [
-        (
-            "moments",
-            -2,
-            j,
-            round(float(s_fold[j]), 2) + _pen(s_fold[j], s_full[j]) + 0.0,
-        )
-        for j in range(_MOM_D)
-    ]
-    rows += [
-        (
-            "moments",
-            i,
-            j,
-            round(float(g_fold[i, j]), 2)
-            + _pen(g_fold[i, j], g_full[i, j])
-            + 0.0,
-        )
-        for i in range(_MOM_D)
-        for j in range(_MOM_D)
-    ]
-    # JVM-side VALUES (LocalTableScan), not createDataFrame(python rows)
-    # — see round-10 verdict's Scan-ExistingRDD finding.  Doubles are
-    # interpolated via repr(): Python's shortest round-trip repr parsed
-    # by Spark's correctly-rounded double cast is bit-exact, so the hash
-    # the oracle compares is unchanged.
-    _mom_vals = ", ".join(
-        f"('{b}', {ia}, {ib}, CAST('{v!r}' AS DOUBLE))"
-        for (b, ia, ib, v) in rows
-    )
-    mom = spark.sql(
-        "SELECT branch, CAST(id_a AS BIGINT) AS id_a, "
-        "CAST(id_b AS BIGINT) AS id_b, cos_sim "
-        f"FROM VALUES {_mom_vals} AS t(branch, id_a, id_b, cos_sim)"
-    )
+    mom = mom_f.result()
+    _mom_pool.shutdown(wait=False)
     return exact.unionAll(sem).unionAll(proj).unionAll(mom)
 
 
@@ -2741,15 +2778,36 @@ def q_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         similarity.build_ivf_index(base, ivf_path, n_centroids=16)
     if not (Path(sq8_path) / "meta" / "_SUCCESS").exists():
         similarity.build_ivf_sq_index(base, sq8_path, n_centroids=16)
-    lsh = similarity.lsh_probe(
-        spark, lsh_path, query, dim=64, k=10, n_planes=8
-    ).select(F.lit("lsh").alias("method"), "vec_id", "cos_sim")
-    ivf = similarity.ivf_probe(
-        spark, ivf_path, query, k=10, n_probe=2
-    ).select(F.lit("ivf").alias("method"), "vec_id", "cos_sim")
-    sq8 = similarity.ivf_sq_probe(
-        spark, sq8_path, query, k=10, n_probe=2, rerank_n=50
-    ).select(F.lit("sq8").alias("method"), "vec_id", "cos_sim")
+    # The three probes are independent, and each one's CONSTRUCTION runs
+    # several sequential driver-side jobs (query-vector first(),
+    # centroids collect, meta read, sq8 shortlist) — measured 2.3 s of
+    # this query's 2.7 s wall, vs 0.3 s of execution.  Overlap them with
+    # a small thread pool (opt guide §2.6: actions are only sequential
+    # because driver code calls them sequentially); the union order
+    # below stays deterministic.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        lsh_f = pool.submit(
+            similarity.lsh_probe,
+            spark, lsh_path, query, dim=64, k=10, n_planes=8,
+        )
+        ivf_f = pool.submit(
+            similarity.ivf_probe, spark, ivf_path, query, k=10, n_probe=2
+        )
+        sq8_f = pool.submit(
+            similarity.ivf_sq_probe,
+            spark, sq8_path, query, k=10, n_probe=2, rerank_n=50,
+        )
+    lsh = lsh_f.result().select(
+        F.lit("lsh").alias("method"), "vec_id", "cos_sim"
+    )
+    ivf = ivf_f.result().select(
+        F.lit("ivf").alias("method"), "vec_id", "cos_sim"
+    )
+    sq8 = sq8_f.result().select(
+        F.lit("sq8").alias("method"), "vec_id", "cos_sim"
+    )
     return lsh.unionAll(ivf).unionAll(sq8)
 
 
