@@ -314,11 +314,14 @@ def minhash_signature(
     toks = shingle_rows(df, id_col, text_col, n).select(
         "id", F.expr(base).alias("__h")
     )
+    # one parsed SQL string per aggregate (identical analyzed plan to
+    # F.min(F.expr(...)).alias(...), a third of the py4j round-trips)
     mins = toks.groupBy("id").agg(
-        *[F.min(F.expr(perm[i])).alias(f"__m{i}") for i in range(num_hashes)]
+        *[F.expr(f"min({perm[i]}) AS __m{i}") for i in range(num_hashes)]
     )
-    return mins.select(
-        "id", F.array(*[f"__m{i}" for i in range(num_hashes)]).alias("sig")
+    return mins.selectExpr(
+        "id",
+        f"array({', '.join(f'__m{i}' for i in range(num_hashes))}) AS sig",
     )
 
 
@@ -559,19 +562,25 @@ def simhash(
     tok = df.select(
         F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("t")
     ).select("id", F.expr(h_expr).alias("h"))
+    # each per-bit expression is ONE parsed SQL string (same analyzed
+    # plan as the F.sum(F.when(...)) spelling) — the Column-combinator
+    # form costs ~6 py4j round-trips per bit × 64 bits twice, measured
+    # ~0.9 s of driver time PER CONSTRUCTION (OPTIMIZATION_r11.md §8)
     bit_sums = tok.groupBy("id").agg(
         *[
-            F.sum(
-                F.when(F.expr(f"(h >> {i}) & 1") == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
+            F.expr(
+                f"sum(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END)"
+                f" AS b{i}"
+            )
             for i in range(n_bits)
         ]
     )
     bits = [
-        F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(0).alias(f"v{i}")
+        f"CASE WHEN b{i} > 0 THEN CAST(1 AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END AS v{i}"
         for i in range(n_bits)
     ]
-    assembled = bit_sums.select("id", *bits).select(
+    assembled = bit_sums.selectExpr("id", *bits).select(
         "id",
         F.expr(
             " + ".join(f"shiftleft(v{i}, {i})" for i in range(n_bits))
