@@ -192,7 +192,28 @@ def ngram_jaccard_pairs(
     skew-split) + two joins back to the (id, token) rows; no cross join
     anywhere.
     """
-    tok = shingle_rows(df, id_col, text_col, n).withColumnRenamed("s", "t").distinct()
+    # Materialize the distinct shingle rows ONCE (round 12, opt guide §5):
+    # ``tok`` is consumed by four downstream subtrees (dfreq, the ordered
+    # reassembly, and both verification join sides), and without an
+    # explicit materialization each consumer re-runs the scan + trigram
+    # explode + distinct — AQE's runtime stage reuse does not rescue it
+    # because the consumers sit above differently-shaped parents
+    # (measured: 10 parquet scans / 12 Generate nodes in the executed
+    # plan; whole-kernel CPU 4.1 → 2.4 s, shuffle 34 → 18 MB at sf0.1
+    # with this checkpoint).  The explicit ``repartition("id")`` makes
+    # the distinct's exchange ALSO satisfy the ordered-reassembly
+    # ``groupBy("id")`` (hashpartitioning(id) clusters (id, t)), so the
+    # materialized frame is born in the partitioning its heaviest
+    # consumer needs — one exchange instead of two.  At 100 TB the
+    # checkpoint holds the deduped shingle rows (≈ corpus token volume)
+    # on executor-local disk; recomputing them 4× is strictly worse.
+    tok = (
+        shingle_rows(df, id_col, text_col, n)
+        .withColumnRenamed("s", "t")
+        .repartition("id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     dfreq = tok.groupBy("t").agg(F.count("*").alias("df"))
     # Re-assemble each doc's tokens ordered (df asc, token asc) — a global
     # total order shared by all docs, required for prefix-filter soundness.
@@ -433,7 +454,12 @@ def connected_components(
     survive inside ``max_iter`` — paragraph/substring overlap CHAINS,
     where doc A shares a span with B, B with C, … — converge in ~log₂
     rounds (a 300-link chain needs ~10 rounds, not 300).  Each round is
-    two shuffle joins + one min-agg; lineage is truncated per round with
+    two shuffle joins + one min-agg, executed as ONE Spark job: the
+    convergence check rides the eager checkpoint's materialization as an
+    ``observe()`` metric (round 12) instead of a second count job, and a
+    converged round returns the checkpointed labels through a narrow
+    projection (the pointer jump would be the identity).  Lineage is
+    truncated per round with
     ``localCheckpoint`` (an iterative plan that keeps its full lineage
     re-executes every prior round at every action — the classic Spark
     iterative-algorithm trap; on a cluster use a checkpoint dir for
@@ -450,15 +476,24 @@ def connected_components(
     ).union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
     # materialize the edge list once — it is re-joined every round, and an
     # unmaterialized edge plan (e.g. a full similarity join) would re-execute
-    # per iteration
-    sym = sym.localCheckpoint(eager=True)
+    # per iteration.  Repartition on the join key FIRST (round 12): the
+    # checkpointed LogicalRDD keeps its outputPartitioning, so every
+    # round's ``join(labels, "src")`` finds the edge side already hash-
+    # partitioned and only the (smaller) label frame moves — one edge
+    # shuffle total instead of one per round once labels outgrow the
+    # broadcast threshold at scale.
+    sym = sym.repartition("src").localCheckpoint(eager=True)
     # iterate over edge ENDPOINTS only — typically a small fraction of the
     # corpus (most docs are singletons); singletons join back at the end
     labels = sym.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("comp")
     )
+    from uuid import uuid4
+
+    from pyspark.sql import Observation
+
     converged = False
-    for _ in range(max_iter):
+    for _round in range(max_iter):
         nbr = sym.join(
             labels.withColumnRenamed("id", "src"), "src"
         ).select(
@@ -466,9 +501,11 @@ def connected_components(
         )
         # fold the convergence check into the SAME aggregation: `old`
         # (this id's previous label, present exactly once via own=true)
-        # rides the min-agg shuffle, so detecting a fixed point is a
-        # cheap scan of the checkpointed result instead of a second
-        # shuffle join per round
+        # rides the min-agg shuffle, and the changed-label count is an
+        # ``observe()`` metric collected DURING the eager checkpoint's
+        # materialization (round 12) — one Spark job per round instead
+        # of checkpoint + a second convergence-count job.
+        obs = Observation(f"cc_round_{_round}_{uuid4().hex[:8]}")
         merged = (
             labels.withColumn("own", F.lit(True))
             .unionByName(nbr)
@@ -476,6 +513,12 @@ def connected_components(
             .agg(
                 F.min("comp").alias("comp"),
                 F.min(F.when(F.col("own"), F.col("comp"))).alias("old"),
+            )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("comp") != F.col("old")).cast("long")
+                ).alias("changed"),
             )
             # materialize before the self-join below consumes it twice —
             # otherwise the union+groupBy min-agg subplan is duplicated
@@ -488,10 +531,16 @@ def connected_components(
         # m has comp[m] = m since labels are reachable ids ≥ the
         # component min and ≤ own id) — at that point the jump below is
         # the identity, so stopping here is exactly the jumped fixed
-        # point.  Checking pre-jump keeps the round at ONE eager
-        # materialization (merged): a second checkpoint per round would
-        # hold 2× label-sized block sets until the context cleaner runs.
-        changed = merged.filter(F.col("comp") != F.col("old")).limit(1).count()
+        # point.  ``sum`` over zero rows is NULL (empty edge set) — that
+        # is the converged case too.
+        changed = obs.get["changed"]
+        if not changed:
+            converged = True
+            # the jump would be the identity: return the materialized
+            # labels through a narrow projection — no final join, and no
+            # extra checkpoint (merged already holds the blocks)
+            labels = merged.select("id", "comp")
+            break
         # pointer jump: comp ← comp[comp].  Labels are node ids and every
         # labeled node's label is ≤ itself under min-propagation, so the
         # jump only ever lowers comp (toward the component minimum); a
@@ -504,9 +553,6 @@ def connected_components(
         labels = merged.join(jump, "comp", "left").select(
             "id", F.coalesce("jcomp", "comp").alias("comp")
         )
-        if changed == 0:
-            converged = True
-            break
     if not converged:
         # labels are still a valid UPPER-BOUND partition (every id maps
         # to SOME reachable id), but distinct components may not have
@@ -524,13 +570,15 @@ def connected_components(
         import warnings
 
         warnings.warn(msg, RuntimeWarning, stacklevel=2)
-    # materialize the FINAL labels once (the per-round frames stay at one
-    # checkpoint each): the loop leaves `labels` as a lazy jump join over
-    # the last checkpointed merged, and returning that plan would make
-    # every downstream action re-execute the join — and re-enter the
-    # returned plan's Exchange count, which the corpus-wide
-    # shuffle-budget pin tracks
-    labels = labels.localCheckpoint(eager=True)
+        # materialize the FINAL labels once (the per-round frames stay at
+        # one checkpoint each): the non-converged loop exit leaves
+        # `labels` as a lazy jump join over the last checkpointed merged,
+        # and returning that plan would make every downstream action
+        # re-execute the join — and re-enter the returned plan's Exchange
+        # count, which the corpus-wide shuffle-budget pin tracks.  (The
+        # converged path returns a narrow projection over the already-
+        # checkpointed merged — nothing to materialize.)
+        labels = labels.localCheckpoint(eager=True)
     return ids.select("id").join(labels, "id", "left").select(
         "id", F.coalesce("comp", F.col("id")).alias("component_id")
     )
