@@ -22,6 +22,15 @@ DEFAULT_PROFILES: dict[str, tuple[str, ...]] = {
 }
 
 
+#: the exact character set of the regex class [a-zA-Z0-9 ] — the
+#: translate() spelling of quality_score's punctuation ratio
+_ALNUM_SPACE = (
+    "abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    "0123456789 "
+)
+
+
 def _overlap_count(tokens_expr: str, markers: tuple[str, ...]) -> str:
     arr = ", ".join("'" + m.replace("'", "''") + "'" for m in markers)
     return f"size(array_intersect({tokens_expr}, array({arr})))"
@@ -64,8 +73,13 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         "*",
         F.expr(f"length({text_col})").alias("q_chars"),
         F.expr(f"size({toks})").alias("q_tokens"),
+        # translate, not regexp_replace('[a-zA-Z0-9 ]', ''): deleting a
+        # fixed ASCII character set is a char-map lookup, no regex
+        # engine — identical remaining-length for this exact class
+        # (round 12)
         F.expr(
-            f"CAST(length(regexp_replace({text_col}, '[a-zA-Z0-9 ]', '')) AS DOUBLE)"
+            f"CAST(length(translate({text_col}, "
+            f"'{_ALNUM_SPACE}', '')) AS DOUBLE)"
             f" / greatest(length({text_col}), 1)"
         ).alias("q_punct_ratio"),
         F.expr(
@@ -83,7 +97,11 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def repetition_metrics(text_col: str = "text") -> list[Column]:
+def repetition_metrics(
+    text_col: str = "text",
+    ntoks_expr: str | None = None,
+    ndt_expr: str | None = None,
+) -> list[Column]:
     """Gopher-style intra-document repetition features as Column exprs:
 
     - ``n_distinct_trigrams`` — distinct token-3-gram count (0 when the
@@ -100,7 +118,17 @@ def repetition_metrics(text_col: str = "text") -> list[Column]:
     whose lambda would re-split the text per trigram position (O(T²)
     characters per doc, the trap dedup.shingle_rows documents).  The
     lambdas run interpreted, but per-element work is two concats —
-    corpus-scale repetition filtering stays a cheap map-only pass."""
+    corpus-scale repetition filtering stays a cheap map-only pass.
+
+    ``ntoks_expr`` / ``ndt_expr`` (round 12): names of PRE-PROJECTED
+    columns holding ``size(split(text, ' '))`` and the CASE'd distinct-
+    trigram count (the first returned column's exact expression).  Both
+    outputs consume the trigram pipeline, and interpreted lambdas get
+    no subexpression elimination, so without the pre-projection the
+    zip_with chain + array_distinct evaluates TWICE per row.  Pass both
+    or neither."""
+    if (ntoks_expr is None) != (ndt_expr is None):
+        raise ValueError("pass both ntoks_expr and ndt_expr, or neither")
     toks = f"split({text_col}, ' ')"
     tris = (
         f"zip_with("
@@ -110,21 +138,27 @@ def repetition_metrics(text_col: str = "text") -> list[Column]:
         f"  slice({toks}, 3, size({toks}) - 2),"
         f"  (x, y) -> concat(x, ' ', y))"
     )
+    ndt = ndt_expr or (
+        f"CASE WHEN size({toks}) >= 3 THEN "
+        f"CAST(size(array_distinct({tris})) AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END"
+    )
+    ntoks = ntoks_expr or f"size({toks})"
     return [
+        F.expr(ndt).alias("n_distinct_trigrams"),
         F.expr(
-            f"CASE WHEN size({toks}) >= 3 THEN "
-            f"CAST(size(array_distinct({tris})) AS BIGINT) "
-            f"ELSE CAST(0 AS BIGINT) END"
-        ).alias("n_distinct_trigrams"),
-        F.expr(
-            f"CASE WHEN size({toks}) >= 3 THEN "
-            f"round(1.0 - CAST(size(array_distinct({tris})) AS DOUBLE) "
-            f"/ (size({toks}) - 2), 6) ELSE 0.0 END"
+            f"CASE WHEN {ntoks} >= 3 THEN "
+            f"round(1.0 - CAST({ndt} AS DOUBLE) "
+            f"/ ({ntoks} - 2), 6) ELSE 0.0 END"
         ).alias("dup_trigram_frac"),
     ]
 
 
-def repetition_battery(text_expr: str = "text") -> list[Column]:
+def repetition_battery(
+    text_expr: str = "text",
+    words_expr: str | None = None,
+    lines_expr: str | None = None,
+) -> list[Column]:
     """The Gopher/MassiveText REPETITION filter battery (Rae et al.
     2021, Appendix A.1.2) as single-scan column expressions — the
     intra-document repetition signals beyond the duplicate-trigram
@@ -157,10 +191,15 @@ def repetition_battery(text_expr: str = "text") -> list[Column]:
     ~40× more wall-clock at corpus scale for identical values (measured
     at sf0.1: 63 s → 1.6 s for this battery).  Ratios round to 6
     places; the DuckDB twin brute-forces the same values (oracle SF is
-    toy — the twin checks semantics, not the algorithm)."""
+    toy — the twin checks semantics, not the algorithm).
+
+    ``words_expr`` / ``lines_expr``: pre-projected split-array column
+    names — see :func:`gopher_rules` (same interpreted-lambda
+    re-evaluation issue, same ~30% CPU saving when the caller projects
+    the arrays once)."""
     t = f"({text_expr})"
-    words = f"filter(split({t}, ' '), w -> w != '')"
-    lines = f"filter(split({t}, '\\n'), l -> l != '')"
+    words = words_expr or f"filter(split({t}, ' '), w -> w != '')"
+    lines = lines_expr or f"filter(split({t}, '\\n'), l -> l != '')"
     nl = f"size({lines})"
     wchars = f"aggregate({words}, 0L, (a, w) -> a + length(w))"
     lchars = f"aggregate({lines}, 0L, (a, l) -> a + length(l))"
@@ -253,7 +292,11 @@ GOPHER_STOPWORDS: tuple[str, ...] = (
 )
 
 
-def gopher_rules(text_expr: str = "text") -> list[Column]:
+def gopher_rules(
+    text_expr: str = "text",
+    words_expr: str | None = None,
+    lines_expr: str | None = None,
+) -> list[Column]:
     """The Gopher/MassiveText document-quality rule battery (Rae et al.
     2021, Appendix A.1.1) as single-scan column expressions — no
     shuffle, no UDF, applies to 100 TB as a projection:
@@ -274,11 +317,22 @@ def gopher_rules(text_expr: str = "text") -> list[Column]:
     string), so callers can run the battery over a derived text.
     Ratios round to 6 places (the repo's cross-engine double
     discipline); every regex is RE2-safe for the DuckDB twin.
+
+    ``words_expr`` / ``lines_expr`` (round 12): names of PRE-PROJECTED
+    array columns holding the word/line splits.  Higher-order-function
+    lambdas are interpreted (no codegen, no subexpression elimination),
+    so when the battery's seven columns each re-derive
+    ``filter(split(text), …)`` the split+filter runs once PER COLUMN.
+    A caller that projects the arrays once in a preceding ``withColumns``
+    (CollapseProject keeps the stage split — the aliases are non-cheap
+    and multiply referenced) cuts the battery's CPU ~30% (measured with
+    :func:`repetition_battery` at sf0.1: 2.07 → 1.44 CPU-s for the
+    pair).  Values are identical by construction.
     """
     t = f"({text_expr})"
-    words = f"filter(split({t}, ' '), w -> w != '')"
+    words = words_expr or f"filter(split({t}, ' '), w -> w != '')"
     nw = f"size({words})"
-    lines = f"filter(split({t}, '\\n'), l -> l != '')"
+    lines = lines_expr or f"filter(split({t}, '\\n'), l -> l != '')"
     nl = f"size({lines})"
     stop_arr = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
     n_words = f"CAST({nw} AS BIGINT)"
@@ -498,6 +552,8 @@ def redact_pii(
         # coalesce: regexp_extract_all of NULL text is NULL, which would
         # poison n_redactions to NULL instead of 0 — a numeric quality
         # gate downstream would then treat NULL-text rows inconsistently
+        # (regexp_count is no cheaper: it is RuntimeReplaceable sugar
+        # for exactly this size(regexp_extract_all) — measured round 12)
         n = n + F.coalesce(
             F.size(F.regexp_extract_all(redacted, F.lit(rx), F.lit(0))),
             F.lit(0),

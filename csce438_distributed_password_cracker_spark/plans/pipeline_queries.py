@@ -640,11 +640,44 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         textops.language_id(fan_out_scan(docs, "doc_id"))
     )
     profiled = profiled.withColumn("__synth", F.expr(_SYNTH_SQL))
+    # round-12: pre-project the split arrays / counts the two rule
+    # batteries and the repetition metrics share.  Higher-order-function
+    # lambdas run interpreted (no codegen, no subexpression elimination),
+    # so inlined they re-derive filter(split(…)) once PER OUTPUT COLUMN;
+    # CollapseProject keeps this stage separate from the battery select
+    # because the aliases are non-cheap and multiply referenced.
+    # Measured: the two batteries 2.07 → 1.44 CPU-s at sf0.1, identical
+    # values.  The temps never leave this function (the select below
+    # projects the declared schema only).
+    _tris = (
+        f"zip_with("
+        f"  zip_with(slice({toks}, 1, size({toks}) - 2),"
+        f"           slice({toks}, 2, size({toks}) - 2),"
+        f"           (x, y) -> concat(x, ' ', y)),"
+        f"  slice({toks}, 3, size({toks}) - 2),"
+        f"  (x, y) -> concat(x, ' ', y))"
+    )
+    profiled = profiled.withColumns(
+        {
+            "__gw": F.expr(
+                f"filter(split({_GOPHER_TEXT}, ' '), w -> w != '')"
+            ),
+            "__gl": F.expr(
+                f"filter(split({_GOPHER_TEXT}, '\\n'), l -> l != '')"
+            ),
+            "__ntok": F.expr(f"size({toks})"),
+            "__ndt": F.expr(
+                f"CASE WHEN size({toks}) >= 3 THEN "
+                f"CAST(size(array_distinct({_tris})) AS BIGINT) "
+                f"ELSE CAST(0 AS BIGINT) END"
+            ),
+        }
+    )
     prof = profiled.select(
         "doc_id",
         "lang",
         F.expr("CAST(length(text) AS BIGINT)").alias("n_chars"),
-        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_tokens"),
+        F.expr("CAST(__ntok AS BIGINT)").alias("n_tokens"),
         # the BPE-ish count (letters / digit-runs / punctuation as
         # separate tokens — textops.token_counts), fused onto the same
         # scan; lookaround-free so RE2 recomputes it identically
@@ -657,15 +690,17 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"round(CAST(size(filter({toks}, "
             "x -> x = 'the' OR x = 'a' OR x = 'data' OR x = 'row')) AS DOUBLE)"
-            f" / CAST(size({toks}) AS DOUBLE), 6)"
+            " / CAST(__ntok AS DOUBLE), 6)"
         ).alias("stopword_ratio"),
         F.expr(
             "round(CAST(length(replace(text, ' ', '')) AS DOUBLE)"
-            f" / CAST(size({toks}) AS DOUBLE), 6)"
+            " / CAST(__ntok AS DOUBLE), 6)"
         ).alias("avg_token_len"),
         "q_punct_ratio",
         "q_stopword_ratio",
-        *textops.repetition_metrics("text"),
+        *textops.repetition_metrics(
+            "text", ntoks_expr="__ntok", ndt_expr="__ndt"
+        ),
         *_SCORES,
         "lang_pred",
         *textops.redact_pii(
@@ -676,8 +711,12 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         # doc gets synthetic line structure so the line rules exercise
         # multi-line input; min_stop_hits tuned to 1 for the synthetic
         # vocabulary (the thresholds are keyword args)
-        *textops.gopher_rules(_GOPHER_TEXT),
-        *textops.repetition_battery(_GOPHER_TEXT),
+        *textops.gopher_rules(
+            _GOPHER_TEXT, words_expr="__gw", lines_expr="__gl"
+        ),
+        *textops.repetition_battery(
+            _GOPHER_TEXT, words_expr="__gw", lines_expr="__gl"
+        ),
         # round-7 fusion: text normalization (operators/textnorm.py) on
         # the same scan — ASCII mixed-case + tab + padding derivation,
         # full normalized STRING hash-checked plus its length
