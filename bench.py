@@ -329,7 +329,22 @@ def main() -> None:
         "sketch_mode": sketch_mode,
         "sf": sf,
     }
-    print(json.dumps(payload))
+    line = json.dumps(payload)
+    print(line)
+    # Redundancy for the one-line-JSON handoff (round 12, VERDICT r11
+    # next #2): the round-10 driver capture parsed nothing (`parsed:
+    # null`, only a 2000-char stdout tail survived) and the whole
+    # round-over-round table was lost.  Write the IDENTICAL payload to
+    # BENCH_last.json next to this file so the comparison can always be
+    # reconstructed from the repo.  Unconditional and tiny; the detail
+    # file below stays the opt-out-able heavyweight.
+    with open(
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_last.json"
+        ),
+        "w",
+    ) as f:
+        f.write(line + "\n")
     # The driver truncates the stdout line into BENCH_r{N}.json's `tail`,
     # losing the per-query min dict — also write the full payload to a
     # repo file so round-over-round diffs stay machine-readable without

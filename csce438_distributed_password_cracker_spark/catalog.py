@@ -57,7 +57,47 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
-def fan_out_scan(df: DataFrame, key: str, min_parts: int | None = None) -> DataFrame:
+def _parquet_row_groups(path: str, enough: int) -> int | None:
+    """Total row groups across the parquet files under ``path`` (a file
+    or a directory), read from footers driver-side; stops counting once
+    ``enough`` is reached (only the comparison against the floor is
+    needed, so a production layout pays one or two footer reads, not a
+    full listing scan).  Returns None when the layout cannot be
+    inspected locally (non-local scheme, no files) — callers fall back
+    to planned-split counting."""
+    import glob as _glob
+    import os as _os
+
+    try:
+        import pyarrow.parquet as _pq
+
+        if _os.path.isdir(path):
+            files = sorted(
+                _glob.glob(_os.path.join(path, "**", "*.parquet"),
+                           recursive=True)
+            )
+        elif _os.path.isfile(path):
+            files = [path]
+        else:
+            return None
+        if not files:
+            return None
+        n = 0
+        for f in files:
+            n += _pq.ParquetFile(f).metadata.num_row_groups
+            if n >= enough:
+                return n
+        return n
+    except Exception:
+        return None
+
+
+def fan_out_scan(
+    df: DataFrame,
+    key: str,
+    min_parts: int | None = None,
+    source_path: str | None = None,
+) -> DataFrame:
     """Scan-parallelism floor for row-group-bound inputs (opt guide §2.5).
 
     A parquet file is split into byte-range tasks, but a ROW GROUP is the
@@ -86,9 +126,34 @@ def fan_out_scan(df: DataFrame, key: str, min_parts: int | None = None) -> DataF
       bandwidth billed as CPU): serial = 2.6 s wall / 3.1 CPU; hash8 =
       0.65 / 5.0; hash16 = 0.54 / 5.8; hash32 = 0.43 / 7.0.  cores//4
       takes most of the wall win at the small end of the CPU overhead.
+
+    Guard semantics (round 12, ADVICE r11): when ``source_path`` names
+    the parquet source, effective parallelism is counted as ROW GROUPS
+    from the file footers — a row group is the unit a scan task actually
+    reads, so a single-row-group file larger than ``maxPartitionBytes``
+    plans several byte-range splits of which only one does the work;
+    the planned-split count would wrongly skip the repartition in
+    exactly the one-huge-unsplittable-file case this helper exists for.
+    The footer count stops as soon as the floor is met (a production
+    layout pays one or two footer reads).  Without ``source_path`` (or
+    when the path is not locally inspectable) the guard falls back to
+    ``df.rdd.getNumPartitions()`` — planned splits, valid only for
+    SCAN-ONLY inputs: ``.rdd`` forces physical planning per call and
+    under AQE would eagerly materialize upstream shuffle stages, so do
+    not hand this helper a frame with exchanges below it.
     """
     sess = df.sparkSession
-    target = min_parts or max(2, sess.sparkContext.defaultParallelism // 4)
+    target = (
+        min_parts
+        if min_parts is not None
+        else max(2, sess.sparkContext.defaultParallelism // 4)
+    )
+    if source_path is not None:
+        n = _parquet_row_groups(source_path, target)
+        if n is not None:
+            if n >= target:
+                return df
+            return df.repartition(target, F.col(key))
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target, F.col(key))

@@ -637,7 +637,16 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONLY its input out (guide §2.5); the lm/clf sub-DAGs are cheap and
     # shuffle on their own keys anyway
     profiled = textops.quality_score(
-        textops.language_id(fan_out_scan(docs, "doc_id"))
+        textops.language_id(
+            # source_path: the floor guard counts ROW GROUPS from the
+            # parquet footers (the unit a scan task actually reads),
+            # not planned byte-range splits — see fan_out_scan
+            fan_out_scan(
+                docs,
+                "doc_id",
+                source_path=table_path(sf_dir, "documents"),
+            )
+        )
     )
     profiled = profiled.withColumn("__synth", F.expr(_SYNTH_SQL))
     # round-12: pre-project the split arrays / counts the two rule
@@ -1790,91 +1799,106 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # thread timing can't reach the hashed values.
     from concurrent.futures import ThreadPoolExecutor
 
+    # try/finally (ADVICE r11): if the exact/sem/proj construction below
+    # raises, the moments worker must not keep running Spark jobs (and
+    # rmtree/parquet writes) in the background — shutdown() on the error
+    # path waits for the in-flight future so the executor never leaks.
     _mom_pool = ThreadPoolExecutor(max_workers=1)
-    mom_f = _mom_pool.submit(_dedup_embedding_moments, spark, sf_dir, emb)
+    try:
+        mom_f = _mom_pool.submit(
+            _dedup_embedding_moments, spark, sf_dir, emb
+        )
+    except BaseException:
+        _mom_pool.shutdown(wait=False)
+        raise
 
-    exact = similarity.cosine_pairs_blocked(emb, threshold=0.4).select(
-        F.lit("exact").alias("branch"), "id_a", "id_b", "cos_sim"
-    )
-    # candidates from the real operator (margin-widened, seed pinned to
-    # the oracle's literal 42), then membership + value re-verified by
-    # the JVM cosine expression — bit-identical to the SQL twin, exactly
-    # as cosine_pairs_blocked does; numpy's GEMM accumulation order
-    # never reaches the hash compare
-    cand = semantic_pairs(
-        emb, threshold=0.4 - 1e-6, n_centroids=4, refine_iters=0, seed=42
-    ).select("id_a", "id_b")
-    ea = emb.select(
-        F.col("vec_id").cast("long").alias("id_a"),
-        F.col("embedding").alias("__va"),
-    )
-    eb = emb.select(
-        F.col("vec_id").cast("long").alias("id_b"),
-        F.col("embedding").alias("__vb"),
-    )
-    sem = (
-        cand.join(ea, "id_a")
-        .join(eb, "id_b")
-        .select(
-            F.lit("semantic").alias("branch"),
-            "id_a",
-            "id_b",
-            F.round(vectors.cosine("__va", "__vb"), 6).alias("cos_sim"),
+    try:
+        exact = similarity.cosine_pairs_blocked(emb, threshold=0.4).select(
+            F.lit("exact").alias("branch"), "id_a", "id_b", "cos_sim"
         )
-        .filter(F.col("cos_sim") >= 0.4)
-    )
-    model = _pca_gate_model()
-    # production kernel (Arrow GEMM, float32) on every row …
-    proj_src = embedproj.project(emb, model, "embedding", "__kvec")
-    # … and the JVM twin in DuckDB's exact op order: the left-to-right
-    # aggregate/zip_with fold, minus the precomputed mean·wᵢ scalar
-    jvm_axes = F.array(
-        *[
-            F.expr(
-                vectors.dot_sql(
-                    "embedding",
-                    "array("
-                    + ", ".join(
-                        f"{float(model.components[i][j])!r}D"
-                        for j in range(_PCA_GATE_D)
-                    )
-                    + ")",
-                )
+        # candidates from the real operator (margin-widened, seed pinned to
+        # the oracle's literal 42), then membership + value re-verified by
+        # the JVM cosine expression — bit-identical to the SQL twin, exactly
+        # as cosine_pairs_blocked does; numpy's GEMM accumulation order
+        # never reaches the hash compare
+        cand = semantic_pairs(
+            emb, threshold=0.4 - 1e-6, n_centroids=4, refine_iters=0, seed=42
+        ).select("id_a", "id_b")
+        ea = emb.select(
+            F.col("vec_id").cast("long").alias("id_a"),
+            F.col("embedding").alias("__va"),
+        )
+        eb = emb.select(
+            F.col("vec_id").cast("long").alias("id_b"),
+            F.col("embedding").alias("__vb"),
+        )
+        sem = (
+            cand.join(ea, "id_a")
+            .join(eb, "id_b")
+            .select(
+                F.lit("semantic").alias("branch"),
+                "id_a",
+                "id_b",
+                F.round(vectors.cosine("__va", "__vb"), 6).alias("cos_sim"),
             )
-            - F.lit(float(model.mean @ model.components[i]))
-            for i in range(model.k)
-        ]
-    )
-    proj = (
-        proj_src.select(
-            F.col("vec_id").alias("id_a"),
-            F.posexplode(
-                F.arrays_zip(
-                    jvm_axes.alias("j"),
-                    F.col("__kvec").cast("array<double>").alias("p"),
+            .filter(F.col("cos_sim") >= 0.4)
+        )
+        model = _pca_gate_model()
+        # production kernel (Arrow GEMM, float32) on every row …
+        proj_src = embedproj.project(emb, model, "embedding", "__kvec")
+        # … and the JVM twin in DuckDB's exact op order: the left-to-right
+        # aggregate/zip_with fold, minus the precomputed mean·wᵢ scalar
+        jvm_axes = F.array(
+            *[
+                F.expr(
+                    vectors.dot_sql(
+                        "embedding",
+                        "array("
+                        + ", ".join(
+                            f"{float(model.components[i][j])!r}D"
+                            for j in range(_PCA_GATE_D)
+                        )
+                        + ")",
+                    )
                 )
-            ).alias("id_b", "z"),
+                - F.lit(float(model.mean @ model.components[i]))
+                for i in range(model.k)
+            ]
         )
-        .select(
-            F.lit("proj").alias("branch"),
-            "id_a",
-            F.col("id_b").cast("long").alias("id_b"),
-            (
-                F.round(F.col("z.j"), 6)
-                # NULL-safe penalty: arrays_zip pads a SHORT production
-                # array with NULLs, and a NULL comparison would fall
-                # through otherwise(0.0) — a truncated/NULL-emitting
-                # kernel must hash-MISMATCH, not silently pass
-                + F.when(
-                    F.col("z.p").isNull()
-                    | (F.abs(F.col("z.j") - F.col("z.p")) > 1e-3),
-                    F.lit(1e6),
-                ).otherwise(F.lit(0.0))
-            ).alias("cos_sim"),
+        proj = (
+            proj_src.select(
+                F.col("vec_id").alias("id_a"),
+                F.posexplode(
+                    F.arrays_zip(
+                        jvm_axes.alias("j"),
+                        F.col("__kvec").cast("array<double>").alias("p"),
+                    )
+                ).alias("id_b", "z"),
+            )
+            .select(
+                F.lit("proj").alias("branch"),
+                "id_a",
+                F.col("id_b").cast("long").alias("id_b"),
+                (
+                    F.round(F.col("z.j"), 6)
+                    # NULL-safe penalty: arrays_zip pads a SHORT production
+                    # array with NULLs, and a NULL comparison would fall
+                    # through otherwise(0.0) — a truncated/NULL-emitting
+                    # kernel must hash-MISMATCH, not silently pass
+                    + F.when(
+                        F.col("z.p").isNull()
+                        | (F.abs(F.col("z.j") - F.col("z.p")) > 1e-3),
+                        F.lit(1e6),
+                    ).otherwise(F.lit(0.0))
+                ).alias("cos_sim"),
+            )
         )
-    )
-    mom = mom_f.result()
-    _mom_pool.shutdown(wait=False)
+        mom = mom_f.result()
+    finally:
+        # success path: the future is already resolved, shutdown is
+        # instantaneous; error path: wait for the in-flight moments
+        # chain so its table writes cannot race a caller's retry
+        _mom_pool.shutdown(wait=True)
     return exact.unionAll(sem).unionAll(proj).unionAll(mom)
 
 

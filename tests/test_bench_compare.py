@@ -123,6 +123,69 @@ def test_bounded_entry_uses_measured_swing_not_dual_threshold():
     assert bench_compare.CPU_BOUNDED["q_crack_verdicts"] == 3.5
 
 
+def test_round12_bounded_entries_carry_measured_bounds():
+    """The three round-12 documented-noise entries (VERDICT r11 #4/#6
+    plus q_crack_batch's bimodal window): swings within their measured
+    bounds must not flag; a real plan regression past the bound must."""
+    base = {"queries_cpu_median": {}, "queries_shuffle_mb": {}}
+    for entry, bound, which in (
+        ("q_dedup_exact", 3.5, "queries_cpu_median"),
+        ("q_crack_batch", 4.0, "queries_cpu_median"),
+        ("clf_score", 2.0, "operators_cpu_median"),
+    ):
+        assert bench_compare.CPU_BOUNDED[entry] == bound
+        old = {**base, which: {entry: 10.0}}
+        within = {**base, which: {entry: 10.0 + bound - 0.1}}
+        past = {**base, which: {entry: 10.0 + bound + 0.5}}
+        assert bench_compare.compare(old, within)["flags"] == [], entry
+        flags = bench_compare.compare(old, past)["flags"]
+        assert flags == [
+            ("cpu", entry, 10.0, round(10.0 + bound + 0.5, 3), round(bound + 0.5, 3))
+        ], entry
+
+
+def test_bench_cli_writes_bench_last_equal_to_stdout(tmp_path):
+    """bench.py must ALSO write its one-line JSON payload to
+    BENCH_last.json (VERDICT r11 next #2): the round-10 driver capture
+    lost the stdout line (`parsed: null`, 2000-char tail) and with it
+    the whole round-over-round table.  The file must equal the stdout
+    line byte-for-byte so either source reconstructs the comparison."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    env = {
+        **os.environ,
+        "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
+        "SPARK_GRAFT_CPUS": "4",
+        "SPARK_GRAFT_BENCH_ONLY": "q_events_scan",
+        "SPARK_GRAFT_BENCH_RUNS": "1",
+        "SPARK_GRAFT_BENCH_DETAIL": "",
+    }
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [
+        ln
+        for ln in proc.stdout.splitlines()
+        if ln.startswith('{"metric"')
+    ][-1]
+    with open(os.path.join(repo, "BENCH_last.json")) as f:
+        persisted = f.read().strip()
+    assert persisted == line
+    payload = json.loads(persisted)
+    assert payload["queries"].keys() == {"q_events_scan"}
+
+
 def test_aggregate_catches_distributed_drift():
     """Twenty 0.8 s same-direction risers each pass the per-entry dual
     threshold (0.8 < 1.0 abs) but sum to a 16 s total regression — the

@@ -406,7 +406,11 @@ def test_fan_out_scan_fires_only_below_floor(spark, sf_oracle):
     )
 
     docs = load_table(spark, sf_oracle, "documents")
-    assert docs.rdd.getNumPartitions() == 1  # the premise: one row group
+    # the premise: the test table is row-group-bound, i.e. it plans
+    # FEWER scan partitions than the floor (deriving the exact count
+    # from file size vs maxPartitionBytes is conf-dependent — asserting
+    # `< floor` is what the helper's guard actually keys on)
+    assert docs.rdd.getNumPartitions() < 4
 
     fanned = fan_out_scan(docs, "doc_id", min_parts=4)
     assert fanned.rdd.getNumPartitions() == 4
@@ -422,6 +426,53 @@ def test_fan_out_scan_fires_only_below_floor(spark, sf_oracle):
     assert fanned.count() == docs.count()
 
 
+def test_fan_out_scan_row_group_guard(spark, sf_oracle, tmp_path):
+    """ADVICE r11 (medium): with source_path the floor guard counts
+    parquet ROW GROUPS, not planned byte-range splits — a single-row-
+    group file bigger than maxPartitionBytes plans multiple splits of
+    which only one reads the row group, so the split count would
+    wrongly skip the repartition in exactly the case the helper exists
+    for.  Also: min_parts=0 must mean 'floor 0' (vacuous no-op), not
+    'unset'."""
+    from csce438_distributed_password_cracker_spark.catalog import (
+        _parquet_row_groups,
+        fan_out_scan,
+        load_table,
+        table_path,
+    )
+
+    docs_path = table_path(sf_oracle, "documents")
+    # the test table is one file / one row group
+    assert _parquet_row_groups(docs_path, 4) == 1
+    # early-exit: once `enough` is reached the count stops (a
+    # production layout pays O(1) footer reads)
+    assert _parquet_row_groups(docs_path, 1) == 1
+    # unreadable layouts return None (caller falls back to splits)
+    assert _parquet_row_groups(str(tmp_path / "nope"), 4) is None
+
+    docs = load_table(spark, sf_oracle, "documents")
+    fanned = fan_out_scan(docs, "doc_id", min_parts=4, source_path=docs_path)
+    assert fanned.rdd.getNumPartitions() == 4
+
+    # a multi-row-group layout at/above the floor passes through even
+    # when its planned split count is 1 (small files pack into one
+    # split via openCostInBytes — the planned-split guard would fire;
+    # the row-group guard must not)
+    multi = str(tmp_path / "multi")
+    load_table(spark, sf_oracle, "documents").limit(40).repartition(
+        4
+    ).write.parquet(multi)
+    assert (_parquet_row_groups(multi, 4) or 0) >= 4
+    df_multi = spark.read.parquet(multi)
+    assert (
+        fan_out_scan(df_multi, "doc_id", min_parts=4, source_path=multi)
+        is df_multi
+    )
+
+    # min_parts=0 is a floor of zero, not 'derive from cores'
+    assert fan_out_scan(docs, "doc_id", min_parts=0) is docs
+
+
 def test_text_profile_battery_rides_fan_out(spark, sf_oracle):
     """q_text_profile's profile battery input is fanned out (round-11
     optimization): exactly one extra hash exchange on doc_id, and the
@@ -432,9 +483,20 @@ def test_text_profile_battery_rides_fan_out(spark, sf_oracle):
 
     df = corpus.REGISTRY["q_text_profile"].fn(spark, sf_oracle)
     p = plan_str(spark, df)
-    import re
 
+    # assert on FULL exchange-argument lines, not a `[^)]*` capture
+    # that truncates at the first ')' and could hide a text# reference
+    # inside a nested-paren partitioning expression (ADVICE r11).  In
+    # formatted mode the partitioning renders as an
+    # `Arguments: hashpartitioning(…)` detail line.
+    ex_lines = [
+        ln for ln in p.splitlines() if "hashpartitioning(" in ln
+    ]
+    assert any("doc_id#" in ln for ln in ex_lines)
     # the fan-out exchange partitions on doc_id only — never on text
-    parts = re.findall(r"hashpartitioning\(([^)]*)\)", p)
-    assert any("doc_id#" in a for a in parts)
-    assert all("text#" not in a for a in parts)
+    assert all("text#" not in ln for ln in ex_lines), ex_lines
+    # exactly ONE REPARTITION_BY_NUM exchange: the battery's fan-out —
+    # the lm/clf sub-DAGs must keep reading the serial scan (a blanket
+    # fan-out breaks exchange reuse in self-join pipelines)
+    fanouts = [ln for ln in ex_lines if "REPARTITION_BY_NUM" in ln]
+    assert len(fanouts) == 1, ex_lines
