@@ -428,7 +428,20 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    tok = shingle_rows(df, id_col, text_col, n).distinct()
+    # Materialize the distinct shingle rows once (round 12, same finding
+    # as ngram_jaccard_pairs): the verification consumes ``tok`` from
+    # FOUR subtrees (the per-doc size aggregate twice, both intersect
+    # join sides), each otherwise re-running scan + explode + distinct
+    # above a reused exchange.  repartition("id") makes the distinct's
+    # exchange double as the size-aggregate's clustering.  Measured at
+    # sf0.1 (production hashes): kernel CPU 2.56 → 1.83, shuffle
+    # 24 → 13 MB, identical pairs.
+    tok = (
+        shingle_rows(df, id_col, text_col, n)
+        .repartition("id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     return _verify_jaccard_by_counts(cand, tok, threshold)
 
 

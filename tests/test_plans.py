@@ -100,10 +100,16 @@ def test_keyspace_scan_has_no_shuffle(spark, sf_oracle):
 #: components label propagation iterates behind localCheckpoint(), and
 #: the materialized checkpoint rescans as a JVM InternalRow RDD — no
 #: python workers are involved in evaluating it (q_split_assign's leak
-#: branch embeds the same CC output; q_dedup_jaccard/q_dedup_components
-#: additionally checkpoint the distinct shingle rows once so the four
-#: downstream consumers stop re-running the explode+distinct — round 12).
-_JVM_RDD_SCANS = {"q_dedup_components", "q_split_assign", "q_dedup_jaccard"}
+#: branch embeds the same CC output; q_dedup_jaccard/q_dedup_components/
+#: q_dedup_sketch additionally checkpoint the distinct shingle rows once
+#: so the four downstream verification consumers stop re-running the
+#: explode+distinct — round 12).
+_JVM_RDD_SCANS = {
+    "q_dedup_components",
+    "q_split_assign",
+    "q_dedup_jaccard",
+    "q_dedup_sketch",
+}
 
 
 @pytest.mark.parametrize("name", sorted(corpus.REGISTRY))
