@@ -60,6 +60,20 @@ def get_spark(
         # events.parquet carries TIMESTAMP(NANOS); read as int64 + convert
         # (catalog.load_table does the conversion).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Codegen class cache (round 12): the default 100 entries is
+        # smaller than ONE pass of this engine's query corpus (q_tpch's
+        # 22 branches alone overflow it), so a resident session
+        # re-running query shapes recompiles every generated class every
+        # time — and, worse, each recompile is a NEW class that restarts
+        # HotSpot's tiered compilation, so the hot loops re-run
+        # interpreted/C1.  Measured at sf0.1: q_crack_batch's warm-pass
+        # executor CPU is 10-13 s with the default cache and 1.3 s once
+        # the classes survive between runs (the keyspace-scan work
+        # itself); q_tpch's warm pass drops ~6 CPU-s.  4096 compiled
+        # classes ≈ low hundreds of MB of metaspace — sized for a
+        # resident engine, not for this box (the cache is bounded
+        # either way).
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
     )
     if extra_conf:
         for k, v in extra_conf.items():

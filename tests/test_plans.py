@@ -400,6 +400,18 @@ def test_gate_query_within_shuffle_budget(spark, sf_smoke, name):
     )
 
 
+def test_codegen_cache_outsizes_the_corpus(spark):
+    """The session must raise spark.sql.codegen.cache.maxEntries above
+    the corpus's per-pass codegen-unit count (round 12): the 100-entry
+    default is smaller than ONE bench pass, so a resident session
+    recompiled every generated class on every re-run and the hot loops
+    re-ran interpreted — measured 10-13 warm-pass CPU-s on
+    q_crack_batch vs 1.3 once classes survive (session.py comment has
+    the full numbers).  A corpus-wide regression of this conf would
+    silently re-inflate every warm number."""
+    assert int(spark.conf.get("spark.sql.codegen.cache.maxEntries")) >= 4096
+
+
 def test_fan_out_scan_fires_only_below_floor(spark, sf_oracle):
     """catalog.fan_out_scan (round 11): a row-group-bound scan (one
     partition) is hash-repartitioned on the caller's key up to the
