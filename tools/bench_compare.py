@@ -77,10 +77,15 @@ CPU_NOISY = frozenset({"q_stream_live", "q_stream_stateful", "q_stream_audit"})
 #: - clf_score: 2.9 → 2.7 → 2.2 → 4.0 → 3.2 → 3.0 — third alternating
 #:   flag in r11; ±1.8 observed on untouched code.
 #: - q_crack_batch: a FULL width-4 keyspace scan (deterministic work),
-#:   but its CPU window sits bimodally at ~8 or ~13-15 across full-
+#:   but its CPU window sat bimodally at ~8 or ~13-15 across full-
 #:   bench runs of identical plans (r11 close passes [12.7, 8.4, 8.0]
 #:   vs the next three runs' [12.1-15.6] cluster) with wall and
-#:   shuffle flat — host frequency/attribution noise, not plan.
+#:   shuffle flat.  Round-12 root cause: whole-stage-codegen class
+#:   recompilation — the mode was whether its generated classes
+#:   survived the (default 100-entry) codegen cache between runs;
+#:   session.py now sizes the cache above the corpus and the entry
+#:   sits near its ~1-9 CPU work band.  The bound is kept for the
+#:   residual host noise and for compares against pre-fix files.
 #: - substring_ingest_probe / paradedup_ingest_probe: per-PASS combined
 #:   CPU is bimodal within a single run on identical index state
 #:   (substring replay passes [11.3, 20.2] in one session, round 12;
